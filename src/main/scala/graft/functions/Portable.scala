@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic text/hash arithmetic, expressible identically in
+  * Spark and in the DuckDB oracle SQL (see SparkEntry.oracleSql).
+  *
+  * Everything is built on a polynomial rolling hash over code points,
+  * `H(s) = fold(acc * 31 + code) mod M` with `M = 2^31 - 1`, and the affine
+  * re-hash family `h_k(x) = (a_k * x + b_k) mod M`. All intermediates fit in
+  * int64 (`a_k, x < 2^31` so `a_k * x < 2^62`), so the same arithmetic runs
+  * exactly in DuckDB BIGINT and Spark LongType — this is what makes the
+  * hash-based operators (minhash / simhash / fingerprints) oracle-checkable.
+  *
+  * These column builders are the *reference formulas* (Spark higher-order
+  * functions). Hot paths use the native Catalyst expressions in
+  * [[graft.plans]], which compute the same arithmetic in a single pass and
+  * are cross-checked against these in ScalaTest.
+  */
+object Portable {
+  /** Modulus: the Mersenne prime 2^31 - 1. */
+  val M: Long = 2147483647L
+
+  /** Multiplier / offset of the k-th affine re-hash (k is 0-based). */
+  def aK(k: Int): Long = ((k + 1).toLong * 2654435761L) % M
+  def bK(k: Int): Long = ((k + 1).toLong * 40503L) % M
+
+  /** Characters of a string as an array column (empties removed — Spark's
+    * `split` on an empty regex yields a trailing "" that DuckDB's
+    * `string_split(s, '')` does not). */
+  def chars(c: Column): Column =
+    filter(split(c, ""), ch => ch =!= lit(""))
+
+  /** Code points (ASCII-safe: test corpus is ASCII; `ascii` = `unicode`). */
+  def codePoints(c: Column): Column =
+    transform(chars(c), ch => ascii(ch).cast("long"))
+
+  /** Polynomial rolling hash of a string column, in [0, M). */
+  def polyHash(c: Column): Column =
+    aggregate(codePoints(c), lit(0L), (acc, x) => (acc * 31 + x) % M)
+
+  /** Affine re-hash of an int64 hash column into family member k. */
+  def rehash(h: Column, k: Int): Column =
+    (h * aK(k) + bK(k)) % M
+
+  /** Whitespace tokens, empties removed (mirrors DuckDB
+    * `list_filter(string_split(s, ' '), t -> t != '')`). */
+  def tokens(c: Column): Column =
+    filter(split(c, " "), t => t =!= lit(""))
+
+  /** Word n-shingles as strings joined by a single space; when the doc has
+    * fewer than n tokens the whole text is the lone shingle. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    val joined = transform(
+      sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*))
+    when(size(w) >= n, joined).otherwise(array(c))
+  }
+
+  /** Character n-grams via substr (1-based start, identical in DuckDB). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array(c))
+
+  /** Hashes of the word-n-shingles of a text column. */
+  def shingleHashes(c: Column, n: Int): Column =
+    transform(wordShingles(c, n), s => polyHashStr(s))
+
+  /** polyHash over an already-materialized string expression (same formula,
+    * avoids re-wrapping in a named column). */
+  private def polyHashStr(s: Column): Column =
+    aggregate(transform(filter(split(s, ""), ch => ch =!= lit("")),
+      ch => ascii(ch).cast("long")), lit(0L), (acc, x) => (acc * 31 + x) % M)
+
+  /** MinHash signature (length K) over the word-3-shingle hashes. */
+  def minhashSignature(c: Column, k: Int, shingleN: Int = 3): Column = {
+    val hs = shingleHashes(c, shingleN)
+    array((0 until k).map { i =>
+      array_min(transform(hs, h => rehash(h, i)))
+    }: _*)
+  }
+
+  /** LSH band key: poly-fold of `rowsPerBand` consecutive signature slots
+    * (band b covers sig[b*r+1 .. b*r+r], 1-based). */
+  def bandHash(sig: Column, band: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).foldLeft(lit(0L)) { (acc, j) =>
+      (acc * 31 + element_at(sig, band * rowsPerBand + j + 1)) % M
+    }
+
+  /** 32-bit SimHash over whitespace-token hashes: bit j of the result is 1
+    * iff the sum over tokens of (bit j of H(token) ? 1 : -1) is positive. */
+  def simhash32(c: Column): Column = {
+    val th = transform(tokens(c), t => polyHashStr(t))
+    (0 until 32).foldLeft(lit(0L)) { (acc, j) =>
+      val bitSum = aggregate(th, lit(0L),
+        (s, h) => s + when(pmod(shiftright(h, j), lit(2)) === 1, lit(1L)).otherwise(lit(-1L)))
+      acc + when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+  }
+
+  /** Hamming distance between two int64 bit-patterns (lower 32 bits). */
+  def hamming32(a: Column, b: Column): Column = {
+    val x = a.bitwiseXOR(b)
+    (0 until 32).map(j => pmod(shiftright(x, j), lit(2)).cast("long"))
+      .reduce(_ + _)
+  }
+
+  /** Jaccard similarity of two array columns treated as sets. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Cosine similarity between two double-array columns (sequential
+    * left-fold sum — same order as DuckDB's list lambda fold). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot  = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na   = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, v) => s + v))
+    val nb   = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, v) => s + v))
+    dot / (na * nb)
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run Verify via sbt first,
+then this script compares each dumped parquet against the DuckDB oracle SQL.
+
+Usage: python3 tools/check_oracle.py [sfdir] [outdir] [names...]
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+only = set(sys.argv[3:])
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = 0
+for name, sql in sorted(oracle.items()):
+    if only and name not in only:
+        continue
+    pdir = f"{outdir}/{name}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output")
+        fails += 1
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')").df()
+        exp = con.execute(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: {e}")
+        fails += 1
+        continue
+    # driver semantics: sort columns by name, then compare values
+    got = got[sorted(got.columns)]
+    exp = exp[sorted(exp.columns)]
+    if list(got.columns) != list(exp.columns):
+        print(f"FAIL {name}: columns {list(got.columns)} vs {list(exp.columns)}")
+        fails += 1
+        continue
+    if len(got) != len(exp):
+        print(f"FAIL {name}: rows {len(got)} vs {len(exp)}")
+        fails += 1
+        continue
+    eq = True
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        try:
+            if a.dtype.kind == 'f' or b.dtype.kind == 'f':
+                import numpy as np
+                ok = ((a.isna() & b.isna()) | (a == b)).all()
+            else:
+                ok = ((a.isna() & b.isna()) | (a.astype(str) == b.astype(str))).all()
+        except Exception as e:
+            ok = False
+        if not ok:
+            eq = False
+            bad = (a.astype(str) != b.astype(str))
+            idx = bad[bad].index[:3]
+            print(f"FAIL {name}: col {c} differs, e.g. rows {list(idx)}:")
+            for i in idx:
+                print(f"   spark={a[i]!r} oracle={b[i]!r}")
+    if eq:
+        print(f"OK   {name} ({len(got)} rows)")
+    else:
+        fails += 1
+print("ALL OK" if fails == 0 else f"{fails} FAILURES")
+sys.exit(1 if fails else 0)
