@@ -57,7 +57,11 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("sync_pipeline")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
+    graft.queries.ABlock.queries(messages) ++
+    graft.queries.BBlock.queries(eventsUs)
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── A-block: reference-surface operators ────────────────────────────
     "sync_pipeline" -> ((s, dir) => {
       SyncPipeline(demoCfg)(messages(s, dir))
@@ -101,7 +105,10 @@ object SparkEntry {
     }),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracle ++
+    graft.queries.ABlock.oracle ++ graft.queries.BBlock.oracle
+
+  private def coreOracle: Map[String, String] = Map(
     "sync_pipeline" ->
       """WITH msgs AS (
         |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data

@@ -15,6 +15,9 @@ final case class SyncConfig(
     timeKey: Option[String] = None,
     debugLogPatterns: Seq[String] = Nil,
     rateLimits: Map[String, Int] = Map.empty,
+    /** admission window granularity: "second" (reference semantics),
+      * "minute", "hour" — the refill period of the batch token bucket */
+    rateLimitWindow: String = "second",
     bufferSize: Int = 1000)
 
 /** The reference's consume→transform→route→buffer pipeline (pulsar.rs
@@ -72,7 +75,7 @@ object SyncPipeline {
   def rateLimit(cfg: SyncConfig)(df: DataFrame): DataFrame = {
     if (cfg.rateLimits.isEmpty) df
     else {
-      val sec = date_trunc("second", col("publish_time"))
+      val sec = date_trunc(cfg.rateLimitWindow, col("publish_time"))
       val w = Window.partitionBy(col("app"), sec)
         .orderBy(col("publish_time"), col("msg_id"))
       val limit = cfg.rateLimits.foldRight(lit(Int.MaxValue)) {

@@ -1,0 +1,276 @@
+package graft.queries
+
+import graft.functions.SyncFunctions._
+import graft.operators.{SyncConfig, SyncPipeline}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** A-block: reference-surface operators (SURVEY.md §2.A). Each entry has a
+  * DuckDB oracle mirroring the exact semantics. `msgs` is the
+  * message-stream shape of the events table (built by SparkEntry). */
+object ABlock {
+
+  /** Synthetic partitioned-topic column used by rewrite/collapse demos:
+    * `{event_type}-partition-{event_id % 3}`. */
+  private def partitionedTopic: Column =
+    concat(col("topic"), lit("-partition-"), pmod(col("msg_id"), lit(3)))
+
+  private val rewriteRules =
+    Seq(("click", "web"), ("view", "web"), ("purchase", "commerce"))
+
+  def queries(msgs: (SparkSession, String) => DataFrame)
+      : Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sync_rewrite" -> ((s, dir) => {
+      msgs(s, dir)
+        .withColumn("topic_full", partitionedTopic)
+        .groupBy(col("topic_full"),
+          rewriteIndex(col("topic_full"), rewriteRules).as("target"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("topic_full"), col("target"))
+    }),
+
+    "sync_partition_topic" -> ((s, dir) => {
+      msgs(s, dir)
+        .select(partitionedTopic.as("topic_full"))
+        .distinct()
+        .withColumn("topic_base", collapsePartitionTopic(col("topic_full")))
+        .orderBy(col("topic_full"))
+    }),
+
+    "sync_global_filter" -> ((s, dir) => {
+      val dropped = matchesAny(col("data"), Seq("\"k\": 13\\}"))
+      msgs(s, dir)
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(dropped, 1L).otherwise(0L)).as("dropped"),
+          sum(when(!dropped, 1L).otherwise(0L)).as("kept"))
+        .orderBy(col("topic"))
+    }),
+
+    "sync_ns_filter" -> ((s, dir) => {
+      SyncPipeline.namespaceFilter(SyncConfig(
+        namespaceFilters = Map(
+          "error" -> Seq("\"k\": 9[0-9]\\}"),
+          "click" -> Seq("\"k\": [0-4]\\}"))))(msgs(s, dir))
+        .groupBy(col("topic"))
+        .agg(count(lit(1)).as("kept"))
+        .orderBy(col("topic"))
+    }),
+
+    "sync_timestamp" -> ((s, dir) => {
+      // every 5th message lacks the time key → falls back to publish_time
+      val df = msgs(s, dir).withColumn("data",
+        when(pmod(col("msg_id"), lit(5)) === 0, lit("{\"other\": 1}"))
+          .otherwise(col("data")))
+      df.withColumn("ts_resolved",
+          resolveTimestamp(col("data"), Some("k"), col("publish_time")))
+        .select(col("msg_id"), col("ts_resolved"))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_sanitize_keys" -> ((s, dir) => {
+      msgs(s, dir)
+        .withColumn("data",
+          concat(lit("{\"user.name\": \"u"), col("msg_id"), lit("\"}")))
+        .select(col("msg_id"), sanitizeKeysFlat(col("data")).as("sanitized"))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_app_group" -> ((s, dir) => {
+      // purchase → string app; click → NUMERIC app (must fall back to
+      // default, reference accepts only string-typed `app`); rest → no app
+      val df = msgs(s, dir).withColumn("data",
+        when(col("topic") === "purchase",
+            concat(lit("{\"app\": \"shop\", \"k\": "),
+              get_json_object(col("data"), "$.k"), lit("}")))
+          .when(col("topic") === "click", lit("{\"app\": 7}"))
+          .otherwise(col("data")))
+      df.groupBy(appOf(col("data")).as("app"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("app"))
+    }),
+
+    "sync_debug_detect" -> ((s, dir) => {
+      val df = msgs(s, dir).withColumn("data",
+        concat(lit("{\"level\": \""),
+          when(get_json_object(col("data"), "$.k").cast("long") < 20,
+            lit("debug")).otherwise(lit("info")),
+          lit("\", \"k\": "), get_json_object(col("data"), "$.k"), lit("}")))
+      df.withColumn("is_debug",
+          isDebugLog(col("data"), Seq("\"k\": 7[0-9]\\}")))
+        .groupBy(col("topic"), col("is_debug"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"), col("is_debug"))
+    }),
+
+    "sync_rate_limit" -> ((s, dir) => {
+      val cfg = SyncConfig(
+        rateLimits = Map("purchase" -> 2, "click" -> 1),
+        rateLimitWindow = "hour")
+      SyncPipeline.rateLimit(cfg)(
+          msgs(s, dir).withColumn("app", col("topic")))
+        .select(col("msg_id"), col("app"))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_bulk_batch" -> ((s, dir) => {
+      val cfg = SyncConfig(bufferSize = 50)
+      SyncPipeline.bulkBatches(cfg)(msgs(s, dir)
+          .withColumn("index", esIndex(col("topic"), col("publish_time"))))
+        .groupBy(col("index").as("es_index"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("es_index"), col("batch_id"))
+    }),
+
+    "sync_field_count" -> ((s, dir) => {
+      val df = msgs(s, dir).withColumn("data",
+        when(col("topic") === "purchase",
+            concat(lit("{\"k\": "), get_json_object(col("data"), "$.k"),
+              lit(", \"user\": "), col("msg_id"), lit("}")))
+          .otherwise(col("data")))
+      df.withColumn("fc", fieldCount(col("data")))
+        .groupBy(col("topic"))
+        .agg(round(sum(col("fc")).cast("double") / count(lit(1)), 6)
+          .as("avg_fields"), count(lit(1)).as("n"))
+        .orderBy(col("topic"))
+    }),
+
+    "sync_metrics" -> ((s, dir) => {
+      msgs(s, dir)
+        .withColumn("date_str", dateStr(col("publish_time")))
+        .withColumn("is_debug",
+          matchesAny(col("data"), Seq("\"k\": 4[0-9]\\}")))
+        .groupBy(col("topic"), col("date_str"))
+        .agg(count(lit(1)).as("consumed"),
+          sum(when(col("is_debug"), 1L).otherwise(0L)).as("debug_consumed"))
+        .orderBy(col("topic"), col("date_str"))
+    }),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sync_rewrite" ->
+      """WITH t AS (
+        |  SELECT event_type || '-partition-' || (event_id % 3) AS topic_full FROM events
+        |), c AS (
+        |  SELECT topic_full,
+        |    CASE WHEN regexp_extract(topic_full, '^(.*)-partition-[0-9]+', 1) <> ''
+        |         THEN regexp_extract(topic_full, '^(.*)-partition-[0-9]+', 1)
+        |         ELSE topic_full END AS base
+        |  FROM t
+        |)
+        |SELECT topic_full,
+        |  CASE WHEN regexp_matches(base, '^click') THEN 'web'
+        |       WHEN regexp_matches(base, '^view') THEN 'web'
+        |       WHEN regexp_matches(base, '^purchase') THEN 'commerce'
+        |       ELSE base END AS target,
+        |  count(*) AS n
+        |FROM c GROUP BY 1, 2 ORDER BY topic_full, target""".stripMargin,
+
+    "sync_partition_topic" ->
+      """WITH t AS (
+        |  SELECT DISTINCT event_type || '-partition-' || (event_id % 3) AS topic_full FROM events
+        |)
+        |SELECT topic_full,
+        |  CASE WHEN regexp_extract(topic_full, '^(.*)-partition-[0-9]+', 1) <> ''
+        |       THEN regexp_extract(topic_full, '^(.*)-partition-[0-9]+', 1)
+        |       ELSE topic_full END AS topic_base
+        |FROM t ORDER BY topic_full""".stripMargin,
+
+    "sync_global_filter" ->
+      """SELECT event_type AS topic, count(*) AS total,
+        |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 13\}') THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+        |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 13\}') THEN 0 ELSE 1 END) AS BIGINT) AS kept
+        |FROM events GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_ns_filter" ->
+      """SELECT event_type AS topic, count(*) AS kept
+        |FROM events
+        |WHERE NOT (event_type = 'error' AND regexp_matches(props, '"k": 9[0-9]\}'))
+        |  AND NOT (event_type = 'click' AND regexp_matches(props, '"k": [0-4]\}'))
+        |GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_timestamp" ->
+      """SELECT event_id AS msg_id,
+        |  CASE WHEN event_id % 5 = 0 THEN ts
+        |       ELSE make_timestamp(CAST(json_extract(props, '$.k') AS BIGINT) * 1000)
+        |  END AS ts_resolved
+        |FROM events ORDER BY msg_id""".stripMargin,
+
+    "sync_sanitize_keys" ->
+      """SELECT event_id AS msg_id,
+        |  '{"user_name":"u' || event_id || '"}' AS sanitized
+        |FROM events ORDER BY msg_id""".stripMargin,
+
+    "sync_app_group" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN event_type = 'purchase'
+        |              THEN '{"app": "shop", "k": ' || json_extract(props, '$.k') || '}'
+        |              WHEN event_type = 'click' THEN '{"app": 7}'
+        |              ELSE props END AS data
+        |  FROM events
+        |)
+        |SELECT CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
+        |            THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
+        |            ELSE '__DEFAULT_APP__' END AS app,
+        |       count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY app""".stripMargin,
+
+    "sync_debug_detect" ->
+      """WITH d AS (
+        |  SELECT event_type AS topic,
+        |    '{"level": "' ||
+        |      (CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) < 20
+        |            THEN 'debug' ELSE 'info' END) ||
+        |      '", "k": ' || json_extract(props, '$.k') || '}' AS data
+        |  FROM events
+        |)
+        |SELECT topic,
+        |  (COALESCE(json_extract_string(data, '$.level') = 'debug', FALSE)
+        |     OR regexp_matches(data, '"k": 7[0-9]\}')) AS is_debug,
+        |  count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY topic, is_debug""".stripMargin,
+
+    "sync_rate_limit" ->
+      """SELECT event_id AS msg_id, event_type AS app
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id)
+        |  <= CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
+        |          ELSE 2147483647 END
+        |ORDER BY msg_id""".stripMargin,
+
+    "sync_bulk_batch" ->
+      """WITH d AS (
+        |  SELECT event_type || '-' || strftime(ts, '%Y.%m.%d') AS es_index,
+        |         ts, event_id FROM events
+        |), b AS (
+        |  SELECT es_index,
+        |    CAST(floor((row_number() OVER (PARTITION BY es_index ORDER BY ts, event_id) - 1) / 50) AS BIGINT) AS batch_id
+        |  FROM d
+        |)
+        |SELECT es_index, batch_id, count(*) AS n_docs
+        |FROM b GROUP BY 1, 2 ORDER BY es_index, batch_id""".stripMargin,
+
+    "sync_field_count" ->
+      """WITH d AS (
+        |  SELECT event_type AS topic,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN '{"k": ' || json_extract(props, '$.k') || ', "user": ' || event_id || '}'
+        |         ELSE props END AS data
+        |  FROM events
+        |)
+        |SELECT topic,
+        |  ROUND(CAST(SUM(len(json_keys(data))) AS DOUBLE) / count(*), 6) AS avg_fields,
+        |  count(*) AS n
+        |FROM d GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_metrics" ->
+      """SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,
+        |  count(*) AS consumed,
+        |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 4[0-9]\}') THEN 1 ELSE 0 END) AS BIGINT) AS debug_consumed
+        |FROM events GROUP BY 1, 2 ORDER BY topic, date_str""".stripMargin,
+  )
+}
