@@ -59,7 +59,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++
     graft.queries.ABlock.queries(messages) ++
-    graft.queries.BBlock.queries(eventsUs)
+    graft.queries.BBlock.queries(eventsUs) ++
+    graft.queries.CBlock.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ── A-block: reference-surface operators ────────────────────────────
@@ -106,7 +107,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = coreOracle ++
-    graft.queries.ABlock.oracle ++ graft.queries.BBlock.oracle
+    graft.queries.ABlock.oracle ++ graft.queries.BBlock.oracle ++
+    graft.queries.CBlock.oracle
 
   private def coreOracle: Map[String, String] = Map(
     "sync_pipeline" ->

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.functions.Portable
+import graft.plans.HashOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Embedding similarity search (SURVEY.md §2.C).
+  *
+  * Scale posture: the probe set is small and broadcast; the corpus is
+  * scanned exactly once with a narrow per-row score computation, so the
+  * brute-force path is a single map + per-probe top-k (no corpus shuffle).
+  * The LSH variant assigns every vector to a sign-bit bucket in one narrow
+  * pass; at 100 TB the corpus is bucketed once (write-time partitioning by
+  * bucket) and a probe only scans its matching bucket's partitions.
+  */
+object Similarity {
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Cosine similarity between two float-vector columns (cast to double,
+    * sequential fold — matches the oracle's list_reduce order). */
+  def cosineCol(a: Column, b: Column): Column =
+    Portable.cosine(toDouble(a), toDouble(b))
+
+  /** Brute-force top-k neighbors for each probe vector. Probes are
+    * broadcast; scores computed in one corpus scan. */
+  def cosineTopK(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val corpus = emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    corpus.join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component i (1-based) of plane
+    * p, in [-1, 1): ((a_p*i + b_p) mod M) / M * 2 - 1 — the same affine
+    * family as the portable hashes, so the oracle reproduces it exactly. */
+  def planeComponent(p: Int, i: Column): Column =
+    (((i.cast("long") * HashOps.aK(p) + HashOps.bK(p)) % HashOps.M)
+      .cast("double") / HashOps.M) * 2 - 1
+
+  /** Sign-bit LSH bucket id (nPlanes bits) for each vector: bit p is set
+    * when dot(vec, plane_p) > 0. One narrow pass, no shuffle. */
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    val v = toDouble(vecCol)
+    (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
+      val dot = aggregate(sequence(lit(1), lit(dim)), lit(0.0),
+        (s, i) => s + element_at(v, i) * planeComponent(p, i))
+      acc + when(dot > 0, lit(1L << p)).otherwise(lit(0L))
+    }
+  }
+
+  /** Bucket every vector; downstream ANN probes search only their bucket
+    * (and optionally neighboring buckets by hamming distance). */
+  def lshBuckets(emb: DataFrame, nPlanes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("vec_id"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+
+  /** ANN via LSH: top-k among candidates sharing the probe's bucket. */
+  def annTopK(emb: DataFrame, probePred: Column, k: Int, nPlanes: Int = 8,
+      dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val probes = bucketed.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        col("bucket").as("probe_bucket"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+        col("bucket"))
+      .join(broadcast(probes), col("bucket") === col("probe_bucket") &&
+        col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+}

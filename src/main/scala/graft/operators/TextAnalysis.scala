@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.Portable
+import graft.plans.native
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md §2.C).
+  * All narrow per-row projections — no shuffle; they pipeline with the
+  * parquet scan at any scale. */
+object TextAnalysis {
+
+  /** Marker-token language scoring: count marker occurrences per language,
+    * predict the argmax (ties broken by alphabetical language order). */
+  def langId(docs: DataFrame, markers: Seq[(String, Seq[String])],
+      textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val scored = markers.foldLeft(docs) { case (df, (lang, words)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(toks, t => words.map(t === _).reduce(_ || _))))
+    }
+    val langs = markers.map(_._1).sorted
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((l, _), acc) =>
+        val ge = langs.filter(_ != l)
+          .map(o => col(s"score_$l") >= col(s"score_$o")).reduce(_ && _)
+        when(ge, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality features: token count, unique-token ratio, stopword ratio,
+    * average token length, composite score. */
+  def quality(docs: DataFrame, stopwords: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val uniq = size(array_distinct(toks)).cast("double") / n
+    val stop = size(filter(toks, t => stopwords.map(t === _).reduce(_ || _)))
+      .cast("double") / n
+    val wlen = aggregate(toks, lit(0L), (s, t) => s + length(t))
+      .cast("double") / n
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("uniq_ratio", round(uniq, 6))
+      .withColumn("stop_ratio", round(stop, 6))
+      .withColumn("avg_wlen", round(wlen, 6))
+      .withColumn("quality",
+        round(lit(0.5) * uniq + lit(0.3) * (lit(1.0) - stop) +
+          lit(0.2) * least(n / 100.0, lit(1.0)), 6))
+  }
+
+  /** Whitespace and BPE-ish (greedy ≤4-char chunk) token counts. */
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("ws_tokens", size(Portable.tokens(col(textCol))).cast("long"))
+      .withColumn("bpe_tokens",
+        size(regexp_extract_all(col(textCol), lit("[a-z]{1,4}"), lit(0))).cast("long"))
+
+  /** Document fingerprints: whole-text poly hash + winnowing-lite minimum
+    * character-8-gram hash (native single-pass expressions). */
+  def fingerprint(docs: DataFrame, ngram: Int = 8,
+      textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("fp", native.poly_hash(col(textCol)))
+      .withColumn("winnow_min", native.min_char_ngram_hash(col(textCol), ngram))
+}

@@ -1,0 +1,77 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the portable hash arithmetic: the hot
+  * path of the dedup/fingerprint operators. Each generates a single static
+  * call into [[HashOps]], so the row loop stays in whole-stage codegen and
+  * the per-string work is a tight JVM loop — versus the higher-order
+  * function formulation in [[graft.functions.Portable]], which evaluates an
+  * expression tree per character/shingle. Parity between the two (and the
+  * DuckDB oracle) is asserted in PortableParitySpec.
+  */
+case class PolyHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHashExpr =
+    copy(child = newChild)
+}
+
+case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minhashSig(input.asInstanceOf[UTF8String], k, shingleN)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.minhashSig($c, $k, $shingleN)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+case class SimHash32Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.simhash32(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.simhash32($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash32Expr =
+    copy(child = newChild)
+}
+
+case class MinCharNgramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.minCharNgramHash(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.minCharNgramHash($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): MinCharNgramHashExpr =
+    copy(child = newChild)
+}
+
+/** Column-level API over the native expressions (Spark 4 classic backend:
+  * Column wraps a ColumnNode, so go through ExpressionUtils). */
+object native {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  private def asCol(e: Expression): Column = ColumnBridge.column(e)
+  private def exprOf(c: Column): Expression = ColumnBridge.expression(c)
+
+  def poly_hash(c: Column): Column = asCol(PolyHashExpr(exprOf(c)))
+  def minhash_sig(c: Column, k: Int = 16, shingleN: Int = 3): Column =
+    asCol(MinHashSigExpr(exprOf(c), k, shingleN))
+  def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))
+  def min_char_ngram_hash(c: Column, n: Int): Column =
+    asCol(MinCharNgramHashExpr(exprOf(c), n))
+}

@@ -1,0 +1,263 @@
+package graft.queries
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** C-block: LLM-training-data pipeline operators (SURVEY.md §2.C). The
+  * hash-based operators run on native expressions (graft.plans); the
+  * oracle SQL reproduces the identical portable arithmetic inline. */
+object CBlock {
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("table", "row", "scan"),
+    "en" -> Seq("the", "a"),
+    "es" -> Seq("data", "value", "key"),
+    "fr" -> Seq("join", "merge", "filter"),
+    "zh" -> Seq("spark", "query", "batch"))
+
+  private val stopwords = Seq("the", "a")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactGroups(Tables.documents(s, dir))
+        .select(col("key_hash"), col("keeper"), col("n_docs"))
+        .orderBy(col("keeper"))
+    }),
+
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(Tables.documents(s, dir), k = 16, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, tau = 0.8,
+          blockCol = "lang")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "sim_cosine_topk" -> ((s, dir) => {
+      Similarity.cosineTopK(Tables.embeddings(s, dir),
+          col("vec_id") < 20, k = 5)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    }),
+
+    "sim_ann_lsh" -> ((s, dir) => {
+      Similarity.lshBuckets(Tables.embeddings(s, dir), nPlanes = 8, dim = 64)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec"))
+        .orderBy(col("bucket"))
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.documents(s, dir), langMarkers)
+        .select(col("doc_id"), col("pred_lang"),
+          col("score_de"), col("score_en"), col("score_es"),
+          col("score_fr"), col("score_zh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
+          col("stop_ratio"), col("avg_wlen"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_tokens" -> ((s, dir) => {
+      TextAnalysis.tokenCounts(Tables.documents(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ws_tokens")).as("ws_tokens"),
+          sum(col("bpe_tokens")).as("bpe_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.documents(s, dir), ngram = 8)
+        .select(col("doc_id"), col("fp"), col("winnow_min"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_features" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      Multimodal.extractFeatures(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  /** Inline portable poly-hash over a DuckDB string expression (the SQL
+    * twin of HashOps.polyHashStr / Portable.polyHash). */
+  private def ph(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(acc, cd) -> (acc * 31 + cd) % 2147483647)"
+
+  private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    array_to_string(list_sort(list_distinct($toksSql)), ' ') AS key
+         |  FROM documents
+         |)
+         |SELECT ${ph("key")} AS key_hash, min(doc_id) AS keeper,
+         |       count(*) AS n_docs
+         |FROM k GROUP BY 1 ORDER BY keeper""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $toksSql AS w, text FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(w) >= 3
+         |         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         |         ELSE [text] END AS shingles
+         |  FROM tok
+         |), hs AS (
+         |  SELECT doc_id, list_transform(shingles, sg -> ${ph("sg")}) AS hh FROM sh
+         |), sig AS (
+         |  SELECT doc_id,
+         |    list_transform(range(0, 16), k ->
+         |      list_min(list_transform(hh, h -> (h * (((k+1) * 2654435761) % 2147483647)
+         |        + ((k+1) * 40503) % 2147483647) % 2147483647))) AS sig
+         |  FROM hs
+         |), bands AS (
+         |  SELECT doc_id, b.band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [sig[band*4+1], sig[band*4+2], sig[band*4+3], sig[band*4+4]]),
+         |      (a, x) -> (a * 31 + x) % 2147483647) AS bh
+         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($toksSql, tk -> ${ph("tk")}) AS hh
+         |  FROM documents
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 32), j ->
+         |      CASE WHEN list_sum(list_transform(hh, h ->
+         |        CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), (a, x) -> a + x) AS simhash
+         |  FROM th
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(text) >= 3
+        |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> text[i:i+2]))
+        |         ELSE [text] END AS ng
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  ROUND(len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)), 6) AS jaccard
+        |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |cos AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(cos, 6) AS cosine
+        |FROM cos
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 5
+        |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin,
+
+    "sim_ann_lsh" ->
+      """WITH b AS (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (CAST((i * (((p+1) * 2654435761) % 2147483647)
+        |             + ((p+1) * 40503) % 2147483647) % 2147483647 AS DOUBLE) / 2147483647 * 2 - 1)
+        |        )), (a, x) -> a + x) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, x) -> a + x) AS bucket
+        |  FROM embeddings
+        |)
+        |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "text_langid" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    len(list_filter($toksSql, t -> list_contains(['table','row','scan'], t))) AS score_de,
+         |    len(list_filter($toksSql, t -> list_contains(['the','a'], t))) AS score_en,
+         |    len(list_filter($toksSql, t -> list_contains(['data','value','key'], t))) AS score_es,
+         |    len(list_filter($toksSql, t -> list_contains(['join','merge','filter'], t))) AS score_fr,
+         |    len(list_filter($toksSql, t -> list_contains(['spark','query','batch'], t))) AS score_zh
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CASE
+         |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+         |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+         |    WHEN score_es >= score_de AND score_es >= score_en AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+         |    WHEN score_fr >= score_de AND score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+         |    ELSE 'zh' END AS pred_lang,
+         |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+         |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+         |  CAST(score_zh AS INT) AS score_zh
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  ROUND(len(list_distinct(w)) * 1.0 / len(w), 6) AS uniq_ratio,
+         |  ROUND(len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w), 6) AS stop_ratio,
+         |  ROUND(list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w), 6) AS avg_wlen,
+         |  ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |      + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |      + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS bpe_tokens
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""SELECT doc_id, ${ph("text")} AS fp,
+         |  CASE WHEN len(text) >= 8
+         |       THEN list_min(list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}))
+         |       ELSE ${ph("text")} END AS winnow_min
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      s"""SELECT doc_id, CAST(len(text) AS BIGINT) AS byte_len,
+         |  CAST(len(text) // 256 + 1 AS BIGINT) AS n_frames,
+         |  ${ph("substr(text, 1, 16)")} AS header_hash
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import graft.operators.{SyncConfig, SyncPipeline}
+import graft.sinks.IndexedParquetSink
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's consume→sink loop (pulsar.rs consume_loop +
+  * es.rs sink_elasticsearch_loop) as Structured Streaming.
+  *
+  * Mapping: the Pulsar subscription is a streaming source over the message
+  * shape `(msg_id, topic, publish_time, data)`; the per-message transforms
+  * (filters, parse, enrich) run as narrow streaming projections; the
+  * reference's buffer_size/flush_interval buffering IS the micro-batch —
+  * rate-limit admission and bulk batching are applied inside foreachBatch,
+  * exactly where the reference applies them (at sink time, over the
+  * buffered batch), then written to the indexed store with bulk metrics.
+  * A real deployment swaps the file source for a Pulsar/Kafka source and
+  * the trigger for ProcessingTime(flush_interval). */
+object StreamingSync {
+
+  val messageSchema: StructType = StructType(Seq(
+    StructField("msg_id", LongType),
+    StructField("topic", StringType),
+    StructField("publish_time", TimestampType),
+    StructField("data", StringType)))
+
+  /** File-based streaming source of messages (the test stand-in for the
+    * Pulsar consumer; one file = one consumer batch). */
+  def readMessageStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(messageSchema).parquet(dir)
+
+  /** The narrow transform chain shared verbatim with the batch pipeline —
+    * single source of truth for the sync semantics. */
+  def transform(cfg: SyncConfig)(stream: DataFrame): DataFrame =
+    stream.transform(SyncPipeline.globalFilter(cfg))
+      .transform(SyncPipeline.parseable)
+      .transform(SyncPipeline.namespaceFilter(cfg))
+      .transform(SyncPipeline.enrich(cfg))
+
+  /** Start the full sync: source → transforms → per-batch admission →
+    * indexed sink. `availableNow` drains what's there and stops (tests);
+    * otherwise runs on a processing-time trigger = flush_interval. */
+  def start(spark: SparkSession, cfg: SyncConfig, sourceDir: String,
+      sinkPath: String, metricsPath: String,
+      availableNow: Boolean = false, flushIntervalMs: Long = 5000): StreamingQuery = {
+    val out = transform(cfg)(readMessageStream(spark, sourceDir))
+    val writer = out.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = SyncPipeline.rateLimit(cfg)(batch)
+        val metrics = IndexedParquetSink.writeBatch(
+          admitted.select("msg_id", "topic", "publish_time", "data",
+            "index", "app", "ts_resolved", "is_debug", "field_count"),
+          sinkPath)
+        metrics.withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("append").parquet(metricsPath)
+        ()
+      }
+      .option("checkpointLocation", s"$sinkPath/_checkpoint")
+    (if (availableNow) writer.trigger(Trigger.AvailableNow())
+     else writer.trigger(Trigger.ProcessingTime(flushIntervalMs))).start()
+  }
+}

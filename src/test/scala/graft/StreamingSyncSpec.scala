@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{SyncConfig, SyncPipeline}
+import graft.streaming.StreamingSync
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end streaming sync: file-source message stream → transforms →
+  * per-batch admission → indexed parquet sink with bulk metrics. The
+  * streaming result must equal the batch pipeline on the same messages
+  * (shared transform code), and the sink layout must be index-partitioned. */
+class StreamingSyncSpec extends SparkSpec {
+
+  private val cfg = SyncConfig(
+    globalFilters = Seq("\"k\": 13\\}"),
+    rewriteRules = Seq(("click", "web"), ("view", "web")),
+    rateLimits = Map("__DEFAULT_APP__" -> 50),
+    rateLimitWindow = "hour")
+
+  test("streaming pipeline == batch pipeline; sink partitioned by index") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$tmp/src"
+    val sinkDir = s"$tmp/sink"
+    val metricsDir = s"$tmp/metrics"
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id").as("msg_id"),
+        col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+    msgs.write.parquet(srcDir)
+
+    val q = StreamingSync.start(spark, cfg, srcDir, sinkDir, metricsDir,
+      availableNow = true)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(sinkDir)
+    val batch = SyncPipeline(cfg)(msgs)
+
+    assert(streamed.count() == batch.count())
+    // identical admitted message sets and routing
+    val a = streamed.select("msg_id", "index", "app").orderBy("msg_id")
+      .collect().toSeq
+    val b = batch.select("msg_id", "index", "app").orderBy("msg_id")
+      .collect().toSeq
+    assert(a == b)
+
+    // sink layout: index=... partition directories (the "ES indices")
+    val dirs = new java.io.File(sinkDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("index="))
+    assert(dirs.nonEmpty)
+
+    // bulk metrics present and consistent with written doc count
+    val metrics = spark.read.parquet(metricsDir)
+    assert(metrics.agg(sum("written")).head.getLong(0) == streamed.count())
+  }
+
+  test("second availableNow run is incremental (checkpoint): no re-write") {
+    val tmp = Files.createTempDirectory("graft-stream2").toString
+    val srcDir = s"$tmp/src"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+      .limit(100).write.parquet(srcDir)
+    val sinkDir = s"$tmp/sink"; val metricsDir = s"$tmp/metrics"
+    StreamingSync.start(spark, cfg, srcDir, sinkDir, metricsDir,
+      availableNow = true).awaitTermination(120000)
+    val n1 = spark.read.parquet(sinkDir).count()
+    StreamingSync.start(spark, cfg, srcDir, sinkDir, metricsDir,
+      availableNow = true).awaitTermination(120000)
+    val n2 = spark.read.parquet(sinkDir).count()
+    assert(n1 == n2)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import graft.functions.SyncFunctions._
+import org.apache.spark.sql.functions._
+
+/** Semantics checks against the reference's own behavior, including the
+  * rewrite-rule test vectors from /root/reference/src/es.rs:396-432. */
+class SyncFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topicPart extracts the last URI segment (util.rs:53)") {
+    val got = Seq("persistent://public/default/test", "bare-topic")
+      .toDF("t").select(topicPart(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("test", "bare-topic"))
+  }
+
+  test("rewrite rules: reference test vectors (es.rs:396-432)") {
+    val rules = Seq(
+      ("app-biz.*", "app"), ("app-mutants.*", "mutants"),
+      ("app-biz1.*", "app"), ("app-.*", "app"),
+      ("etcd.*", "eks-logstash"), ("istio-system.*", "eks-logstash"),
+      ("kube-system.*", "eks-logstash"), ("kong.*", "eks-logstash"),
+      ("pular.*", "pulsar"))
+    val expected = Seq(
+      "app-biz" -> "app", "app-mutants" -> "mutants", "app-biz1" -> "app",
+      "app-biz2" -> "app", "app-foo" -> "app", "logstash" -> "logstash",
+      "etcd" -> "eks-logstash", "kube-system" -> "eks-logstash",
+      "istio-system" -> "eks-logstash", "kong" -> "eks-logstash",
+      "pulsar-partition-0" -> "pulsar")
+    val got = expected.map(_._1).toDF("t")
+      .select(col("t"), rewriteIndex(col("t"), rules).as("r"))
+      .as[(String, String)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("appOf accepts only string-typed app (util.rs:167)") {
+    val got = Seq(
+        """{"app": "shop"}""", """{"app": 7}""", """{"x": 1}""")
+      .toDF("d").select(appOf(col("d"))).as[String].collect()
+    assert(got.toSeq == Seq("shop", DefaultApp, DefaultApp))
+  }
+
+  test("isDebugLog: level==debug OR regex (util.rs:141,159)") {
+    val pats = Seq("\\[DEBU\\]", "\\[Gin-Debug\\]")
+    val got = Seq(
+        """{"level": "debug"}""", """{"level": "info"}""",
+        "[DEBU]: xxx", "[Gin-Debug]: xxx", "DEBU: xxx")
+      .toDF("d").select(isDebugLog(col("d"), pats)).as[Boolean].collect()
+    assert(got.toSeq == Seq(true, false, true, true, false))
+  }
+
+  test("resolveTimestamp: numeric time key in millis, else publish time (es.rs:61-97)") {
+    val df = Seq(
+        ("""{"ts": 1626057993894}""", "2024-01-01 00:00:00"),
+        ("""{"ts": "not-a-number"}""", "2024-01-01 00:00:00"),
+        ("""{"other": 1}""", "2024-01-01 00:00:00"))
+      .toDF("d", "pt").withColumn("pt", col("pt").cast("timestamp"))
+    val got = df.select(resolveTimestamp(col("d"), Some("ts"), col("pt"))
+      .cast("string")).as[String].collect()
+    assert(got(0).startsWith("2021-07-12"))
+    assert(got(1) == "2024-01-01 00:00:00")
+    assert(got(2) == "2024-01-01 00:00:00")
+  }
+
+  test("sanitizeKeysFlat replaces dots in keys (es.rs:99)") {
+    val got = Seq("""{"a.b": "1", "c": "2"}""").toDF("d")
+      .select(sanitizeKeysFlat(col("d"))).as[String].collect().head
+    assert(got == """{"a_b":"1","c":"2"}""")
+  }
+
+  test("collapsePartitionTopic (es.rs:252)") {
+    val got = Seq("foo-partition-3", "foo", "a-partition-x")
+      .toDF("t").select(collapsePartitionTopic(col("t"))).as[String].collect()
+    assert(got.toSeq == Seq("foo", "foo", "a-partition-x"))
+  }
+}
