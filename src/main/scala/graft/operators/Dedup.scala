@@ -47,33 +47,59 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming. The
-    * all-pairs form here is for small corpora / verification; at scale,
-    * block on simhash bit-bands first (same LSH pattern as minhash). */
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming — EXACT,
+    * via pigeonhole byte-band blocking: with the 32-bit hash split into 4
+    * byte bands, ≤ m differing bits touch ≤ m bands, so some (4−m)-band
+    * subset matches exactly. Each doc emits one key per (4−m)-subset;
+    * an equality join on (subset, band values) yields candidates with
+    * guaranteed full recall, then the hamming filter verifies. Requires
+    * maxHamming ≤ 3; the join is a hash join on well-spread keys — no
+    * all-pairs comparison at any scale. */
   def simhashPairs(docs: DataFrame, maxHamming: Int,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "byte-band pigeonhole blocking needs maxHamming <= 3")
     val h = docs.select(col(idCol).as("doc_id"),
       native.simhash32(col(textCol)).as("sh"))
-    val a = h.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = h.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    a.join(b, col("doc_a") < col("doc_b"))
-      .withColumn("hd", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+    def band(i: Int) = shiftright(col("sh"), 8 * i).bitwiseAND(lit(255L))
+    val keep = 4 - maxHamming
+    val subsets = (0 until 4).combinations(keep).toSeq.zipWithIndex
+    val keyed = h.select(col("doc_id"), col("sh"), explode(array(
+      subsets.map { case (bs, sid) =>
+        struct(lit(sid).as("sid"),
+          concat_ws(",", bs.map(band): _*).as("bkey"))
+      }: _*)).as("k"))
+    val a = keyed.select(col("k").as("ka"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = keyed.select(col("k").as("kb"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("ka") === col("kb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hd"))
       .filter(col("hd") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hd"))
+      .distinct()
   }
 
-  /** Character-n-gram Jaccard near-dup pairs within blocks (e.g. language):
-    * blocking bounds the self-join; jaccard on distinct n-gram sets. */
+  /** Character-n-gram Jaccard near-dup pairs within blocks (e.g. language).
+    * Exact-threshold join made scale-feasible by (a) representing each
+    * document as a sorted distinct array of n-gram hashes computed in one
+    * native pass, (b) a provably-lossless size-ratio prune — jaccard(A,B)
+    * ≤ min(|A|,|B|)/max(|A|,|B|), so pairs failing |A| ≥ τ·|B| ∧ |B| ≥
+    * τ·|A| can never reach τ — and (c) a merge-based jaccard (no per-pair
+    * set allocation). Blocking bounds the self-join fan-out. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
       blockCol: String, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val g = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      array_distinct(Portable.charNgrams(col(textCol), n)).as("ng"))
-    val a = g.select(col("blk"), col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+      native.ngram_hash_set(col(textCol), n).as("ng"))
+      .withColumn("nn", size(col("ng")))
+    val a = g.select(col("blk"), col("doc_id").as("doc_a"),
+      col("ng").as("ng_a"), col("nn").as("n_a"))
     val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
-      col("ng").as("ng_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-      .withColumn("jac", Portable.jaccard(col("ng_a"), col("ng_b")))
+      col("ng").as("ng_b"), col("nn").as("n_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
+        col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+      .withColumn("jac", native.sorted_jaccard(col("ng_a"), col("ng_b")))
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }

@@ -19,10 +19,10 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
-  /** Cosine similarity between two float-vector columns (cast to double,
-    * sequential fold — matches the oracle's list_reduce order). */
-  def cosineCol(a: Column, b: Column): Column =
-    Portable.cosine(toDouble(a), toDouble(b))
+  /** Cosine similarity between two float-vector columns — native
+    * expression with the oracle's exact sequential-fold order (the HOF
+    * reference formula Portable.cosine is parity-tested against it). */
+  def cosineCol(a: Column, b: Column): Column = graft.plans.native.cosine_sim(a, b)
 
   /** Brute-force top-k neighbors for each probe vector. Probes are
     * broadcast; scores computed in one corpus scan. */
@@ -48,8 +48,13 @@ object Similarity {
       .cast("double") / HashOps.M) * 2 - 1
 
   /** Sign-bit LSH bucket id (nPlanes bits) for each vector: bit p is set
-    * when dot(vec, plane_p) > 0. One narrow pass, no shuffle. */
-  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column = {
+    * when dot(vec, plane_p) > 0. Native single-pass expression; one narrow
+    * pass, no shuffle. `lshBucketHof` is the parity-test reference. */
+  def lshBucket(vecCol: Column, nPlanes: Int, dim: Int): Column =
+    graft.plans.native.lsh_bucket(vecCol, nPlanes)
+
+  /** Reference HOF formulation of [[lshBucket]] (parity tests only). */
+  def lshBucketHof(vecCol: Column, nPlanes: Int, dim: Int): Column = {
     val v = toDouble(vecCol)
     (0 until nPlanes).foldLeft(lit(0L)) { (acc, p) =>
       val dot = aggregate(sequence(lit(1), lit(dim)), lit(0.0),

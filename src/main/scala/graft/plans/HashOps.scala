@@ -92,6 +92,92 @@ object HashOps {
     out
   }
 
+  /** Sorted distinct poly-hashes of the character n-grams — the set
+    * representation for fast pairwise jaccard ([[sortedJaccard]]).
+    * `[polyHash(s)]` when shorter than n (mirrors the oracle's CASE). */
+  def ngramHashSet(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) new GenericArrayData(Array(polyHashStr(str)))
+    else {
+      val hs = new Array[Long](str.length - n + 1)
+      var i = 0
+      while (i + n <= str.length) {
+        var acc = 0L
+        var j = i
+        while (j < i + n) { acc = (acc * 31 + str.charAt(j)) % M; j += 1 }
+        hs(i) = acc
+        i += 1
+      }
+      java.util.Arrays.sort(hs)
+      // dedup in place
+      var w = 0
+      i = 0
+      while (i < hs.length) {
+        if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+    }
+  }
+
+  /** Jaccard of two sorted distinct long arrays via a single merge pass —
+    * no per-pair hash-set allocation; this is what makes the exact
+    * n-gram-jaccard join feasible at scale. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  private def elemAsDouble(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity with the exact sequential-fold order of the oracle's
+    * list_reduce (and Portable.cosine): acc starts at 0.0, elements added
+    * left-to-right, products of double-cast elements — bit-identical to
+    * the HOF/DuckDB formulations, ~100× cheaper than interpreted lambdas. */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = elemAsDouble(a, i, aFloat)
+      val y = elemAsDouble(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Sign-bit LSH bucket over deterministic pseudo-random hyperplanes:
+    * plane(p, i) = ((i*a_p + b_p) mod M) / M * 2 - 1 (i is 1-based), bit p
+    * set when dot(vec, plane_p) > 0. Same IEEE op order as the column /
+    * oracle formulation. */
+  def lshBucket(v: ArrayData, nPlanes: Int, isFloat: Boolean): Long = {
+    val n = v.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val a = aK(p); val b = bK(p)
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val plane = ((i + 1).toLong * a + b) % M
+        dot += elemAsDouble(v, i, isFloat) * (plane.toDouble / M * 2 - 1)
+        i += 1
+      }
+      if (dot > 0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Minimum poly-hash over the character n-grams (winnowing-lite
     * fingerprint); the whole-text hash when shorter than n. */
   def minCharNgramHash(s: UTF8String, n: Int): Long = {

@@ -60,6 +60,66 @@ case class MinCharNgramHashExpr(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+case class NgramHashSetExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.ngramHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.ngramHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashSetExpr =
+    copy(child = newChild)
+}
+
+case class SortedJaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedJaccard(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashOps.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedJaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+case class CosineSimExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.cosine(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.HashOps.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimExpr = copy(left = newLeft, right = newRight)
+}
+
+case class LshBucketExpr(child: Expression, nPlanes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.lshBucket(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      nPlanes, isFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.lshBucket($c, $nPlanes, $isFloat)")
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (Spark 4 classic backend:
   * Column wraps a ColumnNode, so go through ExpressionUtils). */
 object native {
@@ -74,4 +134,12 @@ object native {
   def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))
   def min_char_ngram_hash(c: Column, n: Int): Column =
     asCol(MinCharNgramHashExpr(exprOf(c), n))
+  def ngram_hash_set(c: Column, n: Int): Column =
+    asCol(NgramHashSetExpr(exprOf(c), n))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    asCol(SortedJaccardExpr(exprOf(a), exprOf(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    asCol(CosineSimExpr(exprOf(a), exprOf(b)))
+  def lsh_bucket(c: Column, nPlanes: Int): Column =
+    asCol(LshBucketExpr(exprOf(c), nPlanes))
 }

@@ -162,18 +162,18 @@ object CBlock {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
-      """WITH g AS (
-        |  SELECT doc_id, lang,
-        |    CASE WHEN len(text) >= 3
-        |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> text[i:i+2]))
-        |         ELSE [text] END AS ng
-        |  FROM documents
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  ROUND(len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)), 6) AS jaccard
-        |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(text) >= 3
+         |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")}))
+         |         ELSE [${ph("text")}] END AS ng
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  ROUND(len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)), 6) AS jaccard
+         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),

@@ -46,6 +46,41 @@ class PortableParitySpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("cosine_sim native == Portable formula (bit-identical doubles)") {
+    val emb = Tables.embeddings(spark, sf())
+    val a = emb.limit(30).select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.limit(30).select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ia") < col("ib"))
+    val dbl = (c: org.apache.spark.sql.Column) => transform(c, x => x.cast("double"))
+    val n = pairs.select(
+        native.cosine_sim(col("ea"), col("eb")).as("x"),
+        Portable.cosine(dbl(col("ea")), dbl(col("eb"))).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(n == 0)
+  }
+
+  test("lsh_bucket native == HOF formula") {
+    val emb = Tables.embeddings(spark, sf())
+    val n = emb.select(
+        native.lsh_bucket(col("embedding"), 8).as("x"),
+        graft.operators.Similarity.lshBucketHof(col("embedding"), 8, 64).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(n == 0)
+  }
+
+  test("sorted_jaccard native == set ops on hashed ngrams") {
+    val d = docs.limit(40)
+    val a = d.select(col("doc_id").as("ia"),
+      native.ngram_hash_set(col("text"), 3).as("ga"))
+    val b = d.select(col("doc_id").as("ib"),
+      native.ngram_hash_set(col("text"), 3).as("gb"))
+    val n = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(native.sorted_jaccard(col("ga"), col("gb")).as("x"),
+        Portable.jaccard(col("ga"), col("gb")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(n == 0)
+  }
+
   test("short/degenerate strings: fewer tokens than shingle width") {
     import spark.implicits._
     val df = Seq("ab", "one two", "x y z", "").toDF("text")
