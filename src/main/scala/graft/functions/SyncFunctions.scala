@@ -88,6 +88,18 @@ object SyncFunctions {
         coalesce(timestamp_millis(millis.cast("long")), publishTime)
     }
 
+  /** Debug key injection (reference: pulsar.rs:277-281, es.rs:346-348):
+    * adds `__INJECTED_DATA__` to the JSON document. The reference uses a
+    * random UUIDv4; `deterministic = true` derives a stable id from the
+    * message id instead (for replayable pipelines / the oracle gate). */
+  def injectKey(raw: Column, msgId: Column, deterministic: Boolean): Column = {
+    val idVal =
+      if (deterministic) concat(lit("msg-"), msgId.cast("string"))
+      else expr("uuid()")
+    concat(regexp_replace(raw, "\\}\\s*$", ""),
+      lit(", \"__INJECTED_DATA__\": \""), idVal, lit("\"}"))
+  }
+
   /** Recursive JSON key sanitization `.` → `_` for flat string maps
     * (reference: es.rs:77-107). Deeply-nested documents use the native
     * expression in graft.plans; this built-in-only variant covers the

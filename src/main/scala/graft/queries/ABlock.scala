@@ -137,6 +137,14 @@ object ABlock {
         .orderBy(col("topic"))
     }),
 
+    "sync_inject" -> ((s, dir) => {
+      msgs(s, dir)
+        .select(col("msg_id"),
+          injectKey(col("data"), col("msg_id"), deterministic = true)
+            .as("injected"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_metrics" -> ((s, dir) => {
       msgs(s, dir)
         .withColumn("date_str", dateStr(col("publish_time")))
@@ -266,6 +274,11 @@ object ABlock {
         |  ROUND(CAST(SUM(len(json_keys(data))) AS DOUBLE) / count(*), 6) AS avg_fields,
         |  count(*) AS n
         |FROM d GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_inject" ->
+      """SELECT event_id AS msg_id,
+        |  regexp_replace(props, '\}\s*$', '') || ', "__INJECTED_DATA__": "msg-' || event_id || '"}' AS injected
+        |FROM events ORDER BY msg_id""".stripMargin,
 
     "sync_metrics" ->
       """SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,

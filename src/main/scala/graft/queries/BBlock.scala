@@ -94,6 +94,59 @@ object BBlock {
         .orderBy(col("n_name"))
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("c_acctbal"))).as("acctbal"),
+          grouping_id().cast("int").as("lvl"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    "q_pivot_case" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(t =>
+        sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")) :+
+        moneySum(dec2(col("value"))).as("total_value")
+      eventsUs(s, dir).groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"))
+    }),
+
+    "q_percentile" -> ((s, dir) => {
+      Tables.orders(s, dir).groupBy(col("o_orderpriority"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q_setops" -> ((s, dir) => {
+      val building = Tables.customer(s, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ordered97 = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      val ex = building.except(ordered97)
+        .select(lit("except").as("op"), col("c_custkey"))
+      val in = building.intersect(ordered97)
+        .select(lit("intersect").as("op"), col("c_custkey"))
+      ex.unionAll(in).orderBy(col("op"), col("c_custkey"))
+    }),
+
+    "q_tumbling_window" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), moneySum(dec2(col("value"))).as("value_sum"))
+        .select(col("w.start").as("hour_start"), col("event_type"),
+          col("n"), col("value_sum"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val gapUs = 30L * 60 * 1000000
@@ -157,6 +210,50 @@ object BBlock {
         |  FROM customer
         |) c JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal,
+        |  CAST(GROUPING(n_name, c_mktsegment) AS INT) AS lvl
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP(n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_pivot_case" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT o_orderpriority,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_setops" ->
+      """WITH building AS (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), ordered97 AS (
+        |  SELECT o_custkey AS c_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |)
+        |SELECT 'except' AS op, c_custkey FROM (SELECT * FROM building EXCEPT SELECT * FROM ordered97)
+        |UNION ALL
+        |SELECT 'intersect' AS op, c_custkey FROM (SELECT * FROM building INTERSECT SELECT * FROM ordered97)
+        |ORDER BY op, c_custkey""".stripMargin,
+
+    "q_tumbling_window" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH g AS (

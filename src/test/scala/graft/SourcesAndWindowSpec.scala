@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{SyncConfig, SyncPipeline}
+import graft.sources.JsonLines
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths}
+
+/** JSON-lines ingestion (batch + streaming) and streaming windowed
+  * aggregation with watermark — the event-time agg path of the engine. */
+class SourcesAndWindowSpec extends SparkSpec {
+
+  private def stageJsonl(): String = {
+    val tmp = Files.createTempDirectory("graft-jsonl").toString
+    Files.createDirectories(Paths.get(s"$tmp/web"))
+    Files.createDirectories(Paths.get(s"$tmp/audit"))
+    Files.writeString(Paths.get(s"$tmp/web/part-0.jsonl"),
+      """{"ts": 1700000000000, "app": "shop", "k": 1}
+        |{"ts": 1700000001000, "k": 2}
+        |not json at all
+        |{"ts": 1700000002000, "level": "debug", "k": 3}
+        |""".stripMargin)
+    Files.writeString(Paths.get(s"$tmp/audit/part-0.jsonl"),
+      """{"ts": 1700000003000, "k": 4}
+        |""".stripMargin)
+    tmp
+  }
+
+  test("JsonLines batch: topic from dir, raw passthrough, bad lines survive to parse stage") {
+    val dir = stageJsonl()
+    val msgs = JsonLines.read(spark, s"$dir/*/*.jsonl")
+    assert(msgs.count() == 5)
+    val topics = msgs.select("topic").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(topics == Set("web", "audit"))
+    // the non-JSON line is dropped by the pipeline's parse stage, not the source
+    val parsed = SyncPipeline(SyncConfig())(msgs)
+    assert(parsed.count() == 4)
+    assert(parsed.filter(col("is_debug")).count() == 1)
+    assert(parsed.filter(col("app") === "shop").count() == 1)
+  }
+
+  test("JsonLines streaming == batch through the same pipeline") {
+    val dir = stageJsonl()
+    val cfg = SyncConfig()
+    val out = graft.streaming.StreamingSync.transform(cfg)(
+      JsonLines.readStream(spark, s"$dir/*/*.jsonl"))
+    val q = out.writeStream.format("memory").queryName("jsonl_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("jsonl_stream")
+    assert(streamed.count() == 4)
+    assert(streamed.select("topic").distinct().count() == 2)
+  }
+
+  test("streaming windowed agg with watermark == batch tumbling agg") {
+    val tmp = Files.createTempDirectory("graft-winagg").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"))
+    msgs.write.parquet(s"$tmp/src")
+
+    val stream = spark.readStream
+      .schema("topic STRING, publish_time TIMESTAMP")
+      .parquet(s"$tmp/src")
+      .withWatermark("publish_time", "2 hours")
+      .groupBy(window(col("publish_time"), "1 hour"), col("topic"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.format("memory").queryName("win_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("win_stream")
+      .select(col("window.start").as("h"), col("topic"), col("n"))
+    val batch = msgs.groupBy(date_trunc("hour", col("publish_time")).as("h"),
+      col("topic")).agg(count(lit(1)).as("n"))
+    // watermark may hold back the final (max event time) window in append
+    // mode; every emitted window must match the batch result exactly
+    val joined = streamed.as("s").join(batch.as("b"), Seq("h", "topic"))
+    assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
+    assert(streamed.count() >= batch.count() - 5)
+  }
+}
