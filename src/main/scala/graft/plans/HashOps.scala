@@ -178,6 +178,35 @@ object HashOps {
     bucket
   }
 
+  /** Pack an array of bit positions into a fixed-width long bitset. */
+  def positionsToBitset(pos: ArrayData, words: Int): ArrayData = {
+    val bs = new Array[Long](words)
+    var i = 0
+    val n = pos.numElements()
+    while (i < n) {
+      val p = pos.getLong(i).toInt
+      bs(p >> 6) |= (1L << (p & 63))
+      i += 1
+    }
+    new GenericArrayData(bs)
+  }
+
+  /** Jaccard of two equal-width long bitsets via popcounts — the
+    * dictionary-encoded fast path of the n-gram jaccard join: per-pair
+    * cost is O(words), not O(set size). */
+  def bitsetJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var inter = 0; var union = 0
+    var i = 0
+    while (i < n) {
+      val x = a.getLong(i); val y = b.getLong(i)
+      inter += java.lang.Long.bitCount(x & y)
+      union += java.lang.Long.bitCount(x | y)
+      i += 1
+    }
+    if (union == 0) 0.0 else inter.toDouble / union.toDouble
+  }
+
   /** Minimum poly-hash over the character n-grams (winnowing-lite
     * fingerprint); the whole-text hash when shorter than n. */
   def minCharNgramHash(s: UTF8String, n: Int): Long = {

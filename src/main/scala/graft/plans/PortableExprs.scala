@@ -120,6 +120,34 @@ case class LshBucketExpr(child: Expression, nPlanes: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+case class PositionsToBitsetExpr(child: Expression, words: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.positionsToBitset(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], words)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.positionsToBitset($c, $words)")
+  override protected def withNewChildInternal(newChild: Expression): PositionsToBitsetExpr =
+    copy(child = newChild)
+}
+
+case class BitsetJaccardExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.bitsetJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashOps.bitsetJaccard($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): BitsetJaccardExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level API over the native expressions (Spark 4 classic backend:
   * Column wraps a ColumnNode, so go through ExpressionUtils). */
 object native {
@@ -142,4 +170,8 @@ object native {
     asCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def lsh_bucket(c: Column, nPlanes: Int): Column =
     asCol(LshBucketExpr(exprOf(c), nPlanes))
+  def positions_to_bitset(c: Column, words: Int): Column =
+    asCol(PositionsToBitsetExpr(exprOf(c), words))
+  def bitset_jaccard(a: Column, b: Column): Column =
+    asCol(BitsetJaccardExpr(exprOf(a), exprOf(b)))
 }

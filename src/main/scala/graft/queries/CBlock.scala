@@ -38,9 +38,15 @@ object CBlock {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3, tau = 0.8,
+      Dedup.ngramJaccardPairsDict(Tables.documents(s, dir), n = 3, tau = 0.8,
           blockCol = "lang")
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingPairs(Tables.embeddings(s, dir), tau = 0.35,
+          blockCol = "label")
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     "sim_cosine_topk" -> ((s, dir) => {
@@ -174,6 +180,21 @@ object CBlock {
          |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH cos AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, ROUND(c, 6) AS cosine
+        |FROM cos WHERE c >= 0.35 ORDER BY id_a, id_b""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
