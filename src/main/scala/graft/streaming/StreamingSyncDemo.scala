@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{SyncConfig, SyncPipeline}
+import graft.operators.{SyncConfigJson, SyncPipeline}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -28,8 +28,12 @@ object StreamingSyncDemo {
     if (!new java.io.File(s"$work/src").exists())
       msgs.write.parquet(s"$work/src")
 
-    val cfg = SyncConfig(globalFilters = Seq("\"k\": 13\\}"),
-      rewriteRules = Seq(("click", "web"), ("view", "web")))
+    // reference-style JSON flag values (args.rs formats)
+    val cfg = SyncConfigJson.fromArgs(
+      globalFilters = Seq("\"k\": 13\\}"),
+      namespaceFilterJsons = Seq(
+        """{"namespace": "error", "filters": ["\"k\": 9[0-9]\\}"]}"""),
+      rewriteRulesJson = Some("""{"rules": [["click", "web"], ["view", "web"]]}"""))
     val q = StreamingSync.start(spark, cfg, s"$work/src", s"$work/sink",
       s"$work/metrics", availableNow = true)
     q.awaitTermination(120000)
