@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.Skew
+import graft.streaming.StreamingSessionize
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.Files
+
+/** The 100 TB posture techniques must be *demonstrably* correct and
+  * shuffle-shaped as claimed: salted aggregation equals direct
+  * aggregation; bucketed co-located joins plan without a shuffle;
+  * stateful streaming sessions agree with the batch formulation. */
+class ScaleTechniquesSpec extends SparkSpec {
+
+  test("salted aggregation == direct aggregation") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_type"), (col("value") * 100).cast("long").as("cents"))
+    val direct = ev.groupBy("event_type")
+      .agg(sum("cents").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("event_type").collect().toSeq
+    val salted = Skew.saltedSumCount(ev, Seq("event_type"), "cents", salts = 16)
+      .orderBy("event_type").collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("bucketed co-located join plans without a shuffle exchange") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      // in-memory catalog forgets tables across JVMs but their warehouse
+      // dirs persist; clear them so saveAsTable can recreate
+      Seq("b_orders", "b_customer").foreach { t =>
+        val d = new java.io.File(s"spark-warehouse/$t")
+        if (d.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(d).deleteRecursively()
+        }
+      }
+      spark.read.parquet(s"${sf()}/orders.parquet")
+        .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      spark.read.parquet(s"${sf()}/customer.parquet")
+        .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("stateful streaming sessions == batch sessions (closed ones)") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
+    ev.write.parquet(s"$tmp/src")
+
+    val stream = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+      .parquet(s"$tmp/src").as[StreamingSessionize.Event]
+    val q = StreamingSessionize.sessions(stream, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // session_start passed through java.sql.Timestamp.getTime → ms
+    // precision; key the comparison on ms on both sides
+    val streamed = spark.table("sess_stream")
+      .select(col("user_id"), unix_millis(col("session_start")).as("start_ms"),
+        col("n_events"))
+
+    // batch reference: same gap logic via window functions
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+    val batch = ev
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000000, 1L)
+        .otherwise(0L))
+      .withColumn("sid", sum("new_s").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(floor(min(unix_micros(col("ts"))) / 1000).as("start_ms"),
+        count(lit(1)).as("n_events"))
+
+    // streamed sessions are those the watermark closed; each must match
+    // the batch session with the same (user, start) exactly
+    val joined = streamed.as("st").join(batch.as("b"),
+      Seq("user_id", "start_ms"), "left")
+    assert(joined.filter(col("b.n_events").isNull ||
+      col("st.n_events") =!= col("b.n_events")).count() == 0)
+    assert(streamed.count() > 0)
+  }
+}
