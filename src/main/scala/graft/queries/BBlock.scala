@@ -94,6 +94,22 @@ object BBlock {
         .orderBy(col("n_name"))
     }),
 
+    "q_subquery" -> ((s, dir) => {
+      // customers above their nation's average balance (correlated
+      // aggregate subquery, decorrelated as a broadcast join on the
+      // per-nation aggregate)
+      val cust = Tables.customer(s, dir)
+      val avgBal = cust.groupBy(col("c_nationkey").as("nk"))
+        .agg((round(sum(dec2(col("c_acctbal"))), 2).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      cust.join(broadcast(avgBal), col("c_nationkey") === col("nk"))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_above"),
+          moneySum(dec2(col("c_acctbal"))).as("bal_above"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q_rollup" -> ((s, dir) => {
       val cust = Tables.customer(s, dir)
       val nat = Tables.nation(s, dir)
@@ -210,6 +226,18 @@ object BBlock {
         |  FROM customer
         |) c JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_subquery" ->
+      """WITH ab AS (
+        |  SELECT c_nationkey AS nk,
+        |    CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer GROUP BY c_nationkey
+        |)
+        |SELECT c_nationkey, count(*) AS n_above,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS bal_above
+        |FROM customer JOIN ab ON c_nationkey = nk
+        |WHERE c_acctbal > avg_bal
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "q_rollup" ->
       """SELECT n_name, c_mktsegment, count(*) AS n,

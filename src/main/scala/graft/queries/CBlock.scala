@@ -92,6 +92,26 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "sketch_distinct" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.linearCountDistinct(
+          ev, Seq("event_type"), col("user_id"), k = 256)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("exact"), col("occupied"), col("estimate"))
+        .orderBy(col("event_type"))
+    }),
+
+    "vec_norms" -> ((s, dir) => {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+            (a, x) => a + x)), 6).as("l2_norm"),
+          size(col("embedding")).cast("long").as("dim"))
+        .orderBy(col("vec_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       implicit val ss: SparkSession = s
       Multimodal.extractFeatures(
@@ -274,6 +294,29 @@ object CBlock {
          |       THEN list_min(list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}))
          |       ELSE ${ph("text")} END AS winnow_min
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sketch_distinct" ->
+      s"""WITH sk AS (
+         |  SELECT event_type,
+         |    count(DISTINCT ${ph("CAST(user_id AS VARCHAR)")} % 256) AS occupied
+         |  FROM events GROUP BY event_type
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact
+         |  FROM events GROUP BY event_type
+         |)
+         |SELECT sk.event_type, ex.exact, sk.occupied,
+         |  CASE WHEN sk.occupied = 256 THEN CAST('inf' AS DOUBLE)
+         |       ELSE ROUND(-256.0 * ln((256 - sk.occupied) / 256), 4) END AS estimate
+         |FROM sk JOIN ex ON sk.event_type = ex.event_type
+         |ORDER BY sk.event_type""".stripMargin,
+
+    "vec_norms" ->
+      """SELECT vec_id, label,
+        |  ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+        |    (a, x) -> a + x)), 6) AS l2_norm,
+        |  len(embedding) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "mm_features" ->
       s"""SELECT doc_id, CAST(len(text) AS BIGINT) AS byte_len,
