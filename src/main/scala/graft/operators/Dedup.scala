@@ -117,6 +117,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Winnowing-based near-dup candidates: docs sharing ≥ minShared
+    * winnowing fingerprints. Same inverted-index join shape as minhash
+    * banding (explode fingerprints → equality join → count per pair) —
+    * one shuffle on fingerprint values. */
+  def winnowCandidates(docs: DataFrame, ngram: Int = 8, window: Int = 4,
+      minShared: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val f = docs.select(col(idCol).as("doc_id"),
+        explode(native.winnow_set(col(textCol), ngram, window)).as("fp"))
+    val a = f.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = f.select(col("fp").as("fp_b"), col("doc_id").as("doc_b"))
+    a.join(b, col("fp") === col("fp_b") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   /** Embedding-cosine near-dup pairs within blocks: vectors in the same
     * block whose cosine ≥ tau. The block column bounds the self-join here
     * (test corpus: cluster label); at 100 TB the block key is the sign-bit

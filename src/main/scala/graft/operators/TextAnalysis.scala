@@ -64,4 +64,11 @@ object TextAnalysis {
     docs
       .withColumn("fp", native.poly_hash(col(textCol)))
       .withColumn("winnow_min", native.min_char_ngram_hash(col(textCol), ngram))
+
+  /** Full winnowing fingerprint sets (Schleimer et al.): sliding-window
+    * minima over char-n-gram hashes; any shared substring of length ≥
+    * n+w−1 guarantees a shared fingerprint. One native pass per doc. */
+  def winnowFingerprints(docs: DataFrame, ngram: Int = 8, window: Int = 4,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("fps", native.winnow_set(col(textCol), ngram, window))
 }

@@ -207,6 +207,47 @@ object HashOps {
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
+  /** Winnowing fingerprint set (Schleimer et al., SIGMOD'03): the sorted
+    * distinct minima of every length-`w` window over the char-`n`-gram
+    * hash sequence. Guarantees any shared substring of length ≥ n+w−1
+    * yields a shared fingerprint. `[polyHash(s)]` for texts shorter than
+    * n (and the whole-sequence min when shorter than one window). */
+  def winnowSet(s: UTF8String, n: Int, w: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array(polyHashStr(str)))
+    val m = str.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = i
+      while (j < i + n) { acc = (acc * 31 + str.charAt(j)) % M; j += 1 }
+      hs(i) = acc
+      i += 1
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = Long.MaxValue
+      i = 0
+      while (i < m) { if (hs(i) < mn) mn = hs(i); i += 1 }
+      out.add(mn)
+    } else {
+      i = 0
+      while (i + w <= m) {
+        var mn = Long.MaxValue
+        var j = i
+        while (j < i + w) { if (hs(j) < mn) mn = hs(j); j += 1 }
+        out.add(mn)
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Minimum poly-hash over the character n-grams (winnowing-lite
     * fingerprint); the whole-text hash when shorter than n. */
   def minCharNgramHash(s: UTF8String, n: Int): Long = {

@@ -120,6 +120,18 @@ case class LshBucketExpr(child: Expression, nPlanes: Int) extends UnaryExpressio
     copy(child = newChild)
 }
 
+case class WinnowSetExpr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.winnowSet(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.winnowSet($c, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowSetExpr =
+    copy(child = newChild)
+}
+
 case class PositionsToBitsetExpr(child: Expression, words: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -170,6 +182,8 @@ object native {
     asCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def lsh_bucket(c: Column, nPlanes: Int): Column =
     asCol(LshBucketExpr(exprOf(c), nPlanes))
+  def winnow_set(c: Column, n: Int, w: Int): Column =
+    asCol(WinnowSetExpr(exprOf(c), n, w))
   def positions_to_bitset(c: Column, words: Int): Column =
     asCol(PositionsToBitsetExpr(exprOf(c), words))
   def bitset_jaccard(a: Column, b: Column): Column =

@@ -92,6 +92,13 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "text_winnow" -> ((s, dir) => {
+      TextAnalysis.winnowFingerprints(Tables.documents(s, dir), 8, 4)
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
+          array_min(col("fps")).as("min_fp"), array_max(col("fps")).as("max_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sketch_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.operators.Sketches.linearCountDistinct(
@@ -294,6 +301,23 @@ object CBlock {
          |       THEN list_min(list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}))
          |       ELSE ${ph("text")} END AS winnow_min
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH hs AS (
+         |  SELECT doc_id, text,
+         |    list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}) AS h
+         |  FROM documents
+         |), fps AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(text) < 8 THEN [${ph("text")}]
+         |         WHEN len(h) <= 4 THEN [list_min(h)]
+         |         ELSE list_distinct(list_transform(range(1, len(h) - 2), i -> list_min(h[i:i+3])))
+         |    END AS fps
+         |  FROM hs
+         |)
+         |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
+         |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
+         |FROM fps ORDER BY doc_id""".stripMargin,
 
     "sketch_distinct" ->
       s"""WITH sk AS (

@@ -81,6 +81,21 @@ class PortableParitySpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("winnow_set native == HOF windowed-minima formula") {
+    val n = 8; val w = 4
+    val hs = transform(sequence(lit(1), length(col("text")) - (n - 1)),
+      i => Portable.polyHash(col("text").substr(i, lit(n))))
+    val hof = when(length(col("text")) < n, array(Portable.polyHash(col("text"))))
+      .when(size(hs) <= w, array(array_min(hs)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), size(hs) - (w - 1)),
+          i => array_min(slice(hs, i, lit(w)))))))
+    val bad = docs.select(native.winnow_set(col("text"), n, w).as("a"),
+        hof.as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(bad == 0)
+  }
+
   test("short/degenerate strings: fewer tokens than shingle width") {
     import spark.implicits._
     val df = Seq("ab", "one two", "x y z", "").toDF("text")

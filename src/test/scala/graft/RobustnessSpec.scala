@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Dedup, SyncConfig, SyncPipeline}
+import org.apache.spark.sql.functions._
+
+/** Degenerate-input behavior: nulls, empties, and empty inputs must flow
+  * through (and out of) the pipeline without exceptions — the reference
+  * logs-and-skips, never crashes (pulsar.rs:241, es.rs:374). */
+class RobustnessSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cfg = SyncConfig(globalFilters = Seq("drop"),
+    rewriteRules = Seq(("t", "x")), rateLimits = Map("a" -> 1))
+
+  test("null/empty/garbage messages are dropped, valid ones survive") {
+    val msgs = Seq(
+      (1L, "t1", "2024-01-01 00:00:00", null.asInstanceOf[String]),
+      (2L, "t1", "2024-01-01 00:00:00", ""),
+      (3L, "t1", "2024-01-01 00:00:00", "not json"),
+      (4L, "t1", "2024-01-01 00:00:00", "[1,2,3]"),
+      (5L, "t1", "2024-01-01 00:00:00", """{"k": 1}"""))
+      .toDF("msg_id", "topic", "publish_time", "data")
+      .withColumn("publish_time", col("publish_time").cast("timestamp"))
+    val out = SyncPipeline(cfg)(msgs)
+    assert(out.select("msg_id").as[Long].collect().toSeq == Seq(5L))
+  }
+
+  test("empty input produces empty output everywhere, no exceptions") {
+    val empty = Seq.empty[(Long, String, java.sql.Timestamp, String)]
+      .toDF("msg_id", "topic", "publish_time", "data")
+    assert(SyncPipeline(cfg)(empty).count() == 0)
+    val emptyDocs = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "text", "lang")
+    assert(Dedup.exactGroups(emptyDocs).count() == 0)
+    assert(Dedup.minhashCandidates(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 3, 0.8, "lang").count() == 0)
+    assert(Dedup.winnowCandidates(emptyDocs).count() == 0)
+  }
+
+  test("winnow candidates finds docs sharing long substrings") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "xx the quick brown fox jumps over the lazy dog yy"),
+      (3L, "completely different content with no overlap at all zz"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowCandidates(docs, ngram = 8, window = 4,
+      minShared = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}
