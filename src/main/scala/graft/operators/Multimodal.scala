@@ -57,4 +57,30 @@ object Multimodal {
       }
     }
   }
+
+  /** One sampled "frame" of a media payload. */
+  final case class Frame(doc_id: Long, frame_idx: Long, frame_hash: Long)
+
+  /** Frame sampling: split the payload into fixed `frameBytes` frames and
+    * keep every `stride`-th one (the video-frame-sampling shape: decode is
+    * stubbed, the fan-out/row-explosion plumbing is real). Output size is
+    * payload/(frameBytes·stride) rows per doc — bounded fan-out, no
+    * shuffle. */
+  def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int = 256,
+      stride: Int = 2)(implicit s: SparkSession): Dataset[Frame] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        // ceil-division: no empty trailing frame (hash of "" is engine-
+        // dependent in the oracle's char fold)
+        val nFrames = (r.media.length + frameBytes - 1) / frameBytes
+        (0L until nFrames.toLong).by(stride.toLong).map { i =>
+          val from = (i * frameBytes).toInt
+          val until = math.min(from + frameBytes, r.media.length)
+          val chunk = new String(r.media, from, until - from, "UTF-8")
+          Frame(r.doc_id, i, HashOps.polyHashStr(chunk))
+        }
+      }
+    }
+  }
 }

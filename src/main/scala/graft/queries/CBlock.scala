@@ -119,6 +119,15 @@ object CBlock {
         .orderBy(col("vec_id"))
     }),
 
+    "mm_frames" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      Multimodal.sampleFrames(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)),
+          frameBytes = 64, stride = 2)
+        .toDF()
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       implicit val ss: SparkSession = s
       Multimodal.extractFeatures(
@@ -341,6 +350,16 @@ object CBlock {
         |    (a, x) -> a + x)), 6) AS l2_norm,
         |  len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "mm_frames" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(text) + 63) // 64, 2)) AS frame_idx
+         |  FROM documents
+         |)
+         |SELECT doc_id, frame_idx,
+         |  ${ph("substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)")} AS frame_hash
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "mm_features" ->
       s"""SELECT doc_id, CAST(len(text) AS BIGINT) AS byte_len,

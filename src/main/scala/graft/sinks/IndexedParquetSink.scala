@@ -19,6 +19,11 @@ object IndexedParquetSink {
     * `app` columns) to the indexed store; returns per-(index, app) bulk
     * metrics for observability. */
   def writeBatch(batch: DataFrame, path: String): DataFrame = {
+    // Two actions run against the batch (write + metrics agg); the cache
+    // keeps the second off the source. Note: the streaming progress
+    // numInputRows still reports the batch size once per action — an
+    // accounting quirk of multi-action foreachBatch, not a double scan
+    // (sink row counts stay exact).
     batch.cache()
     try {
       batch.write.mode("append").partitionBy("index").parquet(path)

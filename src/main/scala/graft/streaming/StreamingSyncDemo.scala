@@ -34,6 +34,8 @@ object StreamingSyncDemo {
       namespaceFilterJsons = Seq(
         """{"namespace": "error", "filters": ["\"k\": 9[0-9]\\}"]}"""),
       rewriteRulesJson = Some("""{"rules": [["click", "web"], ["view", "web"]]}"""))
+    val listener = new SyncMetrics.Listener
+    spark.streams.addListener(listener)
     val q = StreamingSync.start(spark, cfg, s"$work/src", s"$work/sink",
       s"$work/metrics", availableNow = true)
     q.awaitTermination(120000)
@@ -45,6 +47,15 @@ object StreamingSyncDemo {
       .length)
     spark.read.parquet(s"$work/metrics")
       .orderBy(desc("written")).show(5, truncate = false)
+    // prometheus.rs analog: counter snapshot after the run
+    SyncMetrics.recordBulk(spark.read.parquet(s"$work/metrics").drop("batch_id"))
+    Thread.sleep(2000) // listener events are async
+    println("METRICS_SNAPSHOT:")
+    println(SyncMetrics.snapshot().linesIterator
+      .filter(l => l.startsWith("graft_rows") || l.startsWith("graft_batches"))
+      .mkString("\n"))
+    println("WRITE_TOTALS=" + SyncMetrics.snapshot().linesIterator
+      .count(_.startsWith("graft_es_write_success_total")))
     spark.stop()
   }
 }
