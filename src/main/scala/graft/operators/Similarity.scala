@@ -40,6 +40,29 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** [[cosineTopK]] with the shuffle-light physical shape: per-probe
+    * bounded heaps via [[graft.plans.TopKAggregator]] — map-side partial
+    * heaps mean the shuffle carries ≤ k rows per (probe, partition)
+    * instead of the whole scored corpus (the window formulation sorts
+    * every scored row). Identical output (TopKSpec + oracle). */
+  def cosineTopKAgg(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("probe_vec"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(probes), col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "cand_id", "cos")
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component i (1-based) of plane
     * p, in [-1, 1): ((a_p*i + b_p) mod M) / M * 2 - 1 — the same affine
     * family as the portable hashes, so the oracle reproduces it exactly. */

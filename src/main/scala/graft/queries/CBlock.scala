@@ -50,7 +50,7 @@ object CBlock {
     }),
 
     "sim_cosine_topk" -> ((s, dir) => {
-      Similarity.cosineTopK(Tables.embeddings(s, dir),
+      Similarity.cosineTopKAgg(Tables.embeddings(s, dir),
           col("vec_id") < 20, k = 5)
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     }),

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.Similarity
+import graft.plans.{GraftExtensions, Scored, TopKAggregator, native}
+import graft.sources.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The typed top-k aggregator must equal the window formulation row for
+  * row, and the injected optimizer rule must add the jaccard size prune
+  * to naive user filters. */
+class TopKAndExtensionsSpec extends SparkSpec {
+
+  test("TopKAggregator == window row_number top-k") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf())
+    val probes = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("key"), col("embedding").as("pv"))
+    val scored = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        native.cosine_sim(col("pv"), col("cv")).as("score"))
+
+    val viaAgg = scored.as[Scored]
+      .groupByKey(_.key)
+      .agg(new TopKAggregator(5).toColumn.name("topk"))
+      .flatMap { case (k, tk) => tk.map { case (id, s) => (k, id, s) } }
+      .toDF("key", "id", "score")
+      .orderBy("key", "id").collect().toSeq
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("score").desc, col("id"))
+    val viaWindow = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .orderBy("key", "id").collect().toSeq
+
+    assert(viaAgg == viaWindow)
+  }
+
+  test("JaccardSizePruneRule injects size bounds into naive filters") {
+    // getOrCreate returns the active session (ignoring extensions), so
+    // detach it first; the new session shares the SparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val ext = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      val docs = Tables.documents(ext, sf()).limit(50)
+      val g = docs.select(col("doc_id"), col("lang"),
+        native.ngram_hash_set(col("text"), 3).as("ng"))
+      val a = g.select(col("lang"), col("doc_id").as("da"), col("ng").as("na"))
+      val b = g.select(col("lang").as("lang_b"), col("doc_id").as("db"),
+        col("ng").as("nb"))
+      // naive user query: no manual size prune
+      val naive = a.join(b, col("lang") === col("lang_b") && col("da") < col("db"))
+        .filter(native.sorted_jaccard(col("na"), col("nb")) >= 0.8)
+      val optimized = naive.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("size("),
+        s"size prune not injected:\n$optimized")
+      // and the rule must not change results
+      assert(naive.count() ==
+        a.join(b, col("lang") === col("lang_b") && col("da") < col("db"))
+          .withColumn("j", native.sorted_jaccard(col("na"), col("nb")))
+          .filter(col("j") >= 0.8).count())
+    } finally {
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}
