@@ -94,6 +94,46 @@ object BBlock {
         .orderBy(col("n_name"))
     }),
 
+    "q_argmax" -> ((s, dir) => {
+      // deterministic argmax: top customer by (acctbal desc, custkey asc)
+      // per nation — window formulation, total order on ties
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_nationkey"), col("c_custkey").as("top_custkey"),
+          col("c_acctbal").as("top_acctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    "q_string_funcs" -> ((s, dir) => {
+      Tables.part(s, dir).groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("p_name").contains("a"), 1L).otherwise(0L)).as("with_a"),
+          sum(length(col("p_name"))).as("name_chars"),
+          min(upper(col("p_type"))).as("first_type_upper"),
+          max(substring(col("p_name"), 1, 3)).as("max_prefix3"))
+        .orderBy(col("p_brand"))
+    }),
+
+    "q_date_funcs" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy(col("yr"), col("qtr"))
+    }),
+
+    "q_histogram" -> ((s, dir) => {
+      eventsUs(s, dir)
+        .groupBy(floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("value"))).as("value_sum"))
+        .orderBy(col("bucket"))
+    }),
+
     "q_subquery" -> ((s, dir) => {
       // customers above their nation's average balance (correlated
       // aggregate subquery, decorrelated as a broadcast join on the
@@ -226,6 +266,32 @@ object BBlock {
         |  FROM customer
         |) c JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+        |FROM customer
+        |QUALIFY row_number() OVER (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey) = 1
+        |ORDER BY c_nationkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_brand, count(*) AS n,
+        |  CAST(SUM(CASE WHEN p_name LIKE '%a%' THEN 1 ELSE 0 END) AS BIGINT) AS with_a,
+        |  CAST(SUM(len(p_name)) AS BIGINT) AS name_chars,
+        |  min(upper(p_type)) AS first_type_upper,
+        |  max(substr(p_name, 1, 3)) AS max_prefix3
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT CAST(date_part('year', o_orderdate) AS INT) AS yr,
+        |  CAST(date_part('quarter', o_orderdate) AS INT) AS qtr,
+        |  count(*) AS n_orders, count(DISTINCT o_custkey) AS n_customers
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q_subquery" ->
       """WITH ab AS (
