@@ -100,6 +100,24 @@ object SyncFunctions {
       lit(", \"__INJECTED_DATA__\": \""), idVal, lit("\"}"))
   }
 
+  /** The final Elasticsearch-style document (reference transform output,
+    * es.rs:77-107): `@timestamp` first (RFC3339 micros), then the
+    * original fields (spliced after the opening brace, preserving field
+    * order exactly as the reference's insertion-ordered map does). Key
+    * sanitization for nested docs goes through the native Jackson
+    * expression ([[graft.plans.SanitizeJsonKeysExpr]]); pass
+    * `sanitize = false` when keys are known clean to keep the raw
+    * byte-exact field formatting. */
+  def buildDocument(raw: Column, tsResolved: Column,
+      sanitize: Boolean = false): Column = {
+    val body =
+      if (sanitize) graft.plans.native.sanitize_json_keys(raw)
+      else raw
+    concat(lit("{\"@timestamp\": \""),
+      date_format(tsResolved, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
+      lit("\", "), regexp_replace(body, "^\\{\\s*", ""))
+  }
+
   /** Recursive JSON key sanitization `.` → `_` for flat string maps
     * (reference: es.rs:77-107). Deeply-nested documents use the native
     * expression in graft.plans; this built-in-only variant covers the

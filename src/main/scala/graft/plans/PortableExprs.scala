@@ -188,4 +188,6 @@ object native {
     asCol(PositionsToBitsetExpr(exprOf(c), words))
   def bitset_jaccard(a: Column, b: Column): Column =
     asCol(BitsetJaccardExpr(exprOf(a), exprOf(b)))
+  def sanitize_json_keys(c: Column): Column =
+    asCol(SanitizeJsonKeysExpr(exprOf(c)))
 }

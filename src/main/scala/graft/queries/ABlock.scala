@@ -145,6 +145,13 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_document" -> ((s, dir) => {
+      msgs(s, dir)
+        .select(col("msg_id"),
+          buildDocument(col("data"), col("publish_time")).as("doc"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_metrics" -> ((s, dir) => {
       msgs(s, dir)
         .withColumn("date_str", dateStr(col("publish_time")))
@@ -278,6 +285,12 @@ object ABlock {
     "sync_inject" ->
       """SELECT event_id AS msg_id,
         |  regexp_replace(props, '\}\s*$', '') || ', "__INJECTED_DATA__": "msg-' || event_id || '"}' AS injected
+        |FROM events ORDER BY msg_id""".stripMargin,
+
+    "sync_document" ->
+      """SELECT event_id AS msg_id,
+        |  '{"@timestamp": "' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '", '
+        |    || regexp_replace(props, '^\{\s*', '') AS doc
         |FROM events ORDER BY msg_id""".stripMargin,
 
     "sync_metrics" ->

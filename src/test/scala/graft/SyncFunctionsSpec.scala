@@ -68,6 +68,29 @@ class SyncFunctionsSpec extends SparkSpec {
     assert(got == """{"a_b":"1","c":"2"}""")
   }
 
+  test("native sanitize_json_keys recurses into nested objects (es.rs:99-102)") {
+    import graft.plans.native
+    val got = Seq(
+        """{"a.b": {"c.d": 1, "e": [{"f.g": 2}, 3]}, "h": "x.y"}""",
+        """not json""",
+        """[1, 2]""")
+      .toDF("d").select(native.sanitize_json_keys(col("d"))).as[String]
+      .collect()
+    assert(got(0) == """{"a_b":{"c_d":1,"e":[{"f_g":2},3]},"h":"x.y"}""")
+    assert(got(1) == null) // non-JSON → null (caller drops)
+    assert(got(2) == "[1,2]") // arrays pass through with elements visited
+  }
+
+  test("buildDocument: @timestamp first, fields spliced in order") {
+    val df = Seq((1L, """{"k": 87, "z": 1}""", "2024-01-05 06:07:08.123456"))
+      .toDF("id", "d", "pt")
+      .withColumn("pt", col("pt").cast("timestamp"))
+    val doc = df.select(buildDocument(col("d"), col("pt"))).as[String]
+      .collect().head
+    assert(doc ==
+      """{"@timestamp": "2024-01-05T06:07:08.123456", "k": 87, "z": 1}""")
+  }
+
   test("collapsePartitionTopic (es.rs:252)") {
     val got = Seq("foo-partition-3", "foo", "a-partition-x")
       .toDF("t").select(collapsePartitionTopic(col("t"))).as[String].collect()
