@@ -93,6 +93,63 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
 
+  /** Squared L2 distance between two vector columns (sequential fold,
+    * oracle-identical). */
+  def l2sqCol(a: Column, b: Column): Column =
+    aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, v) => s + v)
+
+  /** IVF coarse quantization with deterministically-sampled centroids
+    * (every `centroidStride`-th vector): assign each vector to its nearest
+    * centroid (argmin L2, ties → smaller centroid id). The centroid set is
+    * tiny and broadcast; assignment is one narrow corpus pass. At 100 TB
+    * the assignment is written as a partition column, so a probe reads
+    * only its `nprobe` nearest inverted lists. */
+  def ivfAssign(emb: DataFrame, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = emb.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val w = Window.partitionBy(col("__vid"))
+      .orderBy(col("dist"), col("cent_id"))
+    emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dist", l2sqCol(col("__v"), col("cent_vec")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("__vid").as("vec_id"), col("cent_id"),
+        round(col("dist"), 6).as("dist"))
+  }
+
+  /** IVF ANN search: for each probe, rank centroids by distance, scan the
+    * `nprobe` nearest inverted lists, return top-k by cosine. */
+  def ivfTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
+      centroidStride: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(emb, centroidStride, idCol, vecCol)
+      .select(col("vec_id").as("cand_id"), col("cent_id"))
+    val cents = emb.filter(pmod(col(idCol), lit(centroidStride)) === 0)
+      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val wc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cdist"), col("cent_id"))
+    val probeCents = probes.crossJoin(broadcast(cents))
+      .withColumn("cdist", l2sqCol(col("probe_vec"), col("cent_vec")))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("probe_vec"), col("cent_id"))
+    val wk = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .join(assigned, "cand_id")
+      .join(broadcast(probeCents), Seq("cent_id"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
+      .withColumn("rn", row_number().over(wk))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** ANN via LSH: top-k among candidates sharing the probe's bucket. */
   def annTopK(emb: DataFrame, probePred: Column, k: Int, nPlanes: Int = 8,
       dim: Int = 64, idCol: String = "vec_id",

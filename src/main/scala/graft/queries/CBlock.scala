@@ -55,6 +55,11 @@ object CBlock {
         .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
     }),
 
+    "sim_ivf" -> ((s, dir) => {
+      Similarity.ivfAssign(Tables.embeddings(s, dir), centroidStride = 32)
+        .orderBy(col("vec_id"))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), nPlanes = 8, dim = 64)
         .groupBy(col("bucket"))
@@ -248,6 +253,23 @@ object CBlock {
         |FROM cos
         |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, cand_id) <= 5
         |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin,
+
+    "sim_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings WHERE vec_id % 32 = 0
+        |), d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |)
+        |SELECT vec_id, cent_id, ROUND(dist, 6) AS dist
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "sim_ann_lsh" ->
       """WITH b AS (

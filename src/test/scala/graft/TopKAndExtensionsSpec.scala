@@ -38,6 +38,21 @@ class TopKAndExtensionsSpec extends SparkSpec {
     assert(viaAgg == viaWindow)
   }
 
+  test("IVF search: deterministic, candidates come from probed lists only") {
+    val emb = Tables.embeddings(spark, sf())
+    val r1 = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5, nprobe = 2)
+      .orderBy("probe_id", "cand_id").collect().toSeq
+    val r2 = Similarity.ivfTopK(emb, col("vec_id") < 10, k = 5, nprobe = 2)
+      .orderBy("probe_id", "cand_id").collect().toSeq
+    assert(r1 == r2 && r1.nonEmpty)
+    // every IVF cosine is <= the brute-force best for that probe
+    val brute = Similarity.cosineTopK(emb, col("vec_id") < 10, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    r1.foreach { row =>
+      assert(row.getDouble(2) <= brute(row.getLong(0)) + 1e-9)
+    }
+  }
+
   test("JaccardSizePruneRule injects size bounds into naive filters") {
     // getOrCreate returns the active session (ignoring extensions), so
     // detach it first; the new session shares the SparkContext
