@@ -93,9 +93,12 @@ object Similarity {
     emb.select(col(idCol).as("vec_id"),
       lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
 
-  /** Squared L2 distance between two vector columns (sequential fold,
-    * oracle-identical). */
-  def l2sqCol(a: Column, b: Column): Column =
+  /** Squared L2 distance between two vector columns (native expression,
+    * oracle-identical sequential fold; `l2sqHof` is the parity ref). */
+  def l2sqCol(a: Column, b: Column): Column = graft.plans.native.l2sq(a, b)
+
+  /** Reference HOF formulation of [[l2sqCol]] (parity tests only). */
+  def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, v) => s + v)
 

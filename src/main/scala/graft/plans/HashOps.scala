@@ -155,6 +155,19 @@ object HashOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Squared L2 distance with the oracle's sequential-fold order. */
+  def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = elemAsDouble(a, i, aFloat) - elemAsDouble(b, i, bFloat)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Sign-bit LSH bucket over deterministic pseudo-random hyperplanes:
     * plane(p, i) = ((i*a_p + b_p) mod M) / M * 2 - 1 (i is 1-based), bit p
     * set when dot(vec, plane_p) > 0. Same IEEE op order as the column /

@@ -21,9 +21,7 @@ object JsonSanitizer {
   private def sanitize(node: JsonNode): JsonNode = node match {
     case obj: ObjectNode =>
       val out = mapper.createObjectNode()
-      val it = obj.fields()
-      while (it.hasNext) {
-        val e = it.next()
+      obj.properties().forEach { e =>
         out.set[JsonNode](e.getKey.replace('.', '_'), sanitize(e.getValue))
       }
       out

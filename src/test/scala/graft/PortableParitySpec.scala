@@ -59,6 +59,17 @@ class PortableParitySpec extends SparkSpec {
     assert(n == 0)
   }
 
+  test("l2sq native == HOF formula (bit-identical doubles)") {
+    val emb = Tables.embeddings(spark, sf())
+    val a = emb.limit(30).select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = emb.limit(30).select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val n = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(native.l2sq(col("ea"), col("eb")).as("x"),
+        graft.operators.Similarity.l2sqHof(col("ea"), col("eb")).as("y"))
+      .filter(col("x") =!= col("y")).count()
+    assert(n == 0)
+  }
+
   test("lsh_bucket native == HOF formula") {
     val emb = Tables.embeddings(spark, sf())
     val n = emb.select(
