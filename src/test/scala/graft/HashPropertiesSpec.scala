@@ -1,0 +1,113 @@
+package graft
+
+import graft.plans.HashOps
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-based invariants of the portable hash kernels (pure JVM, no
+  * Spark session): ranges, set-algebra bounds, order-invariance.
+  * Deterministic sampling (fixed seed) over ScalaCheck generators. */
+class HashPropertiesSpec extends AnyFunSuite {
+
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    while (i < n) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+      i += 1
+    }
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val word: Gen[String] = Gen.choose(1, 8)
+    .flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val text: Gen[String] = Gen.choose(1, 40)
+    .flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("polyHash stays in [0, M)") {
+    forAll(text) { s =>
+      val h = HashOps.polyHashStr(s)
+      assert(h >= 0 && h < HashOps.M)
+    }
+  }
+
+  test("minhash signature: length K, values in range, self-similar") {
+    forAll(text) { s =>
+      val sig = HashOps.minhashSig(u(s), 16, 3)
+      assert(sig.numElements() == 16)
+      (0 until 16).foreach { i =>
+        val v = sig.getLong(i)
+        assert(v >= 0 && v < HashOps.M)
+      }
+      // identical text → identical signature (determinism)
+      val sig2 = HashOps.minhashSig(u(s), 16, 3)
+      assert((0 until 16).forall(i => sig.getLong(i) == sig2.getLong(i)))
+    }
+  }
+
+  test("sortedJaccard: bounds, identity, symmetry") {
+    forAll(text, text) { (a, b) =>
+      val ga = HashOps.ngramHashSet(u(a), 3)
+      val gb = HashOps.ngramHashSet(u(b), 3)
+      val j = HashOps.sortedJaccard(ga, gb)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(HashOps.sortedJaccard(ga, ga) == 1.0)
+      assert(HashOps.sortedJaccard(ga, gb) == HashOps.sortedJaccard(gb, ga))
+    }
+  }
+
+  test("bitsetJaccard agrees with sortedJaccard through a shared dictionary") {
+    forAll(text, text) { (a, b) =>
+      val ga = HashOps.ngramHashSet(u(a), 3)
+      val gb = HashOps.ngramHashSet(u(b), 3)
+      val dict = ((0 until ga.numElements()).map(ga.getLong) ++
+        (0 until gb.numElements()).map(gb.getLong)).distinct.sorted.zipWithIndex.toMap
+      val words = (dict.size + 63) / 64
+      def bs(g: org.apache.spark.sql.catalyst.util.ArrayData) =
+        HashOps.positionsToBitset(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(
+            (0 until g.numElements()).map(i => dict(g.getLong(i)).toLong).toArray),
+          words)
+      assert(HashOps.bitsetJaccard(bs(ga), bs(gb)) == HashOps.sortedJaccard(ga, gb))
+    }
+  }
+
+  test("simhash32 is invariant under token permutation") {
+    forAll(text) { s =>
+      val shuffled = new scala.util.Random(42).shuffle(
+        s.split(" ").toSeq).mkString(" ")
+      assert(HashOps.simhash32(u(s)) == HashOps.simhash32(u(shuffled)))
+    }
+  }
+
+  test("winnow fingerprints are a subset of the ngram hashes") {
+    forAll(text) { s =>
+      whenever(s.length >= 8) {
+        val fps = HashOps.winnowSet(u(s), 8, 4)
+        val all = (0 until s.length - 7)
+          .map(i => HashOps.polyHashStr(s.substring(i, i + 8))).toSet
+        (0 until fps.numElements()).foreach(i => assert(all.contains(fps.getLong(i))))
+      }
+    }
+  }
+
+  test("cosine: bounds and self-similarity on unit-representable vectors") {
+    val vec = Gen.listOfN(16, Gen.choose(-100, 100)).map(_.map(_.toDouble / 10))
+    forAll(vec) { v =>
+      whenever(v.exists(_ != 0.0)) {
+        val a = new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray)
+        val c = HashOps.cosine(a, a, aFloat = false, bFloat = false)
+        assert(math.abs(c - 1.0) < 1e-9)
+      }
+    }
+  }
+}
