@@ -94,6 +94,21 @@ object BBlock {
         .orderBy(col("n_name"))
     }),
 
+    "q_funnel" -> ((s, dir) => {
+      // signup → purchase conversion: per user, first signup time and
+      // the purchases that happened strictly after it
+      val ev = eventsUs(s, dir)
+      val firstSignup = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_signup"))
+      ev.filter(col("event_type") === "purchase")
+        .join(firstSignup, Seq("user_id"), "right")
+        .groupBy(col("user_id"), col("first_signup"))
+        .agg(sum(when(col("ts") > col("first_signup"), 1L).otherwise(0L))
+          .as("purchases_after"))
+        .withColumn("converted", col("purchases_after") > 0)
+        .orderBy(col("user_id"))
+    }),
+
     "q_argmax" -> ((s, dir) => {
       // deterministic argmax: top customer by (acctbal desc, custkey asc)
       // per nation — window formulation, total order on ties
@@ -266,6 +281,19 @@ object BBlock {
         |  FROM customer
         |) c JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_funnel" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(ts) AS first_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id
+        |)
+        |SELECT fs.user_id, fs.first_signup,
+        |  CAST(SUM(CASE WHEN e.ts > fs.first_signup THEN 1 ELSE 0 END) AS BIGINT) AS purchases_after,
+        |  CAST(SUM(CASE WHEN e.ts > fs.first_signup THEN 1 ELSE 0 END) AS BIGINT) > 0 AS converted
+        |FROM fs LEFT JOIN events e
+        |  ON e.user_id = fs.user_id AND e.event_type = 'purchase'
+        |GROUP BY fs.user_id, fs.first_signup
+        |ORDER BY fs.user_id""".stripMargin,
 
     "q_argmax" ->
       """SELECT c_nationkey, c_custkey AS top_custkey, c_acctbal AS top_acctbal
