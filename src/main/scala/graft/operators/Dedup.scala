@@ -117,6 +117,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup candidate pairs: every document
+    * is labeled with the smallest doc id reachable through the pair graph
+    * (the cluster representative / keeper). Iterative min-label
+    * propagation — each round is one shuffle join + aggregate, converging
+    * in ≤ graph-diameter rounds; near-dup components are shallow, so this
+    * is a handful of small rounds even at 100 TB (the GraphX/Pregel shape
+    * without the dependency). Lineage is truncated per round. */
+  def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
+      bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbr = sym.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newlabel") =!= col("label")).count()
+      labels = updated.select(col("id"), col("newlabel").as("label"))
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** Winnowing-based near-dup candidates: docs sharing ≥ minShared
     * winnowing fingerprints. Same inverted-index join shape as minhash
     * banding (explode fingerprints → equality join → count per pair) —

@@ -32,6 +32,13 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_clusters" -> ((s, dir) => {
+      Dedup.connectedComponents(
+          Dedup.minhashCandidates(Tables.documents(s, dir), k = 16, bands = 4))
+        .withColumn("is_keeper", col("doc_id") === col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -151,6 +158,38 @@ object CBlock {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
+    * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
+    * dedup_clusters). */
+  private def minhashPairsCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, $toksSql AS w, text FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(w) >= 3
+       |         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+       |         ELSE [text] END AS shingles
+       |  FROM tok
+       |), hs AS (
+       |  SELECT doc_id, list_transform(shingles, sg -> ${ph("sg")}) AS hh FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), k ->
+       |      list_min(list_transform(hh, h -> (h * (((k+1) * 2654435761) % 2147483647)
+       |        + ((k+1) * 40503) % 2147483647) % 2147483647))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, b.band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      [sig[band*4+1], sig[band*4+2], sig[band*4+3], sig[band*4+4]]),
+       |      (a, x) -> (a * 31 + x) % 2147483647) AS bh
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
       s"""WITH k AS (
@@ -163,32 +202,22 @@ object CBlock {
          |FROM k GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, $toksSql AS w, text FROM documents
-         |), sh AS (
-         |  SELECT doc_id,
-         |    CASE WHEN len(w) >= 3
-         |         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
-         |         ELSE [text] END AS shingles
-         |  FROM tok
-         |), hs AS (
-         |  SELECT doc_id, list_transform(shingles, sg -> ${ph("sg")}) AS hh FROM sh
-         |), sig AS (
-         |  SELECT doc_id,
-         |    list_transform(range(0, 16), k ->
-         |      list_min(list_transform(hh, h -> (h * (((k+1) * 2654435761) % 2147483647)
-         |        + ((k+1) * 40503) % 2147483647) % 2147483647))) AS sig
-         |  FROM hs
-         |), bands AS (
-         |  SELECT doc_id, b.band,
-         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      [sig[band*4+1], sig[band*4+2], sig[band*4+3], sig[band*4+4]]),
-         |      (a, x) -> (a * 31 + x) % 2147483647) AS bh
-         |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+      s"""WITH $minhashPairsCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
          |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+         |SELECT src AS doc_id, min(dst) AS cluster,
+         |  src = min(dst) AS is_keeper
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH th AS (

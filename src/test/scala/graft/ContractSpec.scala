@@ -23,7 +23,7 @@ class ContractSpec extends SparkSpec {
       tablePattern.findAllMatchIn(sql).map(_.group(1).toLowerCase).foreach { t =>
         // CTE names and derived aliases are fine; flag only unknown
         // bare names that look like base tables
-        val cteNames = "(?i)\\b([a-z_][a-z0-9_]*)\\s+AS\\s*\\(".r
+        val cteNames = "(?i)\\b([a-z_][a-z0-9_]*)\\s*(\\([^)]*\\))?\\s+AS\\s*\\(".r
           .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
         assert(allowed.contains(t) || cteNames.contains(t) || t == "read_parquet",
           s"$name references unknown table '$t'")
