@@ -149,6 +149,18 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
+  /** Apply dedup: keep documents that are either untouched by the
+    * candidate graph or their cluster's keeper (smallest id). A broadcast
+    * left join against the (small) cluster labels — the corpus is scanned
+    * once; at 100 TB the labels table is a tiny fraction of the corpus. */
+  def applyDedup(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = clusters.select(col("doc_id").as("__cid"), col("cluster"))
+    docs.join(broadcast(labels), col(idCol) === col("__cid"), "left")
+      .filter(col("__cid").isNull || col("cluster") === col(idCol))
+      .drop("__cid", "cluster")
+  }
+
   /** Winnowing-based near-dup candidates: docs sharing ≥ minShared
     * winnowing fingerprints. Same inverted-index join shape as minhash
     * banding (explode fingerprints → equality join → count per pair) —

@@ -39,6 +39,17 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Dedup.applyDedup(docs,
+        Dedup.connectedComponents(Dedup.minhashCandidates(docs, 16, 4)))
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .join(kept.groupBy(col("lang")).agg(count(lit(1)).as("n_kept")),
+          Seq("lang"))
+        .withColumn("n_dropped", col("n_docs") - col("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -218,6 +229,24 @@ object CBlock {
          |SELECT src AS doc_id, min(dst) AS cluster,
          |  src = min(dst) AS is_keeper
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_apply" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |)
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN l.ldoc IS NULL OR l.cl = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN l.ldoc IS NOT NULL AND l.cl <> d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+         |FROM documents d LEFT JOIN labels l ON d.doc_id = l.ldoc
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH th AS (
