@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.Portable
 import graft.plans.native
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md §2.C).
@@ -27,6 +28,33 @@ object TextAnalysis {
         when(ge, lit(l)).otherwise(acc)
     }
     scored.withColumn("pred_lang", pred)
+  }
+
+  /** Two-stage char-n-gram-profile language ID (the classic n-gram
+    * heuristic): train per-language profiles (top `profileSize` trigrams
+    * by frequency over the labeled corpus), then classify each document
+    * by its distinct-trigram overlap with each profile (argmax, ties →
+    * alphabetical language). The profile table is tiny and broadcast;
+    * classification is one corpus scan + a small join. */
+  def langIdProfile(docs: DataFrame, n: Int = 3, profileSize: Int = 20,
+      textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val grams = docs.select(col("doc_id"), col(langCol),
+      explode(array_distinct(Portable.charNgrams(col(textCol), n))).as("gram"))
+    val wp = Window.partitionBy(col(langCol))
+      .orderBy(col("cnt").desc, col("gram"))
+    val profiles = grams.groupBy(col(langCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= profileSize)
+      .select(col(langCol).as("profile_lang"), col("gram"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    grams.join(broadcast(profiles), "gram")
+      .groupBy(col("doc_id"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("pred_lang"), col("score"))
   }
 
   /** Quality features: token count, unique-token ratio, stopword ratio,

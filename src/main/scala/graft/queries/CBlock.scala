@@ -93,6 +93,11 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "text_langid_profile" -> ((s, dir) => {
+      TextAnalysis.langIdProfile(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       TextAnalysis.quality(Tables.documents(s, dir), stopwords)
         .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
@@ -365,6 +370,30 @@ object CBlock {
          |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
          |  CAST(score_zh AS INT) AS score_zh
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "text_langid_profile" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(CASE WHEN len(text) >= 3
+        |      THEN list_transform(range(1, len(text) - 1), i -> text[i:i+2])
+        |      ELSE [text] END)) AS gram
+        |  FROM documents
+        |), prof AS (
+        |  SELECT lang AS profile_lang, gram
+        |  FROM (
+        |    SELECT lang, gram, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
+        |    FROM g GROUP BY lang, gram
+        |  ) WHERE rk <= 20
+        |), scored AS (
+        |  SELECT g.doc_id, p.profile_lang, count(*) AS score
+        |  FROM g JOIN prof p ON g.gram = p.gram
+        |  GROUP BY g.doc_id, p.profile_lang
+        |)
+        |SELECT doc_id, profile_lang AS pred_lang, score
+        |FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)

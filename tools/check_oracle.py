@@ -21,6 +21,11 @@ for t in ["region","nation","customer","supplier","part","orders",
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = 0
+# a requested name missing from the dump is a FAILURE, not a skip —
+# otherwise a stale outdir silently yields a vacuous "ALL OK"
+for name in sorted(only - set(oracle)):
+    print(f"FAIL {name}: not in oracle_sql.json (stale outdir?)")
+    fails += 1
 for name, sql in sorted(oracle.items()):
     if only and name not in only:
         continue
