@@ -38,8 +38,10 @@ object TextAnalysis {
     * classification is one corpus scan + a small join. */
   def langIdProfile(docs: DataFrame, n: Int = 3, profileSize: Int = 20,
       textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    // hashed grams: one native pass per doc, integer explode rows (the
+    // string-gram variant doubled the per-doc n-gram construction cost)
     val grams = docs.select(col("doc_id"), col(langCol),
-      explode(array_distinct(Portable.charNgrams(col(textCol), n))).as("gram"))
+      explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
     val wp = Window.partitionBy(col(langCol))
       .orderBy(col("cnt").desc, col("gram"))
     val profiles = grams.groupBy(col(langCol), col("gram"))

@@ -372,11 +372,11 @@ object CBlock {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_langid_profile" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT doc_id, lang,
         |    unnest(list_distinct(CASE WHEN len(text) >= 3
-        |      THEN list_transform(range(1, len(text) - 1), i -> text[i:i+2])
-        |      ELSE [text] END)) AS gram
+        |      THEN list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")})
+        |      ELSE [${ph("text")}] END)) AS gram
         |  FROM documents
         |), prof AS (
         |  SELECT lang AS profile_lang, gram
