@@ -27,9 +27,15 @@ object StreamingSync {
     StructField("data", StringType)))
 
   /** File-based streaming source of messages (the test stand-in for the
-    * Pulsar consumer; one file = one consumer batch). */
-  def readMessageStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(messageSchema).parquet(dir)
+    * Pulsar consumer; one file = one consumer batch). `batchFiles` bounds
+    * files per micro-batch — the analog of the reference's consumer
+    * --batch-size (args.rs:101-103), i.e. ingestion backpressure. */
+  def readMessageStream(spark: SparkSession, dir: String,
+      batchFiles: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(messageSchema)
+    batchFiles.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+  }
 
   /** The narrow transform chain shared verbatim with the batch pipeline —
     * single source of truth for the sync semantics. */
@@ -44,8 +50,9 @@ object StreamingSync {
     * otherwise runs on a processing-time trigger = flush_interval. */
   def start(spark: SparkSession, cfg: SyncConfig, sourceDir: String,
       sinkPath: String, metricsPath: String,
-      availableNow: Boolean = false, flushIntervalMs: Long = 5000): StreamingQuery = {
-    val out = transform(cfg)(readMessageStream(spark, sourceDir))
+      availableNow: Boolean = false, flushIntervalMs: Long = 5000,
+      batchFiles: Option[Int] = None): StreamingQuery = {
+    val out = transform(cfg)(readMessageStream(spark, sourceDir, batchFiles))
     val writer = out.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = SyncPipeline.rateLimit(cfg)(batch)

@@ -56,6 +56,24 @@ class StreamingSyncSpec extends SparkSpec {
     assert(metrics.agg(sum("written")).head.getLong(0) == streamed.count())
   }
 
+  test("bounded consumer batches (maxFilesPerTrigger) reach the same result") {
+    val tmp = Files.createTempDirectory("graft-stream3").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+    msgs.repartition(8).write.parquet(s"$tmp/src") // 8 source files
+    val q = StreamingSync.start(spark, cfg, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, batchFiles = Some(2))
+    q.awaitTermination(120000)
+    val metrics = spark.read.parquet(s"$tmp/metrics")
+    assert(metrics.select("batch_id").distinct().count() >= 3,
+      "2-files-per-trigger over 8 files should yield multiple batches")
+    assert(spark.read.parquet(s"$tmp/sink").count() ==
+      SyncPipeline(cfg)(msgs).count())
+  }
+
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"
