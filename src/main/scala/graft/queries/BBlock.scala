@@ -94,6 +94,33 @@ object BBlock {
         .orderBy(col("n_name"))
     }),
 
+    "q4_exists" -> ((s, dir) => {
+      // orders with at least one line shipped after a cutoff (EXISTS /
+      // semi join), counted per priority
+      val late = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") > lit("1999-06-01 00:00:00").cast("timestamp"))
+        .select(col("l_orderkey"))
+      Tables.orders(s, dir)
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "q18_having" -> ((s, dir) => {
+      // large-quantity orders: HAVING over the fact aggregate, joined
+      // back to the order header
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(dec2(col("l_quantity"))), 2).cast("double").as("total_qty"))
+        .filter(col("total_qty") > 120)
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+    }),
+
     "q_funnel" -> ((s, dir) => {
       // signup → purchase conversion: per user, first signup time and
       // the purchases that happened strictly after it
@@ -281,6 +308,26 @@ object BBlock {
         |  FROM customer
         |) c JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q4_exists" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > TIMESTAMP '1999-06-01 00:00:00')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q18_having" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) > 120
+        |)
+        |SELECT o_orderkey, o_custkey, o_orderdate, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
 
     "q_funnel" ->
       """WITH fs AS (

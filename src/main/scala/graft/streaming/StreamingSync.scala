@@ -37,6 +37,16 @@ object StreamingSync {
     r.parquet(dir)
   }
 
+  /** Exactly-once message admission under redelivery: drop duplicate
+    * msg_ids within the watermark horizon (the engine-side counterpart of
+    * Pulsar's broker deduplication — the reference relies on
+    * `deduplicationStatus: Enabled`). State is bounded by the watermark:
+    * ids older than `horizon` are forgotten, so memory is
+    * O(messages per horizon), not O(stream). */
+  def dedupMessages(horizon: String = "1 hour")(stream: DataFrame): DataFrame =
+    stream.withWatermark("publish_time", horizon)
+      .dropDuplicates("msg_id", "publish_time")
+
   /** The narrow transform chain shared verbatim with the batch pipeline —
     * single source of truth for the sync semantics. */
   def transform(cfg: SyncConfig)(stream: DataFrame): DataFrame =

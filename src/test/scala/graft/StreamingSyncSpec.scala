@@ -74,6 +74,25 @@ class StreamingSyncSpec extends SparkSpec {
       SyncPipeline(cfg)(msgs).count())
   }
 
+  test("streaming message dedup drops broker redeliveries") {
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data")).limit(300)
+    // simulate redelivery: every message delivered twice
+    msgs.unionAll(msgs).write.parquet(s"$tmp/src")
+    val out = StreamingSync.dedupMessages()(
+      StreamingSync.readMessageStream(spark, s"$tmp/src"))
+    val q = out.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_stream").count() == 300)
+    assert(spark.table("dedup_stream").select("msg_id").distinct().count() == 300)
+  }
+
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"
