@@ -21,6 +21,22 @@ object CBlock {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "curate_corpus" -> ((s, dir) => {
+      // the C-block flagship: quality filter + near-dup removal → the
+      // curated training corpus, counted per (lang, source)
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.quality(docs, stopwords)
+        .filter(col("quality") >= 0.62)
+      val kept = Dedup.applyDedup(scored,
+        Dedup.connectedComponents(Dedup.minhashCandidates(docs, 16, 4)))
+      kept.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_curated"),
+          round(sum(col("quality")
+            .cast(org.apache.spark.sql.types.DecimalType(8, 6))), 4)
+            .cast("double").as("quality_sum"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactGroups(Tables.documents(s, dir))
         .select(col("key_hash"), col("keeper"), col("n_docs"))
@@ -207,6 +223,31 @@ object CBlock {
        |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "curate_corpus" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id, lang, source,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, lang, source, $toksSql AS w FROM documents)
+         |), kept AS (
+         |  SELECT q.* FROM q LEFT JOIN labels l ON q.doc_id = l.ldoc
+         |  WHERE q.quality >= 0.62 AND (l.ldoc IS NULL OR l.cl = q.doc_id)
+         |)
+         |SELECT lang, source, count(*) AS n_curated,
+         |  CAST(ROUND(SUM(CAST(quality AS DECIMAL(8,6))), 4) AS DOUBLE) AS quality_sum
+         |FROM kept GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
     "dedup_exact" ->
       s"""WITH k AS (
          |  SELECT doc_id,
