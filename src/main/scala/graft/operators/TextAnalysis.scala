@@ -30,6 +30,18 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Deterministic stratified sampling: keep `k` rows per stratum,
+    * selected by portable-hash order of the id — a reproducible,
+    * engine-independent sample (unlike rand()-based sampling, reruns and
+    * other engines pick the identical rows). One window per stratum. */
+  def sampleStratified(df: DataFrame, stratumCol: String, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(native.poly_hash(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k).drop("__rn")
+  }
+
   /** Two-stage char-n-gram-profile language ID (the classic n-gram
     * heuristic): train per-language profiles (top `profileSize` trigrams
     * by frequency over the labeled corpus), then classify each document

@@ -136,6 +136,12 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "sample_stratified" -> ((s, dir) => {
+      TextAnalysis.sampleStratified(Tables.documents(s, dir), "source", k = 5)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     "text_winnow" -> ((s, dir) => {
       TextAnalysis.winnowFingerprints(Tables.documents(s, dir), 8, 4)
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fps"),
@@ -460,6 +466,13 @@ object CBlock {
          |       THEN list_min(list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}))
          |       ELSE ${ph("text")} END AS winnow_min
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, source, lang
+         |FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ${ph("CAST(doc_id AS VARCHAR)")}, doc_id) <= 5
+         |ORDER BY source, doc_id""".stripMargin,
 
     "text_winnow" ->
       s"""WITH hs AS (
