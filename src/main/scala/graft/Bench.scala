@@ -1,52 +1,95 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
-/** Driver benchmark contract: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR. A session-level warm-up (tiny action per table +
-  * one full pass of the cheapest query) separates JVM/codegen start-up
-  * cost from steady-state per-query throughput; each query is then timed
-  * on a single full materialization (count of the final plan). */
+/** Driver benchmark contract: ONE JSON line with per-query seconds at
+  * SPARK_GRAFT_SF_DIR, also written to a file (SPARK_GRAFT_BENCH_OUT,
+  * default BENCH_LOCAL.json) so the gate never depends on scraping sbt
+  * log noise. A session-level warm-up (tiny action per table + one full
+  * pass of two cheap queries) separates JVM/codegen start-up cost from
+  * steady-state per-query throughput; each query is then timed on full
+  * materializations (count of the final plan).
+  *
+  * Failure contract: a query run that throws is NEVER reported as a
+  * timing. Its entry in `queries` is -1.0, the message lands in `errors`,
+  * and the line is also printed to stderr. The reported time is the min
+  * over successful runs only.
+  */
 object Bench {
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // events.parquet stores TIMESTAMP(NANOS); without this the plain
+      // per-table warm-up read aborts (the round-1 "stage 28" noise).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Warm-up: JIT/codegen/session init + file-listing caches.
-    try {
-      graft.sources.Tables.All.foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
+    // Warm-up: JIT/codegen/session init + file-listing caches. Guarded
+    // PER ITEM — one failure must not silently skip the rest.
+    def warm(label: String)(f: => Unit): Unit =
+      try f catch {
+        case e: Throwable => System.err.println(s"[bench] warm-up $label failed: $e")
       }
-      SparkEntry.queries("q1_agg")(spark, sfDir).count()
-      SparkEntry.queries("sync_route_index")(spark, sfDir).count()
-    } catch { case _: Throwable => () }
-
-    // Steady-state per-query time: min of two materializations (the
-    // reference baseline is a long-running daemon's sustained throughput,
-    // so post-JIT time is the comparable number; codegen compile noise on
-    // a one-shot run would otherwise dominate sub-second queries).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = math.min(once(), once())
-      name -> t
+    graft.sources.Tables.All.foreach { t =>
+      warm(t)(spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count())
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    warm("q1_agg")(SparkEntry.queries("q1_agg")(spark, sfDir).count())
+    warm("sync_route_index")(SparkEntry.queries("sync_route_index")(spark, sfDir).count())
+
+    // Steady-state per-query time: min over two SUCCESSFUL materializations
+    // (the reference baseline is a long-running daemon's sustained
+    // throughput, so post-JIT time is the comparable number).
+    final case class R(name: String, secs: Double, err: Option[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
+        }
+      }
+      once() match {
+        case Left(e1) => R(name, -1.0, Some(e1))
+        case Right(t1) => once() match {
+          case Right(t2) => R(name, math.min(t1, t2), None)
+          case Left(e2) => // succeeded cold, failed warm: suspicious — surface it
+            R(name, t1, Some(s"second run failed: $e2"))
+        }
+      }
+    }
+    results.flatMap(r => r.err.map(r.name -> _)).foreach { case (n, e) =>
+      System.err.println(s"[bench] QUERY FAILED $n: $e")
+    }
+
+    val qs = results.map(r => jstr(r.name) + ":" + r.secs).mkString("{", ",", "}")
+    val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.filter(_.secs >= 0).map(_.secs).sum
+    val nErr = results.count(_.err.isDefined)
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":${jstr(sfDir)}}"""
+    Files.writeString(Paths.get(outFile), line + "\n")
+    println(line)
     spark.stop()
   }
 }
