@@ -24,10 +24,13 @@ object JaccardSizePruneRule extends Rule[LogicalPlan] {
 
   /** Rewritten condition with the implied size bounds PREPENDED (so the
     * cheap comparisons short-circuit ahead of the merge-jaccard in the
-    * left-to-right And evaluation); None when nothing to add. */
+    * left-to-right And evaluation); None when nothing to add. Thresholds
+    * are harvested ONLY from top-level conjuncts: a `jaccard >= τ` under
+    * OR/NOT/CASE is not implied by the condition as a whole, and injecting
+    * its bounds would wrongly drop rows that survive via another branch. */
   private def withBounds(cond: Expression): Option[Expression] = {
     val existing = splitConjuncts(cond)
-    val extra = cond.collect {
+    val extra = existing.collect {
       case GreaterThanOrEqual(SortedJaccardExpr(a, b), lit @ Literal(_, _)) =>
         sizeBound(a, b, lit)
       case LessThanOrEqual(lit @ Literal(_, _), SortedJaccardExpr(a, b)) =>

@@ -83,6 +83,19 @@ class TopKAndExtensionsSpec extends SparkSpec {
         a.join(b, col("lang") === col("lang_b") && col("da") < col("db"))
           .withColumn("j", native.sorted_jaccard(col("na"), col("nb")))
           .filter(col("j") >= 0.8).count())
+      // a threshold under OR is NOT implied by the whole condition: the
+      // rule must not fire (injected bounds would drop rows that survive
+      // via the other branch)
+      val orQ = a.join(b, col("lang") === col("lang_b") && col("da") < col("db"))
+        .filter(col("da") === 1 ||
+          native.sorted_jaccard(col("na"), col("nb")) >= 0.8)
+      val orPlan = orQ.queryExecution.optimizedPlan.toString
+      assert(!orPlan.contains("size("),
+        s"size prune wrongly injected under OR:\n$orPlan")
+      assert(orQ.count() ==
+        a.join(b, col("lang") === col("lang_b") && col("da") < col("db"))
+          .withColumn("j", native.sorted_jaccard(col("na"), col("nb")))
+          .filter(col("da") === 1 || col("j") >= 0.8).count())
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
