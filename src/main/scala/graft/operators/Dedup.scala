@@ -29,16 +29,19 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidates: K-slot signature over word-n-shingles
     * (native single-pass expression), split into `bands` bands; documents
-    * sharing any band bucket become a candidate pair. */
+    * sharing any band bucket become a candidate pair. The banded signature
+    * table is materialized ONCE before the self-join ([[Materialize]]) —
+    * otherwise both join sides rescan the corpus and re-evaluate the
+    * signature expression, doubling the most expensive stage. */
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val rows = k / bands
     val sig = docs.select(col(idCol).as("doc_id"),
       native.minhash_sig(col(textCol), k, shingleN).as("sig"))
-    val banded = sig.select(col("doc_id"), posexplode(
+    val banded = Materialize(sig.select(col("doc_id"), posexplode(
       array((0 until bands).map(b => Portable.bandHash(col("sig"), b, rows)): _*)))
-      .toDF("doc_id", "band", "bh")
+      .toDF("doc_id", "band", "bh"))
     val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
     val b = banded.select(col("band").as("band_b"), col("bh").as("bh_b"),
       col("doc_id").as("doc_b"))
@@ -83,29 +86,36 @@ object Dedup {
   /** Dictionary-encoded fast path of [[ngramJaccardPairs]] for corpora
     * whose distinct-gram universe is small enough to bitset-encode (the
     * test corpus has ~400 distinct 3-grams → 7 longs per doc): build the
-    * global gram dictionary (one small distinct+sort), broadcast it, map
-    * each doc's gram set to a fixed-width bitset, then the same blocked
-    * size-pruned self-join computes jaccard as popcount(AND)/popcount(OR)
-    * — per-pair cost O(words) instead of O(set size), and the join rows
-    * shrink from KBs to ~100 bytes. Identical output to the merge path
-    * (asserted in DedupParitySpec); for unbounded gram universes use
+    * gram dictionary (one small distinct), broadcast it, map each doc's
+    * gram set to a bitset, then the same blocked size-pruned self-join
+    * computes jaccard as popcount(AND)/popcount(OR) — per-pair cost
+    * O(words) instead of O(set size), and the join rows shrink from KBs
+    * to ~100 bytes. Fully declarative: bit ids come from a STRIPED rank
+    * (partitioned window keyed on the gram hash, bit = rank·stripes +
+    * stripe — injective across stripes), never a single-partition global
+    * sort, and the bitsets self-size per row so no driver-side dictionary
+    * count is needed. Identical output to the merge path (asserted in
+    * DedupParitySpec); for unbounded gram universes use
     * [[ngramJaccardPairs]]. */
   def ngramJaccardPairsDict(docs: DataFrame, n: Int, tau: Double,
       blockCol: String, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id", idStripes: Int = 64): DataFrame = {
     val g = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
       native.ngram_hash_set(col(textCol), n).as("ng"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("stripe")).orderBy(col("gram"))
     val dict = g.select(explode(col("ng")).as("gram")).distinct()
-      .withColumn("bit", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("gram"))) - 1)
-    val words = (dict.count().toInt + 63) / 64
+      .withColumn("stripe", pmod(col("gram"), lit(idStripes)).cast("int"))
+      .withColumn("bit",
+        (row_number().over(w) - 1).cast("long") * idStripes + col("stripe"))
+      .select(col("gram"), col("bit"))
     val enc = g.select(col("doc_id"), col("blk"), size(col("ng")).as("nn"),
         explode(col("ng")).as("gram"))
       .join(broadcast(dict), "gram")
       .groupBy(col("doc_id"), col("blk"), col("nn"))
-      .agg(collect_list(col("bit").cast("long")).as("bits"))
+      .agg(collect_list(col("bit")).as("bits"))
       .select(col("doc_id"), col("blk"), col("nn"),
-        native.positions_to_bitset(col("bits"), words).as("bs"))
+        native.positions_to_bitset(col("bits"), -1).as("bs"))
     val a = enc.select(col("blk"), col("doc_id").as("doc_a"),
       col("bs").as("bs_a"), col("nn").as("n_a"))
     val b = enc.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
@@ -126,37 +136,47 @@ object Dedup {
     * without the dependency). Lineage is truncated per round. */
   def connectedComponents(edges: DataFrame, aCol: String = "doc_a",
       bCol: String = "doc_b", maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    val sym = Materialize(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
+    var labels = Materialize(sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // one propagation round: label(id) := min(label(id), labels of
+      // neighbors), then a pointer-jumping hop label := label(label) —
+      // the hop costs one extra (small, labels-only) join per round and
+      // drops the round count from O(diameter) to O(log diameter), so
+      // long chains don't serialize into many shuffle rounds at scale.
       val nbr = sym.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(nbr, col("id") === col("src"), "left")
-        .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("newlabel") =!= col("label")).count()
-      labels = updated.select(col("id"), col("newlabel").as("label"))
+      val stepped = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
+      val jump = labels.select(col("id").as("j_id"), col("label").as("j_label"))
+      val updated = Materialize(stepped
+        .join(jump, col("mid") === col("j_id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("mid"), coalesce(col("j_label"), col("mid"))).as("label")))
+      // convergence check runs over the already-materialized round output
+      changed = updated.filter(col("label") =!= col("old_label")).count()
+      labels = updated.select(col("id"), col("label"))
       iter += 1
     }
-    sym.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))
   }
 
   /** Apply dedup: keep documents that are either untouched by the
-    * candidate graph or their cluster's keeper (smallest id). A broadcast
-    * left join against the (small) cluster labels — the corpus is scanned
-    * once; at 100 TB the labels table is a tiny fraction of the corpus. */
+    * candidate graph or their cluster's keeper (smallest id). A plain left
+    * join against the cluster labels — the corpus is scanned once. The
+    * join strategy is deliberately NOT forced: on a dup-heavy corpus the
+    * label table is O(corpus), so a forced broadcast would OOM the driver;
+    * AQE picks broadcast when the labels are actually small. */
   def applyDedup(docs: DataFrame, clusters: DataFrame,
       idCol: String = "doc_id"): DataFrame = {
     val labels = clusters.select(col("doc_id").as("__cid"), col("cluster"))
-    docs.join(broadcast(labels), col(idCol) === col("__cid"), "left")
+    docs.join(labels, col(idCol) === col("__cid"), "left")
       .filter(col("__cid").isNull || col("cluster") === col(idCol))
       .drop("__cid", "cluster")
   }

@@ -191,11 +191,21 @@ object HashOps {
     bucket
   }
 
-  /** Pack an array of bit positions into a fixed-width long bitset. */
+  /** Pack an array of bit positions into a long bitset. `words > 0` gives
+    * a fixed width; `words <= 0` self-sizes to the row's max position, so
+    * no caller needs a driver-side dictionary count — pair consumers
+    * ([[bitsetJaccard]]) treat the missing tail words as zero. */
   def positionsToBitset(pos: ArrayData, words: Int): ArrayData = {
-    val bs = new Array[Long](words)
-    var i = 0
     val n = pos.numElements()
+    var w = words
+    if (w <= 0) {
+      var mx = -1L
+      var i = 0
+      while (i < n) { val p = pos.getLong(i); if (p > mx) mx = p; i += 1 }
+      w = ((mx + 64) >> 6).toInt.max(1)
+    }
+    val bs = new Array[Long](w)
+    var i = 0
     while (i < n) {
       val p = pos.getLong(i).toInt
       bs(p >> 6) |= (1L << (p & 63))
@@ -204,11 +214,13 @@ object HashOps {
     new GenericArrayData(bs)
   }
 
-  /** Jaccard of two equal-width long bitsets via popcounts — the
-    * dictionary-encoded fast path of the n-gram jaccard join: per-pair
-    * cost is O(words), not O(set size). */
+  /** Jaccard of two long bitsets via popcounts — the dictionary-encoded
+    * fast path of the n-gram jaccard join: per-pair cost is O(words), not
+    * O(set size). Widths may differ (self-sized bitsets): the longer
+    * tail's bits count toward the union only. */
   def bitsetJaccard(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
     var inter = 0; var union = 0
     var i = 0
     while (i < n) {
@@ -217,6 +229,8 @@ object HashOps {
       union += java.lang.Long.bitCount(x | y)
       i += 1
     }
+    while (i < na) { union += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    while (i < nb) { union += java.lang.Long.bitCount(b.getLong(i)); i += 1 }
     if (union == 0) 0.0 else inter.toDouble / union.toDouble
   }
 
