@@ -102,54 +102,74 @@ object Similarity {
     aggregate(zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0), (s, v) => s + v)
 
-  /** IVF coarse quantization with deterministically-sampled centroids
-    * (every `centroidStride`-th vector): assign each vector to its nearest
-    * centroid (argmin L2, ties → smaller centroid id). The centroid set is
-    * tiny and broadcast; assignment is one narrow corpus pass. At 100 TB
-    * the assignment is written as a partition column, so a probe reads
-    * only its `nprobe` nearest inverted lists. */
-  def ivfAssign(emb: DataFrame, centroidStride: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = emb.filter(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    val w = Window.partitionBy(col("__vid"))
-      .orderBy(col("dist"), col("cent_id"))
-    emb.select(col(idCol).as("__vid"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dist", l2sqCol(col("__v"), col("cent_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("__vid").as("vec_id"), col("cent_id"),
-        round(col("dist"), 6).as("dist"))
-  }
+  /** The IVF centroid set — the model state: a CONSTANT `numCentroids`
+    * deterministically-sampled vectors (every `centroidStride`-th id,
+    * first `numCentroids` hits), collected once. k·dim floats of model on
+    * the driver regardless of corpus size — the KMeans-model shape. */
+  def ivfCentroids(emb: DataFrame, numCentroids: Int = 8,
+      centroidStride: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Seq[Float])] =
+    emb.filter(pmod(col(idCol), lit(centroidStride)) === 0 &&
+        col(idCol) < centroidStride.toLong * numCentroids)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
 
-  /** IVF ANN search: for each probe, rank centroids by distance, scan the
-    * `nprobe` nearest inverted lists, return top-k by cosine. */
-  def ivfTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
+  /** Per-row array of (l2-distance, centroid-id) structs against the
+    * inlined centroid literals — argmin is `array_min` (struct ordering =
+    * (dist, cent_id), so ties break to the smaller id) in the same narrow
+    * pass. */
+  private def centScored(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(l2sqCol(vec, typedlit(cv)).as("dist"), lit(cid).as("cent_id"))
+    }: _*)
+
+  /** IVF coarse quantization: assign each vector to its nearest centroid
+    * (argmin L2, ties → smaller centroid id). The centroid count is a
+    * CONSTANT parameter — never a function of corpus size — and the
+    * centroids are inlined literals, so assignment is ONE narrow corpus
+    * pass with no join, no window, no Exchange. At 100 TB the assignment
+    * is written as a partition column, so a probe reads only its `nprobe`
+    * nearest inverted lists. */
+  def ivfAssign(emb: DataFrame, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val assigned = ivfAssign(emb, centroidStride, idCol, vecCol)
-      .select(col("vec_id").as("cand_id"), col("cent_id"))
-    val cents = emb.filter(pmod(col(idCol), lit(centroidStride)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("cent_vec"))
-    val probes = emb.filter(probePred)
-      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
-    val wc = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cdist"), col("cent_id"))
-    val probeCents = probes.crossJoin(broadcast(cents))
-      .withColumn("cdist", l2sqCol(col("probe_vec"), col("cent_vec")))
-      .withColumn("crn", row_number().over(wc))
-      .filter(col("crn") <= nprobe)
-      .select(col("probe_id"), col("probe_vec"), col("cent_id"))
-    val wk = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
-      .join(assigned, "cand_id")
-      .join(broadcast(probeCents), Seq("cent_id"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
-      .withColumn("rn", row_number().over(wk))
-      .filter(col("rn") <= k)
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val best = array_min(centScored(col(vecCol), cents))
+    emb.select(col(idCol).as("vec_id"),
+      best.getField("cent_id").as("cent_id"),
+      round(best.getField("dist"), 6).as("dist"))
+  }
+
+  /** IVF ANN search: for each probe, rank centroids by distance (same
+    * inlined-literal argmin — sort the k-element struct array, slice
+    * `nprobe`), scan only the matching inverted lists, and take top-k by
+    * cosine through the bounded-heap [[graft.plans.TopKAggregator]] (the
+    * shuffle carries ≤ k rows per probe per partition, not the scored
+    * candidate set). */
+  def ivfTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
+      numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"),
+      array_min(centScored(col(vecCol), cents)).getField("cent_id").as("cent_id"))
+    val probeCents = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("probe_vec"),
+        explode(transform(
+          slice(array_sort(centScored(col(vecCol), cents)), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
+    val scored = assigned.join(broadcast(probeCents), Seq("cent_id"))
+      .filter(col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "cand_id", "cos")
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 

@@ -90,7 +90,8 @@ object CBlock {
     }),
 
     "sim_ivf" -> ((s, dir) => {
-      Similarity.ivfAssign(Tables.embeddings(s, dir), centroidStride = 32)
+      Similarity.ivfAssign(Tables.embeddings(s, dir), numCentroids = 8,
+          centroidStride = 32)
         .orderBy(col("vec_id"))
     }),
 
@@ -367,7 +368,7 @@ object CBlock {
     "sim_ivf" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, embedding AS cent_vec
-        |  FROM embeddings WHERE vec_id % 32 = 0
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
         |), d AS (
         |  SELECT e.vec_id, c.cent_id,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
