@@ -53,6 +53,13 @@ object SyncFunctions {
     patterns.map(p => regexp_like(raw, lit(p)))
       .reduceOption(_ || _).getOrElse(lit(false))
 
+  /** Topic-regex subscription predicate (reference: pulsar.rs:101-123 —
+    * consumers discover the topic set by regex): matches against the
+    * topic part of a possibly URI-shaped topic name, mirroring the
+    * broker's namespace-scoped topic listing. */
+  def topicMatches(topic: Column, pattern: String): Column =
+    regexp_like(topicPart(topic), lit(pattern))
+
   /** String-typed `app` key of the JSON message, else [[DefaultApp]]
     * (reference: util.rs:167-172 — only Value::String counts, so a numeric
     * `app` falls back to the default; hence the quoted-string regex rather
@@ -74,8 +81,11 @@ object SyncFunctions {
     coalesce(size(json_object_keys(raw)), lit(0))
 
   /** Resolve `@timestamp` (reference: es.rs:61-97): when `timeKey` is given
-    * and is a numeric JSON field, interpret it as epoch *milliseconds*;
-    * otherwise fall back to the message publish time. */
+    * and is a numeric JSON field, interpret it as epoch *milliseconds* —
+    * INCLUDING the fractional part (es.rs:51-58 converts the f64 ms value
+    * to nanoseconds; Spark timestamps are micros, so the fraction is
+    * carried to microsecond precision, truncating like Rust's `as`
+    * conversion). Otherwise fall back to the message publish time. */
   def resolveTimestamp(raw: Column, timeKey: Option[String],
       publishTime: Column): Column =
     timeKey match {
@@ -85,7 +95,8 @@ object SyncFunctions {
         val numStr = regexp_extract(raw,
           "\"" + k + "\"\\s*:\\s*(-?[0-9]+(\\.[0-9]+)?)", 1)
         val millis = when(numStr =!= "", numStr.cast("double"))
-        coalesce(timestamp_millis(millis.cast("long")), publishTime)
+        coalesce(timestamp_micros(floor(millis * 1000).cast("long")),
+          publishTime)
     }
 
   /** Debug key injection (reference: pulsar.rs:277-281, es.rs:346-348):
@@ -96,8 +107,13 @@ object SyncFunctions {
     val idVal =
       if (deterministic) concat(lit("msg-"), msgId.cast("string"))
       else expr("uuid()")
-    concat(regexp_replace(raw, "\\}\\s*$", ""),
-      lit(", \"__INJECTED_DATA__\": \""), idVal, lit("\"}"))
+    // the empty object `{}` strips to just "{": no comma before the
+    // injected key (the reference inserts into a parsed map, which
+    // handles empty objects for free)
+    val stripped = regexp_replace(raw, "\\}\\s*$", "")
+    val sep = when(stripped.rlike("^\\s*\\{\\s*$"), lit(""))
+      .otherwise(lit(", "))
+    concat(stripped, sep, lit("\"__INJECTED_DATA__\": \""), idVal, lit("\"}"))
   }
 
   /** The final Elasticsearch-style document (reference transform output,
@@ -113,9 +129,13 @@ object SyncFunctions {
     val body =
       if (sanitize) graft.plans.native.sanitize_json_keys(raw)
       else raw
+    // the empty object `{}` leaves only "}" after the brace strip: no
+    // comma after @timestamp (a trailing comma is invalid JSON)
+    val rest = regexp_replace(body, "^\\{\\s*", "")
+    val sep = when(rest.rlike("^\\s*\\}\\s*$"), lit("")).otherwise(lit(", "))
     concat(lit("{\"@timestamp\": \""),
       date_format(tsResolved, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"),
-      lit("\", "), regexp_replace(body, "^\\{\\s*", ""))
+      lit("\""), sep, rest)
   }
 
   /** Recursive JSON key sanitization `.` → `_` for flat string maps

@@ -58,8 +58,12 @@ object SyncPipeline {
     val topic = collapsePartitionTopic(topicPart(col("topic")))
     df.withColumn("topic_base", topic)
       .withColumn("date_str", dateStr(col("publish_time")))
+      // the index derives from the TOPIC PART: for URI-shaped topics
+      // (persistent://tenant/ns/topic, util.rs:13-21) the tenant/ns
+      // prefix must not leak into the index name
       .withColumn("index",
-        concat(rewriteIndex(col("topic"), cfg.rewriteRules), lit("-"), col("date_str")))
+        concat(rewriteIndex(topicPart(col("topic")), cfg.rewriteRules),
+          lit("-"), col("date_str")))
       .withColumn("app", appOf(col("data")))
       .withColumn("ts_resolved",
         resolveTimestamp(col("data"), cfg.timeKey, col("publish_time")))

@@ -70,6 +70,57 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_timestamp_frac" -> ((s, dir) => {
+      // sub-millisecond time_key fidelity (es.rs:51-58: the f64 ms value
+      // keeps its fraction): t = <k>.<msg_id%1000 zero-padded> ms
+      val frac = lpad(pmod(col("msg_id"), lit(1000)).cast("string"), 3, "0")
+      val df = msgs(s, dir).withColumn("data",
+        concat(lit("{\"t\": "), get_json_object(col("data"), "$.k"),
+          lit("."), frac, lit("}")))
+      df.withColumn("ts_resolved",
+          resolveTimestamp(col("data"), Some("t"), col("publish_time")))
+        .select(col("msg_id"), col("ts_resolved"))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_topic_regex" -> ((s, dir) => {
+      // regex topic subscription (pulsar.rs:101-123) over URI-shaped
+      // topic names: only matching topics are consumed
+      val df = msgs(s, dir).withColumn("topic",
+        concat(lit("persistent://tenant/app/"), col("topic")))
+      df.filter(topicMatches(col("topic"), "^(click|purchase)"))
+        .groupBy(topicPart(col("topic")).as("topic"))
+        .agg(count(lit(1)).as("n_msgs"))
+        .orderBy(col("topic"))
+    }),
+
+    "sync_uri_topics" -> ((s, dir) => {
+      // full URI-shaped partitioned topics through enrich: the index must
+      // derive from the topic part only (util.rs:13-21), never embed the
+      // tenant/namespace prefix
+      val df = msgs(s, dir).withColumn("topic",
+        concat(lit("persistent://tenant/app/"), col("topic"),
+          lit("-partition-"), pmod(col("msg_id"), lit(3))))
+      SyncPipeline.enrich(SyncConfig(rewriteRules = rewriteRules))(df)
+        .groupBy(col("index").as("es_index"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("es_index"))
+    }),
+
+    "sync_bulk_failures" -> ((s, dir) => {
+      // per-item bulk failure accounting (es.rs:133-191): poison docs
+      // (k in 50..59 — the mapper-rejection stand-in) count as failed
+      // per index, the rest as written
+      val failed = matchesAny(col("data"), Seq("\"k\": 5[0-9]\\}"))
+      msgs(s, dir)
+        .withColumn("es_index", esIndex(col("topic"), col("publish_time")))
+        .groupBy(col("es_index"))
+        .agg(count(lit(1)).as("attempted"),
+          sum(when(failed, 1L).otherwise(0L)).as("failed"),
+          sum(when(!failed, 1L).otherwise(0L)).as("written"))
+        .orderBy(col("es_index"))
+    }),
+
     "sync_sanitize_keys" -> ((s, dir) => {
       msgs(s, dir)
         .withColumn("data",
@@ -138,16 +189,23 @@ object ABlock {
     }),
 
     "sync_inject" -> ((s, dir) => {
-      msgs(s, dir)
-        .select(col("msg_id"),
+      // every 7th message is the empty object: the injected key must not
+      // leave a dangling comma
+      val df = msgs(s, dir).withColumn("data",
+        when(pmod(col("msg_id"), lit(7)) === 0, lit("{}"))
+          .otherwise(col("data")))
+      df.select(col("msg_id"),
           injectKey(col("data"), col("msg_id"), deterministic = true)
             .as("injected"))
         .orderBy(col("msg_id"))
     }),
 
     "sync_document" -> ((s, dir) => {
-      msgs(s, dir)
-        .select(col("msg_id"),
+      // every 9th message is the empty object: no comma after @timestamp
+      val df = msgs(s, dir).withColumn("data",
+        when(pmod(col("msg_id"), lit(9)) === 0, lit("{}"))
+          .otherwise(col("data")))
+      df.select(col("msg_id"),
           buildDocument(col("data"), col("publish_time")).as("doc"))
         .orderBy(col("msg_id"))
     }),
@@ -283,15 +341,61 @@ object ABlock {
         |FROM d GROUP BY 1 ORDER BY topic""".stripMargin,
 
     "sync_inject" ->
-      """SELECT event_id AS msg_id,
-        |  regexp_replace(props, '\}\s*$', '') || ', "__INJECTED_DATA__": "msg-' || event_id || '"}' AS injected
-        |FROM events ORDER BY msg_id""".stripMargin,
+      """WITH d AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 7 = 0 THEN '{}' ELSE props END AS data
+        |  FROM events
+        |), s AS (
+        |  SELECT event_id, regexp_replace(data, '\}\s*$', '') AS stripped FROM d
+        |)
+        |SELECT event_id AS msg_id,
+        |  stripped ||
+        |  (CASE WHEN regexp_matches(stripped, '^\s*\{\s*$') THEN '' ELSE ', ' END) ||
+        |  '"__INJECTED_DATA__": "msg-' || event_id || '"}' AS injected
+        |FROM s ORDER BY msg_id""".stripMargin,
 
     "sync_document" ->
+      """WITH d AS (
+        |  SELECT event_id, ts,
+        |    regexp_replace(CASE WHEN event_id % 9 = 0 THEN '{}' ELSE props END,
+        |      '^\{\s*', '') AS rest
+        |  FROM events
+        |)
+        |SELECT event_id AS msg_id,
+        |  '{"@timestamp": "' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '"'
+        |    || (CASE WHEN regexp_matches(rest, '^\s*\}\s*$') THEN '' ELSE ', ' END)
+        |    || rest AS doc
+        |FROM d ORDER BY msg_id""".stripMargin,
+
+    "sync_timestamp_frac" ->
       """SELECT event_id AS msg_id,
-        |  '{"@timestamp": "' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || '", '
-        |    || regexp_replace(props, '^\{\s*', '') AS doc
+        |  make_timestamp(CAST(floor(
+        |    CAST(json_extract(props, '$.k') || '.' ||
+        |         lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS DOUBLE)
+        |    * 1000) AS BIGINT)) AS ts_resolved
         |FROM events ORDER BY msg_id""".stripMargin,
+
+    "sync_topic_regex" ->
+      """SELECT event_type AS topic, count(*) AS n_msgs
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|purchase)')
+        |GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_uri_topics" ->
+      """SELECT (CASE WHEN regexp_matches(event_type, '^click') THEN 'web'
+        |             WHEN regexp_matches(event_type, '^view') THEN 'web'
+        |             WHEN regexp_matches(event_type, '^purchase') THEN 'commerce'
+        |             ELSE event_type END)
+        |    || '-' || strftime(ts, '%Y.%m.%d') AS es_index,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY es_index""".stripMargin,
+
+    "sync_bulk_failures" ->
+      """SELECT event_type || '-' || strftime(ts, '%Y.%m.%d') AS es_index,
+        |  count(*) AS attempted,
+        |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 5[0-9]\}') THEN 1 ELSE 0 END) AS BIGINT) AS failed,
+        |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 5[0-9]\}') THEN 0 ELSE 1 END) AS BIGINT) AS written
+        |FROM events GROUP BY 1 ORDER BY es_index""".stripMargin,
 
     "sync_metrics" ->
       """SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,

@@ -57,19 +57,38 @@ object StreamingSync {
 
   /** Start the full sync: source → transforms → per-batch admission →
     * indexed sink. `availableNow` drains what's there and stops (tests);
-    * otherwise runs on a processing-time trigger = flush_interval. */
+    * otherwise runs on a processing-time trigger = flush_interval.
+    *
+    * `failedDocPattern` models the per-item bulk failures of the
+    * reference's ES response handling (es.rs:133-191): matching docs are
+    * diverted to `<sinkPath>/_failed` (the failed-payload log), counted
+    * in the bulk metrics (`failed` column) and in the
+    * `graft_es_write_failed_total` counter. The write itself runs under
+    * [[IndexedParquetSink.withRetries]] — the connect/retry loop analog;
+    * exhausted retries fail the micro-batch, which the checkpoint
+    * replays (broker redelivery). */
   def start(spark: SparkSession, cfg: SyncConfig, sourceDir: String,
       sinkPath: String, metricsPath: String,
       availableNow: Boolean = false, flushIntervalMs: Long = 5000,
-      batchFiles: Option[Int] = None): StreamingQuery = {
+      batchFiles: Option[Int] = None,
+      failedDocPattern: Option[String] = None,
+      maxRetries: Int = 3): StreamingQuery = {
     val out = transform(cfg)(readMessageStream(spark, sourceDir, batchFiles))
     val writer = out.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = SyncPipeline.rateLimit(cfg)(batch)
-        val metrics = IndexedParquetSink.writeBatch(
-          admitted.select("msg_id", "topic", "publish_time", "data",
-            "index", "app", "ts_resolved", "is_debug", "field_count"),
-          sinkPath)
+          .select("msg_id", "topic", "publish_time", "data",
+            "index", "app", "ts_resolved", "is_debug", "field_count")
+        val metrics = IndexedParquetSink.withRetries(maxRetries) { () =>
+          failedDocPattern match {
+            case Some(p) => IndexedParquetSink.writeBatchAccounted(
+              admitted, sinkPath,
+              org.apache.spark.sql.functions.col("data").rlike(p),
+              Some(s"$sinkPath/_failed"))
+            case None => IndexedParquetSink.writeBatch(admitted, sinkPath)
+          }
+        }
+        SyncMetrics.recordBulk(metrics)
         metrics.withColumn("batch_id",
             org.apache.spark.sql.functions.lit(batchId))
           .write.mode("append").parquet(metricsPath)

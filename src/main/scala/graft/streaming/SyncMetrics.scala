@@ -49,10 +49,17 @@ object SyncMetrics {
       incBy("graft_query_terminated_total", Seq("query" -> e.id.toString), 1)
   }
 
-  /** Record a sink bulk-metrics batch (index, app, written). */
-  def recordBulk(metrics: org.apache.spark.sql.DataFrame): Unit =
-    metrics.select("index", "app", "written").collect().foreach { r =>
-      incBy("graft_es_write_success_total",
-        Seq("index" -> r.getString(0), "app" -> r.getString(1)), r.getLong(2))
+  /** Record a sink bulk-metrics batch (index, app, written[, failed]) —
+    * the write-success/failure counter pair of the reference's registry
+    * (prometheus.rs; failures counted per bulk response, es.rs:133-191). */
+  def recordBulk(metrics: org.apache.spark.sql.DataFrame): Unit = {
+    val hasFailed = metrics.columns.contains("failed")
+    metrics.collect().foreach { r =>
+      val labels = Seq("index" -> r.getAs[String]("index"),
+        "app" -> r.getAs[String]("app"))
+      incBy("graft_es_write_success_total", labels, r.getAs[Long]("written"))
+      if (hasFailed)
+        incBy("graft_es_write_failed_total", labels, r.getAs[Long]("failed"))
     }
+  }
 }

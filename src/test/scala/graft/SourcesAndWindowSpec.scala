@@ -40,6 +40,22 @@ class SourcesAndWindowSpec extends SparkSpec {
     assert(parsed.filter(col("app") === "shop").count() == 1)
   }
 
+  test("JsonLines topic-regex subscription consumes only matching topics") {
+    val dir = stageJsonl()
+    // batch: regex selects the web topic only (pulsar.rs:101-123 analog)
+    val web = JsonLines.read(spark, s"$dir/*/*.jsonl", Some("^w.*"))
+    assert(web.select("topic").distinct().collect().map(_.getString(0))
+      .toSet == Set("web"))
+    assert(web.count() == 4)
+    // streaming: same subscription over the stream source
+    val q = JsonLines.readStream(spark, s"$dir/*/*.jsonl", Some("^aud"))
+      .writeStream.format("memory").queryName("regex_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(spark.table("regex_stream").select("topic").distinct()
+      .collect().map(_.getString(0)).toSet == Set("audit"))
+  }
+
   test("JsonLines streaming == batch through the same pipeline") {
     val dir = stageJsonl()
     val cfg = SyncConfig()

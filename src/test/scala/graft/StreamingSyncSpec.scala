@@ -93,6 +93,64 @@ class StreamingSyncSpec extends SparkSpec {
     assert(spark.table("dedup_stream").select("msg_id").distinct().count() == 300)
   }
 
+  test("bulk failures are diverted, counted per index, and metered") {
+    val tmp = Files.createTempDirectory("graft-bulkfail").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+    msgs.write.parquet(s"$tmp/src")
+    graft.streaming.SyncMetrics.reset()
+    val poison = "\"k\": 5[0-9]\\}"
+    val q = StreamingSync.start(spark, SyncConfig(), s"$tmp/src",
+      s"$tmp/sink", s"$tmp/metrics", availableNow = true,
+      failedDocPattern = Some(poison))
+    q.awaitTermination(120000)
+
+    val total = SyncPipeline(SyncConfig())(msgs)
+    val expectFailed = total.filter(col("data").rlike(poison)).count()
+    val written = spark.read.parquet(s"$tmp/sink")
+    val failed = spark.read.parquet(s"$tmp/sink/_failed")
+    // poison docs land in the failed-payload store, never the index
+    assert(failed.count() == expectFailed && expectFailed > 0)
+    assert(written.count() == total.count() - expectFailed)
+    assert(written.filter(col("data").rlike(poison)).count() == 0)
+    // bulk metrics carry the per-index failure counts (es.rs:133-191)
+    val metrics = spark.read.parquet(s"$tmp/metrics")
+    assert(metrics.agg(sum("failed")).head.getLong(0) == expectFailed)
+    assert(metrics.agg(sum("written")).head.getLong(0) == written.count())
+    // and the prometheus-style counters accumulated the same totals
+    val snap = graft.streaming.SyncMetrics.snapshot()
+    assert(snap.contains("graft_es_write_failed_total"))
+    val failedTotal = snap.linesIterator
+      .filter(_.startsWith("graft_es_write_failed_total"))
+      .map(_.split(' ').last.toLong).sum
+    assert(failedTotal == expectFailed)
+  }
+
+  test("withRetries retries transient sink failures and counts them") {
+    import graft.sinks.IndexedParquetSink
+    graft.streaming.SyncMetrics.reset()
+    var attempts = 0
+    val out = IndexedParquetSink.withRetries(3, label = "test") { () =>
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(out == "ok" && attempts == 3)
+    assert(graft.streaming.SyncMetrics
+      .value("""graft_es_retry_total{sink="test"}""") == 2)
+    // exhausted retries rethrow (micro-batch fails -> checkpoint replay)
+    intercept[RuntimeException] {
+      IndexedParquetSink.withRetries(1, label = "test2") { () =>
+        throw new RuntimeException("permanent")
+      }
+    }
+    assert(graft.streaming.SyncMetrics
+      .value("""graft_es_retry_total{sink="test2"}""") == 1)
+  }
+
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"

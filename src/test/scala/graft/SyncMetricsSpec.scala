@@ -32,8 +32,8 @@ class SyncMetricsSpec extends SparkSpec {
       while (consumed.isEmpty && System.currentTimeMillis < deadline)
         Thread.sleep(200)
 
-      SyncMetrics.recordBulk(
-        spark.read.parquet(s"$tmp/metrics").drop("batch_id"))
+      // write-success counters are fed by the sink loop itself
+      // (StreamingSync.start records each batch's bulk metrics)
       val snap = SyncMetrics.snapshot()
       assert(snap.contains("graft_rows_consumed_total"))
       assert(snap.contains("graft_es_write_success_total"))
