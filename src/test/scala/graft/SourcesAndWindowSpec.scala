@@ -56,6 +56,44 @@ class SourcesAndWindowSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSet == Set("audit"))
   }
 
+  test("TopicWatchdog resubscribes when the topic set changes") {
+    val tmp = Files.createTempDirectory("graft-watchdog").toString
+    Files.createDirectories(Paths.get(s"$tmp/topics/web"))
+    Files.writeString(Paths.get(s"$tmp/topics/web/part-0.jsonl"),
+      "{\"ts\": 1700000000000, \"k\": 1}\n{\"ts\": 1700000001000, \"k\": 2}\n")
+    val sink = s"$tmp/sink"; val ckpt = s"$tmp/ckpt"
+    val dog = new graft.streaming.TopicWatchdog(spark, s"$tmp/topics",
+      "^(web|audit)$",
+      topics => {
+        // subscription resolved to a concrete topic list per generation,
+        // like the reference's regex -> topic-list resolution
+        val glob = s"$tmp/topics/{${topics.toSeq.sorted.mkString(",")}}/*.jsonl"
+        JsonLines.readStream(spark, glob)
+          .writeStream.format("parquet").option("path", sink)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+      })
+    assert(dog.tick()) // first subscription: web only
+    dog.activeQuery.get.awaitTermination(60000)
+    assert(!dog.tick()) // unchanged membership: no recreation
+    assert(spark.read.parquet(sink).count() == 2)
+
+    // a new matching topic appears -> watchdog must recreate the consumer
+    Files.createDirectories(Paths.get(s"$tmp/topics/audit"))
+    Files.writeString(Paths.get(s"$tmp/topics/audit/part-0.jsonl"),
+      "{\"ts\": 1700000002000, \"k\": 3}\n")
+    Files.createDirectories(Paths.get(s"$tmp/topics/ignored"))
+    assert(dog.tick())
+    dog.activeQuery.get.awaitTermination(60000)
+    dog.stop()
+    assert(dog.generation == 2)
+    val out = spark.read.parquet(sink)
+    // audit consumed; web NOT re-consumed (checkpoint = subscription cursor)
+    assert(out.count() == 3)
+    assert(out.select("topic").distinct().collect().map(_.getString(0))
+      .toSet == Set("web", "audit"))
+  }
+
   test("JsonLines streaming == batch through the same pipeline") {
     val dir = stageJsonl()
     val cfg = SyncConfig()
