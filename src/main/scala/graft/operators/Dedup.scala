@@ -181,6 +181,27 @@ object Dedup {
       .drop("__cid", "cluster")
   }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check):
+    * flag corpus documents sharing any char-n-gram with the benchmark
+    * set. The benchmark's distinct gram set is small and BROADCAST; the
+    * corpus is scanned once (native n-gram-set pass + explode), so the
+    * check is a broadcast semi-join-shaped aggregation — no corpus
+    * shuffle beyond the per-doc count. Returns (doc_id, n_shared) for
+    * contaminated docs. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("doc_id"),
+        explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      // ngram_hash_set is a distinct set, so count == distinct shared grams
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Winnowing-based near-dup candidates: docs sharing ≥ minShared
     * winnowing fingerprints. Same inverted-index join shape as minhash
     * banding (explode fingerprints → equality join → count per pair) —

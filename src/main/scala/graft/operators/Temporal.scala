@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Temporal joins Spark lacks natively — as-of and bounded range joins —
+  * built from shuffle-friendly primitives instead of inequality joins
+  * (which plan as nested-loop / cartesian shapes and die at scale).
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the latest right row with
+    * right.ts <= left.ts (inclusive) under the same key.
+    *
+    * Implemented WITHOUT an inequality join: both sides are unioned and
+    * sorted once per key, and the right side's (ts, payload) runs forward
+    * as a windowed running max — one shuffle on the key column (the same
+    * cost shape as a groupBy), state O(1) per row. Right rows sort before
+    * left rows at equal timestamps, which is what makes the join
+    * inclusive; ties among right rows at the same ts resolve to the max
+    * payload (deterministic). Output: all left columns + `asof_ts` +
+    * `asof_<payload>` columns (null when no right row precedes). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[String]): DataFrame = {
+    val pStruct = struct(col(rightTs).as("asof_ts") +:
+      rightPayload.map(c => col(c).as(s"asof_$c")): _*)
+    val lStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val rSel = right.select(col(key).as("__k"), col(rightTs).as("__t"),
+      lit(0).as("__kind"), pStruct.as("__p"))
+    val lSel = left.select(col(key).as("__k"), col(leftTs).as("__t"),
+      lit(1).as("__kind"), lit(null).cast(rSel.schema("__p").dataType).as("__p"),
+      lStruct.as("__l"))
+    val u = rSel
+      .withColumn("__l", lit(null).cast(lSel.schema("__l").dataType))
+      .unionByName(lSel)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__asof", max(col("__p")).over(w))
+      .filter(col("__kind") === 1)
+    val outCols = left.columns.map(c => col(s"__l.$c")) ++
+      (Seq("asof_ts") ++ rightPayload.map(c => s"asof_$c"))
+        .map(c => col(s"__asof.$c").as(c))
+    matched.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Bounded range join: count right rows with |right.ts - left.ts| <=
+    * tolerance under the same key.
+    *
+    * Scale shape: the right side is bucketed by fixed 2·tolerance-wide
+    * time buckets (a narrow projection); each left row explodes to the
+    * <= 2-3 buckets covering its interval, so the join is an EQUI-join on
+    * (key, bucket) — hash-partitioned, skew-bounded — with the exact
+    * range predicate applied after. Candidate fan-out per left row is
+    * bounded by interval/bucket + 1, never a cross product, and each
+    * right row carries exactly one bucket so no pair is double-counted. */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, toleranceSec: Long,
+      countName: String = "n_in_range"): DataFrame = {
+    val tolUs = toleranceSec * 1000000L
+    val widthUs = 2 * tolUs
+    def bucket(ts: Column): Column = floor(unix_micros(ts) / widthUs)
+    val r = right.select(col(key).as("__rk"), col(rightTs).as("__rt"),
+      bucket(col(rightTs)).as("__rb"))
+    val tol = expr(s"INTERVAL $toleranceSec SECOND")
+    val l = left.withColumn("__b",
+      explode(sequence(bucket(col(leftTs) - tol), bucket(col(leftTs) + tol))))
+    // left.columns must identify left rows uniquely (an id/ts pair): the
+    // groupBy re-collapses the bucket fan-out
+    l.join(r, col(key) === col("__rk") && col("__b") === col("__rb") &&
+        col("__rt") >= col(leftTs) - tol && col("__rt") <= col(leftTs) + tol,
+        "left")
+      .groupBy(left.columns.map(col).toIndexedSeq: _*)
+      .agg(sum(when(col("__rt").isNotNull, 1L).otherwise(0L)).as(countName))
+  }
+}

@@ -113,4 +113,57 @@ object TextAnalysis {
   def winnowFingerprints(docs: DataFrame, ngram: Int = 8, window: Int = 4,
       textCol: String = "text"): DataFrame =
     docs.withColumn("fps", native.winnow_set(col(textCol), ngram, window))
+
+  /** Within-document repetition signals (the Gopher/C4-style repetition
+    * filters): duplicate word-bigram fraction and most-frequent-bigram
+    * fraction. Narrow per-row HOF pass — no shuffle. */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val w = Portable.tokens(col(textCol))
+    val bg = transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+    val nb = size(bg).cast("double")
+    val dup = (nb - size(array_distinct(bg)).cast("double")) / nb
+    val top = array_max(transform(array_distinct(bg),
+      g => size(filter(bg, x => x === g)))).cast("double") / nb
+    docs
+      .withColumn("n_bigrams", when(size(w) < 2, lit(0L))
+        .otherwise(size(bg).cast("long")))
+      .withColumn("dup_bigram_frac",
+        when(size(w) < 2, lit(0.0)).otherwise(round(dup, 6)))
+      .withColumn("top_bigram_frac",
+        when(size(w) < 2, lit(0.0)).otherwise(round(top, 6)))
+  }
+
+  /** PII-pattern counts (email / IPv4) per document — the scrubbing
+    * pre-pass of a training-data pipeline. Pure regexp_count projections
+    * (RE2-compatible patterns so any engine reproduces them). */
+  def piiCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_emails", regexp_count(col(textCol),
+        lit("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}")).cast("long"))
+      .withColumn("n_ips", regexp_count(col(textCol),
+        lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
+        .cast("long"))
+
+  /** Temperature-scaled source mixing (T = 2): downsample each source to
+    * keep_frac = sqrt(min_share / share) of its documents — the smallest
+    * source is kept fully, large sources are damped toward the T=2
+    * mixture (share^(1/T) up to normalization). Selection is by portable
+    * hash of the id, so the sample is deterministic and engine-
+    * reproducible; sqrt keeps both engines bit-identical (no pow). The
+    * per-source counts are a tiny broadcast — one corpus scan. */
+  def sampleTemperatureT2(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("__cnt"))
+    val minCnt = counts.agg(min(col("__cnt")).as("__min_cnt"))
+    docs.join(broadcast(counts), sourceCol)
+      .crossJoin(broadcast(minCnt))
+      .withColumn("keep_frac",
+        sqrt(col("__min_cnt").cast("double") / col("__cnt").cast("double")))
+      .withColumn("__u",
+        native.poly_hash(concat(lit("t2:"), col(idCol).cast("string")))
+          .cast("double") / lit(2147483647.0))
+      .withColumn("kept", col("__u") < col("keep_frac"))
+      .drop("__cnt", "__min_cnt", "__u")
+  }
 }

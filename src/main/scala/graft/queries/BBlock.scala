@@ -19,6 +19,40 @@ object BBlock {
   def queries(eventsUs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_asof_join" -> ((s, dir) => {
+      // click→purchase attribution: each purchase matched to the user's
+      // most recent click at or before it — the as-of join, without an
+      // inequality join (Temporal.asofJoin: union + running max)
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      graft.operators.Temporal.asofJoin(purchases, clicks,
+          key = "user_id", leftTs = "purchase_ts", rightTs = "ts",
+          rightPayload = Seq("event_id"))
+        .select(col("purchase_id"), col("purchase_ts"),
+          col("asof_ts").as("click_ts"), col("asof_event_id").as("click_id"))
+        .orderBy(col("purchase_id"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // clicks within ±30 min of each purchase by the same user — the
+      // bounded range join via time-bucket equi-join (Temporal)
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      graft.operators.Temporal.rangeJoinCount(purchases, clicks,
+          key = "user_id", leftTs = "purchase_ts", rightTs = "ts",
+          toleranceSec = 1800, countName = "n_clicks")
+        .select(col("purchase_id"), col("n_clicks"))
+        .orderBy(col("purchase_id"))
+    }),
+
     "q3_join_topk" -> ((s, dir) => {
       val cutoff = lit("1998-06-01 00:00:00").cast("timestamp")
       val cust = Tables.customer(s, dir)
@@ -261,6 +295,43 @@ object BBlock {
   )
 
   val oracle: Map[String, String] = Map(
+    // ts cast to µs-precision TIMESTAMP so boundary comparisons run in
+    // the same domain as Spark's micros timestamps
+    "q_asof_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |         event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.purchase_id, p.purchase_ts, x.click_ts, x.click_id
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.ts AS click_ts, c.event_id AS click_id
+        |  FROM c WHERE c.user_id = p.user_id AND c.ts <= p.purchase_ts
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        |) x ON TRUE
+        |ORDER BY purchase_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts,
+        |         event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT p.purchase_id,
+        |  CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.purchase_ts - INTERVAL 30 MINUTE
+        | AND c.ts <= p.purchase_ts + INTERVAL 30 MINUTE
+        |GROUP BY p.purchase_id
+        |ORDER BY purchase_id""".stripMargin,
+
     "q3_join_topk" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2) AS DOUBLE) AS revenue

@@ -150,6 +150,51 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      TextAnalysis.repetition(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_bigrams"),
+          col("dup_bigram_frac"), col("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_pii" -> ((s, dir) => {
+      // deterministic PII planting: every 3rd doc gets an email, every
+      // 3rd+1 an IPv4 — the scrub pre-pass counted per source
+      val docs = Tables.documents(s, dir)
+      val suffix = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+        .otherwise(lit(""))
+      TextAnalysis.piiCounts(
+          docs.withColumn("text", concat(col("text"), suffix)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") + col("n_ips") > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"),
+          sum(col("n_emails")).as("n_emails"),
+          sum(col("n_ips")).as("n_ips"))
+        .orderBy(col("source"))
+    }),
+
+    "sample_temperature" -> ((s, dir) => {
+      TextAnalysis.sampleTemperatureT2(Tables.documents(s, dir))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          round(max(col("keep_frac")), 6).as("keep_frac"))
+        .orderBy(col("source"))
+    }),
+
+    "decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any char-8-gram with the
+      // pseudo test set (doc_id % 97 == 0)
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      Dedup.decontaminate(docs.filter(!isBench), docs.filter(isBench), n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "sketch_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.operators.Sketches.linearCountDistinct(
@@ -491,6 +536,75 @@ object CBlock {
          |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fps,
          |  list_min(fps) AS min_fp, list_max(fps) AS max_fp
          |FROM fps ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |b AS (
+         |  SELECT doc_id, len(w) AS nw,
+         |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+         |  FROM t
+         |)
+         |SELECT doc_id,
+         |  CASE WHEN nw < 2 THEN CAST(0 AS BIGINT)
+         |       ELSE CAST(len(bg) AS BIGINT) END AS n_bigrams,
+         |  CASE WHEN nw < 2 THEN 0.0
+         |       ELSE ROUND((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 6)
+         |  END AS dup_bigram_frac,
+         |  CASE WHEN nw < 2 THEN 0.0
+         |       ELSE ROUND(list_max(list_transform(list_distinct(bg),
+         |              g -> len(list_filter(bg, x -> x = g)))) * 1.0 / len(bg), 6)
+         |  END AS top_bigram_frac
+         |FROM b ORDER BY doc_id""".stripMargin,
+
+    "text_pii" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    text || (CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com'
+        |                  WHEN doc_id % 3 = 1 THEN ' host 10.0.' || (doc_id % 256) || '.7'
+        |                  ELSE '' END) AS t
+        |  FROM documents
+        |), c AS (
+        |  SELECT source,
+        |    len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ips
+        |  FROM d
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_emails + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_ips) AS BIGINT) AS n_ips
+        |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "sample_temperature" ->
+      s"""WITH cnts AS (
+         |  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+         |), m AS (SELECT min(cnt) AS min_cnt FROM cnts),
+         |k AS (
+         |  SELECT d.source,
+         |    sqrt(CAST(m.min_cnt AS DOUBLE) / CAST(c.cnt AS DOUBLE)) AS keep_frac,
+         |    CAST(${ph("'t2:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 2147483647 AS u
+         |  FROM documents d JOIN cnts c USING (source) CROSS JOIN m
+         |)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN u < keep_frac THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  ROUND(MAX(keep_frac), 6) AS keep_frac
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+         |), cg AS (
+         |  SELECT doc_id, gram FROM g WHERE doc_id % 97 <> 0
+         |)
+         |SELECT cg.doc_id, count(*) AS n_shared
+         |FROM cg JOIN bg USING (gram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "sketch_distinct" ->
       s"""WITH sk AS (

@@ -43,4 +43,16 @@ class SyncMetricsSpec extends SparkSpec {
       assert(written == spark.read.parquet(s"$tmp/sink").count())
     } finally spark.streams.removeListener(listener)
   }
+
+  test("/metrics HTTP endpoint serves the prometheus-style snapshot") {
+    SyncMetrics.reset()
+    SyncMetrics.incBy("graft_test_total", Seq("topic" -> "web"), 42)
+    val server = graft.streaming.MetricsHttp.start()
+    try {
+      val port = server.getAddress.getPort
+      val body = scala.io.Source
+        .fromURL(s"http://localhost:$port/metrics", "UTF-8").mkString
+      assert(body.contains("""graft_test_total{topic="web"} 42"""))
+    } finally server.stop(0)
+  }
 }
