@@ -15,9 +15,38 @@ object BBlock {
   private def moneySum(c: Column): Column = round(sum(c), 2).cast("double")
   private val revenueExpr: Column =
     dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount")))
+  private val toksSqlB = "list_filter(string_split(text, ' '), t -> t <> '')"
 
   def queries(eventsUs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "q_window_range" -> ((s, dir) => {
+      // RANGE-frame window: trailing-1-hour event count + floor-value sum
+      // per user over purchases (integer math for cross-engine parity)
+      val ev = eventsUs(s, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          sum(floor(col("value")).cast("long")).over(w).as("trailing_1h_value"),
+          count(lit(1)).over(w).as("trailing_1h_n"))
+        .orderBy(col("event_id"))
+    }),
+
+    "q_unnest" -> ((s, dir) => {
+      // explode/unnest surface: top-5 words per language
+      val words = Tables.documents(s, dir)
+        .select(col("lang"),
+          explode(graft.functions.Portable.tokens(col("text"))).as("word"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("cnt").desc, col("word"))
+      words.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .select(col("lang"), col("word"), col("cnt"), col("rk"))
+        .orderBy(col("lang"), col("rk"))
+    }),
 
     "q_asof_join" -> ((s, dir) => {
       // click→purchase attribution: each purchase matched to the user's
@@ -295,6 +324,28 @@ object BBlock {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS trailing_1h_value,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trailing_1h_n
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_unnest" ->
+      s"""WITH words AS (
+         |  SELECT lang, unnest($toksSqlB) AS word FROM documents
+         |), c AS (
+         |  SELECT lang, word, count(*) AS cnt FROM words GROUP BY 1, 2
+         |)
+         |SELECT lang, word, cnt,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS BIGINT) AS rk
+         |FROM c
+         |QUALIFY rk <= 5
+         |ORDER BY lang, rk""".stripMargin,
+
     // ts cast to µs-precision TIMESTAMP so boundary comparisons run in
     // the same domain as Spark's micros timestamps
     "q_asof_join" ->

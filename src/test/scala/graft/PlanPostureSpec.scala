@@ -34,4 +34,23 @@ class PlanPostureSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
+
+  test("temporal joins avoid inequality-join physical shapes") {
+    Seq("q_asof_join", "q_range_join").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not plan a nested-loop/cartesian join:\n$p")
+    }
+  }
+
+  test("sim_ivf assign stage is one narrow pass: no join, no window") {
+    val p = planOf("sim_ivf")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"IVF assignment must be a pure projection:\n$p")
+  }
+
+  test("decontaminate: benchmark gram set is broadcast") {
+    assert(planOf("decontaminate").contains("BroadcastHashJoin"))
+  }
 }
