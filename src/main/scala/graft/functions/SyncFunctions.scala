@@ -103,7 +103,8 @@ object SyncFunctions {
     * adds `__INJECTED_DATA__` to the JSON document. The reference uses a
     * random UUIDv4; `deterministic = true` derives a stable id from the
     * message id instead (for replayable pipelines / the oracle gate). */
-  def injectKey(raw: Column, msgId: Column, deterministic: Boolean): Column = {
+  def injectKey(raw: Column, msgId: Column, deterministic: Boolean,
+      keyName: String = "__INJECTED_DATA__"): Column = {
     val idVal =
       if (deterministic) concat(lit("msg-"), msgId.cast("string"))
       else expr("uuid()")
@@ -113,7 +114,7 @@ object SyncFunctions {
     val stripped = regexp_replace(raw, "\\}\\s*$", "")
     val sep = when(stripped.rlike("^\\s*\\{\\s*$"), lit(""))
       .otherwise(lit(", "))
-    concat(stripped, sep, lit("\"__INJECTED_DATA__\": \""), idVal, lit("\"}"))
+    concat(stripped, sep, lit("\"" + keyName + "\": \""), idVal, lit("\"}"))
   }
 
   /** The final Elasticsearch-style document (reference transform output,

@@ -40,7 +40,16 @@ object SyncConfigJson {
       rateLimitsJson: Option[String] = None,
       timeKey: Option[String] = None,
       debugLogPatterns: Seq[String] = Nil,
-      bufferSize: Int = 1000): SyncConfig =
+      bufferSize: Int = 1000,
+      topicRegex: Option[String] = None,
+      debugTopics: Option[String] = None,
+      injectKey: Boolean = false,
+      injectedKeyName: Option[String] = None,
+      injectedNamespaces: Option[String] = None): SyncConfig = {
+    // comma-separated lists, exactly like the reference flags
+    // (pulsar.rs:145, 186: debug_topics / injected_namespaces .split(','))
+    def csv(o: Option[String]): Seq[String] =
+      o.toSeq.flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     SyncConfig(
       globalFilters = globalFilters,
       namespaceFilters = namespaceFilterJsons.map(parseNamespaceFilter)
@@ -49,5 +58,11 @@ object SyncConfigJson {
       rateLimits = rateLimitsJson.map(parseRateLimits).getOrElse(Map.empty),
       timeKey = timeKey,
       debugLogPatterns = debugLogPatterns,
-      bufferSize = bufferSize)
+      bufferSize = bufferSize,
+      topicRegex = topicRegex,
+      debugTopics = csv(debugTopics),
+      injectKey = injectKey,
+      injectedKeyName = injectedKeyName.getOrElse("__INJECTED_DATA__"),
+      injectedNamespaces = csv(injectedNamespaces))
+  }
 }

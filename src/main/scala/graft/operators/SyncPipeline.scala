@@ -18,7 +18,19 @@ final case class SyncConfig(
     /** admission window granularity: "second" (reference semantics),
       * "minute", "hour" — the refill period of the batch token bucket */
     rateLimitWindow: String = "second",
-    bufferSize: Int = 1000)
+    bufferSize: Int = 1000,
+    /** regex topic subscription (args.rs --topic-regex, default ".*") */
+    topicRegex: Option[String] = None,
+    /** topics whose raw messages are flagged for debug output
+      * (args.rs --debug-topics, comma-separated) */
+    debugTopics: Seq[String] = Nil,
+    /** inject a trace key into every message (args.rs --inject-key) */
+    injectKey: Boolean = false,
+    /** injected key name (args.rs --injected-key-name) */
+    injectedKeyName: String = "__INJECTED_DATA__",
+    /** namespaces whose injected payloads are logged to the per-namespace
+      * debug logfile (args.rs --injected-namespaces, comma-separated) */
+    injectedNamespaces: Seq[String] = Nil)
 
 /** The reference's consume→transform→route→buffer pipeline (pulsar.rs
   * consume_loop + es.rs sink_elasticsearch_loop) re-expressed as a
@@ -31,6 +43,35 @@ final case class SyncConfig(
   * executors at 100 TB.
   */
 object SyncPipeline {
+
+  /** Topic subscription (pulsar.rs:101-123): the consumer's topic regex,
+    * resolved against the topic part of the (possibly URI-shaped) name —
+    * applied before any message work, like the broker-side subscription. */
+  def subscribe(cfg: SyncConfig)(df: DataFrame): DataFrame =
+    cfg.topicRegex.fold(df)(p => df.filter(topicMatches(col("topic"), p)))
+
+  /** Debug-topic observability flag (pulsar.rs:256-259: raw messages of
+    * the configured topics are logged): surfaced as a column so sinks and
+    * metrics can count or divert them without a side channel. */
+  def debugTopicFlag(cfg: SyncConfig)(df: DataFrame): DataFrame =
+    df.withColumn("is_debug_topic",
+      if (cfg.debugTopics.isEmpty) lit(false)
+      else topicPart(col("topic")).isin(cfg.debugTopics: _*))
+
+  /** Key-injection stage (pulsar.rs:277-299 + es.rs:346-348): when
+    * enabled, every message's document carries the injected key (the
+    * reference attaches a UUID; here a deterministic message-derived id,
+    * for replayable pipelines and the oracle gate), and messages of the
+    * injected namespaces are flagged as logged — the analog of the
+    * reference's per-namespace debug logfile side channel. */
+  def inject(cfg: SyncConfig)(df: DataFrame): DataFrame =
+    if (!cfg.injectKey) df
+    else df
+      .withColumn("data", injectKey(col("data"), col("msg_id"),
+        deterministic = true, keyName = cfg.injectedKeyName))
+      .withColumn("injected_logged",
+        if (cfg.injectedNamespaces.isEmpty) lit(false)
+        else topicPart(col("topic")).isin(cfg.injectedNamespaces: _*))
 
   /** Drop empty messages and messages matching any global filter
     * (pulsar.rs:241-252). */
@@ -99,11 +140,14 @@ object SyncPipeline {
       floor((row_number().over(w) - 1) / cfg.bufferSize))
   }
 
-  /** Full pipeline: filters → parse → enrich → rate limit. */
+  /** Full pipeline: subscribe → filters → parse → enrich → inject →
+    * rate limit (the reference's consume-loop order). */
   def apply(cfg: SyncConfig)(df: DataFrame): DataFrame =
-    df.transform(globalFilter(cfg))
+    df.transform(subscribe(cfg))
+      .transform(globalFilter(cfg))
       .transform(parseable)
       .transform(namespaceFilter(cfg))
       .transform(enrich(cfg))
+      .transform(inject(cfg))
       .transform(rateLimit(cfg))
 }

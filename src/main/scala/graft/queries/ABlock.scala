@@ -70,6 +70,39 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_subscribe" -> ((s, dir) => {
+      // config-driven topic subscription through the FULL pipeline (the
+      // consumer's --topic-regex), over URI-shaped topic names
+      val cfg = SyncConfig(topicRegex = Some("^(click|view|purchase)$"))
+      val df = msgs(s, dir).withColumn("topic",
+        concat(lit("persistent://tenant/app/"), col("topic")))
+      SyncPipeline(cfg)(df)
+        .groupBy(col("topic_base"))
+        .agg(count(lit(1)).as("consumed"))
+        .orderBy(col("topic_base"))
+    }),
+
+    "sync_inject_ns" -> ((s, dir) => {
+      // --inject-key with a custom key name; --injected-namespaces flags
+      // which messages the reference would tee to the debug logfile
+      val cfg = SyncConfig(injectKey = true,
+        injectedKeyName = "__trace_id__",
+        injectedNamespaces = Seq("click", "error"))
+      SyncPipeline(cfg)(msgs(s, dir))
+        .select(col("msg_id"), col("data").as("injected"),
+          col("injected_logged"))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_debug_topics" -> ((s, dir) => {
+      // --debug-topics: raw messages of listed topics flagged for output
+      val cfg = SyncConfig(debugTopics = Seq("error", "signup"))
+      SyncPipeline.debugTopicFlag(cfg)(msgs(s, dir))
+        .groupBy(col("topic"), col("is_debug_topic"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("topic"))
+    }),
+
     "sync_timestamp_frac" -> ((s, dir) => {
       // sub-millisecond time_key fidelity (es.rs:51-58: the f64 ms value
       // keeps its fraction): t = <k>.<msg_id%1000 zero-padded> ms
@@ -366,6 +399,35 @@ object ABlock {
         |    || (CASE WHEN regexp_matches(rest, '^\s*\}\s*$') THEN '' ELSE ', ' END)
         |    || rest AS doc
         |FROM d ORDER BY msg_id""".stripMargin,
+
+    "sync_subscribe" ->
+      """SELECT event_type AS topic_base, count(*) AS consumed
+        |FROM events
+        |WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+        |  AND props IS NOT NULL AND props <> ''
+        |  AND json_valid(props) AND regexp_matches(props, '^\s*\{')
+        |GROUP BY 1 ORDER BY topic_base""".stripMargin,
+
+    "sync_inject_ns" ->
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    regexp_replace(props, '\}\s*$', '') AS stripped
+        |  FROM events
+        |  WHERE props IS NOT NULL AND props <> ''
+        |    AND json_valid(props) AND regexp_matches(props, '^\s*\{')
+        |)
+        |SELECT event_id AS msg_id,
+        |  stripped ||
+        |  (CASE WHEN regexp_matches(stripped, '^\s*\{\s*$') THEN '' ELSE ', ' END) ||
+        |  '"__trace_id__": "msg-' || event_id || '"}' AS injected,
+        |  event_type IN ('click', 'error') AS injected_logged
+        |FROM s ORDER BY msg_id""".stripMargin,
+
+    "sync_debug_topics" ->
+      """SELECT event_type AS topic,
+        |  event_type IN ('error', 'signup') AS is_debug_topic,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY topic""".stripMargin,
 
     "sync_timestamp_frac" ->
       """SELECT event_id AS msg_id,
