@@ -32,6 +32,40 @@ object HashOps {
   private def tokensOf(s: String): Array[String] =
     s.split(" ", -1).filter(_.nonEmpty)
 
+  /** Whitespace token count (split on ' ', empties dropped) — the codegen
+    * twin of `size(Portable.tokens(c))`, which as a higher-order function
+    * would break the projection out of whole-stage codegen. */
+  def tokenCount(s: UTF8String): Long = {
+    val str = s.toString
+    var n = 0L
+    var inTok = false
+    var i = 0
+    while (i < str.length) {
+      val sep = str.charAt(i) == ' '
+      if (!sep && !inTok) n += 1
+      inTok = !sep
+      i += 1
+    }
+    n
+  }
+
+  /** Feature-hashed linear score (fasttext-shaped classifier kernel):
+    * sum over whitespace tokens of w(t) = (polyHash(t) mod (2R+1)) - R.
+    * Deterministic stand-in weights — the feature-hash → weight-lookup →
+    * sum plumbing is the real part; a trained model would broadcast a
+    * weight array indexed by the same hash. */
+  def hashedLinearScore(s: UTF8String, halfRange: Int): Long = {
+    val toks = tokensOf(s.toString)
+    val mod = 2L * halfRange + 1
+    var acc = 0L
+    var i = 0
+    while (i < toks.length) {
+      acc += polyHashStr(toks(i)) % mod - halfRange
+      i += 1
+    }
+    acc
+  }
+
   /** Hashes of word-n-shingles; the whole text is the lone shingle when
     * there are fewer than n tokens. */
   def shingleHashes(s: String, n: Int): Array[Long] = {

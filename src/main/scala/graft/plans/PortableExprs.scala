@@ -48,6 +48,32 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class TokenCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.tokenCount(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.tokenCount($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenCountExpr =
+    copy(child = newChild)
+}
+
+case class HashedLinearScoreExpr(child: Expression, halfRange: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.hashedLinearScore(input.asInstanceOf[UTF8String], halfRange)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.plans.HashOps.hashedLinearScore($c, $halfRange)")
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedLinearScoreExpr =
+    copy(child = newChild)
+}
+
 case class MinCharNgramHashExpr(child: Expression, n: Int)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -211,4 +237,7 @@ object native {
     asCol(BitsetJaccardExpr(exprOf(a), exprOf(b)))
   def sanitize_json_keys(c: Column): Column =
     asCol(SanitizeJsonKeysExpr(exprOf(c)))
+  def hashed_linear_score(c: Column, halfRange: Int): Column =
+    asCol(HashedLinearScoreExpr(exprOf(c), halfRange))
+  def token_count(c: Column): Column = asCol(TokenCountExpr(exprOf(c)))
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -230,6 +230,38 @@ object CBlock {
           Multimodal.toMediaRecords(Tables.documents(s, dir)))
         .toDF()
         .orderBy(col("doc_id"))
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      // training-sequence packing manifest: 256-token sequences per source
+      Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
+        .orderBy(col("source"), col("seq_id"))
+    }),
+
+    "lm_unigram_score" -> ((s, dir) => {
+      // unigram-LM quality proxy: avg corpus frequency + rare-token count
+      Curation.lmUnigramScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "quality_classifier" -> ((s, dir) => {
+      // feature-hashed linear classifier (native codegen'd score kernel)
+      Curation.hashedLinearScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("n_tok"),
+          col("score"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "shard_export" -> ((s, dir) => {
+      // deterministic 64-shard export manifest (balance + id-range audit)
+      Curation.shardStats(Curation.shardAssign(Tables.documents(s, dir), 64))
+        .orderBy(col("shard"))
+    }),
+
+    "dedup_contained" -> ((s, dir) => {
+      // prefix-containment dups (truncation/re-crawl pairs), blocked join
+      Curation.containedPairs(Tables.documents(s, dir), prefixLen = 16)
+        .orderBy(col("doc_in"), col("doc_out"))
     }),
   )
 
@@ -644,5 +676,74 @@ object CBlock {
          |  CAST(len(text) // 256 + 1 AS BIGINT) AS n_frames,
          |  ${ph("substr(text, 1, 16)")} AS header_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql) AS n_tok FROM documents
+         |), s AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS tok_end
+         |  FROM t WHERE n_tok > 0
+         |), e AS (
+         |  SELECT source, tok_end, tok_end - n_tok AS tok_start,
+         |    unnest(range((tok_end - n_tok) // 256, (tok_end - 1) // 256 + 1))
+         |      AS seq_id
+         |  FROM s
+         |)
+         |SELECT source, seq_id, count(*) AS n_docs,
+         |  CAST(sum(least(tok_end, (seq_id + 1) * 256)
+         |    - greatest(tok_start, seq_id * 256)) AS BIGINT) AS n_tokens
+         |FROM e GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
+
+    "lm_unigram_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($toksSql) AS word FROM documents
+         |), c AS (
+         |  SELECT word, count(*) AS cnt FROM w GROUP BY 1
+         |), t AS (
+         |  SELECT count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_total
+         |  FROM c
+         |)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+         |  CAST(sum(CASE WHEN cnt * n_words < n_total THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rare,
+         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
+         |FROM w JOIN c USING (word) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t -> (${ph("t")} % 2001) - 1000)),
+         |      (a, x) -> a + x) AS score
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, n_tok, score, score > 0 AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "shard_export" ->
+      s"""WITH s AS (
+         |  SELECT ${ph("CAST(doc_id AS VARCHAR)")} % 64 AS shard,
+         |    doc_id, n_chars
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "dedup_contained" ->
+      """WITH d AS (SELECT doc_id, text FROM documents)
+        |SELECT a.doc_id AS doc_in, b.doc_id AS doc_out
+        |FROM d a JOIN d b
+        |  ON substr(a.text, 1, 16) = substr(b.text, 1, 16)
+        | AND length(a.text) < length(b.text)
+        | AND substr(b.text, 1, CAST(length(a.text) AS INTEGER)) = a.text
+        |ORDER BY doc_in, doc_out""".stripMargin,
   )
 }

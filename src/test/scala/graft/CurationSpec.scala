@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.Curation
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Curation operators: semantics + the plan shapes their 100 TB story
+  * depends on (classifier = zero-shuffle narrow pass; packing = one
+  * window exchange; containment = blocked equi-join, never cartesian). */
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+
+  test("packSequences: per-stream token conservation and fill") {
+    val seqLen = 256
+    val packed = Curation.packSequences(docs, seqLen).cache()
+    // every sequence except a stream's last must be exactly full
+    val lastIds = packed.groupBy(col("source"))
+      .agg(max(col("seq_id")).as("last_id"))
+    val short = packed.join(lastIds, "source")
+      .filter(col("seq_id") =!= col("last_id") &&
+        col("n_tokens") =!= seqLen)
+    assert(short.count() === 0, "non-final sequences must be full")
+    // total packed tokens == total corpus tokens
+    val packedTotal = packed.agg(sum("n_tokens")).head.getLong(0)
+    val corpusTotal = docs
+      .select(size(graft.functions.Portable.tokens(col("text"))).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    assert(packedTotal === corpusTotal)
+  }
+
+  test("hashedLinearScore plans as one narrow pass: no exchange, codegen'd") {
+    val scored = Curation.hashedLinearScore(docs)
+    val exec = scored.queryExecution.executedPlan
+    assert(!exec.toString.contains("Exchange"),
+      s"classifier must not shuffle:\n$exec")
+    val scoreInCodegen = exec
+      .collect { case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w }
+      .exists(_.toString.contains("hashedlinearscoreexpr"))
+    assert(scoreInCodegen,
+      s"the score projection must stay inside whole-stage codegen:\n$exec")
+  }
+
+  test("shardAssign: deterministic, uniform-ish, and write-partitionable") {
+    val n = 64
+    val sharded = Curation.shardAssign(docs, n).cache()
+    val shards = sharded.groupBy("shard").count().collect()
+    assert(shards.forall(r => r.getLong(0) >= 0 && r.getLong(0) < n))
+    // 500 docs over 64 shards: no empty shard may be guaranteed, but the
+    // max/min ratio must be sane for a well-spread hash
+    val counts = shards.map(_.getLong(1))
+    assert(counts.max <= 4 * math.max(1L, counts.min) + 16,
+      s"shard skew too high: min=${counts.min} max=${counts.max}")
+    // reruns assign identical shards (no rand())
+    val again = Curation.shardAssign(docs, n)
+      .select("doc_id", "shard").collect().toSet
+    assert(sharded.select("doc_id", "shard").collect().toSet === again)
+  }
+
+  test("containedPairs: true prefixes only, blocked join (no cartesian)") {
+    val pairs = Curation.containedPairs(docs)
+    val plan = pairs.queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"containment must be a blocked equi-join:\n$plan")
+    val joined = pairs
+      .join(docs.select(col("doc_id").as("doc_in"), col("text").as("t_in")),
+        "doc_in")
+      .join(docs.select(col("doc_id").as("doc_out"), col("text").as("t_out")),
+        "doc_out")
+    assert(joined.filter(!col("t_out").startsWith(col("t_in"))).count() === 0)
+    assert(joined.filter(length(col("t_in")) >= length(col("t_out")))
+      .count() === 0)
+  }
+
+  test("lmUnigramScore: frequency accounting is exact on a known corpus") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a a b"),   // a:4 occurrences total, b:2, c:1
+      (1L, "a b c"),
+      (2L, "a")
+    ).toDF("doc_id", "text")
+    val out = Curation.lmUnigramScore(tiny).orderBy("doc_id").collect()
+    // doc 0: toks(a,a,b) freq_sum=4+4+2=10, n_rare: mean freq=7/3 → rare
+    //   iff cnt*3 < 7 → b(2):rare? 6<7 yes; a(4):12<7 no → n_rare=1
+    assert(out(0).getAs[Long]("freq_sum") === 10L)
+    assert(out(0).getAs[Long]("n_rare") === 1L)
+    assert(out(1).getAs[Long]("freq_sum") === 4L + 2L + 1L)
+    assert(out(1).getAs[Long]("n_rare") === 2L) // b and c
+    assert(out(2).getAs[Double]("avg_freq") === 4.0)
+  }
+}
