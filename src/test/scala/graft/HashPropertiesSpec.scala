@@ -110,4 +110,29 @@ class HashPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  // texts with irregular whitespace (leading/trailing/runs of spaces) to
+  // exercise the tokenizer edges the corpus never hits
+  private val raggedText: Gen[String] = Gen.choose(0, 20)
+    .flatMap(n => Gen.listOfN(n,
+      Gen.frequency(5 -> word, 2 -> Gen.const(""), 1 -> Gen.const(" "))))
+    .map(_.mkString(" "))
+
+  test("tokenCount equals split-and-filter token count on ragged input") {
+    forAll(raggedText) { s =>
+      val expected = s.split(" ", -1).count(_.nonEmpty).toLong
+      assert(HashOps.tokenCount(u(s)) === expected)
+    }
+  }
+
+  test("hashedLinearScore = sum of per-token hashed weights, bounded") {
+    val r = 1000
+    forAll(raggedText) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty)
+      val expected = toks.map(t =>
+        HashOps.polyHashStr(t) % (2L * r + 1) - r).sum
+      assert(HashOps.hashedLinearScore(u(s), r) === expected)
+      assert(math.abs(HashOps.hashedLinearScore(u(s), r)) <= toks.length.toLong * r)
+    }
+  }
 }
