@@ -139,8 +139,13 @@ object Dedup {
     val sym = Materialize(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .unionAll(edges.select(col(bCol).as("src"), col(aCol).as("dst"))))
-    var labels = Materialize(sym.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // seed labels with round 1 already folded in: label(id) = min(id,
+    // neighbors) is one aggregate over sym — same shuffle the plain
+    // distinct-ids seed would pay, but it saves a full 3-join round
+    var labels = Materialize(sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("__mn"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mn")).as("label")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
