@@ -49,4 +49,30 @@ class RobustnessSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("curation operators survive null/empty/unicode text") {
+    import graft.operators.Curation
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s0", 0L),
+      (1L, "", "en", "s0", 0L),
+      (2L, "héllo wörld héllo", "de", "s0", 17L),
+      (3L, "plain ascii text", "en", "s1", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // classifier: null text → null score (not a crash); empty → 0/false
+    val scored = Curation.hashedLinearScore(docs).orderBy("doc_id").collect()
+    assert(scored(0).isNullAt(scored(0).fieldIndex("score")))
+    assert(scored(1).getAs[Long]("score") === 0L &&
+      !scored(1).getAs[Boolean]("pred"))
+    assert(scored(2).getAs[Long]("n_tok") === 3L)
+
+    // packing: null/empty docs contribute nothing; unicode tokens count
+    val packed = Curation.packSequences(docs, seqLen = 4)
+    assert(packed.agg(sum("n_tokens")).head.getLong(0) === 6L)
+
+    // containment + LM scoring run clean over the degenerate rows
+    assert(Curation.containedPairs(docs).count() === 0L)
+    val lm = Curation.lmUnigramScore(docs)
+    assert(lm.count() === 2L) // only docs with tokens produce rows
+  }
 }
