@@ -61,5 +61,6 @@ object JaccardSizePruneRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => JaccardSizePruneRule)
+    e.injectPlannerStrategy(_ => GroupTopKStrategy)
   }
 }

@@ -34,6 +34,18 @@ object BBlock {
         .orderBy(col("event_id"))
     }),
 
+    "q_group_topk" -> ((s, dir) => {
+      // the custom bounded-heap plan node (plans/GroupTopK.scala): top-3
+      // orders by totalprice per priority — the window row_number filter
+      // executed as partial→final heaps with a k-bounded shuffle
+      graft.plans.GroupTopK.topK(Tables.orders(s, dir),
+          Seq(col("o_orderpriority")), 3,
+          col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     "q_unnest" -> ((s, dir) => {
       // explode/unnest surface: top-5 words per language
       val words = Tables.documents(s, dir)
@@ -333,6 +345,17 @@ object BBlock {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_group_topk" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_unnest" ->
       s"""WITH words AS (
