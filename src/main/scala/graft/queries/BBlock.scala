@@ -278,6 +278,31 @@ object BBlock {
         .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // independent grouping sets ((nation), (segment)) — the union
+      // ROLLUP/CUBE can't express; one pass, expand + single agg
+      val cust = Tables.customer(s, dir)
+      val nat = Tables.nation(s, dir)
+      cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+          col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("c_acctbal"))).as("acctbal"),
+          grouping_id().cast("int").as("lvl"))
+        .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+    }),
+
+    "q_cube" -> ((s, dir) => {
+      // full CUBE over (status, priority): all 4 aggregation levels
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(dec2(col("o_totalprice"))).as("total"),
+          grouping_id().cast("int").as("lvl"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    }),
+
     "q_pivot_case" -> ((s, dir) => {
       val types = Seq("click", "view", "purchase", "signup", "error")
       val aggs = types.map(t =>
@@ -532,6 +557,22 @@ object BBlock {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY ROLLUP(n_name, c_mktsegment)
         |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS acctbal,
+        |  CAST(GROUPING(n_name, c_mktsegment) AS INT) AS lvl
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS lvl
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q_pivot_case" ->
       """SELECT user_id,
