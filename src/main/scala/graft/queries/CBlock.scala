@@ -232,6 +232,22 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "sketch_freq_cms" -> ((s, dir) => {
+      // count-min frequency sketch (4×1024 grid, portable hashes):
+      // commutative cell sums → engine-exact estimates; est >= exact
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.Portable.tokens(col("text")))
+          .as("word"))
+      val probes = Seq("spark", "table", "join", "merge", "the",
+        "window", "data", "query")
+      val exact = words.groupBy(col("word")).agg(count(lit(1)).as("exact"))
+      graft.operators.Sketches.countMinFreq(words, col("word"), probes)
+        .join(exact, Seq("word"), "left")
+        .select(col("word"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy(col("word"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // training-sequence packing manifest: 256-token sequences per source
       Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
@@ -676,6 +692,32 @@ object CBlock {
          |  CAST(len(text) // 256 + 1 AS BIGINT) AS n_frames,
          |  ${ph("substr(text, 1, 16)")} AS header_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sketch_freq_cms" ->
+      s"""WITH w AS (
+         |  SELECT unnest($toksSql) AS word FROM documents
+         |), ks AS (
+         |  SELECT unnest(range(0, 4)) AS k
+         |), cells AS (
+         |  SELECT k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
+         |    count(*) AS n
+         |  FROM w, ks GROUP BY 1, 2
+         |), probes AS (
+         |  SELECT unnest(['spark','table','join','merge','the','window',
+         |                 'data','query']) AS word
+         |), pc AS (
+         |  SELECT word, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell
+         |  FROM probes, ks
+         |), ex AS (
+         |  SELECT word, count(*) AS exact FROM w GROUP BY 1
+         |)
+         |SELECT p.word, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est,
+         |  CAST(COALESCE(min(e.exact), 0) AS BIGINT) AS exact
+         |FROM pc p LEFT JOIN cells c ON p.k = c.k AND p.cell = c.cell
+         |LEFT JOIN ex e ON p.word = e.word
+         |GROUP BY p.word ORDER BY p.word""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (
