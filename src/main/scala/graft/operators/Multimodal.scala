@@ -58,6 +58,28 @@ object Multimodal {
     }
   }
 
+  /** STUB resize (the image-resize analog): downsample each payload to at
+    * most `targetBytes` by keeping every ceil(len/target)-th byte. A real
+    * pipeline decodes and rescales pixels here; the stub keeps the
+    * Spark-side shape honest — bounded output size, payload + metadata
+    * updated together, partition-local, no shuffle. (Byte-stride sampling
+    * assumes 1-byte code points; the test corpus is ASCII.) */
+  def resize(ds: Dataset[MediaRecord], targetBytes: Int)
+      (implicit s: SparkSession): Dataset[MediaRecord] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val len = r.media.length
+        val step = math.max(1, (len + targetBytes - 1) / targetBytes)
+        val out = Array.ofDim[Byte]((len + step - 1) / step)
+        var i = 0
+        var j = 0
+        while (i < len) { out(j) = r.media(i); j += 1; i += step }
+        r.copy(media = out, n_bytes = out.length.toLong)
+      }
+    }
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame_hash: Long)
 

@@ -173,20 +173,30 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
-  /** ANN via LSH: top-k among candidates sharing the probe's bucket. */
+  /** ANN via LSH: top-k among candidates in the probe's bucket, plus —
+    * with `multiProbe` (default) — the nPlanes buckets at hamming
+    * distance 1 (standard multi-probe LSH: a true neighbor differs from
+    * the probe on few sign bits, so flip-1 buckets recover most of the
+    * recall a single bucket loses to fragmentation; candidate set grows
+    * only ×(nPlanes+1) buckets, each a broadcast-joined slice). */
   def annTopK(emb: DataFrame, probePred: Column, k: Int, nPlanes: Int = 8,
-      dim: Int = 64, idCol: String = "vec_id",
+      dim: Int = 64, multiProbe: Boolean = true, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
+    val probeBuckets =
+      if (multiProbe) array((col("probe_bucket") +: (0 until nPlanes).map(p =>
+        col("probe_bucket").bitwiseXOR(lit(1L << p)))): _*)
+      else array(col("probe_bucket"))
     val probes = bucketed.filter(probePred)
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         col("bucket").as("probe_bucket"))
+      .withColumn("bucket", explode(probeBuckets))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("cand_id"))
     bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
         col("bucket"))
-      .join(broadcast(probes), col("bucket") === col("probe_bucket") &&
-        col("probe_id") =!= col("cand_id"))
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -232,6 +232,18 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // stub resize to ≤64 bytes: byte-stride downsample, metadata updated
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      Multimodal.resize(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)), 64)
+        .map(r => (r.doc_id, r.n_bytes,
+          graft.plans.HashOps.polyHashStr(new String(r.media, "UTF-8"))))
+        .toDF("doc_id", "n_bytes", "resized_hash")
+        .orderBy(col("doc_id"))
+    }),
+
     "sketch_freq_cms" -> ((s, dir) => {
       // count-min frequency sketch (4×1024 grid, portable hashes):
       // commutative cell sums → engine-exact estimates; est >= exact
@@ -692,6 +704,23 @@ object CBlock {
          |  CAST(len(text) // 256 + 1 AS BIGINT) AS n_frames,
          |  ${ph("substr(text, 1, 16)")} AS header_hash
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, text, length(text) AS len,
+         |    greatest(1, (length(text) + 63) // 64) AS step
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, (len + step - 1) // step AS n_bytes,
+         |    list_reduce(
+         |      list_transform(range(0, (len + step - 1) // step),
+         |        i -> substr(text, CAST(i * step + 1 AS INT), 1)),
+         |      (a, b) -> a || b) AS resized
+         |  FROM p
+         |)
+         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  ${ph("resized")} AS resized_hash
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "sketch_freq_cms" ->
       s"""WITH w AS (
