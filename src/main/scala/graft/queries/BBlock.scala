@@ -34,6 +34,22 @@ object BBlock {
         .orderBy(col("event_id"))
     }),
 
+    "q_outer_join" -> ((s, dir) => {
+      // FULL OUTER over two per-user aggregates: users with only clicks
+      // and users with only purchases both survive with zero-filled sides
+      val ev = eventsUs(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("pu"))
+        .agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, col("cu") === col("pu"), "full_outer")
+        .select(coalesce(col("cu"), col("pu")).as("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_group_topk" -> ((s, dir) => {
       // the custom bounded-heap plan node (plans/GroupTopK.scala): top-3
       // orders by totalprice per priority — the window row_number filter
@@ -370,6 +386,20 @@ object BBlock {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_outer_join" ->
+      """WITH c AS (
+        |  SELECT user_id AS cu, count(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |), p AS (
+        |  SELECT user_id AS pu, count(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT COALESCE(cu, pu) AS user_id,
+        |  CAST(COALESCE(n_clicks, 0) AS BIGINT) AS n_clicks,
+        |  CAST(COALESCE(n_purchases, 0) AS BIGINT) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON cu = pu
+        |ORDER BY user_id""".stripMargin,
 
     "q_group_topk" ->
       """WITH r AS (
