@@ -280,6 +280,37 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "train_export" -> ((s, dir) => {
+      // the end-to-end export capstone, composed from the operator
+      // library as ONE declarative plan: quality gate → near-dup removal
+      // (minhash→CC→keepers) → benchmark holdout + decontamination →
+      // deterministic 16-shard manifest with token accounting
+      val docs = Tables.documents(s, dir)
+      val scored = TextAnalysis.quality(docs, stopwords)
+        .filter(col("quality") >= 0.62)
+      val kept = Dedup.applyDedup(scored,
+        Dedup.connectedComponents(Dedup.minhashCandidates(docs, 16, 4)))
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      // contamination = ≥ half the doc's distinct 8-grams appear in the
+      // benchmark set (integer-exact ratio; any-overlap would empty this
+      // tiny-vocab corpus — real corpora use the plain any-overlap gate)
+      val nGrams = docs.select(col("doc_id").as("__gid"),
+        size(graft.plans.native.ngram_hash_set(col("text"), 8))
+          .cast("long").as("__ng"))
+      val contaminated = Dedup.decontaminate(
+          docs.filter(!isBench), docs.filter(isBench), n = 8)
+        .join(nGrams, col("doc_id") === col("__gid"))
+        .filter(col("n_shared") * 2 >= col("__ng"))
+        .select(col("doc_id").as("__cont"))
+      val clean = kept.filter(!isBench)
+        .join(contaminated, col("doc_id") === col("__cont"), "left_anti")
+      Curation.shardAssign(clean, 16)
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.plans.native.token_count(col("text"))).as("tok_sum"))
+        .orderBy(col("shard"))
+    }),
+
     "shard_export" -> ((s, dir) => {
       // deterministic 64-shard export manifest (balance + id-range audit)
       Curation.shardStats(Curation.shardAssign(Tables.documents(s, dir), 64))
@@ -796,6 +827,53 @@ object CBlock {
          |)
          |SELECT doc_id, lang, n_tok, score, score > 0 AS pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "train_export" ->
+      s"""WITH RECURSIVE $minhashPairsCte,
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents)
+         |), kept AS (
+         |  SELECT q.doc_id FROM q LEFT JOIN labels l ON q.doc_id = l.ldoc
+         |  WHERE q.quality >= 0.62 AND (l.ldoc IS NULL OR l.cl = q.doc_id)
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+         |), ng AS (
+         |  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1
+         |), cont AS (
+         |  SELECT c.doc_id
+         |  FROM (SELECT doc_id, count(*) AS n_shared
+         |        FROM g JOIN bg USING (gram)
+         |        WHERE doc_id % 97 <> 0 GROUP BY 1) c
+         |  JOIN ng USING (doc_id)
+         |  WHERE c.n_shared * 2 >= ng.n_grams
+         |), clean AS (
+         |  SELECT d.doc_id, ${ph("CAST(d.doc_id AS VARCHAR)")} % 16 AS shard,
+         |    len($toksSql) AS n_tok
+         |  FROM documents d JOIN kept k ON d.doc_id = k.doc_id
+         |  WHERE d.doc_id % 97 <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         |FROM clean GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "shard_export" ->
       s"""WITH s AS (
