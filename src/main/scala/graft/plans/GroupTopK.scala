@@ -44,6 +44,11 @@ object GroupTopKStrategy extends SparkStrategy {
   }
 }
 
+/** Bounded-heap stage. Memory is O(distinct groups in the partition × k)
+  * rows and does NOT spill — the right trade for top-k's usual shape
+  * (group cardinality ≪ row count). For ultra-high-cardinality groups
+  * where even k rows per group exceed task memory, use the window
+  * formulation (sort-based, spills) instead. */
 case class GroupTopKExec(groupExprs: Seq[Expression], order: Seq[SortOrder],
     k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
