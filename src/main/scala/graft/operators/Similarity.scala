@@ -173,6 +173,35 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** One Lloyd refinement step for the IVF centroids — the k-means model
+    * TRAINING shape in pure DataFrame ops: assign every vector to its
+    * nearest centroid (same no-shuffle argmin pass as [[ivfAssign]]),
+    * then per (centroid, dimension) the new mean. Sums run in the decimal
+    * domain (float → double exactly, → decimal(27,10)) so the result is
+    * partition-order independent and engine-exact; the division back to
+    * double is a single deterministic op. Output: one row per
+    * (cent_id, pos) with the member count and refined coordinate.
+    *
+    * Scale: explode fan-out is ×dim; the aggregate has numCentroids×dim
+    * groups — partial aggregation collapses each map task to that
+    * constant before the shuffle, the k-means-on-Spark standard. */
+  def ivfRefine(emb: DataFrame, numCentroids: Int = 8,
+      centroidStride: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    emb.select(
+        array_min(centScored(col(vecCol), cents))
+          .getField("cent_id").as("cent_id"),
+        posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("x").cast("double").cast(DecimalType(27, 10))).as("s"))
+      .select(col("cent_id"), col("pos").cast("long").as("pos"),
+        col("n_assigned"),
+        round(col("s").cast("double") / col("n_assigned"), 6).as("mean"))
+  }
+
   /** ANN via LSH: top-k among candidates in the probe's bucket, plus —
     * with `multiProbe` (default) — the nPlanes buckets at hamming
     * distance 1 (standard multi-probe LSH: a true neighbor differs from

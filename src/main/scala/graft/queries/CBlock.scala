@@ -95,6 +95,14 @@ object CBlock {
         .orderBy(col("vec_id"))
     }),
 
+    "sim_ivf_refined" -> ((s, dir) => {
+      // one decimal-exact Lloyd step: refined centroid coordinates +
+      // member counts (the k-means training iteration as a plan)
+      Similarity.ivfRefine(Tables.embeddings(s, dir), numCentroids = 8,
+          centroidStride = 32)
+        .orderBy(col("cent_id"), col("pos"))
+    }),
+
     "sim_ann_lsh" -> ((s, dir) => {
       Similarity.lshBuckets(Tables.embeddings(s, dir), nPlanes = 8, dim = 64)
         .groupBy(col("bucket"))
@@ -517,6 +525,32 @@ object CBlock {
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "sim_ivf_refined" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |), a AS (
+        |  SELECT vec_id, cent_id FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), x AS (
+        |  SELECT a.cent_id, i.i - 1 AS pos,
+        |    CAST(CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(27,10)) AS xv
+        |  FROM a JOIN embeddings e USING (vec_id),
+        |       (SELECT unnest(range(1, 65)) AS i) i
+        |)
+        |SELECT cent_id, CAST(pos AS BIGINT) AS pos,
+        |  count(*) AS n_assigned,
+        |  ROUND(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""".stripMargin,
 
     "sim_ann_lsh" ->
       """WITH b AS (
