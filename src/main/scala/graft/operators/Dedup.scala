@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Portable
 import graft.plans.native
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines (SURVEY.md §2.C).
@@ -205,6 +205,31 @@ object Dedup {
       // ngram_hash_set is a distinct set, so count == distinct shared grams
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Rare-gram decontamination (the scale-robust gate): a doc is
+    * contaminated when it shares a LOW-document-frequency char-n-gram
+    * (df ≤ maxDf over the whole table) with a benchmark doc. Boilerplate
+    * grams that appear everywhere carry no memorization signal and are
+    * ignored — the standard practice that keeps the gate meaningful on
+    * corpora where common grams saturate (any-overlap would flag 100%).
+    * One grams pass + a df aggregate on the gram key; the surviving rare
+    * benchmark-gram set is small → broadcast. Returns contaminated
+    * non-benchmark doc ids. */
+  def rareGramContaminated(docs: DataFrame, isBench: Column, n: Int = 8,
+      maxDf: Int = 2, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"), isBench.as("is_bench"),
+      explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("gram"))
+    val benchRare = grams.filter(col("is_bench"))
+      .join(rare, "gram").select(col("gram")).distinct()
+    grams.filter(!col("is_bench"))
+      .join(broadcast(benchRare), "gram")
+      .select(col("doc_id")).distinct()
   }
 
   /** Winnowing-based near-dup candidates: docs sharing ≥ minShared

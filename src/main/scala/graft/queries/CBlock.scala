@@ -299,16 +299,9 @@ object CBlock {
       val kept = Dedup.applyDedup(scored,
         Dedup.connectedComponents(Dedup.minhashCandidates(docs, 16, 4)))
       val isBench = pmod(col("doc_id"), lit(97)) === 0
-      // contamination = ≥ half the doc's distinct 8-grams appear in the
-      // benchmark set (integer-exact ratio; any-overlap would empty this
-      // tiny-vocab corpus — real corpora use the plain any-overlap gate)
-      val nGrams = docs.select(col("doc_id").as("__gid"),
-        size(graft.plans.native.ngram_hash_set(col("text"), 8))
-          .cast("long").as("__ng"))
-      val contaminated = Dedup.decontaminate(
-          docs.filter(!isBench), docs.filter(isBench), n = 8)
-        .join(nGrams, col("doc_id") === col("__gid"))
-        .filter(col("n_shared") * 2 >= col("__ng"))
+      // rare-gram decontamination: only low-df grams carry memorization
+      // signal (any-overlap flags 100% of this tiny-vocab corpus)
+      val contaminated = Dedup.rareGramContaminated(docs, isBench, n = 8)
         .select(col("doc_id").as("__cont"))
       val clean = kept.filter(!isBench)
         .join(contaminated, col("doc_id") === col("__cont"), "left_anti")
@@ -888,17 +881,14 @@ object CBlock {
          |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
          |      ELSE [${ph("text")}] END)) AS gram
          |  FROM documents
+         |), gdf AS (
+         |  SELECT gram, count(*) AS df FROM g GROUP BY 1
          |), bg AS (
-         |  SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
-         |), ng AS (
-         |  SELECT doc_id, count(*) AS n_grams FROM g GROUP BY 1
+         |  SELECT DISTINCT gram FROM g JOIN gdf USING (gram)
+         |  WHERE doc_id % 97 = 0 AND df <= 2
          |), cont AS (
-         |  SELECT c.doc_id
-         |  FROM (SELECT doc_id, count(*) AS n_shared
-         |        FROM g JOIN bg USING (gram)
-         |        WHERE doc_id % 97 <> 0 GROUP BY 1) c
-         |  JOIN ng USING (doc_id)
-         |  WHERE c.n_shared * 2 >= ng.n_grams
+         |  SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+         |  WHERE doc_id % 97 <> 0
          |), clean AS (
          |  SELECT d.doc_id, ${ph("CAST(d.doc_id AS VARCHAR)")} % 16 AS shard,
          |    len($toksSql) AS n_tok
