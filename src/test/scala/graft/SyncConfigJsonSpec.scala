@@ -37,4 +37,19 @@ class SyncConfigJsonSpec extends AnyFunSuite {
     assert(cfg.rewriteRules == Seq("p.*" -> "t"))
     assert(cfg.rateLimits == Map("app" -> 5))
   }
+
+  test("subscription/injection flags: csv lists, key-name default") {
+    val cfg = SyncConfigJson.fromArgs(
+      topicRegex = Some("^app-.*"),
+      debugTopics = Some(" error, signup ,,"),
+      injectKey = true,
+      injectedNamespaces = Some("click,error"))
+    assert(cfg.topicRegex.contains("^app-.*"))
+    assert(cfg.debugTopics == Seq("error", "signup"))
+    assert(cfg.injectKey && cfg.injectedKeyName == "__INJECTED_DATA__")
+    assert(cfg.injectedNamespaces == Seq("click", "error"))
+    val named = SyncConfigJson.fromArgs(injectKey = true,
+      injectedKeyName = Some("__trace__"))
+    assert(named.injectedKeyName == "__trace__")
+  }
 }
