@@ -54,9 +54,13 @@ object Curation {
     * the flag is engine-exact). Low avg_freq / high n_rare = gibberish.
     *
     * Scale: word counts are a map-side-combined agg on a Zipf-spread key;
-    * the count table is O(vocab) so AQE broadcasts the score join. The
-    * token explode is evaluated twice (count pass + score pass) — a cheap
-    * split, not worth materializing O(corpus) tokens to avoid. */
+    * the count table is O(vocab) so AQE broadcasts the score join here.
+    * On web-scale vocabularies too big to broadcast, the join shuffles by
+    * word and the Zipf head ("the") concentrates in single partitions —
+    * exactly the shape AQE skew-join splits (the build side is one row
+    * per word, so the hot partition splits freely). The token explode is
+    * evaluated twice (count pass + score pass) — a cheap split, not worth
+    * materializing O(corpus) tokens to avoid. */
   def lmUnigramScore(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol),
