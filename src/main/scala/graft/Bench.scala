@@ -81,15 +81,25 @@ object Bench {
       System.err.println(s"[bench] QUERY FAILED $n: $e")
     }
 
-    val qs = results.map(r => jstr(r.name) + ":" + r.secs).mkString("{", ",", "}")
+    // 3-decimal seconds keep the full line compact; Locale.ROOT so the
+    // decimal separator is always '.'
+    def fmt(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map(r => jstr(r.name) + ":" + fmt(r.secs)).mkString("{", ",", "}")
     val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
       .mkString("{", ",", "}")
     val total = results.filter(_.secs >= 0).map(_.secs).sum
     val nErr = results.count(_.err.isDefined)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":${jstr(sfDir)}}"""
+    // tail-proof contract: the LAST stdout line is a short, complete JSON
+    // object (a bounded tail window always contains one parseable line
+    // even if the full per-query line gets truncated by log capture);
+    // the full detail lives in the line above and in the output file.
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":$nErr,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     println(line)
+    println(compact)
     spark.stop()
   }
 }

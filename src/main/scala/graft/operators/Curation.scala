@@ -57,8 +57,13 @@ object Curation {
     * the count table is O(vocab) so AQE broadcasts the score join here.
     * On web-scale vocabularies too big to broadcast, the join shuffles by
     * word and the Zipf head ("the") concentrates in single partitions —
-    * exactly the shape AQE skew-join splits (the build side is one row
-    * per word, so the hot partition splits freely). The token explode is
+    * the shape AQE skew-join splits (the build side is one row per word,
+    * so the hot partition splits freely). Caveat proven in
+    * ScaleTechniquesSpec: OptimizeSkewedJoin only matches a sort-merge
+    * join whose Sort children sit DIRECTLY on shuffle stages, so the
+    * count table must be materialized ([[Materialize]], or read from a
+    * stored vocab artifact — the norm at web scale) rather than kept as
+    * an inline aggregate under the join. The token explode is
     * evaluated twice (count pass + score pass) — a cheap split, not worth
     * materializing O(corpus) tokens to avoid. */
   def lmUnigramScore(docs: DataFrame, idCol: String = "doc_id",
@@ -115,23 +120,37 @@ object Curation {
 
   /** Prefix-containment duplicate pairs: (shorter, longer) where the
     * shorter doc is a strict prefix of the longer (truncation/re-crawl
-    * duplicates that exact dedup misses). Blocked self-join on the hash of
-    * the first `prefixLen` characters — containment implies the block keys
-    * match, so recall is exact for docs ≥ prefixLen chars.
+    * duplicates that exact dedup misses). Blocked self-join on (hash of
+    * the first `prefixLen` characters, LENGTH BAND of the shorter side) —
+    * containment implies the prefix keys match, so recall is exact for
+    * docs ≥ prefixLen chars.
     *
-    * Scale: candidate pairs are within-block only; boilerplate-heavy
-    * corpora (every page starts "<!DOCTYPE html>") should raise prefixLen
-    * or append a length-band to the block key to keep blocks small. */
+    * Scale / skew: the prefix hash alone collapses boilerplate-heavy
+    * corpora (every page starts "<!DOCTYPE html>") into one giant block
+    * with a quadratic within-block join. Folding a log2 length band of
+    * the SHORTER side into the key splits such blocks by size: the short
+    * side emits one key (its own band), the longer side explodes over the
+    * bands ≤ its own — a bounded ×log2(maxLen) fan-out (≤ ~40 keys for
+    * any realistic document) — and a prefix-sharing block now subdivides
+    * into per-band cells whose sizes follow the corpus length
+    * distribution instead of one hot key. Containment needs
+    * len_in ≤ len_out, i.e. band_in ≤ band_out, so recall stays exact
+    * (CurationSpec asserts parity against the unbanded join on a
+    * single-prefix corpus). */
   def containedPairs(docs: DataFrame, prefixLen: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol))
       .withColumn("pfx", native.poly_hash(
         col(textCol).substr(lit(1), lit(prefixLen))))
-    val short = keyed.select(col("pfx"), col(idCol).as("doc_in"),
+      .withColumn("band",
+        floor(log2(greatest(length(col(textCol)), lit(1)))).cast("long"))
+    val short = keyed.select(col("pfx"), col("band"), col(idCol).as("doc_in"),
       col(textCol).as("text_in"), length(col(textCol)).as("len_in"))
-    val long = keyed.select(col("pfx"), col(idCol).as("doc_out"),
-      col(textCol).as("text_out"), length(col(textCol)).as("len_out"))
-    short.join(long, "pfx")
+    val long = keyed
+      .withColumn("band", explode(sequence(lit(0L), col("band"))))
+      .select(col("pfx"), col("band"), col(idCol).as("doc_out"),
+        col(textCol).as("text_out"), length(col(textCol)).as("len_out"))
+    short.join(long, Seq("pfx", "band"))
       .filter(col("len_in") < col("len_out") &&
         col("text_out").startsWith(col("text_in")))
       .select(col("doc_in"), col("doc_out"))

@@ -83,6 +83,41 @@ object Dedup {
       .distinct()
   }
 
+  /** 64-bit widening of [[simhashPairs]]: the same exact pigeonhole
+    * blocking, but over a 62-bit simhash split into 16-BIT bands — at
+    * maxHamming ≤ 3 the block keys draw from 65k values per band instead
+    * of the byte-band's 256, so a large corpus doesn't collapse into a
+    * few hundred giant buckets when a user asks for the full hamming-3
+    * radius (the 32-bit path's skew cliff). Token hash: lo = polyHash(t)
+    * (bits 0-30, identical votes to the 32-bit simhash — low-31-bit
+    * parity is asserted in DedupParitySpec), hi = affine(lo) (bits
+    * 31-61); bits 62-63 are structurally zero, which only ever shrinks
+    * hamming distances — recall stays exact. */
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "16-bit-band pigeonhole blocking needs maxHamming <= 3")
+    val h = docs.select(col(idCol).as("doc_id"),
+      native.simhash64(col(textCol)).as("sh"))
+    def band(i: Int) = shiftright(col("sh"), 16 * i).bitwiseAND(lit(65535L))
+    val keep = 4 - maxHamming
+    val subsets = (0 until 4).combinations(keep).toSeq.zipWithIndex
+    val keyed = h.select(col("doc_id"), col("sh"), explode(array(
+      subsets.map { case (bs, sid) =>
+        struct(lit(sid).as("sid"),
+          concat_ws(",", bs.map(band): _*).as("bkey"))
+      }: _*)).as("k"))
+    val a = keyed.select(col("k").as("ka"), col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"))
+    val b = keyed.select(col("k").as("kb"), col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"))
+    a.join(b, col("ka") === col("kb") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hd"))
+      .filter(col("hd") <= maxHamming)
+      .distinct()
+  }
+
   /** Dictionary-encoded fast path of [[ngramJaccardPairs]] for corpora
     * whose distinct-gram universe is small enough to bitset-encode (the
     * test corpus has ~400 distinct 3-grams → 7 longs per doc): build the
@@ -109,13 +144,17 @@ object Dedup {
       .withColumn("bit",
         (row_number().over(w) - 1).cast("long") * idStripes + col("stripe"))
       .select(col("gram"), col("bit"))
-    val enc = g.select(col("doc_id"), col("blk"), size(col("ng")).as("nn"),
-        explode(col("ng")).as("gram"))
-      .join(broadcast(dict), "gram")
-      .groupBy(col("doc_id"), col("blk"), col("nn"))
-      .agg(collect_list(col("bit")).as("bits"))
-      .select(col("doc_id"), col("blk"), col("nn"),
-        native.positions_to_bitset(col("bits"), -1).as("bs"))
+    // materialized ONCE before the self-join (as minhashCandidates does):
+    // otherwise both join sides rebuild the whole explode→dict-join→bitset
+    // subtree — two dictionary builds and four corpus scans
+    val enc = Materialize(
+      g.select(col("doc_id"), col("blk"), size(col("ng")).as("nn"),
+          explode(col("ng")).as("gram"))
+        .join(broadcast(dict), "gram")
+        .groupBy(col("doc_id"), col("blk"), col("nn"))
+        .agg(collect_list(col("bit")).as("bits"))
+        .select(col("doc_id"), col("blk"), col("nn"),
+          native.positions_to_bitset(col("bits"), -1).as("bs")))
     val a = enc.select(col("blk"), col("doc_id").as("doc_a"),
       col("bs").as("bs_a"), col("nn").as("n_a"))
     val b = enc.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
@@ -146,9 +185,14 @@ object Dedup {
       .agg(min(col("dst")).as("__mn"))
       .select(col("src").as("id"),
         least(col("src"), col("__mn")).as("label")))
-    var changed = 1L
+    // convergence detection piggybacks on the round's materialization job
+    // via an accumulator bumped in a pass-through mapPartitions — no
+    // separate per-round count() job (only changed>0 is read, so the
+    // at-least-once accumulator semantics under task retry are safe)
+    val changedAcc = edges.sparkSession.sparkContext.longAccumulator("cc-changed")
+    var changed = true
     var iter = 0
-    while (changed > 0 && iter < maxIter) {
+    while (changed && iter < maxIter) {
       // one propagation round: label(id) := min(label(id), labels of
       // neighbors), then a pointer-jumping hop label := label(label) —
       // the hop costs one extra (small, labels-only) join per round and
@@ -160,13 +204,19 @@ object Dedup {
         .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("mid"))
       val jump = labels.select(col("id").as("j_id"), col("label").as("j_label"))
-      val updated = Materialize(stepped
+      val flagged = stepped
         .join(jump, col("mid") === col("j_id"), "left")
         .select(col("id"), col("old_label"),
-          least(col("mid"), coalesce(col("j_label"), col("mid"))).as("label")))
-      // convergence check runs over the already-materialized round output
-      changed = updated.filter(col("label") =!= col("old_label")).count()
-      labels = updated.select(col("id"), col("label"))
+          least(col("mid"), coalesce(col("j_label"), col("mid"))).as("label"))
+      changedAcc.reset()
+      val counted = flagged.mapPartitions { it =>
+        it.map { r => if (r.get(1) != r.get(2)) changedAcc.add(1L); r }
+      }(org.apache.spark.sql.Encoders.row(flagged.schema))
+      val updated = Materialize(counted.select(col("id"), col("label")))
+      // the eager materialization above already ran the round's job, so
+      // the accumulator holds this round's changed-row count
+      changed = changedAcc.value > 0
+      labels = updated
       iter += 1
     }
     labels.select(col("id").as("doc_id"), col("label").as("cluster"))

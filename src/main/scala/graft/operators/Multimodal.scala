@@ -80,6 +80,84 @@ object Multimodal {
     }
   }
 
+  /** Decoded-image features: real dimensions + channel-weighted pixel sum
+    * when a registered codec decoded the payload; the stub's header hash
+    * (and zero dims) when none did. */
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      px_sum: Long, decoded: Boolean)
+
+  // keep ImageIO memory-only: no temp-file cache churn per decoded payload
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Deterministic synthetic BMP payload for doc `docId` (the sandbox has
+    * no real image corpus): width 4+id%5, height 3+id%4, pixel (x,y) =
+    * (r,g,b) = ((id·31+x·7+y·13)%256, (id·17+x·3+y·5)%256, (x+y·11)%256),
+    * written through the JDK's own BMP encoder — so the decode below is a
+    * genuine codec round-trip, not a fixture replay. */
+  def synthesizeBmp(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 5).toInt
+    val h = (3 + docId % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId * 31 + x * 7 + y * 13) % 256).toInt
+        val g = ((docId * 17 + x * 3 + y * 5) % 256).toInt
+        val b = ((x + y * 11) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode via `javax.imageio` (public JDK — BMP/PNG/GIF/JPEG
+    * readers are always registered): returns (width, height, Σ r+2g+4b)
+    * — the channel weights catch RGB/BGR order bugs a plain r+g+b sum
+    * would mask — or None when no reader handles the bytes. */
+  def decodeImage(media: Array[Byte]): Option[(Long, Long, Long)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    if (img == null) None
+    else {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 255) + 2L * ((rgb >> 8) & 255) + 4L * (rgb & 255)
+          x += 1
+        }
+        y += 1
+      }
+      Some((img.getWidth.toLong, img.getHeight.toLong, sum))
+    }
+  }
+
+  /** Feature extraction with the REAL codec path: ImageIO first, the
+    * deterministic stub as fallback for payloads no reader accepts (the
+    * honest analog of skipping undecodable web images). Same partition-
+    * local, no-shuffle shape as [[extractFeatures]]. */
+  def decodeFeatures(ds: Dataset[MediaRecord])
+      (implicit s: SparkSession): Dataset[DecodedImage] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        decodeImage(r.media) match {
+          case Some((w, h, sum)) => DecodedImage(r.doc_id, w, h, sum, decoded = true)
+          case None =>
+            val (_, _, header) = decodeStub(r.media)
+            DecodedImage(r.doc_id, 0L, 0L, header, decoded = false)
+        }
+      }
+    }
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame_hash: Long)
 

@@ -211,6 +211,8 @@ object Similarity {
   def annTopK(emb: DataFrame, probePred: Column, k: Int, nPlanes: Int = 8,
       dim: Int = 64, multiProbe: Boolean = true, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), nPlanes, dim))
     val probeBuckets =
       if (multiProbe) array((col("probe_bucket") +: (0 until nPlanes).map(p =>
@@ -220,15 +222,21 @@ object Similarity {
       .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
         col("bucket").as("probe_bucket"))
       .withColumn("bucket", explode(probeBuckets))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("cand_id"))
-    bucketed.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"),
+    // final top-k through the bounded-heap aggregator (as ivfTopK): the
+    // shuffle carries ≤ k rows per (probe, partition) — a window
+    // row_number here would shuffle and sort the ENTIRE scored candidate
+    // set per probe, the exact anti-pattern GroupTopK documents
+    val scored = bucketed.select(col(idCol).as("id"), col(vecCol).as("cand_vec"),
         col("bucket"))
       .join(broadcast(probes), Seq("bucket"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .filter(col("probe_id") =!= col("id"))
+      .select(col("probe_id").as("key"), col("id"),
+        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "cand_id", "cos")
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 }

@@ -126,6 +126,38 @@ object HashOps {
     out
   }
 
+  /** 62-bit SimHash over whitespace tokens: per token, lo = polyHash(t)
+    * votes bits 0-30 (identical votes to [[simhash32]]'s live bits — the
+    * low-31-bit parity invariant), hi = (lo·a₃₂+b₃₂) mod M votes bits
+    * 31-61 via the affine hash family the minhash signature uses. Bits
+    * 62-63 are structurally zero. Gives 16-bit pigeonhole bands 65k-value
+    * keys (vs the byte band's 256) so hamming ≤ 3 blocking stays
+    * skew-free on large corpora. */
+  def simhash64(s: UTF8String): Long = {
+    val w = tokensOf(s.toString)
+    val hs = new Array[Long](w.length)
+    var i = 0
+    while (i < w.length) {
+      val lo = polyHashStr(w(i))
+      val hi = (lo * aK(32) + bK(32)) % M
+      hs(i) = lo | (hi << 31)
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 62) {
+      var sum = 0L
+      i = 0
+      while (i < hs.length) {
+        sum += (if (((hs(i) >> j) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (sum > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
   /** Sorted distinct poly-hashes of the character n-grams — the set
     * representation for fast pairwise jaccard ([[sortedJaccard]]).
     * `[polyHash(s)]` when shorter than n (mirrors the oracle's CASE). */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -68,6 +68,13 @@ object CBlock {
 
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashPairs(Tables.documents(s, dir), maxHamming = 1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_simhash64" -> ((s, dir) => {
+      // 62-bit simhash with 16-bit pigeonhole bands: the full hamming-3
+      // radius with 65k-value block keys (no byte-band skew cliff)
+      Dedup.simhash64Pairs(Tables.documents(s, dir), maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -249,6 +256,30 @@ object CBlock {
         .map(r => (r.doc_id, r.n_bytes,
           graft.plans.HashOps.polyHashStr(new String(r.media, "UTF-8"))))
         .toDF("doc_id", "n_bytes", "resized_hash")
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_decode" -> ((s, dir) => {
+      // REAL codec round-trip: synthesize a BMP per doc through the JDK
+      // encoder (docs ≡ 0 mod 7 get an undecodable text payload instead),
+      // decode via javax.imageio, emit dimensions + channel-weighted
+      // pixel sum; undecodable payloads fall back to the stub's header
+      // hash with decoded=false
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload =
+              if (id % 7 == 0) text.getBytes("UTF-8")
+              else Multimodal.synthesizeBmp(id)
+            MediaRecord(id, payload, "", "", payload.length.toLong)
+          }
+        }
+      Multimodal.decodeFeatures(media).toDF()
+        .select(col("doc_id"), col("decoded"), col("width"), col("height"),
+          col("px_sum"))
         .orderBy(col("doc_id"))
     }),
 
@@ -454,6 +485,30 @@ object CBlock {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash64" ->
+      s"""WITH th AS (
+         |  SELECT doc_id, list_transform($toksSql, tk -> ${ph("tk")}) AS lo
+         |  FROM documents
+         |), h64 AS (
+         |  SELECT doc_id, list_transform(lo, l ->
+         |    l + ((l * (((32+1) * 2654435761) % 2147483647)
+         |          + ((32+1) * 40503) % 2147483647) % 2147483647)
+         |        * 2147483648) AS hh
+         |  FROM th
+         |), sh AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 62), j ->
+         |      CASE WHEN list_sum(list_transform(hh, h ->
+         |        CASE WHEN (h // (CAST(1 AS BIGINT) << j)) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+         |      THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), (a, x) -> a + x) AS simhash
+         |  FROM h64
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->
@@ -779,6 +834,32 @@ object CBlock {
          |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
          |  ${ph("resized")} AS resized_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, text,
+         |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT d.doc_id,
+         |    (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256
+         |      + 2 * ((d.doc_id * 17 + x.x * 3 + y.y * 5) % 256)
+         |      + 4 * ((x.x + y.y * 11) % 256) AS v
+         |  FROM dims d
+         |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.w
+         |  JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.h
+         |  WHERE d.doc_id % 7 <> 0
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS px_sum
+         |  FROM px GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.doc_id % 7 <> 0 AS decoded,
+         |  CAST(CASE WHEN d.doc_id % 7 <> 0 THEN d.w ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN d.doc_id % 7 <> 0 THEN d.h ELSE 0 END AS BIGINT) AS height,
+         |  CASE WHEN d.doc_id % 7 <> 0 THEN a.px_sum
+         |       ELSE ${ph("substr(d.text, 1, 16)")} END AS px_sum
+         |FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "sketch_freq_cms" ->
       s"""WITH w AS (

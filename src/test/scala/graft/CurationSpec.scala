@@ -73,6 +73,34 @@ class CurationSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("containedPairs: one shared prefix splits across length bands, exact recall") {
+    import spark.implicits._
+    // the worst-case corpus for prefix blocking: EVERY doc shares the
+    // 16-char block prefix (boilerplate-heavy web shape); lengths vary
+    val skewed = (1L to 1000L)
+      .map(i => (i, "COMMONPREFIX0123" + ("x" * (i % 40).toInt)))
+      .toDF("doc_id", "text")
+    val got = Curation.containedPairs(skewed)
+      .orderBy("doc_in", "doc_out").collect().toSeq
+    // brute-force reference on the same corpus
+    val a = skewed.select(col("doc_id").as("doc_in"), col("text").as("t_in"))
+    val b = skewed.select(col("doc_id").as("doc_out"), col("text").as("t_out"))
+    val brute = a.crossJoin(b)
+      .filter(length(col("t_in")) < length(col("t_out")) &&
+        col("t_out").startsWith(col("t_in")))
+      .select("doc_in", "doc_out")
+      .orderBy("doc_in", "doc_out").collect().toSeq
+    assert(got == brute)
+    assert(got.nonEmpty)
+    // the length band must actually subdivide the single prefix block:
+    // the shorter side spreads over >1 band, so no single join key holds
+    // the whole corpus
+    val bands = skewed
+      .select(floor(log2(greatest(length(col("text")), lit(1)))).as("band"))
+      .distinct().count()
+    assert(bands > 1, "length banding must split the single-prefix block")
+  }
+
   test("lmUnigramScore: frequency accounting is exact on a known corpus") {
     import spark.implicits._
     val tiny = Seq(

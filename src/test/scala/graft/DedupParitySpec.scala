@@ -1,10 +1,13 @@
 package graft
 
 import graft.operators.Dedup
+import graft.plans.native
 import graft.sources.Tables
+import org.apache.spark.sql.functions._
 
 /** The bitset-dictionary jaccard fast path must produce exactly the rows
-  * and values of the sorted-merge path. */
+  * and values of the sorted-merge path, and the 64-bit simhash blocking
+  * must keep the pigeonhole exactness the 32-bit path proved. */
 class DedupParitySpec extends SparkSpec {
   test("ngramJaccardPairsDict == ngramJaccardPairs") {
     val docs = Tables.documents(spark, sf())
@@ -14,5 +17,34 @@ class DedupParitySpec extends SparkSpec {
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(dict == merge)
     assert(dict.nonEmpty)
+  }
+
+  test("simhash64: low-31-bit parity with simhash32") {
+    // per-token votes on bits 0-30 come from the same polyHash, so the
+    // two hashes must agree exactly on those bits (bit 31 of the 32-bit
+    // hash is structurally dead; bit 31 of the 64-bit one is live)
+    val docs = Tables.documents(spark, sf())
+    val mask = lit(0x7FFFFFFFL)
+    val mismatches = docs.select(
+        native.simhash32(col("text")).bitwiseAND(mask).as("lo32"),
+        native.simhash64(col("text")).bitwiseAND(mask).as("lo64"))
+      .filter(col("lo32") =!= col("lo64")).count()
+    assert(mismatches == 0)
+  }
+
+  test("simhash64Pairs: 16-bit-band blocking == all-pairs at hamming <= 3") {
+    val docs = Tables.documents(spark, sf()).limit(300)
+    val blocked = Dedup.simhash64Pairs(docs, maxHamming = 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val h = docs.select(col("doc_id"), native.simhash64(col("text")).as("sh"))
+    val a = h.select(col("doc_id").as("doc_a"), col("sh").as("ha"))
+    val b = h.select(col("doc_id").as("doc_b"), col("sh").as("hb"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hd"))
+      .filter(col("hd") <= 3)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(blocked == brute)
+    assert(blocked.nonEmpty)
   }
 }

@@ -25,6 +25,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO BMP round-trip: real dimensions and channel-weighted pixels") {
+    val id = 11L
+    val bmp = Multimodal.synthesizeBmp(id)
+    val (w, h, sum) = Multimodal.decodeImage(bmp).get
+    assert(w == 4 + id % 5 && h == 3 + id % 4)
+    var exp = 0L
+    for (y <- 0 until h.toInt; x <- 0 until w.toInt) {
+      exp += (id * 31 + x * 7 + y * 13) % 256 +
+        2L * ((id * 17 + x * 3 + y * 5) % 256) + 4L * ((x + y * 11) % 256)
+    }
+    assert(sum == exp, "decoded pixel checksum must match the analytic value")
+    // undecodable bytes → no reader claims them
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeFeatures: codec path decodes, fallback stubs, in one pass") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    val recs = Seq(
+      graft.operators.MediaRecord(1L, Multimodal.synthesizeBmp(1L), "s", "en", 0L),
+      graft.operators.MediaRecord(2L, "plain text".getBytes("UTF-8"), "s", "en", 10L))
+      .toDS()
+    val out = Multimodal.decodeFeatures(recs).collect().sortBy(_.doc_id)
+    assert(out(0).decoded && out(0).width == 4 + 1 % 5 && out(0).height == 3 + 1 % 4)
+    assert(!out(1).decoded && out(1).width == 0L &&
+      out(1).px_sum == HashOps.polyHashStr("plain text"))
+  }
+
   test("empty payload survives the decode stub") {
     implicit val s: SparkSession = spark
     import s.implicits._

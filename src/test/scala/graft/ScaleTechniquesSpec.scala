@@ -56,6 +56,53 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("Zipf-skewed word join: AQE skew-join splits the hot partition") {
+    // the lmUnigramScore web-scale shape (SURVEY §6): vocab too big to
+    // broadcast → the score join shuffles by word and the Zipf head
+    // lands in one partition; AQE must split it (the build side is one
+    // row per word, so splitting is always legal)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevT = spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevF = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val prevA = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // thresholds sized for a local test: the hot partition is MBs raw but
+    // lz4 map-output compression shrinks the near-constant rows a lot
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4096")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+    try {
+      // 90% of 200k tokens are the head word — one hot shuffle partition
+      val words = spark.range(0, 200000).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("the"))
+          .otherwise(concat(lit("w"), pmod(col("id"), lit(1000)))).as("word"))
+      // the vocab table must be MATERIALIZED for the split to be legal in
+      // AQE's pattern: OptimizeSkewedJoin only matches a sort-merge join
+      // whose Sort children sit directly on shuffle stages — an inline
+      // groupBy on the counts side leaves its final HashAggregate between
+      // the Sort and the shuffle and the rule never fires. At web scale
+      // the vocab/score table is a stored artifact anyway; Materialize is
+      // the in-plan equivalent.
+      val counts = graft.operators.Materialize(
+        words.groupBy("word").agg(count(lit(1)).as("cnt")))
+      val joined = words.join(counts, "word")
+      // materialize THIS dataframe's own query execution (count() would
+      // run a different QueryExecution and leave this plan un-finalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew-join did not fire:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevF)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+    }
+  }
+
   test("stateful streaming sessions == batch sessions (closed ones)") {
     implicit val s: SparkSession = spark
     import s.implicits._

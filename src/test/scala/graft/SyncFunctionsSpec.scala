@@ -91,6 +91,24 @@ class SyncFunctionsSpec extends SparkSpec {
       """{"@timestamp": "2024-01-05T06:07:08.123456", "k": 87, "z": 1}""")
   }
 
+  test("injectKey and buildDocument emit valid JSON for the empty object") {
+    // the reference inserts into a parsed map, which handles {} for free;
+    // the splice-based builders must special-case it (no dangling comma)
+    val df = Seq((7L, "{}", "2024-01-05 06:07:08.123456"))
+      .toDF("id", "d", "pt").withColumn("pt", col("pt").cast("timestamp"))
+    val inj = df.select(injectKey(col("d"), col("id"), deterministic = true))
+      .as[String].collect().head
+    assert(inj == """{"__INJECTED_DATA__": "msg-7"}""")
+    val doc = df.select(buildDocument(col("d"), col("pt")))
+      .as[String].collect().head
+    assert(doc == """{"@timestamp": "2024-01-05T06:07:08.123456"}""")
+    // both must parse as JSON objects
+    val parsed = Seq(inj, doc).toDF("j")
+      .select(json_object_keys(col("j")).as("ks"))
+      .collect()
+    assert(parsed.forall(_.getSeq[String](0).nonEmpty))
+  }
+
   test("collapsePartitionTopic (es.rs:252)") {
     val got = Seq("foo-partition-3", "foo", "a-partition-x")
       .toDF("t").select(collapsePartitionTopic(col("t"))).as[String].collect()
