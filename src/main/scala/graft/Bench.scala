@@ -60,7 +60,13 @@ object Bench {
     // (the reference baseline is a long-running daemon's sustained
     // throughput, so post-JIT time is the comparable number).
     final case class R(name: String, secs: Double, err: Option[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
+    // iteration aid; the driver leaves it unset → full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(s =>
+      SparkEntry.queries.filter { case (n, _) => s(n) })
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }

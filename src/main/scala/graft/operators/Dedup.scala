@@ -135,8 +135,10 @@ object Dedup {
   def ngramJaccardPairsDict(docs: DataFrame, n: Int, tau: Double,
       blockCol: String, textCol: String = "text",
       idCol: String = "doc_id", idStripes: Int = 64): DataFrame = {
-    val g = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      native.ngram_hash_set(col(textCol), n).as("ng"))
+    // one corpus scan + ONE n-gram pass, shared by the dictionary build
+    // and the encode stage (both consume g)
+    val g = Materialize(docs.select(col(idCol).as("doc_id"),
+      col(blockCol).as("blk"), native.ngram_hash_set(col(textCol), n).as("ng")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stripe")).orderBy(col("gram"))
     val dict = g.select(explode(col("ng")).as("gram")).distinct()

@@ -53,4 +53,33 @@ class PlanPostureSpec extends SparkSpec {
   test("decontaminate: benchmark gram set is broadcast") {
     assert(planOf("decontaminate").contains("BroadcastHashJoin"))
   }
+
+  test("dedup_ngram_jaccard: encode materialized once — both join sides scan it") {
+    // the self-join must consume the checkpointed encode table (Scan
+    // ExistingRDD), not rebuild the explode→dict-join→bitset subtree per
+    // side (which would double the dominant narrow stage at scale)
+    val p = planOf("dedup_ngram_jaccard")
+    assert(p.contains("ExistingRDD"),
+      s"encode stage must be materialized before the self-join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"no aggregate may survive into the pair join (encode rebuilt?):\n$p")
+  }
+
+  test("annTopK: bounded-heap final top-k, no per-probe window sort") {
+    val df = graft.operators.Similarity.annTopK(
+      graft.sources.Tables.embeddings(spark, sf("0.01")),
+      org.apache.spark.sql.functions.col("vec_id") < 10, k = 5)
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Window"),
+      s"final top-k must go through the bounded-heap aggregator:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"expected the typed TopKAggregator in the plan:\n$p")
+  }
+
+  test("dedup_contained: banded equi-join keyed on (prefix, band)") {
+    val p = planOf("dedup_contained")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("band"), s"length band must be part of the join key:\n$p")
+  }
 }
