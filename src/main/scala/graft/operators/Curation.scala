@@ -83,6 +83,66 @@ object Curation {
       .withColumn("avg_freq", col("freq_sum") / col("n_tok"))
   }
 
+  /** Bigram-LM quality proxy — one order up from [[lmUnigramScore]]
+    * (closer to the KenLM-style filters, which condition on context):
+    * per doc, the average corpus frequency of its token BIGRAMS and the
+    * count of rare bigrams (frequency below the corpus mean, integer-
+    * exact). Docs with < 2 tokens have no bigrams and drop out.
+    *
+    * Scale: same shape as the unigram scorer — a map-side-combined count
+    * agg on the bigram key and a score join. The bigram table is
+    * O(vocab²)-bounded but Zipf-concentrated in practice; at web scale it
+    * must be MATERIALIZED (stored artifact) for AQE's skew-join split to
+    * apply to the score join (see the caveat on [[lmUnigramScore]]). */
+  def lmBigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // native single-pass bigram expression: the HOF formulation
+    // (element_at(tokens(text), i) per element) re-tokenizes the doc for
+    // every bigram — O(n²·len) per row, measured 10× slower
+    val bigrams = docs.select(col(idCol),
+      explode(native.word_bigrams(col(textCol))).as("bigram"))
+    val counts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_total"))
+    bigrams.join(counts, "bigram")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).as("freq_sum"),
+        sum(when(col("cnt") * col("n_types") < col("n_total"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("avg_freq", col("freq_sum") / col("n_bigrams"))
+  }
+
+  /** Cross-document repeated token spans — the chunk-hash approximation
+    * of exact-substring dedup (the "dedup training data" span pass):
+    * each doc is cut into NON-OVERLAPPING `w`-token chunks (full chunks
+    * only), each chunk poly-hashed; spans appearing in ≥ `minDocs`
+    * distinct documents are reported with occurrence counts. A repeated
+    * span of length ≥ 2w−1 tokens is guaranteed to produce at least one
+    * matching full chunk pair when the docs share chunk alignment (the
+    * exact-dup / prefix-dup case this targets); sliding-window winnowing
+    * ([[Dedup.winnowCandidates]]) covers unaligned overlap.
+    *
+    * Scale: explode fan-out is n_tok/w per doc; ONE shuffle on the
+    * well-spread span hash with map-side partial aggregation. */
+  def repeatedSpans(docs: DataFrame, w: Int = 16, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    // guard against the descending sequence(0, -1) for docs shorter
+    // than one chunk
+    val chunks = when(size(toks) < w, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), floor(size(toks) / w).cast("int") - 1),
+        j => native.poly_hash(concat_ws(" ", slice(toks, j * w + 1, lit(w))))))
+    val spans = docs.select(col(idCol), explode(chunks).as("span_hash"))
+    spans.groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes
     * to a weight, the doc score is the weight sum, predict = score > 0.
     * Weights are deterministic functions of the token hash (stand-in for a

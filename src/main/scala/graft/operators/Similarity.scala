@@ -202,6 +202,102 @@ object Similarity {
         round(col("s").cast("double") / col("n_assigned"), 6).as("mean"))
   }
 
+  /** Product quantization (the memory-compressed ANN index, Jégou et al.
+    * TPAMI'11): the vector is split into `m` subvectors; each subvector
+    * is assigned to its nearest per-subspace centroid (centroids = the
+    * same deterministic sample as IVF, sliced per subspace), so a 64-dim
+    * float vector compresses to m byte-ish codes + the shared codebook.
+    * Output: one row per (vec_id, subspace) with the winning code and
+    * the subspace quantization error.
+    *
+    * Scale posture — identical to [[ivfAssign]]: the codebook is a
+    * CONSTANT (m × numCentroids inlined slice literals), assignment is
+    * ONE narrow corpus pass (argmin over an inlined struct array per
+    * subspace), no join, no window, no Exchange. At 100 TB the codes
+    * table is the ANN index: 64× smaller than the raw vectors, scanned
+    * in place of them by ADC search. */
+  def pqAssign(emb: DataFrame, m: Int = 8, dim: Int = 64,
+      numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val perSub = array((0 until m).map { s =>
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(
+          l2sqCol(slice(col(vecCol), s * sub + 1, sub),
+            typedlit(cv.slice(s * sub, (s + 1) * sub))).as("dist"),
+          lit(cid).as("cent_id"))
+      }: _*))
+    }: _*)
+    emb.select(col(idCol).as("vec_id"), posexplode(perSub).as(Seq("subspace", "b")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("b").getField("cent_id").as("code"),
+        round(col("b").getField("dist"), 6).as("err"))
+  }
+
+  /** PQ codes as ordinal indices into the codebook — the compressed ANN
+    * index row: (vec_id, codes[m]). Same narrow argmin pass as
+    * [[pqAssign]]. */
+  def pqCodes(emb: DataFrame, m: Int = 8, dim: Int = 64,
+      numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val codes = array((0 until m).map { s =>
+      array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
+        struct(
+          l2sqCol(slice(col(vecCol), s * sub + 1, sub),
+            typedlit(cv.slice(s * sub, (s + 1) * sub))).as("dist"),
+          lit(ord).as("ord"))
+      }: _*)).getField("ord")
+    }: _*)
+    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ ADC search (asymmetric distance computation): each probe builds
+    * its m×numCentroids distance TABLE against the inlined codebook —
+    * one constant-size array-of-arrays literal expression per probe row —
+    * and every candidate's approximate distance is m table lookups summed
+    * in subspace order (`zip_with` + sequential `aggregate`, the
+    * oracle-exact fold). Final top-k through the bounded-heap aggregator.
+    *
+    * The scan side touches ONLY the codes table (the 64×-compressed
+    * index) — never the raw vectors: the PQ memory story. Probes are
+    * broadcast; shuffle carries ≤ k rows per probe per partition. */
+  def pqTopK(emb: DataFrame, probePred: Column, k: Int, m: Int = 8,
+      dim: Int = 64, numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sub = dim / m
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val codes = pqCodes(emb, m, dim, numCentroids, centroidStride, idCol, vecCol)
+      .select(col("vec_id").as("id"), col("codes"))
+    val dt = array((0 until m).map { s =>
+      array(cents.map { case (_, cv) =>
+        l2sqCol(slice(col(vecCol), s * sub + 1, sub),
+          typedlit(cv.slice(s * sub, (s + 1) * sub)))
+      }: _*)
+    }: _*)
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), dt.as("dt"))
+    val adc = aggregate(
+      zip_with(col("dt"), col("codes"), (row, c) => element_at(row, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val scored = codes.join(broadcast(probes), col("key") =!= col("id"))
+      // negate: the shared bounded heap keeps the LARGEST scores
+      .select(col("key"), col("id"), (-adc).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, -sc) } }
+      .toDF("probe_id", "cand_id", "adc")
+      .select(col("probe_id"), col("cand_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** ANN via LSH: top-k among candidates in the probe's bucket, plus —
     * with `multiProbe` (default) — the nPlanes buckets at hamming
     * distance 1 (standard multi-probe LSH: a true neighbor differs from

@@ -66,6 +66,25 @@ object HashOps {
     acc
   }
 
+  /** Adjacent word bigrams ("a b") in one pass — the codegen twin of
+    * `transform(sequence(...), i -> concat(w[i], ' ', w[i+1]))`, whose
+    * per-element `element_at(tokens(text), i)` re-tokenizes the whole
+    * document for every bigram (O(n²·len) per row — measured 10× on the
+    * bigram-LM scorer). Empty for docs with < 2 tokens. */
+  def wordBigrams(s: UTF8String): ArrayData = {
+    val w = tokensOf(s.toString)
+    if (w.length < 2) new GenericArrayData(new Array[Any](0))
+    else {
+      val out = new Array[Any](w.length - 1)
+      var i = 0
+      while (i < w.length - 1) {
+        out(i) = UTF8String.fromString(w(i) + " " + w(i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Hashes of word-n-shingles; the whole text is the lone shingle when
     * there are fewer than n tokens. */
   def shingleHashes(s: String, n: Int): Array[Long] = {

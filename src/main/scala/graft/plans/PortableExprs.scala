@@ -48,6 +48,17 @@ case class SimHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WordBigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.wordBigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.wordBigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordBigramsExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -229,6 +240,7 @@ object native {
     asCol(MinHashSigExpr(exprOf(c), k, shingleN))
   def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))
   def simhash64(c: Column): Column = asCol(SimHash64Expr(exprOf(c)))
+  def word_bigrams(c: Column): Column = asCol(WordBigramsExpr(exprOf(c)))
   def min_char_ngram_hash(c: Column, n: Int): Column =
     asCol(MinCharNgramHashExpr(exprOf(c), n))
   def ngram_hash_set(c: Column, n: Int): Column =

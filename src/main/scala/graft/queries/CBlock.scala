@@ -311,6 +311,33 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "lm_bigram_score" -> ((s, dir) => {
+      // bigram-LM quality proxy (one order above lm_unigram_score)
+      Curation.lmBigramScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_spans" -> ((s, dir) => {
+      // cross-doc repeated 16-token spans: chunk-hash approximation of
+      // exact-substring dedup
+      Curation.repeatedSpans(Tables.documents(s, dir), w = 16)
+        .orderBy(col("span_hash"))
+    }),
+
+    "sim_pq" -> ((s, dir) => {
+      // product quantization: 8 subspaces × 8 codes over the IVF sample
+      // codebook — one narrow pass, constant inlined codebook
+      Similarity.pqAssign(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    "sim_pq_topk" -> ((s, dir) => {
+      // ADC search over the compressed codes table: per-probe distance
+      // table + m lookups per candidate, bounded-heap top-k
+      Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
+        .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
+    }),
+
     "quality_classifier" -> ((s, dir) => {
       // feature-hashed linear classifier (native codegen'd score kernel)
       Curation.hashedLinearScore(Tables.documents(s, dir))
@@ -922,6 +949,91 @@ object CBlock {
          |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
          |FROM w JOIN c USING (word) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "lm_bigram_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), b AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM w WHERE len(t) >= 2
+         |), c AS (
+         |  SELECT bigram, count(*) AS cnt FROM b GROUP BY 1
+         |), t AS (
+         |  SELECT count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_total
+         |  FROM c
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+         |  CAST(sum(CASE WHEN cnt * n_types < n_total THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rare,
+         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
+         |FROM b JOIN c USING (bigram) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_spans" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, unnest(range(0, len(w) // 16)) AS j, w
+         |  FROM t WHERE len(w) >= 16
+         |), s AS (
+         |  SELECT doc_id,
+         |    ${ph("array_to_string(w[j*16+1 : j*16+16], ' ')")} AS span_hash
+         |  FROM c
+         |)
+         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occ, min(doc_id) AS min_doc
+         |FROM s GROUP BY 1
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""".stripMargin,
+
+    "sim_pq" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (
+        |  SELECT e.vec_id, ss.s, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, ss, cents c
+        |)
+        |SELECT vec_id, CAST(s AS BIGINT) AS subspace, cent_id AS code,
+        |  ROUND(dist, 6) AS err
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    "sim_pq_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |subdist AS (
+        |  SELECT e.vec_id, ss.s, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, ss, cents c
+        |), codes AS (
+        |  SELECT vec_id, s, cent_id AS code FROM subdist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) = 1
+        |), adc AS (
+        |  SELECT p.vec_id AS probe_id, v.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p.dist ORDER BY p.s)),
+        |      (a, x) -> a + x) AS ad
+        |  FROM codes v JOIN subdist p ON v.s = p.s AND v.code = p.cent_id
+        |  WHERE p.vec_id < 10 AND p.vec_id <> v.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, cand_id, ROUND(ad, 6) AS adc_dist
+        |FROM (SELECT * FROM adc
+        |      QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY ad, cand_id) <= 5)
+        |ORDER BY probe_id, adc_dist, cand_id""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH d AS (

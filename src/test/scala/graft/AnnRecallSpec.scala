@@ -45,6 +45,52 @@ class AnnRecallSpec extends SparkSpec {
     assert(r2 >= 0.35, s"IVF nprobe=2 recall collapsed: $r2")
   }
 
+  test("PQ ADC search recall@5 vs exact-L2 brute force") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf())
+    // truth = exact L2 top-5 (ADC approximates L2, not cosine)
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("cand_id"))
+    val truth = topSets(emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("d", graft.plans.native.l2sq(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+    val pq8 = topSets(Similarity.pqTopK(emb, col("vec_id") < 20, 5))
+    val r8 = meanRecall(truth, pq8)
+    info(f"PQ ADC recall@5 (m=8, 8 codes): $r8%.3f")
+    // near-uniform random vectors + an untrained 8-code sample codebook
+    // are PQ's worst case: distances concentrate and recall sits barely
+    // above chance (measured 0.08; chance ≈ 5/500 = 0.01). The floor
+    // only catches structural collapse; the REAL guard is the ADC
+    // identity below.
+    assert(r8 >= 0.04, s"PQ ADC recall below chance-level floor: $r8")
+
+    // ADC identity: the ADC distance of (probe, cand) must equal the
+    // exact L2 between the probe and the candidate's RECONSTRUCTION
+    // (codebook slices concatenated) — catches distance-table
+    // transposition / code-indexing bugs that a recall floor can miss
+    val cents = Similarity.ivfCentroids(emb)
+    val codes = Similarity.pqCodes(emb).filter(col("vec_id") < 50)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val vecs = emb.filter(col("vec_id") < 50)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val adc = Similarity.pqTopK(emb, col("vec_id") < 20, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    adc.filter { case ((_, cand), _) => codes.contains(cand) }
+      .take(50).foreach { case ((probe, cand), d) =>
+        val recon = codes(cand).zipWithIndex.flatMap { case (code, s) =>
+          cents(code)._2.slice(s * 8, (s + 1) * 8)
+        }
+        val exact = vecs(probe).zip(recon)
+          .map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+        assert(math.abs(d - exact) < 1e-5,
+          s"ADC($probe,$cand)=$d != l2(probe, reconstruction)=$exact")
+      }
+  }
+
   test("LSH-bucket search recall@5 vs brute force; multi-probe recovers it") {
     val emb = Tables.embeddings(spark, sf())
     val truth = topSets(Similarity.cosineTopKAgg(emb, col("vec_id") < 20, 5))

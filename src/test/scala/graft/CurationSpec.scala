@@ -101,6 +101,42 @@ class CurationSpec extends SparkSpec {
     assert(bands > 1, "length banding must split the single-prefix block")
   }
 
+  test("lmBigramScore: bigram accounting exact; short docs drop out") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "a b a b"),  // bigrams: "a b","b a","a b"
+      (1L, "a b c"),    // bigrams: "a b","b c"
+      (2L, "x")         // no bigrams → dropped
+    ).toDF("doc_id", "text")
+    val out = Curation.lmBigramScore(tiny).orderBy("doc_id").collect()
+    assert(out.length == 2)
+    // counts: "a b"=3, "b a"=1, "b c"=1; n_types=3, n_total=5;
+    // rare iff cnt*3 < 5 → cnt=1
+    assert(out(0).getAs[Long]("n_bigrams") === 3L)
+    assert(out(0).getAs[Long]("freq_sum") === 7L)
+    assert(out(0).getAs[Long]("n_rare") === 1L)
+    assert(out(1).getAs[Long]("freq_sum") === 4L)
+    assert(out(1).getAs[Long]("n_rare") === 1L)
+  }
+
+  test("repeatedSpans: cross-doc chunks only; within-doc repeats don't count") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"t$i").mkString(" ")
+    val other = (1 to 16).map(i => s"u$i").mkString(" ")
+    val tiny = Seq(
+      (0L, span + " tail tokens here"), // chunk 0 == span
+      (1L, span + " different ending"), // chunk 0 == span → cross-doc pair
+      (2L, other + " " + other)         // same chunk twice, ONE doc only
+    ).toDF("doc_id", "text")
+    val out = Curation.repeatedSpans(tiny, w = 16).collect()
+    assert(out.length == 1, "only the cross-doc span may be reported")
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+    assert(out(0).getAs[Long]("n_occ") === 2L)
+    assert(out(0).getAs[Long]("min_doc") === 0L)
+    assert(out(0).getAs[Long]("span_hash") ===
+      graft.plans.HashOps.polyHashStr(span))
+  }
+
   test("lmUnigramScore: frequency accounting is exact on a known corpus") {
     import spark.implicits._
     val tiny = Seq(
