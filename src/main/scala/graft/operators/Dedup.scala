@@ -83,6 +83,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Banded minhash bucket keys (band folded into one long key) — the
+    * shared signature→bucket step of [[minhashCandidates]],
+    * [[incrementalDedup]] and the streaming gate. One narrow pass. */
+  def minhashBuckets(docs: DataFrame, k: Int = 16, bands: Int = 4,
+      shingleN: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val rows = k / bands
+    docs.select(col(idCol).as("doc_id"),
+        native.minhash_sig(col(textCol), k, shingleN).as("sig"))
+      .select(col("doc_id"), posexplode(array((0 until bands).map(b =>
+        Portable.bandHash(col("sig"), b, rows)): _*)))
+      .toDF("doc_id", "band", "bh")
+      // band < bands, bh < M: band·M + bh is injective → one join key
+      .select(col("doc_id"),
+        (col("band").cast("long") * graft.plans.HashOps.M + col("bh"))
+          .as("bucket"))
+  }
+
+  /** Incremental dedup — the production daily-ingest shape: near-dup
+    * check of an INCOMING batch against the HISTORICAL corpus without
+    * re-pairing history against itself. Returns one row per incoming doc
+    * that shares ≥ 1 minhash band bucket with history: the earliest
+    * matching historical doc and the shared-bucket count.
+    *
+    * Scale: the history bucket table is the stored dedup INDEX (computed
+    * once per corpus version, written partitioned by bucket); the
+    * incoming batch is small relative to history, so its bucket table is
+    * broadcast — history is scanned once, never self-joined. Candidate
+    * verification (exact jaccard on the candidate pairs) composes
+    * downstream exactly as in the batch path. */
+  def incrementalDedup(history: DataFrame, incoming: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val h = minhashBuckets(history, k, bands, shingleN, textCol, idCol)
+      .select(col("bucket"), col("doc_id").as("hist_doc"))
+    val i = minhashBuckets(incoming, k, bands, shingleN, textCol, idCol)
+      .select(col("bucket"), col("doc_id").as("doc_id"))
+    h.join(broadcast(i), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(min(col("hist_doc")).as("first_hist_doc"),
+        countDistinct(col("bucket")).as("n_buckets"))
+  }
+
   /** 64-bit widening of [[simhashPairs]]: the same exact pigeonhole
     * blocking, but over a 62-bit simhash split into 16-BIT bands — at
     * maxHamming ≤ 3 the block keys draw from 65k values per band instead

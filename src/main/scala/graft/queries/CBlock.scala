@@ -71,6 +71,17 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // daily-ingest dedup: incoming batch (ids ≡ 8,9 mod 10) checked
+      // against the historical corpus via the stored bucket index —
+      // history never self-joins, incoming side broadcasts
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+          docs.filter(pmod(col("doc_id"), lit(10)) < 8),
+          docs.filter(pmod(col("doc_id"), lit(10)) >= 8))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_simhash64" -> ((s, dir) => {
       // 62-bit simhash with 16-bit pigeonhole bands: the full hamming-3
       // radius with 65k-value block keys (no byte-band skew cliff)
@@ -513,6 +524,14 @@ object CBlock {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_incremental" ->
+      s"""WITH $minhashPairsCte
+         |SELECT i.doc_id, min(h.doc_id) AS first_hist_doc,
+         |  CAST(count(DISTINCT i.band * 2147483647 + i.bh) AS BIGINT) AS n_buckets
+         |FROM bands h JOIN bands i ON h.band = i.band AND h.bh = i.bh
+         |WHERE h.doc_id % 10 < 8 AND i.doc_id % 10 >= 8
+         |GROUP BY 1 ORDER BY i.doc_id""".stripMargin,
 
     "dedup_simhash64" ->
       s"""WITH th AS (

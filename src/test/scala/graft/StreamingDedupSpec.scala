@@ -1,0 +1,59 @@
+package graft
+
+import graft.sources.Tables
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.Doc
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The ingest-time near-dup gate must equal the batch candidate relation
+  * on a single batch, and must REMEMBER first-seen buckets across
+  * micro-batches (the whole point of the streaming state). */
+class StreamingDedupSpec extends SparkSpec {
+
+  test("single batch: streaming gate == batch flagged relation") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf())
+      .select("doc_id", "text").as[Doc].collect().toSeq
+    val ms = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupGate(ms.toDS())
+      .writeStream.format("memory").queryName("ndg_one")
+      .outputMode("append").start()
+    try {
+      ms.addData(docs)
+      q.processAllAvailable()
+      val streamed = spark.table("ndg_one")
+        .select("doc_id").distinct().as[Long].collect().toSet
+      val batch = StreamingDedup.batchFlagged(Tables.documents(spark, sf()))
+        .as[Long].collect().toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("cross-batch: a replay in a later batch is flagged against the registry") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val a = Doc(1L, "alpha beta gamma delta epsilon zeta")
+    val b = Doc(2L, "one two three four five six seven")
+    val ms = MemoryStream[Doc]
+    val q = StreamingDedup.nearDupGate(ms.toDS())
+      .writeStream.format("memory").queryName("ndg_two")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(a, b))
+      q.processAllAvailable()
+      // distinct texts: nothing flagged in batch 1
+      assert(spark.table("ndg_two").count() == 0)
+      // batch 2: doc 10 replays doc 1's text; doc 11 is novel
+      ms.addData(Seq(Doc(10L, a.text), Doc(11L, "wholly novel words appear here now")))
+      q.processAllAvailable()
+      val flagged = spark.table("ndg_two")
+        .select("doc_id", "first_doc").distinct()
+        .as[(Long, Long)].collect().toSet
+      // every collision of doc 10 points at the batch-1 owner, doc 1
+      assert(flagged.nonEmpty)
+      assert(flagged.forall { case (d, f) => d == 10L && f == 1L })
+    } finally q.stop()
+  }
+}
