@@ -302,6 +302,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-filter decontamination — the O(1)-memory form of
+    * [[decontaminate]]: the benchmark's gram set compresses into an
+    * `mBits`-bit Bloom filter (`kHashes` affine re-hashes of the portable
+    * gram hash), and each corpus gram tests its k bits against the
+    * broadcast bitset. Returns (doc_id, n_maybe_shared) for docs with ≥ 1
+    * maybe-present gram — a SUPERSET of the exact gate (false positives
+    * possible, negatives never; asserted in RobustnessSpec/spec), fully
+    * deterministic integer arithmetic → oracle-EXACT including the false
+    * positives.
+    *
+    * Scale: the broadcast is mBits/8 bytes (512 B at the default) no
+    * matter how large the benchmark is — vs the exact gate's broadcast
+    * of the whole distinct gram set; the corpus side stays one narrow
+    * explode + filter, no join. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      mBits: Int = 4096, kHashes: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def positions(g: Column): Seq[Column] =
+      (0 until kHashes).map(j => Portable.rehash(g, j) % mBits)
+    val bloom = benchmark
+      .select(explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .select(explode(array(positions(col("gram")): _*)).as("pos"))
+      .distinct()
+      .agg(collect_list(col("pos")).as("ps"))
+      .select(native.positions_to_bitset(col("ps"), mBits / 64).as("bloom"))
+    val withPos = corpus
+      .select(col(idCol).as("doc_id"),
+        explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .crossJoin(broadcast(bloom))
+    val tested = positions(col("gram")).zipWithIndex
+      .foldLeft(withPos) { case (df, (p, j)) => df.withColumn(s"__p$j", p) }
+    val allSet = (0 until kHashes)
+      .map(j => expr(s"(element_at(bloom, cast(__p$j div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast(__p$j % 64 as int))) != 0"))
+      .reduce(_ && _)
+    tested.filter(allSet)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_maybe_shared"))
+  }
+
   /** Rare-gram decontamination (the scale-robust gate): a doc is
     * contaminated when it shares a LOW-document-frequency char-n-gram
     * (df ≤ maxDf over the whole table) with a benchmark doc. Boilerplate

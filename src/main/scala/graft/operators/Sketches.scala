@@ -30,6 +30,43 @@ object Sketches {
             log((lit(k) - col("occupied")) / lit(k)), 4)))
   }
 
+  /** Fixed-bin histogram quantile sketch: values bucketed into `bins`
+    * equal-width bins over [lo, hi) (out-of-range clamped to the edge
+    * bins), per-key bin counts merged as plain sums — commutative, so
+    * the sketch and every estimate are identical under any partitioning
+    * (oracle-EXACT, like the CMS). The q-quantile estimate is the upper
+    * edge of the first bin whose cumulative count reaches ceil(q·n):
+    * error ≤ one bin width, O(bins) state per key.
+    *
+    * Scale: the count agg is map-side combined to ≤ bins rows per key
+    * before the shuffle; the cumulative window runs over ≤ keys×bins
+    * rows — never over the data. Choose lo/hi/bins so the width is a
+    * power of two and the bin arithmetic is exact in both engines. */
+  def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
+      qs: Seq[Double], bins: Int = 128, lo: Double = 0.0,
+      hi: Double = 512.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((valueCol - lo) / width), lit(0)),
+      lit(bins - 1)).cast("int")
+    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byKey = Window.partitionBy(keys.map(col): _*)
+    val cum = counts
+      .withColumn("n_values", sum(col("cnt")).over(byKey))
+      .withColumn("cum", sum(col("cnt")).over(byKey.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+    val qCols = qs.flatMap { q =>
+      val tag = (q * 100).round.toInt
+      val b = min(when(col("cum") >= ceil(lit(q) * col("n_values")),
+        col("bin")))
+      Seq(b.as(s"p${tag}_bin"),
+        round((b.cast("double") + 1) * width + lo, 6).as(s"p${tag}_est"))
+    }
+    cum.groupBy(keys.map(col): _*)
+      .agg(max(col("n_values")).as("n_values"), qCols: _*)
+  }
+
   /** Count-min sketch frequency estimates for the `probes` items:
     * depth×width counter grid addressed by affine re-hashes of the
     * portable poly-hash; estimate(w) = min over rows of w's cell count.

@@ -310,6 +310,27 @@ object CBlock {
         .orderBy(col("word"))
     }),
 
+    "sketch_quantile" -> ((s, dir) => {
+      // mergeable histogram quantile sketch (commutative bin counts →
+      // oracle-exact estimates); events.value spans [0, 512)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.operators.Sketches.histogramQuantiles(
+          Tables.events(s, dir), Seq("event_type"), col("value"),
+          qs = Seq(0.5, 0.95))
+        .orderBy(col("event_type"))
+    }),
+
+    "decontaminate_bloom" -> ((s, dir) => {
+      // O(1)-memory Bloom decontamination gate: 4096-bit filter, 3
+      // affine hashes — deterministic, so even the false positives are
+      // oracle-exact
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      Dedup.decontaminateBloom(docs.filter(!isBench), docs.filter(isBench),
+          n = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // training-sequence packing manifest: 256-token sequences per source
       Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
@@ -932,6 +953,52 @@ object CBlock {
          |FROM pc p LEFT JOIN cells c ON p.k = c.k AND p.cell = c.cell
          |LEFT JOIN ex e ON p.word = e.word
          |GROUP BY p.word ORDER BY p.word""".stripMargin,
+
+    "sketch_quantile" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    least(greatest(CAST(floor((value - 0.0) / 4.0) AS INT), 0), 127) AS bin,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT event_type, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_values,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b
+        |)
+        |SELECT event_type, max(n_values) AS n_values,
+        |  min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) AS p50_bin,
+        |  ROUND((min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p50_est,
+        |  min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) AS p95_bin,
+        |  ROUND((min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p95_est
+        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "decontaminate_bloom" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), bpos AS (
+         |  SELECT DISTINCT unnest(list_transform(range(0, 3), j ->
+         |    (gram * (((j+1) * 2654435761) % 2147483647)
+         |      + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM g WHERE doc_id % 97 = 0
+         |), cpos AS (
+         |  SELECT doc_id, gram,
+         |    unnest(list_transform(range(0, 3), j ->
+         |      (gram * (((j+1) * 2654435761) % 2147483647)
+         |        + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM g WHERE doc_id % 97 <> 0
+         |), hit AS (
+         |  SELECT doc_id, gram, count(*) AS c
+         |  FROM cpos JOIN bpos USING (pos)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, count(*) AS n_maybe_shared
+         |FROM hit WHERE c = 3
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       s"""WITH t AS (

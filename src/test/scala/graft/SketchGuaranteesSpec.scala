@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{Dedup, Sketches}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** The approximate operators' guarantees, asserted (not assumed): the
+  * Bloom gate may only over-flag, never miss; the histogram quantile
+  * estimate sits within one bin of the exact quantile. */
+class SketchGuaranteesSpec extends SparkSpec {
+
+  test("decontaminateBloom is a superset of the exact gate (no false negatives)") {
+    val docs = Tables.documents(spark, sf())
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val exact = Dedup.decontaminate(
+        docs.filter(!isBench), docs.filter(isBench), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = Dedup.decontaminateBloom(
+        docs.filter(!isBench), docs.filter(isBench), n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    assert(exact.keySet.subsetOf(bloom.keySet),
+      "a doc flagged by the exact gate must be flagged by the Bloom gate")
+    // per doc, maybe-shared counts can only exceed true shared counts
+    exact.foreach { case (d, n) => assert(bloom(d) >= n) }
+  }
+
+  test("histogramQuantiles: estimate within one bin width of the exact quantile") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = Tables.events(spark, sf())
+    val width = 4.0
+    val est = Sketches.histogramQuantiles(ev, Seq("event_type"), col("value"),
+        qs = Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("p50_est"), r.getAs[Double]("p95_est"))).toMap
+    // the sketch bounds the DISCRETE quantile (smallest value whose rank
+    // reaches ceil(q·n)) — interpolated percentiles can sit far below it
+    // on sparse tails, so compare against the order statistic
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("value")
+    val ranked = ev.select(col("event_type"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    def disc(q: Double): Map[String, Double] =
+      ranked.filter(col("rn") === ceil(lit(q) * col("n")))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val d50 = disc(0.5); val d95 = disc(0.95)
+    assert(est.keySet == d50.keySet && est.nonEmpty)
+    est.foreach { case (k, (e50, e95)) =>
+      // est = upper edge of the order statistic's bin: (disc, disc + w]
+      assert(e50 > d50(k) - 1e-9 && e50 <= d50(k) + width + 1e-9,
+        s"$k p50: est $e50 vs disc ${d50(k)}")
+      assert(e95 > d95(k) - 1e-9 && e95 <= d95(k) + width + 1e-9,
+        s"$k p95: est $e95 vs disc ${d95(k)}")
+    }
+  }
+}
