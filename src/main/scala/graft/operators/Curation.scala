@@ -13,7 +13,59 @@ import org.apache.spark.sql.functions._
   * semantics require (one window per packing stream, one word-count agg,
   * one stats agg per shard, one blocked self-join).
   */
+/** Configuration of a corpus-curation pipeline — the C-block analog of
+  * [[SyncConfig]]: the reference's identity is a CONFIG-DRIVEN pipeline
+  * (args.rs), and curation composes the same way: language allowlist →
+  * near-dup removal → quality gate → benchmark holdout + rare-gram
+  * decontamination → deterministic sharding, every stage driven by a
+  * flag rather than code. */
+final case class CurateConfig(
+    langs: Seq[String] = Nil,
+    minQuality: Double = 0.0,
+    dedup: Boolean = true,
+    minhashK: Int = 16,
+    minhashBands: Int = 4,
+    decontaminate: Boolean = true,
+    benchMod: Int = 97,
+    decontaminateN: Int = 8,
+    maxDf: Int = 2,
+    nShards: Int = 16)
+
 object Curation {
+
+  /** The config-driven curation pipeline: applies each enabled stage of
+    * [[CurateConfig]] and returns the per-shard export manifest (doc +
+    * token counts). All stages are set-semantics filters over the
+    * lang-restricted corpus, so the composition is one declarative plan
+    * reusing the already-audited operator plans — no new shuffle beyond
+    * its parts (the train_export posture, now configurable). */
+  def curate(cfg: CurateConfig, stopwords: Seq[String])
+      (docs: DataFrame): DataFrame = {
+    val inLang =
+      if (cfg.langs.isEmpty) docs
+      else docs.filter(col("lang").isin(cfg.langs: _*))
+    val deduped =
+      if (!cfg.dedup) inLang
+      else Dedup.applyDedup(inLang, Dedup.connectedComponents(
+        Dedup.minhashCandidates(inLang, cfg.minhashK, cfg.minhashBands)))
+    val scored = graft.operators.TextAnalysis.quality(deduped, stopwords)
+      .filter(col("quality") >= cfg.minQuality)
+    val isBench = pmod(col("doc_id"), lit(cfg.benchMod)) === 0
+    val cleaned =
+      if (!cfg.decontaminate) scored
+      else {
+        val cont = Dedup.rareGramContaminated(inLang,
+            pmod(col("doc_id"), lit(cfg.benchMod)) === 0,
+            cfg.decontaminateN, cfg.maxDf)
+          .select(col("doc_id").as("__cont"))
+        scored.filter(!isBench)
+          .join(cont, col("doc_id") === col("__cont"), "left_anti")
+      }
+    shardAssign(cleaned, cfg.nShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(native.token_count(col("text"))).as("tok_sum"))
+  }
 
   /** GPT-style sequence-packing manifest: per packing stream (`streamCol`),
     * documents are concatenated in deterministic `idCol` order and split

@@ -92,6 +92,36 @@ object TextAnalysis {
           lit(0.2) * least(n / 100.0, lit(1.0)), 6))
   }
 
+  /** The Gopher quality-rule gate (Rae et al. '21 §A1.1, simplified to
+    * the rules expressible over this corpus): per doc, one boolean per
+    * rule plus the conjunction. Integer/ratio arithmetic only — every
+    * flag is engine-exact. One narrow pass, no shuffle; at 100 TB this
+    * gates AT THE SCAN (predicate on the stored flags, or fused into the
+    * ingest projection). Rules: token count in [minTok, maxTok]; mean
+    * word length in [3, 10]; ≥ 80% of words contain an alphabetic char;
+    * ≥ 2 stopword hits. */
+  def gopherRules(docs: DataFrame, stopwords: Seq[String],
+      minTok: Int = 50, maxTok: Int = 100000,
+      textCol: String = "text"): DataFrame = {
+    val toks = Portable.tokens(col(textCol))
+    val n = size(toks).cast("double")
+    val wlen = aggregate(toks, lit(0L), (s, t) => s + length(t))
+      .cast("double") / n
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]")))
+      .cast("double") / n
+    val stopHits = size(filter(toks,
+      t => stopwords.map(t === _).reduce(_ || _))).cast("long")
+    docs
+      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("r_ntok",
+        col("n_tok") >= minTok && col("n_tok") <= maxTok)
+      .withColumn("r_wlen", wlen >= 3.0 && wlen <= 10.0)
+      .withColumn("r_alpha", alphaFrac >= 0.8)
+      .withColumn("r_stop", stopHits >= 2)
+      .withColumn("pass",
+        col("r_ntok") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+  }
+
   /** Whitespace and BPE-ish (greedy ≤4-char chunk) token counts. */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs

@@ -163,6 +163,24 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "text_gopher" -> ((s, dir) => {
+      // the Gopher quality-rule gate: per-rule booleans + conjunction
+      TextAnalysis.gopherRules(Tables.documents(s, dir), stopwords)
+        .select(col("doc_id"), col("n_tok"), col("r_ntok"), col("r_wlen"),
+          col("r_alpha"), col("r_stop"), col("pass"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "curate_configured" -> ((s, dir) => {
+      // config-driven curation (the args.rs identity applied to the
+      // C-block): lang allowlist → dedup → quality gate → holdout +
+      // decontamination → 8-shard manifest
+      val cfg = graft.operators.CurateConfig(
+        langs = Seq("en", "es", "fr"), minQuality = 0.6, nShards = 8)
+      Curation.curate(cfg, stopwords)(Tables.documents(s, dir))
+        .orderBy(col("shard"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       TextAnalysis.sampleStratified(Tables.documents(s, dir), "source", k = 5)
         .select(col("doc_id"), col("source"), col("lang"))
@@ -427,9 +445,9 @@ object CBlock {
   /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
     * dedup_clusters). */
-  private def minhashPairsCte: String =
+  private def minhashPairsCte(where: String = ""): String =
     s"""tok AS (
-       |  SELECT doc_id, $toksSql AS w, text FROM documents
+       |  SELECT doc_id, $toksSql AS w, text FROM documents $where
        |), sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(w) >= 3
@@ -458,7 +476,7 @@ object CBlock {
 
   val oracle: Map[String, String] = Map(
     "curate_corpus" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte()},
          |e AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -493,11 +511,11 @@ object CBlock {
          |FROM k GROUP BY 1 ORDER BY keeper""".stripMargin,
 
     "dedup_minhash" ->
-      s"""WITH $minhashPairsCte
+      s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte()},
          |e AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -511,7 +529,7 @@ object CBlock {
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "dedup_apply" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte()},
          |e AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
@@ -547,7 +565,7 @@ object CBlock {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_incremental" ->
-      s"""WITH $minhashPairsCte
+      s"""WITH ${minhashPairsCte()}
          |SELECT i.doc_id, min(h.doc_id) AS first_hist_doc,
          |  CAST(count(DISTINCT i.band * 2147483647 + i.bh) AS BIGINT) AS n_buckets
          |FROM bands h JOIN bands i ON h.band = i.band AND h.bh = i.bh
@@ -752,6 +770,68 @@ object CBlock {
          |       THEN list_min(list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")}))
          |       ELSE ${ph("text")} END AS winnow_min
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_gopher" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |r AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tok,
+         |    len(w) >= 50 AND len(w) <= 100000 AS r_ntok,
+         |    list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w) >= 3.0
+         |      AND list_sum(list_transform(w, t -> len(t))) * 1.0 / len(w) <= 10.0 AS r_wlen,
+         |    len(list_filter(w, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(w) >= 0.8 AS r_alpha,
+         |    len(list_filter(w, t -> list_contains(['the','a'], t))) >= 2 AS r_stop
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tok, r_ntok, r_wlen, r_alpha, r_stop,
+         |  r_ntok AND r_wlen AND r_alpha AND r_stop AS pass
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "curate_configured" ->
+      s"""WITH RECURSIVE ${minhashPairsCte("WHERE lang IN ('en','es','fr')")},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents
+         |        WHERE lang IN ('en','es','fr'))
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents WHERE lang IN ('en','es','fr')
+         |), gdf AS (
+         |  SELECT gram, count(*) AS df FROM g GROUP BY 1
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM g JOIN gdf USING (gram)
+         |  WHERE doc_id % 97 = 0 AND df <= 2
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+         |  WHERE doc_id % 97 <> 0
+         |), clean AS (
+         |  SELECT d.doc_id, ${ph("CAST(d.doc_id AS VARCHAR)")} % 8 AS shard,
+         |    len($toksSql) AS n_tok
+         |  FROM documents d
+         |  JOIN q ON d.doc_id = q.doc_id
+         |  LEFT JOIN labels l ON d.doc_id = l.ldoc
+         |  WHERE d.lang IN ('en','es','fr')
+         |    AND (l.ldoc IS NULL OR l.cl = d.doc_id)
+         |    AND q.quality >= 0.6
+         |    AND d.doc_id % 97 <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         |FROM clean GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, source, lang
@@ -1135,7 +1215,7 @@ object CBlock {
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "train_export" ->
-      s"""WITH RECURSIVE $minhashPairsCte,
+      s"""WITH RECURSIVE ${minhashPairsCte()},
          |e AS (
          |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs

@@ -137,6 +137,25 @@ class CurationSpec extends SparkSpec {
       graft.plans.HashOps.polyHashStr(span))
   }
 
+  test("curate: each disabled stage only grows the kept corpus") {
+    import graft.operators.CurateConfig
+    val stop = Seq("the", "a")
+    def total(cfg: CurateConfig): Long =
+      Curation.curate(cfg, stop)(docs)
+        .agg(sum("n_docs")).head.getLong(0)
+    val full = CurateConfig(langs = Seq("en", "es"), minQuality = 0.6)
+    val noDedup = total(full.copy(dedup = false))
+    val noDecon = total(full.copy(decontaminate = false))
+    val noLang = total(full.copy(langs = Nil))
+    val noQ = total(full.copy(minQuality = 0.0))
+    val base = total(full)
+    assert(base > 0)
+    assert(noDedup >= base, "disabling dedup may only keep more docs")
+    assert(noDecon >= base, "disabling decontamination may only keep more docs")
+    assert(noLang >= base, "removing the lang allowlist may only keep more docs")
+    assert(noQ >= base, "removing the quality gate may only keep more docs")
+  }
+
   test("lmUnigramScore: frequency accounting is exact on a known corpus") {
     import spark.implicits._
     val tiny = Seq(
