@@ -42,14 +42,20 @@ object Sketches {
     * before the shuffle; the cumulative window runs over ≤ keys×bins
     * rows — never over the data. Choose lo/hi/bins so the width is a
     * power of two and the bin arithmetic is exact in both engines. */
+  /** The histogram sketch's bin assignment (clamped equal-width bins) —
+    * public so streaming aggregations can build the SAME mergeable bin
+    * counts (StreamingSketchSpec proves cross-batch merge ≡ batch). */
+  def histogramBin(valueCol: Column, bins: Int, lo: Double, hi: Double): Column =
+    least(greatest(floor((valueCol - lo) / ((hi - lo) / bins)), lit(0)),
+      lit(bins - 1)).cast("int")
+
   def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
       qs: Seq[Double], bins: Int = 128, lo: Double = 0.0,
       hi: Double = 512.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val width = (hi - lo) / bins
-    val bin = least(greatest(floor((valueCol - lo) / width), lit(0)),
-      lit(bins - 1)).cast("int")
-    val counts = df.groupBy((keys.map(col) :+ bin.as("bin")): _*)
+    val counts = df.groupBy(
+        (keys.map(col) :+ histogramBin(valueCol, bins, lo, hi).as("bin")): _*)
       .agg(count(lit(1)).as("cnt"))
     val byKey = Window.partitionBy(keys.map(col): _*)
     val cum = counts

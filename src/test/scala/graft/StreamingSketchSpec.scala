@@ -1,0 +1,43 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Mergeable == streamable: the histogram sketch's bin counts built as a
+  * streaming aggregation across several micro-batches must equal the
+  * batch sketch on the same data — the property that lets one sketch
+  * serve batch, incremental, and streaming paths. */
+class StreamingSketchSpec extends SparkSpec {
+
+  test("histogram bin counts merge across micro-batches == batch") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val data = (1 to 3000).map(i => (s"k${i % 3}", (i % 500) + 0.25))
+    val ms = MemoryStream[(String, Double)]
+    val counts = ms.toDS().toDF("key", "value")
+      .groupBy(col("key"),
+        Sketches.histogramBin(col("value"), 128, 0.0, 512.0).as("bin"))
+      .count()
+    val q = counts.writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").start()
+    try {
+      // three uneven micro-batches — merge order must not matter
+      ms.addData(data.take(100))
+      q.processAllAvailable()
+      ms.addData(data.slice(100, 1700))
+      q.processAllAvailable()
+      ms.addData(data.drop(1700))
+      q.processAllAvailable()
+      val streamed = spark.table("hist_stream")
+        .orderBy("key", "bin").collect().toSeq
+      val batch = data.toDF("key", "value")
+        .groupBy(col("key"),
+          Sketches.histogramBin(col("value"), 128, 0.0, 512.0).as("bin"))
+        .count()
+        .orderBy("key", "bin").collect().toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
