@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Portable
 import graft.plans.native
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,14 +82,18 @@ object TextAnalysis {
       .cast("double") / n
     val wlen = aggregate(toks, lit(0L), (s, t) => s + length(t))
       .cast("double") / n
+    // token-less docs (empty/null text) get NULL ratios — a quality
+    // gate drops them — instead of an ANSI divide-by-zero error; the
+    // when() guard short-circuits the division
+    def safe(c: Column): Column = when(n > 0, c)
     docs
       .withColumn("n_tokens", size(toks).cast("long"))
-      .withColumn("uniq_ratio", round(uniq, 6))
-      .withColumn("stop_ratio", round(stop, 6))
-      .withColumn("avg_wlen", round(wlen, 6))
+      .withColumn("uniq_ratio", safe(round(uniq, 6)))
+      .withColumn("stop_ratio", safe(round(stop, 6)))
+      .withColumn("avg_wlen", safe(round(wlen, 6)))
       .withColumn("quality",
-        round(lit(0.5) * uniq + lit(0.3) * (lit(1.0) - stop) +
-          lit(0.2) * least(n / 100.0, lit(1.0)), 6))
+        safe(round(lit(0.5) * uniq + lit(0.3) * (lit(1.0) - stop) +
+          lit(0.2) * least(n / 100.0, lit(1.0)), 6)))
   }
 
   /** The Gopher quality-rule gate (Rae et al. '21 §A1.1, simplified to
@@ -111,13 +115,17 @@ object TextAnalysis {
       .cast("double") / n
     val stopHits = size(filter(toks,
       t => stopwords.map(t === _).reduce(_ || _))).cast("long")
+    // token-less docs fail every ratio rule (false, not a division
+    // error under ANSI)
     docs
-      .withColumn("n_tok", size(toks).cast("long"))
+      .withColumn("n_tok", coalesce(size(toks).cast("long"), lit(0L)))
       .withColumn("r_ntok",
         col("n_tok") >= minTok && col("n_tok") <= maxTok)
-      .withColumn("r_wlen", wlen >= 3.0 && wlen <= 10.0)
-      .withColumn("r_alpha", alphaFrac >= 0.8)
-      .withColumn("r_stop", stopHits >= 2)
+      .withColumn("r_wlen",
+        when(n > 0, wlen >= 3.0 && wlen <= 10.0).otherwise(false))
+      .withColumn("r_alpha",
+        when(n > 0, alphaFrac >= 0.8).otherwise(false))
+      .withColumn("r_stop", coalesce(stopHits >= 2, lit(false)))
       .withColumn("pass",
         col("r_ntok") && col("r_wlen") && col("r_alpha") && col("r_stop"))
   }

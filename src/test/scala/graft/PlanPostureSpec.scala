@@ -76,6 +76,12 @@ class PlanPostureSpec extends SparkSpec {
       s"expected the typed TopKAggregator in the plan:\n$p")
   }
 
+  test("sim_pq assign stage is one narrow pass: no join, no window") {
+    val p = planOf("sim_pq")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"PQ assignment must be a pure projection over the inlined codebook:\n$p")
+  }
+
   test("dedup_contained: banded equi-join keyed on (prefix, band)") {
     val p = planOf("dedup_contained")
     assert(!p.contains("CartesianProduct") &&

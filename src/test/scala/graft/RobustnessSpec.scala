@@ -75,4 +75,26 @@ class RobustnessSpec extends SparkSpec {
     val lm = Curation.lmUnigramScore(docs)
     assert(lm.count() === 2L) // only docs with tokens produce rows
   }
+
+  test("round-3 operators survive degenerate input") {
+    import graft.operators.{Curation, CurateConfig}
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s0", 0L),
+      (1L, "", "en", "s0", 0L),
+      (2L, "one", "en", "s0", 3L),           // single token: no bigrams
+      (3L, "a b c d e f", "de", "s1", 11L))  // < one 16-token chunk
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // bigram scorer: only the doc with >= 2 tokens appears
+    assert(Curation.lmBigramScore(docs).count() === 1L)
+    // span dedup: nothing reaches a full chunk → empty, no crash
+    assert(Curation.repeatedSpans(docs, w = 16).count() === 0L)
+    // simhash64 on null/empty/short text
+    assert(Dedup.simhash64Pairs(docs, maxHamming = 0).count() >= 0L)
+    // bloom gate with an EMPTY benchmark: nothing can be flagged
+    assert(Dedup.decontaminateBloom(docs,
+      docs.filter(col("doc_id") < 0)).count() === 0L)
+    // config-driven curation over the degenerate corpus runs clean
+    val m = Curation.curate(CurateConfig(nShards = 4), Seq("the", "a"))(docs)
+    assert(m.agg(sum("n_docs")).head.getLong(0) >= 1L)
+  }
 }

@@ -103,6 +103,19 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a worst-case-diameter chain") {
+    import spark.implicits._
+    // a 2000-node path graph has diameter 2000: plain min-label
+    // propagation needs ~2000 rounds and would hit maxIter=50; the
+    // pointer-jumping hop gives O(log n) — converging under the default
+    // cap IS the proof the hop works
+    val edges = (0L until 1999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.operators.Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 2000)
+    assert(labels.forall(_._2 == 0L), "every node must label to the root")
+  }
+
   test("stateful streaming sessions == batch sessions (closed ones)") {
     implicit val s: SparkSession = spark
     import s.implicits._
