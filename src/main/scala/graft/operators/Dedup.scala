@@ -36,17 +36,15 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
       shingleN: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val rows = k / bands
-    val sig = docs.select(col(idCol).as("doc_id"),
-      native.minhash_sig(col(textCol), k, shingleN).as("sig"))
-    val banded = Materialize(sig.select(col("doc_id"), posexplode(
-      array((0 until bands).map(b => Portable.bandHash(col("sig"), b, rows)): _*)))
-      .toDF("doc_id", "band", "bh"))
-    val a = banded.select(col("band"), col("bh"), col("doc_id").as("doc_a"))
-    val b = banded.select(col("band").as("band_b"), col("bh").as("bh_b"),
+    // built on the SAME [[minhashBuckets]] step the incremental and
+    // streaming paths use — one bucketing implementation, so their
+    // batch-parity guarantees can't drift
+    val banded = Materialize(
+      minhashBuckets(docs, k, bands, shingleN, textCol, idCol))
+    val a = banded.select(col("bucket"), col("doc_id").as("doc_a"))
+    val b = banded.select(col("bucket").as("bucket_b"),
       col("doc_id").as("doc_b"))
-    a.join(b, col("band") === col("band_b") && col("bh") === col("bh_b") &&
-        col("doc_a") < col("doc_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
@@ -62,9 +60,20 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "byte-band pigeonhole blocking needs maxHamming <= 3")
-    val h = docs.select(col(idCol).as("doc_id"),
-      native.simhash32(col(textCol)).as("sh"))
-    def band(i: Int) = shiftright(col("sh"), 8 * i).bitwiseAND(lit(255L))
+    pigeonholePairs(docs.select(col(idCol).as("doc_id"),
+      native.simhash32(col(textCol)).as("sh")), bandBits = 8, maxHamming)
+  }
+
+  /** Shared exact pigeonhole blocking over a hash column `sh` split into
+    * four `bandBits`-wide bands: ≤ m differing bits touch ≤ m bands, so
+    * some (4−m)-band subset matches exactly — each doc emits one key per
+    * subset, an equality join yields candidates with guaranteed full
+    * recall, and the hamming filter verifies. One implementation serves
+    * both the 32-bit and 64-bit simhash paths. */
+  private def pigeonholePairs(h: DataFrame, bandBits: Int,
+      maxHamming: Int): DataFrame = {
+    def band(i: Int) = shiftright(col("sh"), bandBits * i)
+      .bitwiseAND(lit((1L << bandBits) - 1))
     val keep = 4 - maxHamming
     val subsets = (0 until 4).combinations(keep).toSeq.zipWithIndex
     val keyed = h.select(col("doc_id"), col("sh"), explode(array(
@@ -140,25 +149,8 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       "16-bit-band pigeonhole blocking needs maxHamming <= 3")
-    val h = docs.select(col(idCol).as("doc_id"),
-      native.simhash64(col(textCol)).as("sh"))
-    def band(i: Int) = shiftright(col("sh"), 16 * i).bitwiseAND(lit(65535L))
-    val keep = 4 - maxHamming
-    val subsets = (0 until 4).combinations(keep).toSeq.zipWithIndex
-    val keyed = h.select(col("doc_id"), col("sh"), explode(array(
-      subsets.map { case (bs, sid) =>
-        struct(lit(sid).as("sid"),
-          concat_ws(",", bs.map(band): _*).as("bkey"))
-      }: _*)).as("k"))
-    val a = keyed.select(col("k").as("ka"), col("doc_id").as("doc_a"),
-      col("sh").as("sh_a"))
-    val b = keyed.select(col("k").as("kb"), col("doc_id").as("doc_b"),
-      col("sh").as("sh_b"))
-    a.join(b, col("ka") === col("kb") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hd"))
-      .filter(col("hd") <= maxHamming)
-      .distinct()
+    pigeonholePairs(docs.select(col(idCol).as("doc_id"),
+      native.simhash64(col(textCol)).as("sh")), bandBits = 16, maxHamming)
   }
 
   /** Dictionary-encoded fast path of [[ngramJaccardPairs]] for corpora

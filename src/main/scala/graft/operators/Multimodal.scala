@@ -121,7 +121,12 @@ object Multimodal {
     * — the channel weights catch RGB/BGR order bugs a plain r+g+b sum
     * would mask — or None when no reader handles the bytes. */
   def decodeImage(media: Array[Byte]): Option[(Long, Long, Long)] = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+    // a reader may CLAIM the bytes (magic matches) and then throw on a
+    // corrupt/truncated body — the common web case; that is a fallback,
+    // not a task failure
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
     if (img == null) None
     else {
       var sum = 0L

@@ -239,13 +239,12 @@ object Similarity {
   /** PQ codes as ordinal indices into the codebook — the compressed ANN
     * index row: (vec_id, codes[m]). Same narrow argmin pass as
     * [[pqAssign]]. */
-  def pqCodes(emb: DataFrame, m: Int = 8, dim: Int = 64,
-      numCentroids: Int = 8, centroidStride: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(dim % m == 0, "dim must divide into m equal subspaces")
-    val sub = dim / m
-    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
-    val codes = array((0 until m).map { s =>
+  /** The per-row PQ code array expression for an already-collected
+    * codebook (shared by [[pqCodes]] and [[pqTopK]] so the codebook is
+    * collected exactly once per query). */
+  private def pqCodesCol(cents: Array[(Long, Seq[Float])], m: Int,
+      sub: Int, vecCol: String): Column =
+    array((0 until m).map { s =>
       array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
         struct(
           l2sqCol(slice(col(vecCol), s * sub + 1, sub),
@@ -253,7 +252,14 @@ object Similarity {
           lit(ord).as("ord"))
       }: _*)).getField("ord")
     }: _*)
-    emb.select(col(idCol).as("vec_id"), codes.as("codes"))
+
+  def pqCodes(emb: DataFrame, m: Int = 8, dim: Int = 64,
+      numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    emb.select(col(idCol).as("vec_id"),
+      pqCodesCol(cents, m, dim / m, vecCol).as("codes"))
   }
 
   /** PQ ADC search (asymmetric distance computation): each probe builds
@@ -274,8 +280,8 @@ object Similarity {
     import s.implicits._
     val sub = dim / m
     val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
-    val codes = pqCodes(emb, m, dim, numCentroids, centroidStride, idCol, vecCol)
-      .select(col("vec_id").as("id"), col("codes"))
+    val codes = emb.select(col(idCol).as("id"),
+      pqCodesCol(cents, m, sub, vecCol).as("codes"))
     val dt = array((0 until m).map { s =>
       array(cents.map { case (_, cv) =>
         l2sqCol(slice(col(vecCol), s * sub + 1, sub),

@@ -301,7 +301,7 @@ object CBlock {
         .mapPartitions { it =>
           it.map { case (id, text) =>
             val payload =
-              if (id % 7 == 0) text.getBytes("UTF-8")
+              if (id % 7 == 0) Option(text).getOrElse("").getBytes("UTF-8")
               else Multimodal.synthesizeBmp(id)
             MediaRecord(id, payload, "", "", payload.length.toLong)
           }

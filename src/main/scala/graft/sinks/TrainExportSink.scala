@@ -24,10 +24,17 @@ object TrainExportSink {
     * (shard, n_docs, tok_sum). */
   def write(docs: DataFrame, outDir: String, nShards: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
     val sharded = Curation.shardAssign(docs, nShards, idCol)
     sharded.write.mode("overwrite")
       .partitionBy("shard").parquet(s"$outDir/data")
-    val manifest = sharded.groupBy(col("shard"))
+    // the manifest aggregates the WRITTEN files, not the input plan:
+    // one upstream computation (the curation pipeline above a real
+    // export is expensive), and the commit marker can never diverge
+    // from the data it describes. Partition columns read back
+    // type-inferred → normalize shard to long.
+    val manifest = spark.read.parquet(s"$outDir/data")
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(graft.plans.native.token_count(col(textCol))).as("tok_sum"))
       .orderBy(col("shard"))
