@@ -85,7 +85,7 @@ object Curation {
       textCol: String = "text"): DataFrame = {
     val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
     docs
-      .withColumn("n_tok", size(Portable.tokens(col(textCol))).cast("long"))
+      .withColumn("n_tok", native.token_count(col(textCol)))
       .filter(col("n_tok") > 0)
       .withColumn("tok_end", sum(col("n_tok")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))
@@ -193,6 +193,48 @@ object Curation {
         count(lit(1)).as("n_occ"),
         min(col(idCol)).as("min_doc"))
       .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Epoch-style source upsampling — the data-mixture counterpart of
+    * temperature DOWNsampling: each source gets a repeat factor r (its
+    * "epochs"); every doc is emitted floor(r) times plus one more with
+    * probability frac(r), decided by a deterministic per-doc hash draw
+    * (reproducible across engines and reruns — no rand()). Output rows
+    * carry `copy` (1..n_copies), the repeat index a downstream packer or
+    * shuffler treats as distinct examples.
+    *
+    * Scale: one narrow pass; the explode fan-out is Σ r(source)·n_docs
+    * by construction — the exact size increase the mixture asked for. */
+  def mixUpsample(docs: DataFrame, weights: Map[String, Double],
+      sourceCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val r = weights.foldRight(lit(1.0)) { case ((s, x), acc) =>
+      when(col(sourceCol) === s, lit(x)).otherwise(acc)
+    }
+    docs.withColumn("__r", r)
+      .withColumn("__full", floor(col("__r")))
+      .withColumn("__u",
+        native.poly_hash(concat(lit("mix:"), col(idCol).cast("string")))
+          .cast("double") / graft.plans.HashOps.M)
+      .withColumn("n_copies", col("__full") +
+        when(col("__u") < col("__r") - col("__full"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(sequence(lit(1L), col("n_copies"))))
+      .drop("__r", "__full", "__u")
+  }
+
+  /** Frequency-ranked vocabulary artifact — the stored table the
+    * materialized-score joins consume ([[lmUnigramScore]]'s web-scale
+    * path): word → (vocab_id, count), ids dense in (count desc, word)
+    * order. The ranking window is GLOBAL but runs over the aggregated
+    * O(vocab) count table, never the corpus — the one place a global
+    * window is the right call (the artifact needs one total order). */
+  def vocabBuild(docs: DataFrame, minCount: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    docs.select(explode(Portable.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+      .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
   }
 
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes

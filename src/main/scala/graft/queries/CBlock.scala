@@ -221,6 +221,27 @@ object CBlock {
         .orderBy(col("source"))
     }),
 
+    "mix_upsample" -> ((s, dir) => {
+      // epoch-style mixture: src0 ×2.5, src1 ×1.25, others ×1 — audit
+      // per source: docs in, rows out, docs that drew the extra copy
+      val mixed = Curation.mixUpsample(Tables.documents(s, dir),
+        Map("src0" -> 2.5, "src1" -> 1.25))
+      mixed.groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(when(col("copy") === 1 && col("n_copies") >
+            floor(when(col("source") === "src0", 2.5)
+              .when(col("source") === "src1", 1.25).otherwise(1.0)), 1L)
+            .otherwise(0L)).as("n_extra"))
+        .orderBy(col("source"))
+    }),
+
+    "vocab_build" -> ((s, dir) => {
+      // the stored vocab artifact: dense ids in (count desc, word) order
+      Curation.vocabBuild(Tables.documents(s, dir), minCount = 2)
+        .orderBy(col("vocab_id"))
+    }),
+
     "sample_temperature" -> ((s, dir) => {
       TextAnalysis.sampleTemperatureT2(Tables.documents(s, dir))
         .groupBy(col("source"))
@@ -894,6 +915,41 @@ object CBlock {
         |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
         |  CAST(SUM(n_ips) AS BIGINT) AS n_ips
         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
+    "mix_upsample" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source = 'src0' THEN 2.5
+         |         WHEN source = 'src1' THEN 1.25 ELSE 1.0 END AS r,
+         |    CAST(${ph("'mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
+         |      / 2147483647 AS u
+         |  FROM documents
+         |), n AS (
+         |  SELECT doc_id, source, r,
+         |    CAST(floor(r) AS BIGINT)
+         |      + CASE WHEN u < r - floor(r) THEN 1 ELSE 0 END AS n_copies
+         |  FROM m
+         |), x AS (
+         |  SELECT doc_id, source, r, n_copies,
+         |    unnest(range(1, n_copies + 1)) AS copy
+         |  FROM n WHERE n_copies > 0
+         |)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_rows,
+         |  CAST(sum(CASE WHEN copy = 1 AND n_copies > floor(r)
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "vocab_build" ->
+      s"""WITH c AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |)
+         |SELECT word, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1 AS BIGINT)
+         |    AS vocab_id
+         |FROM c WHERE cnt >= 2 ORDER BY vocab_id""".stripMargin,
 
     "sample_temperature" ->
       s"""WITH cnts AS (

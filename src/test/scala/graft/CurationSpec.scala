@@ -172,4 +172,52 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_rare") === 2L) // b and c
     assert(out(2).getAs[Double]("avg_freq") === 4.0)
   }
+
+  test("mixUpsample: copy counts bracket the factor, deterministic, no shuffle") {
+    val weights = Map("src0" -> 2.5, "src1" -> 1.25)
+    val mixed = Curation.mixUpsample(docs, weights).cache()
+    // every doc's n_copies is floor(r) or floor(r)+1 for its source's r
+    val perDoc = mixed.select("doc_id", "source", "n_copies").distinct()
+    val bad = perDoc.filter {
+      val r = when(col("source") === "src0", 2.5)
+        .when(col("source") === "src1", 1.25).otherwise(1.0)
+      col("n_copies") < floor(r) || col("n_copies") > floor(r) + 1
+    }
+    assert(bad.count() === 0)
+    // unweighted sources emit exactly one copy per doc
+    val plain = mixed.filter(!col("source").isin("src0", "src1"))
+    assert(plain.filter(col("n_copies") =!= 1).count() === 0)
+    // copy is a dense 1..n_copies index (rows per doc == n_copies)
+    val rowsPerDoc = mixed.groupBy("doc_id", "n_copies")
+      .agg(count(lit(1)).as("n"), max("copy").as("mx"), min("copy").as("mn"))
+    assert(rowsPerDoc.filter(col("n") =!= col("n_copies") ||
+      col("mx") =!= col("n_copies") || col("mn") =!= 1).count() === 0)
+    // the fractional draw is a hash, not rand(): reruns agree exactly
+    val again = Curation.mixUpsample(docs, weights)
+      .select("doc_id", "copy").collect().toSet
+    assert(mixed.select("doc_id", "copy").collect().toSet === again)
+    // one narrow pass: the plan has no Exchange
+    val exec = Curation.mixUpsample(docs, weights).queryExecution.executedPlan
+    assert(!exec.toString.contains("Exchange"),
+      s"upsampling must not shuffle:\n$exec")
+  }
+
+  test("vocabBuild: dense ids in (count desc, word) order, minCount honored") {
+    val vocab = Curation.vocabBuild(docs, minCount = 2).cache()
+    val rows = vocab.orderBy("vocab_id")
+      .select("word", "cnt", "vocab_id").collect()
+    // ids are dense 0..V-1
+    assert(rows.map(_.getLong(2)).toSeq === rows.indices.map(_.toLong))
+    // the id order IS the (cnt desc, word asc) order
+    val sorted = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(sorted === sorted.sorted)
+    // minCount filter really applied
+    assert(rows.forall(_.getLong(1) >= 2))
+    // counts agree with a direct token count for the top word
+    val top = rows.head
+    val direct = docs
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("w"))
+      .filter(col("w") === top.getString(0)).count()
+    assert(top.getLong(1) === direct)
+  }
 }
