@@ -195,6 +195,61 @@ object Curation {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** [[repeatedSpans]] with a HALF-CHUNK STRIDE — the boundary-gap
+    * closer: chunks start every w/2 tokens instead of every w, so a
+    * repeated region that straddles an aligned-chunk boundary (the case
+    * the non-overlapping pass provably misses) still yields a complete
+    * matching chunk. Recall semantics: a repeated region of
+    * ≥ w + stride − 1 = 1.5w − 1 tokens is guaranteed to contain a full
+    * stride-aligned chunk in BOTH docs whenever the two copies start at
+    * offsets congruent mod stride (the aligned pass needed 2w − 1 AND
+    * whole-chunk alignment); winnowing ([[Dedup.winnowCandidates]])
+    * remains the net for arbitrary offsets. Cost: exactly 2× the explode
+    * fan-out of the aligned pass — still n_tok·2/w rows per doc — and
+    * the same single map-side-combined shuffle on the span hash. */
+  def repeatedSpansOverlap(docs: DataFrame, w: Int = 16, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stride = math.max(w / 2, 1)
+    val toks = Portable.tokens(col(textCol))
+    val chunks = when(size(toks) < w, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w, lit(stride)),
+        st => native.poly_hash(concat_ws(" ", slice(toks, st + 1, lit(w))))))
+    docs.select(col(idCol), explode(chunks).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col(idCol)).as("min_doc"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** [[lmUnigramScore]] against a STORED vocab artifact — the web-scale
+    * shape the inline version's caveat documents: `vocab` is the
+    * [[vocabBuild]] table read back from storage (word, cnt, vocab_id),
+    * so the score join's build side sits DIRECTLY on a shuffle stage and
+    * AQE's skew-join split applies to the Zipf head when the vocab is
+    * too big to broadcast (proven in ScaleTechniquesSpec against a
+    * written parquet artifact). Scores are identical to the inline
+    * version when the vocab was built with minCount = 1 over the same
+    * corpus; tokens absent from the vocab drop out of the scoring join
+    * (inner join — the stored-artifact contract). */
+  def lmUnigramScoreVocab(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(Portable.tokens(col(textCol))).as("word"))
+    val counts = vocab.select(col("word"), col("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_words"),
+      sum(col("cnt")).as("n_total"))
+    words.join(counts, "word")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("cnt")).as("freq_sum"),
+        sum(when(col("cnt") * col("n_words") < col("n_total"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("avg_freq", col("freq_sum") / col("n_tok"))
+  }
+
   /** Epoch-style source upsampling — the data-mixture counterpart of
     * temperature DOWNsampling: each source gets a repeat factor r (its
     * "epochs"); every doc is emitted floor(r) times plus one more with
@@ -223,18 +278,52 @@ object Curation {
   }
 
   /** Frequency-ranked vocabulary artifact — the stored table the
-    * materialized-score joins consume ([[lmUnigramScore]]'s web-scale
-    * path): word → (vocab_id, count), ids dense in (count desc, word)
-    * order. The ranking window is GLOBAL but runs over the aggregated
-    * O(vocab) count table, never the corpus — the one place a global
-    * window is the right call (the artifact needs one total order). */
+    * materialized-score joins consume ([[lmUnigramScoreVocab]]'s
+    * web-scale path): word → (vocab_id, count), ids dense in
+    * (count desc, word) order. The rank is the TWO-PHASE
+    * [[globalRank]] — at the 100 TB design point the distinct-token
+    * universe of a web corpus is 10⁸–10⁹ rows (typos, URLs, code), so a
+    * single-partition global window over it would be the one
+    * driver-adjacent bottleneck in the pipeline; here no task ever sorts
+    * more than its range slice. */
   def vocabBuild(docs: DataFrame, minCount: Long = 1,
       textCol: String = "text"): DataFrame = {
-    val w = Window.orderBy(col("cnt").desc, col("word"))
-    docs.select(explode(Portable.tokens(col(textCol))).as("word"))
+    val counts = docs.select(explode(Portable.tokens(col(textCol))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-      .withColumn("vocab_id", (row_number().over(w) - 1).cast("long"))
+    globalRank(counts, Seq(col("cnt").desc, col("word")), "vocab_id")
+  }
+
+  /** Two-phase global dense rank over a TOTAL order with no
+    * single-partition window: `repartitionByRange` on the order puts
+    * every row of partition i strictly before every row of partition
+    * i+1; `row_number` over a window PARTITIONED by the range-partition
+    * id ranks each slice in parallel; adding the per-partition start
+    * offsets (a bounded nPartitions-row aggregate, collected and
+    * broadcast back — model-state sized, never O(table)) makes the local
+    * ranks global. The range-shuffled table is materialized once so the
+    * offset pass and the final projection both scan it instead of
+    * re-deriving the upstream plan. Rank values are independent of the
+    * sampled range boundaries — offsets + local ranks always compose to
+    * the exact global rank — so the result is partition-layout exact. */
+  def globalRank(table: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      outCol: String): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = Materialize(table.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val sizes = parted.groupBy(col("__pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.toSeq.map { case (pid, n) =>
+      val o = (pid, acc); acc += n; o
+    }.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(outCol,
+        row_number().over(w).cast("long") - 1L + col("__off"))
+      .select(table.columns.map(col) :+ col(outCol): _*)
   }
 
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes

@@ -104,23 +104,26 @@ object Similarity {
 
   /** The IVF centroid set — the model state: a CONSTANT `numCentroids`
     * deterministically-sampled vectors (every `centroidStride`-th id,
-    * first `numCentroids` hits), collected once. k·dim floats of model on
-    * the driver regardless of corpus size — the KMeans-model shape. */
+    * first `numCentroids` hits), collected once. k·dim doubles of model
+    * on the driver regardless of corpus size — the KMeans-model shape.
+    * Coordinates are doubles (float → double is exact) so sampled and
+    * Lloyd-trained centroids ([[trainedCentroids]]) share one literal
+    * type and one oracle arithmetic. */
   def ivfCentroids(emb: DataFrame, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Seq[Float])] =
+      vecCol: String = "embedding"): Array[(Long, Seq[Double])] =
     emb.filter(pmod(col(idCol), lit(centroidStride)) === 0 &&
         col(idCol) < centroidStride.toLong * numCentroids)
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
 
   /** Per-row array of (l2-distance, centroid-id) structs against the
     * inlined centroid literals — argmin is `array_min` (struct ordering =
     * (dist, cent_id), so ties break to the smaller id) in the same narrow
     * pass. */
-  private def centScored(vec: Column, cents: Array[(Long, Seq[Float])]): Column =
+  private def centScored(vec: Column, cents: Array[(Long, Seq[Double])]): Column =
     array(cents.map { case (cid, cv) =>
       struct(l2sqCol(vec, typedlit(cv)).as("dist"), lit(cid).as("cent_id"))
     }: _*)
@@ -150,10 +153,19 @@ object Similarity {
     * candidate set). */
   def ivfTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
       numCentroids: Int = 8, centroidStride: Int = 32,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfTopKWith(emb, probePred, k, nprobe,
+      ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol),
+      idCol, vecCol)
+
+  /** [[ivfTopK]] against an EXPLICIT centroid model — the seam the
+    * trained path uses: pass [[trainedCentroids]] and the same plan runs
+    * with the k-means model instead of the raw sample. */
+  def ivfTopKWith(emb: DataFrame, probePred: Column, k: Int, nprobe: Int,
+      cents: Array[(Long, Seq[Double])], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
     val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"),
       array_min(centScored(col(vecCol), cents)).getField("cent_id").as("cent_id"))
     val probeCents = emb.filter(probePred)
@@ -187,9 +199,19 @@ object Similarity {
     * constant before the shuffle, the k-means-on-Spark standard. */
   def ivfRefine(emb: DataFrame, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding"): DataFrame =
+    refineStep(emb,
+      ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol), vecCol)
+
+  /** One Lloyd step against EXPLICIT centroids — the body shared by
+    * [[ivfRefine]] (sampled model) and [[trainedCentroids]] (iterated
+    * model). Means are decimal-exact and rounded to 6 decimals, so the
+    * refined coordinates are bit-identical across engines and partition
+    * layouts — which is what lets the ITERATED model stay oracle-exact:
+    * every round's input centroids are reproducible doubles. */
+  private def refineStep(emb: DataFrame, cents: Array[(Long, Seq[Double])],
+      vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
     emb.select(
         array_min(centScored(col(vecCol), cents))
           .getField("cent_id").as("cent_id"),
@@ -200,6 +222,46 @@ object Similarity {
       .select(col("cent_id"), col("pos").cast("long").as("pos"),
         col("n_assigned"),
         round(col("s").cast("double") / col("n_assigned"), 6).as("mean"))
+  }
+
+  /** Iterated Lloyd training — k-means for real recall: `iters` rounds,
+    * each ONE corpus pass (the no-shuffle argmin assign fused with a
+    * numCentroids×dim-group partial-aggregated mean), with the k·dim
+    * model collected per round (model to the driver, data never — the
+    * Spark k-means standard; same iterate-materialize shape as the CC
+    * loop, but the per-round state is constant-size so collect IS the
+    * materialization). Clusters that lose all members keep their
+    * previous coordinates. Per-round means are decimal-exact and rounded
+    * to 6 decimals, so the trained model — and everything computed from
+    * it — is reproducible bit-for-bit across engines and layouts. */
+  def trainedCentroids(emb: DataFrame, iters: Int, numCentroids: Int = 8,
+      centroidStride: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
+    var cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    for (_ <- 0 until iters) {
+      val means = refineStep(emb, cents, vecCol).collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getLong(1)).toSeq.map(_.getDouble(3))
+        }
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** The (iters)-th Lloyd step as a DataFrame — the oracle-checkable
+    * face of [[trainedCentroids]]: refine against the model trained for
+    * `iters − 1` rounds, i.e. the per-(centroid, dimension) counts and
+    * means AFTER `iters` total refinement steps. */
+  def kmeansRefine(emb: DataFrame, iters: Int, numCentroids: Int = 8,
+      centroidStride: Int = 32, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, "kmeansRefine needs at least one step")
+    val cents =
+      if (iters == 1) ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+      else trainedCentroids(emb, iters - 1, numCentroids, centroidStride,
+        idCol, vecCol)
+    refineStep(emb, cents, vecCol)
   }
 
   /** Product quantization (the memory-compressed ANN index, Jégou et al.
@@ -242,7 +304,7 @@ object Similarity {
   /** The per-row PQ code array expression for an already-collected
     * codebook (shared by [[pqCodes]] and [[pqTopK]] so the codebook is
     * collected exactly once per query). */
-  private def pqCodesCol(cents: Array[(Long, Seq[Float])], m: Int,
+  private def pqCodesCol(cents: Array[(Long, Seq[Double])], m: Int,
       sub: Int, vecCol: String): Column =
     array((0 until m).map { s =>
       array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
@@ -294,6 +356,60 @@ object Similarity {
       zip_with(col("dt"), col("codes"), (row, c) => element_at(row, c + 1)),
       lit(0.0), (a, x) => a + x)
     val scored = codes.join(broadcast(probes), col("key") =!= col("id"))
+      // negate: the shared bounded heap keeps the LARGEST scores
+      .select(col("key"), col("id"), (-adc).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, -sc) } }
+      .toDF("probe_id", "cand_id", "adc")
+      .select(col("probe_id"), col("cand_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** IVFADC — the production ANN composition (coarse quantizer PRUNES,
+    * PQ codes SCORE): the index is one row per vector with its inverted-
+    * list id and its m PQ codes, built in ONE narrow pass; a probe ranks
+    * the centroids (inlined-literal argmin, no shuffle), keeps its
+    * `nprobe` nearest lists, and ADC-scores ONLY the codes rows in those
+    * lists — the raw vectors are never read at search time, and unlike
+    * [[pqTopK]]'s exhaustive scan, the candidate set shrinks by
+    * ~nprobe/numCentroids. At 100 TB the codes table is stored
+    * partitioned by cent_id, so the pruning is partition pruning on a
+    * 64×-compressed table. Final top-k through the bounded-heap
+    * aggregator (≤ k rows per probe per partition on the shuffle).
+    * nprobe = numCentroids degenerates to exactly [[pqTopK]] (asserted
+    * in AnnRecallSpec). Pass [[trainedCentroids]] as `centsOverride` to
+    * run the k-means model. */
+  def ivfadcTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
+      m: Int = 8, dim: Int = 64, numCentroids: Int = 8,
+      centroidStride: Int = 32,
+      centsOverride: Array[(Long, Seq[Double])] = null,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sub = dim / m
+    val cents = if (centsOverride != null) centsOverride
+      else ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val index = emb.select(col(idCol).as("id"),
+      array_min(centScored(col(vecCol), cents)).getField("cent_id").as("cent_id"),
+      pqCodesCol(cents, m, sub, vecCol).as("codes"))
+    val dt = array((0 until m).map { ss =>
+      array(cents.map { case (_, cv) =>
+        l2sqCol(slice(col(vecCol), ss * sub + 1, sub),
+          typedlit(cv.slice(ss * sub, (ss + 1) * sub)))
+      }: _*)
+    }: _*)
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), dt.as("dt"),
+        explode(transform(
+          slice(array_sort(centScored(col(vecCol), cents)), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
+    val adc = aggregate(
+      zip_with(col("dt"), col("codes"), (row, c) => element_at(row, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("key") =!= col("id"))
       // negate: the shared bounded heap keeps the LARGEST scores
       .select(col("key"), col("id"), (-adc).as("score"))
       .as[graft.plans.Scored]

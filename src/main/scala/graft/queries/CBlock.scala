@@ -395,6 +395,42 @@ object CBlock {
         .orderBy(col("span_hash"))
     }),
 
+    "dedup_spans_overlap" -> ((s, dir) => {
+      // half-stride span pass: catches repeated spans straddling the
+      // aligned-chunk boundaries the non-overlapping pass misses
+      Curation.repeatedSpansOverlap(Tables.documents(s, dir), w = 16)
+        .orderBy(col("span_hash"))
+    }),
+
+    "lm_unigram_vocab" -> ((s, dir) => {
+      // the web-scale LM-score shape: score against the STORED vocab
+      // artifact (written + read back as parquet), not an inline agg —
+      // the layout that lets AQE split the Zipf-head skew join
+      val docs = Tables.documents(s, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_vocab_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      Curation.vocabBuild(docs, minCount = 1)
+        .write.mode("overwrite").parquet(out)
+      Curation.lmUnigramScoreVocab(docs, s.read.parquet(out))
+        .orderBy(col("doc_id"))
+    }),
+
+    "train_export_sink" -> ((s, dir) => {
+      // the WRITER end driver-gated: export through TrainExportSink
+      // (shard-partitioned parquet + manifest commit marker), read back
+      // through the manifest-VALIDATING reader, recompute the audit —
+      // parity with the oracle proves the write→commit→read round-trip
+      val out = s"${sys.props("java.io.tmpdir")}/graft_export_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      graft.sinks.TrainExportSink.write(Tables.documents(s, dir), out,
+        nShards = 16)
+      graft.sinks.TrainExportSink.read(s, out)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.plans.native.token_count(col("text"))).as("tok_sum"))
+        .orderBy(col("shard"))
+    }),
+
     "sim_pq" -> ((s, dir) => {
       // product quantization: 8 subspaces × 8 codes over the IVF sample
       // codebook — one narrow pass, constant inlined codebook
@@ -407,6 +443,23 @@ object CBlock {
       // table + m lookups per candidate, bounded-heap top-k
       Similarity.pqTopK(Tables.embeddings(s, dir), col("vec_id") < 10, k = 5)
         .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
+    }),
+
+    "sim_pq_ivf" -> ((s, dir) => {
+      // IVFADC: coarse quantizer prunes to nprobe inverted lists, ADC
+      // scores only those lists' PQ codes — the production ANN shape
+      Similarity.ivfadcTopK(Tables.embeddings(s, dir), col("vec_id") < 10,
+          k = 5, nprobe = 2)
+        .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
+    }),
+
+    "sim_ivf_trained" -> ((s, dir) => {
+      // the k-means TRAINING loop, oracle-exact: the second Lloyd step —
+      // refine against centroids already refined once (decimal-exact
+      // means rounded to 6 decimals make the iterated model
+      // engine-reproducible)
+      Similarity.kmeansRefine(Tables.embeddings(s, dir), iters = 2)
+        .orderBy(col("cent_id"), col("pos"))
     }),
 
     "quality_classifier" -> ((s, dir) => {
@@ -1172,6 +1225,26 @@ object CBlock {
          |FROM w JOIN c USING (word) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // scored against the stored vocab artifact; with minCount=1 the
+    // vocab's counts are exactly the corpus counts, so the twin is the
+    // inline-count SQL
+    "lm_unigram_vocab" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest($toksSql) AS word FROM documents
+         |), c AS (
+         |  SELECT word, count(*) AS cnt FROM w GROUP BY 1
+         |), t AS (
+         |  SELECT count(*) AS n_words, CAST(sum(cnt) AS BIGINT) AS n_total
+         |  FROM c
+         |)
+         |SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+         |  CAST(sum(CASE WHEN cnt * n_words < n_total THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rare,
+         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
+         |FROM w JOIN c USING (word) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "lm_bigram_score" ->
       s"""WITH w AS (
          |  SELECT doc_id, $toksSql AS t FROM documents
@@ -1202,6 +1275,23 @@ object CBlock {
          |), s AS (
          |  SELECT doc_id,
          |    ${ph("array_to_string(w[j*16+1 : j*16+16], ' ')")} AS span_hash
+         |  FROM c
+         |)
+         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+         |  count(*) AS n_occ, min(doc_id) AS min_doc
+         |FROM s GROUP BY 1
+         |HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY span_hash""".stripMargin,
+
+    "dedup_spans_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 16 + 1, 8)) AS st, w
+         |  FROM t WHERE len(w) >= 16
+         |), s AS (
+         |  SELECT doc_id,
+         |    ${ph("array_to_string(w[st+1 : st+16], ' ')")} AS span_hash
          |  FROM c
          |)
          |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
@@ -1256,6 +1346,101 @@ object CBlock {
         |FROM (SELECT * FROM adc
         |      QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY ad, cand_id) <= 5)
         |ORDER BY probe_id, adc_dist, cand_id""".stripMargin,
+
+    "sim_pq_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), fulld AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cent_id FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), plists AS (
+        |  SELECT vec_id AS probe_id, cent_id FROM fulld WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) <= 2
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |subdist AS (
+        |  SELECT e.vec_id, ss.s, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, ss, cents c
+        |), codes AS (
+        |  SELECT vec_id, s, cent_id AS code FROM subdist
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) = 1
+        |), adc AS (
+        |  SELECT p.vec_id AS probe_id, v.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(p.dist ORDER BY p.s)),
+        |      (a, x) -> a + x) AS ad
+        |  FROM codes v
+        |  JOIN assigned a ON a.vec_id = v.vec_id
+        |  JOIN plists pl ON pl.cent_id = a.cent_id
+        |  JOIN subdist p ON v.s = p.s AND v.code = p.cent_id
+        |    AND p.vec_id = pl.probe_id
+        |  WHERE p.vec_id <> v.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, cand_id, ROUND(ad, 6) AS adc_dist
+        |FROM (SELECT * FROM adc
+        |      QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY ad, cand_id) <= 5)
+        |ORDER BY probe_id, adc_dist, cand_id""".stripMargin,
+
+    "sim_ivf_trained" ->
+      """WITH cents0 AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), d1 AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents0 c
+        |), a1 AS (
+        |  SELECT vec_id, embedding, cent_id FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), m1 AS (
+        |  SELECT cent_id, i.i - 1 AS pos,
+        |    ROUND(CAST(sum(CAST(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mean
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT cent_id, list(mean ORDER BY pos) AS cv
+        |  FROM (
+        |    SELECT c0.cent_id, p.pos,
+        |      COALESCE(m.mean, CAST(c0.cv[CAST(p.pos + 1 AS INT)] AS DOUBLE)) AS mean
+        |    FROM cents0 c0
+        |    CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+        |    LEFT JOIN m1 m ON m.cent_id = c0.cent_id AND m.pos = p.pos
+        |  ) GROUP BY cent_id
+        |), d2 AS (
+        |  SELECT e.vec_id, e.embedding, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+        |         * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, c1 c
+        |), a2 AS (
+        |  SELECT vec_id, embedding, cent_id FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), x AS (
+        |  SELECT a2.cent_id, i.i - 1 AS pos,
+        |    CAST(CAST(a2.embedding[CAST(i.i AS INT)] AS DOUBLE)
+        |      AS DECIMAL(27,10)) AS xv
+        |  FROM a2, (SELECT unnest(range(1, 65)) AS i) i
+        |)
+        |SELECT cent_id, CAST(pos AS BIGINT) AS pos,
+        |  count(*) AS n_assigned,
+        |  ROUND(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS mean
+        |FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH d AS (
@@ -1323,6 +1508,16 @@ object CBlock {
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "train_export_sink" ->
+      s"""WITH s AS (
+         |  SELECT ${ph("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    len($toksSql) AS n_tok
+         |  FROM documents
+         |)
+         |SELECT shard, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
          |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "dedup_contained" ->

@@ -85,10 +85,87 @@ class AnnRecallSpec extends SparkSpec {
           cents(code)._2.slice(s * 8, (s + 1) * 8)
         }
         val exact = vecs(probe).zip(recon)
-          .map { case (a, b) => (a.toDouble - b.toDouble) * (a.toDouble - b.toDouble) }.sum
+          .map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
         assert(math.abs(d - exact) < 1e-5,
           s"ADC($probe,$cand)=$d != l2(probe, reconstruction)=$exact")
       }
+  }
+
+  test("IVFADC: nprobe=all ≡ exhaustive PQ; pruning scans a fraction; trained model ≥ plain PQ") {
+    val emb = Tables.embeddings(spark, sf())
+    val n = emb.count()
+    val nProbes = 20
+    // exact-L2 truth (ADC approximates L2)
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("cand_id"))
+    val truth = topSets(emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("d", graft.plans.native.l2sq(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+
+    // probing every inverted list degenerates to EXACTLY the exhaustive
+    // ADC scan — identical (probe, cand, dist) sets
+    val pqAll = Similarity.pqTopK(emb, col("vec_id") < nProbes, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val adcAll = Similarity.ivfadcTopK(emb, col("vec_id") < nProbes, 5,
+        nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(adcAll == pqAll, "nprobe=numCentroids must equal exhaustive PQ")
+
+    // nprobe=2 prunes: count the candidate rows the ADC join actually
+    // scans vs the exhaustive nProbes × n
+    val cents = Similarity.ivfCentroids(emb)
+    val assigned = Similarity.ivfAssign(emb)
+      .select(col("vec_id"), col("cent_id"))
+    val listSizes = assigned.groupBy("cent_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-probe scanned rows = sizes of its 2 nearest lists
+    val probeCents = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id"),
+        explode(slice(org.apache.spark.sql.functions.transform(
+          array_sort(array(cents.map { case (cid, cv) =>
+            struct(graft.plans.native.l2sq(col("embedding"),
+              typedLit(cv)).as("dist"), lit(cid).as("cent_id"))
+          }: _*)), x => x.getField("cent_id")), 1, 2)).as("cent_id"))
+      .collect().map(r => r.getLong(1))
+    val scannedRows = probeCents.map(c => listSizes.getOrElse(c, 0L)).sum
+    val exhaustiveRows = nProbes * n
+    info(f"IVFADC nprobe=2 scans $scannedRows rows vs exhaustive $exhaustiveRows (${scannedRows.toDouble / exhaustiveRows}%.2f×)")
+    assert(scannedRows < exhaustiveRows,
+      "IVF pruning must scan fewer candidate rows than exhaustive ADC")
+
+    // recall grid: training must not hurt at a fixed scan budget, and
+    // the trained model must reach the untrained EXHAUSTIVE scan's
+    // recall while scanning only a fraction of the codes table
+    val trained = Similarity.trainedCentroids(emb, iters = 4)
+    val rPlain = meanRecall(truth, topSets(
+      Similarity.pqTopK(emb, col("vec_id") < nProbes, 5)))
+    def r(nprobe: Int, cents: Array[(Long, Seq[Double])]) =
+      meanRecall(truth, topSets(Similarity.ivfadcTopK(emb,
+        col("vec_id") < nProbes, 5, nprobe = nprobe, centsOverride = cents)))
+    val grid = Seq(2, 4).map(np => (np, r(np, null), r(np, trained)))
+    grid.foreach { case (np, ru, rt) =>
+      info(f"IVFADC nprobe=$np recall@5: untrained $ru%.3f, trained $rt%.3f (plain exhaustive $rPlain%.3f)")
+    }
+    val rTrained4 = grid.find(_._1 == 4).get._3
+    assert(rTrained4 >= rPlain - 1e-9,
+      s"trained IVFADC at nprobe=4 ($rTrained4) must reach untrained exhaustive PQ ($rPlain) at half the scan")
+  }
+
+  test("k-means-trained IVF: recall@5 >= 0.5 (vs untrained sample centroids)") {
+    val emb = Tables.embeddings(spark, sf())
+    val truth = topSets(Similarity.cosineTopKAgg(emb, col("vec_id") < 20, 5))
+    val untrained = meanRecall(truth, topSets(
+      Similarity.ivfTopK(emb, col("vec_id") < 20, 5, nprobe = 2)))
+    val trained = Similarity.trainedCentroids(emb, iters = 4)
+    val rTrained = meanRecall(truth, topSets(
+      Similarity.ivfTopKWith(emb, col("vec_id") < 20, 5, nprobe = 2, trained)))
+    info(f"IVF recall@5 nprobe=2: sampled $untrained%.3f, k-means-trained $rTrained%.3f")
+    assert(rTrained >= 0.5,
+      s"trained IVF recall@5 must reach 0.5, got $rTrained")
   }
 
   test("LSH-bucket search recall@5 vs brute force; multi-probe recovers it") {

@@ -137,6 +137,33 @@ class CurationSpec extends SparkSpec {
       graft.plans.HashOps.polyHashStr(span))
   }
 
+  test("repeatedSpansOverlap: catches the boundary-straddling duplicate the aligned pass misses") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"s$i").mkString(" ")
+    val pad = (1 to 8).map(i => s"p$i").mkString(" ")
+    // doc 0 carries the span at token offset 8: it straddles the aligned
+    // chunk boundary at 16, so the w=16 aligned pass sees no full copy;
+    // doc 1 carries it at offset 0
+    val tiny = Seq(
+      (0L, pad + " " + span + " " + pad),
+      (1L, span + " tail tokens fill out the document here")
+    ).toDF("doc_id", "text")
+    val aligned = Curation.repeatedSpans(tiny, w = 16).collect()
+    assert(aligned.isEmpty, "aligned chunking must miss the straddling copy")
+    val overlap = Curation.repeatedSpansOverlap(tiny, w = 16).collect()
+    assert(overlap.length == 1, s"overlap pass must catch it: ${overlap.toSeq}")
+    assert(overlap(0).getAs[Long]("n_docs") === 2L)
+    assert(overlap(0).getAs[Long]("span_hash") ===
+      graft.plans.HashOps.polyHashStr(span))
+    // the overlap pass subsumes the aligned pass's occurrences: every
+    // aligned chunk start (multiples of w) is also a stride-grid start
+    val alignedAll = Curation.repeatedSpans(docs, w = 16, minDocs = 1)
+      .select("span_hash").as[Long].collect().toSet
+    val overlapAll = Curation.repeatedSpansOverlap(docs, w = 16, minDocs = 1)
+      .select("span_hash").as[Long].collect().toSet
+    assert(alignedAll.subsetOf(overlapAll))
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")

@@ -76,6 +76,20 @@ class PlanPostureSpec extends SparkSpec {
       s"expected the typed TopKAggregator in the plan:\n$p")
   }
 
+  test("vocab_build: rank window is partitioned — never a single-partition global sort") {
+    // the two-phase rank must keep every WindowExec partitioned (an
+    // empty partitionSpec means Spark moves the WHOLE vocab table to
+    // one task — the 10⁸-row web-vocab bottleneck the round-3 review
+    // flagged)
+    val df = SparkEntry.queries("vocab_build")(spark, sf("0.01"))
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the two-phase rank window in the plan")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      s"vocab rank planned an unpartitioned window:\n${df.queryExecution.sparkPlan}")
+  }
+
   test("sim_pq assign stage is one narrow pass: no join, no window") {
     val p = planOf("sim_pq")
     assert(!p.contains("Join") && !p.contains("Window"),

@@ -103,6 +103,56 @@ class ScaleTechniquesSpec extends SparkSpec {
     }
   }
 
+  test("LM score against the WRITTEN vocab artifact: skew-join fires, scores exact") {
+    // the real web-scale wiring (round-3 ask #6): lmUnigramScoreVocab
+    // joins the corpus against the STORED vocabBuild parquet — the build
+    // side sits directly on a shuffle stage, so OptimizeSkewedJoin can
+    // split the Zipf-head partition without any in-plan Materialize
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevT = spark.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    val prevF = spark.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val prevA = spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4096")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1024")
+    try {
+      // 90% of 200k single-token docs are the head word — one hot
+      // shuffle partition on the score join's word key
+      val docs = spark.range(0, 200000).select(col("id").as("doc_id"),
+        when(pmod(col("id"), lit(10)) < 9, lit("the"))
+          .otherwise(concat(lit("w"), pmod(col("id"), lit(1000))))
+          .as("text"))
+      val vocabDir = Files.createTempDirectory("graft_vocab_artifact").toString
+      graft.operators.Curation.vocabBuild(docs, minCount = 1)
+        .write.mode("overwrite").parquet(vocabDir)
+      val scored = graft.operators.Curation.lmUnigramScoreVocab(
+        docs, spark.read.parquet(vocabDir))
+      val rows = scored.collect()
+      assert(rows.length == 200000)
+      val plan = scored.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE skew-join did not fire on the vocab-artifact join:\n$plan")
+      // scores must equal the inline-aggregate formulation exactly
+      val inline = graft.operators.Curation.lmUnigramScore(docs)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      rows.foreach { r =>
+        val got = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+        assert(inline(r.getLong(0)) == got,
+          s"doc ${r.getLong(0)}: vocab-scored $got != inline ${inline(r.getLong(0))}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", prevT)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", prevF)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", prevA)
+    }
+  }
+
   test("connected components converge on a worst-case-diameter chain") {
     import spark.implicits._
     // a 2000-node path graph has diameter 2000: plain min-label
