@@ -59,6 +59,19 @@ object Bench {
     // Steady-state per-query time: min over two SUCCESSFUL materializations
     // (the reference baseline is a long-running daemon's sustained
     // throughput, so post-JIT time is the comparable number).
+    //
+    // Round-3/4 regression diagnosis (sync_debug_detect 0.90 s → 2.52 s in
+    // BENCH_r03 on untouched code): NOT reproducible — re-measured in round
+    // 4 on the same commit's operator at sf0.1/local[32] it runs 0.73 s
+    // isolated (SPARK_GRAFT_BENCH_ONLY) and 0.61 s inside the full
+    // alphabetical sweep, i.e. back at its round-2 value with no code
+    // change. The plan (pruned scan → get_json_object → rlike → 2-group
+    // agg) has no order-dependent state; the 2.52 s was a transient
+    // artifact of that driver run (BENCH_r03 was attempt "n": 3 — a
+    // retried, contended run), not a plan or JIT regression. min-over-two
+    // within one process cannot defend against machine-level contention;
+    // cross-round comparisons should treat ±2-3× on sub-second queries as
+    // environment noise unless it reproduces.
     final case class R(name: String, secs: Double, err: Option[String])
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
     // iteration aid; the driver leaves it unset → full run)
