@@ -267,9 +267,14 @@ object Curation {
     }
     docs.withColumn("__r", r)
       .withColumn("__full", floor(col("__r")))
+      // affine rehash (as [[splitAssign]]): the raw poly hash of
+      // "mix:<sequential id>" is prefix-banded, which silently turned
+      // Bernoulli(frac(r)) into "always for frac ≥ 0.2, never below" —
+      // measured: ×2.5 upsampling emitted ×3.0
       .withColumn("__u",
-        native.poly_hash(concat(lit("mix:"), col(idCol).cast("string")))
-          .cast("double") / graft.plans.HashOps.M)
+        ((native.poly_hash(concat(lit("mix:"), col(idCol).cast("string")))
+          * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0))
+          % graft.plans.HashOps.M).cast("double") / graft.plans.HashOps.M)
       .withColumn("n_copies", col("__full") +
         when(col("__u") < col("__r") - col("__full"), 1L).otherwise(0L))
       .filter(col("n_copies") > 0)
@@ -324,6 +329,62 @@ object Curation {
       .withColumn(outCol,
         row_number().over(w).cast("long") - 1L + col("__off"))
       .select(table.columns.map(col) :+ col(outCol): _*)
+  }
+
+  /** Deterministic train/validation/test split — the reproducible
+    * hash-based assignment every training-data export needs: each doc
+    * draws u = hash("split:" + id) / M in [0, 1) and lands in the first
+    * split whose cumulative fraction covers u. Content-independent,
+    * engine-portable (the same affine hash family as the samplers), and
+    * stable under corpus growth: adding documents never moves an
+    * existing one between splits (the property a random_split lacks).
+    * ONE narrow pass, no shuffle. */
+  def splitAssign(docs: DataFrame, fracs: Seq[(String, Double)],
+      idCol: String = "doc_id"): DataFrame = {
+    require(fracs.nonEmpty && math.abs(fracs.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    // the raw poly hash of "split:<sequential id>" is prefix-dominated
+    // (u concentrates in a narrow band); one affine rehash from the
+    // minhash permutation family makes the draw uniform — measured
+    // 0.898 / 0.949 at the 0.9 / 0.95 thresholds over 5000 ids
+    val h = native.poly_hash(concat(lit("split:"), col(idCol).cast("string")))
+    val u = ((h * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0))
+      % graft.plans.HashOps.M).cast("double") / graft.plans.HashOps.M
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    val expr = fracs.zip(cum).init.foldRight(lit(fracs.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), c), acc) => when(u < c, lit(name)).otherwise(acc)
+    }
+    docs.withColumn("split", expr)
+  }
+
+  /** Cross-source contamination audit — the overlap MATRIX a mixture
+    * designer checks before weighting sources (high pairwise overlap ⇒
+    * the mixture double-counts the shared content): for each pair of
+    * sources, the number of distinct char-n-grams both contain and the
+    * gram-set jaccard. Grams are made distinct per (source, gram) FIRST
+    * (map-side combined), so the pair join fans out by the per-gram
+    * source list — bounded by #sources (a constant ~100s even at web
+    * scale), never by occurrence counts. Scale: one gram-keyed shuffle
+    * plus a #sources²-bounded aggregate. */
+  def sourceOverlap(docs: DataFrame, n: Int = 8,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(srcCol).as("src"),
+        explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val a = grams.select(col("gram"), col("src").as("source_a"))
+    val b = grams.select(col("gram"), col("src").as("source_b"))
+    a.join(b, "gram").filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("n_grams").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("n_grams").as("__nb"))), "source_b")
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("__na") + col("__nb") - col("n_shared")), 6))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("jaccard"))
   }
 
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes

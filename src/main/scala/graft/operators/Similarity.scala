@@ -320,6 +320,19 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
     val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    pqCodesWith(emb, cents, m, dim, idCol, vecCol)
+  }
+
+  /** [[pqCodes]] against an EXPLICIT codebook — the model-application
+    * seam: the codebook is trained offline (batch [[trainedCentroids]])
+    * and applied here as inlined literals, so the SAME expression
+    * encodes a batch corpus or a STREAMING ingest (it is a pure narrow
+    * projection — no collect, no shuffle, stateless per row; proven
+    * streaming ≡ batch in StreamingCurationSpec). */
+  def pqCodesWith(emb: DataFrame, cents: Array[(Long, Seq[Double])],
+      m: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
     emb.select(col(idCol).as("vec_id"),
       pqCodesCol(cents, m, dim / m, vecCol).as("codes"))
   }

@@ -183,6 +183,23 @@ object TextAnalysis {
         lit("\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"))
         .cast("long"))
 
+  /** PII REDACTION — the transform the counting pass ([[piiCounts]])
+    * audits for: emails → `<EMAIL>`, IPv4s → `<IP>`, applied globally
+    * per document with the same RE2-compatible patterns, so the redacted
+    * text is engine-reproducible byte-for-byte. Output keeps the
+    * redaction count (emails + IPs removed) alongside the rewritten
+    * text. ONE narrow pass, no shuffle — pipelined with the scan. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    piiCounts(docs, textCol)
+      .withColumn("n_redactions", col("n_emails") + col("n_ips"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col(textCol), email, "<EMAIL>"),
+          ip, "<IP>"))
+      .drop("n_emails", "n_ips")
+  }
+
   /** Temperature-scaled source mixing (T = 2): downsample each source to
     * keep_frac = sqrt(min_share / share) of its documents — the smallest
     * source is kept fully, large sources are damped toward the T=2
@@ -198,9 +215,14 @@ object TextAnalysis {
       .crossJoin(broadcast(minCnt))
       .withColumn("keep_frac",
         sqrt(col("__min_cnt").cast("double") / col("__cnt").cast("double")))
+      // affine rehash: the raw poly hash of "t2:<sequential id>" is
+      // prefix-dominated (u banded in ~[0.07, 0.19], so any keep_frac
+      // above ~0.2 kept EVERYTHING); one minhash-family affine step
+      // makes the draw uniform and the keep probability real
       .withColumn("__u",
-        native.poly_hash(concat(lit("t2:"), col(idCol).cast("string")))
-          .cast("double") / lit(2147483647.0))
+        ((native.poly_hash(concat(lit("t2:"), col(idCol).cast("string")))
+          * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0))
+          % graft.plans.HashOps.M).cast("double") / lit(2147483647.0))
       .withColumn("kept", col("__u") < col("keep_frac"))
       .drop("__cnt", "__min_cnt", "__u")
   }

@@ -505,6 +505,39 @@ object CBlock {
       Curation.containedPairs(Tables.documents(s, dir), prefixLen = 16)
         .orderBy(col("doc_in"), col("doc_out"))
     }),
+
+    "split_assign" -> ((s, dir) => {
+      // deterministic hash-based train/valid/test split with audit counts
+      Curation.splitAssign(Tables.documents(s, dir),
+          Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.plans.native.token_count(col("text"))).as("tok_sum"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("split"))
+    }),
+
+    "source_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: shared 8-gram counts + jaccard
+      Curation.sourceOverlap(Tables.documents(s, dir), n = 8)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    "text_redact" -> ((s, dir) => {
+      // same deterministic PII planting as text_pii, then the redaction
+      // TRANSFORM; byte-exact redacted text proven via portable hash
+      val docs = Tables.documents(s, dir)
+      val suffix = when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@example.com")))
+        .when(pmod(col("doc_id"), lit(3)) === 1,
+          concat(lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7")))
+        .otherwise(lit(""))
+      TextAnalysis.redactPii(
+          docs.withColumn("text", concat(col("text"), suffix)))
+        .select(col("doc_id"), col("n_redactions"),
+          graft.plans.native.poly_hash(col("redacted")).as("redacted_hash"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Inline portable poly-hash over a DuckDB string expression (the SQL
@@ -974,8 +1007,9 @@ object CBlock {
          |  SELECT doc_id, source,
          |    CASE WHEN source = 'src0' THEN 2.5
          |         WHEN source = 'src1' THEN 1.25 ELSE 1.0 END AS r,
-         |    CAST(${ph("'mix:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE)
-         |      / 2147483647 AS u
+         |    CAST((${ph("'mix:' || CAST(doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 AS DOUBLE) / 2147483647 AS u
          |  FROM documents
          |), n AS (
          |  SELECT doc_id, source, r,
@@ -1011,7 +1045,9 @@ object CBlock {
          |k AS (
          |  SELECT d.source,
          |    sqrt(CAST(m.min_cnt AS DOUBLE) / CAST(c.cnt AS DOUBLE)) AS keep_frac,
-         |    CAST(${ph("'t2:' || CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 2147483647 AS u
+         |    CAST((${ph("'t2:' || CAST(doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 AS DOUBLE) / 2147483647 AS u
          |  FROM documents d JOIN cnts c USING (source) CROSS JOIN m
          |)
          |SELECT source, count(*) AS n_docs,
@@ -1528,5 +1564,69 @@ object CBlock {
         | AND length(a.text) < length(b.text)
         | AND substr(b.text, 1, CAST(length(a.text) AS INTEGER)) = a.text
         |ORDER BY doc_in, doc_out""".stripMargin,
+
+    // cumulative thresholds written as the same double-arithmetic chain
+    // the Spark side folds (0.9, 0.9 + 0.05) so both engines compare u
+    // against bit-identical bounds
+    "split_assign" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    CAST((${ph("'split:' || CAST(doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 AS DOUBLE) / 2147483647 AS u,
+         |    len($toksSql) AS n_tok
+         |  FROM documents
+         |), a AS (
+         |  SELECT doc_id, n_tok,
+         |    CASE WHEN u < 0.9 THEN 'train'
+         |         WHEN u < 0.9 + 0.05 THEN 'valid'
+         |         ELSE 'test' END AS split
+         |  FROM k
+         |)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS min_id
+         |FROM a GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "source_overlap" ->
+      s"""WITH g0 AS (
+         |  SELECT source AS src,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), g AS (SELECT DISTINCT src, gram FROM g0),
+         |sizes AS (
+         |  SELECT src, count(*) AS n_grams FROM g GROUP BY 1
+         |), p AS (
+         |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, n_shared,
+         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+         |FROM p
+         |JOIN sizes sa ON sa.src = source_a
+         |JOIN sizes sb ON sb.src = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "text_redact" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 3 = 0 THEN ' contact u' || doc_id || '@example.com'
+         |                  WHEN doc_id % 3 = 1 THEN ' host 10.0.' || (doc_id % 256) || '.7'
+         |                  ELSE '' END) AS t
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}'))
+         |      + len(regexp_extract_all(t, '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'))
+         |      AS BIGINT) AS n_redactions,
+         |    regexp_replace(
+         |      regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b', '<IP>', 'g') AS redacted
+         |  FROM d
+         |)
+         |SELECT doc_id, n_redactions, ${ph("redacted")} AS redacted_hash
+         |FROM r ORDER BY doc_id""".stripMargin,
   )
 }

@@ -229,6 +229,49 @@ class CurationSpec extends SparkSpec {
       s"upsampling must not shuffle:\n$exec")
   }
 
+  test("splitAssign: deterministic, growth-stable, fractions honored") {
+    val fr = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = asMap(Curation.splitAssign(
+      docs.filter(col("doc_id") < 300), fr))
+    val full = asMap(Curation.splitAssign(docs, fr))
+    // growth stability: adding documents never moves an existing one
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+    // two runs identical (hash-based, no rand())
+    assert(full == asMap(Curation.splitAssign(docs, fr)))
+    val train = full.values.count(_ == "train").toDouble / full.size
+    assert(train > 0.8 && train < 0.98, s"train fraction off: $train")
+    assert(full.values.toSet.subsetOf(Set("train", "valid", "test")))
+  }
+
+  test("redactPii: counts match replacements and no PII survives") {
+    import spark.implicits._
+    val tiny = Seq(
+      (0L, "write to a@b.com and c.d@e.org now"),
+      (1L, "host 10.0.3.7 and 192.168.0.1 up"),
+      (2L, "clean text no pii at all")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(tiny)
+      .select("doc_id", "n_redactions", "redacted").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(0L) == ((2L, "write to <EMAIL> and <EMAIL> now")))
+    assert(out(1L) == ((2L, "host <IP> and <IP> up")))
+    assert(out(2L) == ((0L, "clean text no pii at all")))
+  }
+
+  test("sourceOverlap: pair per source pair, jaccard bounded, self-consistent") {
+    val m = Curation.sourceOverlap(docs, n = 8).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.nonEmpty)
+    m.foreach { case ((a, b), (shared, j)) =>
+      assert(a < b, "one row per unordered pair")
+      assert(shared >= 1L && j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("vocabBuild: dense ids in (count desc, word) order, minCount honored") {
     val vocab = Curation.vocabBuild(docs, minCount = 2).cache()
     val rows = vocab.orderBy("vocab_id")

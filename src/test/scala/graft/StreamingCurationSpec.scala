@@ -42,6 +42,32 @@ class StreamingCurationSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming PQ code assignment (offline-trained codebook) == batch") {
+    // the ANN model-application seam: codebook trained offline on the
+    // batch corpus, applied to a streaming ingest as a pure narrow
+    // projection — every new vector is indexed at consume time
+    val tmp = Files.createTempDirectory("graft-pq-stream").toString
+    val emb = Tables.embeddings(spark, sf())
+    emb.write.parquet(s"$tmp/src")
+    val cents = graft.operators.Similarity.trainedCentroids(emb, iters = 2)
+    val stream = spark.readStream.schema(emb.schema).parquet(s"$tmp/src")
+    val q = graft.operators.Similarity.pqCodesWith(stream, cents)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val batch = graft.operators.Similarity.pqCodesWith(emb, cents)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("packSequences is a batch-only export (streaming window rejected)") {
     val tmp = Files.createTempDirectory("graft-curate-stream2").toString
     val docs = Tables.documents(spark, sf())
