@@ -223,6 +223,15 @@ class CurationSpec extends SparkSpec {
     val again = Curation.mixUpsample(docs, weights)
       .select("doc_id", "copy").collect().toSet
     assert(mixed.select("doc_id", "copy").collect().toSet === again)
+    // the draw must actually be Bernoulli(frac(r)), not degenerate: for
+    // r = 2.5 SOME docs draw the extra copy and SOME don't (the
+    // prefix-banded raw hash made this all-or-nothing — every src0 doc
+    // drew it — which a bracket check alone cannot catch)
+    val src0 = perDoc.filter(col("source") === "src0")
+    val nExtra = src0.filter(col("n_copies") === 3).count().toDouble
+    val n0 = src0.count().toDouble
+    assert(nExtra / n0 > 0.2 && nExtra / n0 < 0.8,
+      s"Bernoulli(0.5) draw is degenerate: $nExtra of $n0 drew the extra copy")
     // one narrow pass: the plan has no Exchange
     val exec = Curation.mixUpsample(docs, weights).queryExecution.executedPlan
     assert(!exec.toString.contains("Exchange"),

@@ -90,6 +90,21 @@ class PlanPostureSpec extends SparkSpec {
       s"vocab rank planned an unpartitioned window:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("split_assign / text_redact: narrow transforms — no join, no window") {
+    Seq("split_assign", "text_redact").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Join") && !p.contains("Window"),
+        s"$q must stay a narrow per-row transform:\n$p")
+    }
+  }
+
+  test("source_overlap: gram-keyed equi-join, never cartesian") {
+    val p = planOf("source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"source pair join must be keyed on the gram:\n$p")
+  }
+
   test("sim_pq assign stage is one narrow pass: no join, no window") {
     val p = planOf("sim_pq")
     assert(!p.contains("Join") && !p.contains("Window"),
