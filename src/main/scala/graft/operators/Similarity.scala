@@ -433,6 +433,92 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("adc"), 6).as("adc_dist"))
   }
 
+  /** A column holding THIS ROW's coarse-centroid vector, selected from
+    * the inlined centroid literals by the row's `cent_id` — the seam the
+    * residual encoder needs (a numCentroids-branch CASE over constant
+    * array literals, still a narrow projection). */
+  private def centVecFor(centId: Column,
+      cents: Array[(Long, Seq[Double])]): Column =
+    cents.tail.foldLeft(typedlit(cents.head._2): Column) { case (acc, (cid, cv)) =>
+      when(centId === cid, typedlit(cv)).otherwise(acc)
+    }
+
+  /** RESIDUAL IVFADC — the full production composition (PQ over
+    * residuals x − c_list, as FAISS's IVFADC): each vector stores its
+    * inverted-list id and the PQ codes of its RESIDUAL from the list
+    * centroid; a probe builds a distance table PER PROBED LIST from its
+    * own residual against that list's centroid, so the approximate
+    * distance is ||q − c_list − reconstruction(residual)||². Residuals
+    * concentrate near the origin, which is what makes a small shared
+    * codebook usable across lists — the reason production systems
+    * encode residuals rather than raw vectors.
+    *
+    * Scale posture: the index build is ONE narrow pass (argmin +
+    * CASE-selected centroid literal + residual codes); probes explode
+    * ×nprobe and are broadcast; the cent_id equi-join prunes exactly as
+    * [[ivfadcTopK]]; bounded-heap top-k. All constants are inlined
+    * literals — no join, no window, no Exchange before the final heap. */
+  def ivfadcResidualTopK(emb: DataFrame, probePred: Column, k: Int,
+      nprobe: Int = 2, m: Int = 8, dim: Int = 64, numCentroids: Int = 8,
+      centroidStride: Int = 32,
+      centsOverride: Array[(Long, Seq[Double])] = null,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val s = emb.sparkSession
+    import s.implicits._
+    val sub = dim / m
+    val cents = if (centsOverride != null) centsOverride
+      else ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    def residual(vec: Column, centId: Column): Column =
+      zip_with(toDouble(vec), centVecFor(centId, cents), (a, b) => a - b)
+    // residual codes against the same codebook slices: argmin per
+    // subspace of ||r_s − cb_s||² (an expression over the residual
+    // column, so it shares one assignment pass with the cent_id argmin)
+    def residualCodes(r: Column): Column =
+      array((0 until m).map { ss =>
+        array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
+          struct(
+            l2sqCol(slice(r, ss * sub + 1, sub),
+              typedlit(cv.slice(ss * sub, (ss + 1) * sub))).as("dist"),
+            lit(ord).as("ord"))
+        }: _*)).getField("ord")
+      }: _*)
+    val index = emb
+      .select(col(idCol).as("id"),
+        array_min(centScored(col(vecCol), cents))
+          .getField("cent_id").as("cent_id"),
+        col(vecCol).as("__v"))
+      .select(col("id"), col("cent_id"),
+        residualCodes(residual(col("__v"), col("cent_id"))).as("codes"))
+    // per probed list: the distance table of the probe's OWN residual
+    // from that list's centroid (the table depends on (probe, list))
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("__q"),
+        explode(transform(
+          slice(array_sort(centScored(col(vecCol), cents)), 1, nprobe),
+          x => x.getField("cent_id"))).as("cent_id"))
+      .select(col("key"), col("cent_id"),
+        array((0 until m).map { ss =>
+          array(cents.map { case (_, cv) =>
+            l2sqCol(slice(residual(col("__q"), col("cent_id")), ss * sub + 1, sub),
+              typedlit(cv.slice(ss * sub, (ss + 1) * sub)))
+          }: _*)
+        }: _*).as("dt"))
+    val adc = aggregate(
+      zip_with(col("dt"), col("codes"), (row, c) => element_at(row, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val scored = index.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("key") =!= col("id"))
+      // negate: the shared bounded heap keeps the LARGEST scores
+      .select(col("key"), col("id"), (-adc).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, -sc) } }
+      .toDF("probe_id", "cand_id", "adc")
+      .select(col("probe_id"), col("cand_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
   /** ANN via LSH: top-k among candidates in the probe's bucket, plus —
     * with `multiProbe` (default) — the nPlanes buckets at hamming
     * distance 1 (standard multi-probe LSH: a true neighbor differs from

@@ -453,6 +453,14 @@ object CBlock {
         .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
     }),
 
+    "sim_pq_residual" -> ((s, dir) => {
+      // TRUE IVFADC: PQ over residuals x − c_list, per-(probe, list)
+      // distance tables — the FAISS-style production index
+      Similarity.ivfadcResidualTopK(Tables.embeddings(s, dir),
+          col("vec_id") < 10, k = 5, nprobe = 2)
+        .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
+    }),
+
     "sim_ivf_trained" -> ((s, dir) => {
       // the k-means TRAINING loop, oracle-exact: the second Lloyd step —
       // refine against centroids already refined once (decimal-exact
@@ -1421,6 +1429,72 @@ object CBlock {
         |  JOIN subdist p ON v.s = p.s AND v.code = p.cent_id
         |    AND p.vec_id = pl.probe_id
         |  WHERE p.vec_id <> v.vec_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, cand_id, ROUND(ad, 6) AS adc_dist
+        |FROM (SELECT * FROM adc
+        |      QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY ad, cand_id) <= 5)
+        |ORDER BY probe_id, adc_dist, cand_id""".stripMargin,
+
+    "sim_pq_residual" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), fulld AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |), assigned AS (
+        |  SELECT vec_id, cent_id FROM fulld
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), plists AS (
+        |  SELECT vec_id AS probe_id, cent_id FROM fulld WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) <= 2
+        |), res AS (
+        |  SELECT a.vec_id, a.cent_id,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        |        - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS r
+        |  FROM assigned a
+        |  JOIN embeddings e USING (vec_id)
+        |  JOIN cents c ON c.cent_id = a.cent_id
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |rsub AS (
+        |  SELECT res.vec_id, ss.s, c.cent_id AS cb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (res.r[CAST(ss.s*8+i AS INT)] - CAST(c.cv[CAST(ss.s*8+i AS INT)] AS DOUBLE))
+        |         * (res.r[CAST(ss.s*8+i AS INT)] - CAST(c.cv[CAST(ss.s*8+i AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM res, ss, cents c
+        |), codes AS (
+        |  SELECT vec_id, s, cb AS code FROM rsub
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cb) = 1
+        |), pres AS (
+        |  SELECT pl.probe_id, pl.cent_id,
+        |    list_transform(range(1, 65), i ->
+        |      CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+        |        - CAST(c.cv[CAST(i AS INT)] AS DOUBLE)) AS r
+        |  FROM plists pl
+        |  JOIN embeddings e ON e.vec_id = pl.probe_id
+        |  JOIN cents c ON c.cent_id = pl.cent_id
+        |), pdt AS (
+        |  SELECT p.probe_id, p.cent_id, ss.s, c.cent_id AS cb,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (p.r[CAST(ss.s*8+i AS INT)] - CAST(c.cv[CAST(ss.s*8+i AS INT)] AS DOUBLE))
+        |         * (p.r[CAST(ss.s*8+i AS INT)] - CAST(c.cv[CAST(ss.s*8+i AS INT)] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM pres p, ss, cents c
+        |), adc AS (
+        |  SELECT t.probe_id, v.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(t.dist ORDER BY t.s)),
+        |      (a, x) -> a + x) AS ad
+        |  FROM codes v
+        |  JOIN assigned a ON a.vec_id = v.vec_id
+        |  JOIN pdt t ON t.cent_id = a.cent_id AND t.s = v.s AND t.cb = v.code
+        |  WHERE t.probe_id <> v.vec_id
         |  GROUP BY 1, 2
         |)
         |SELECT probe_id, cand_id, ROUND(ad, 6) AS adc_dist

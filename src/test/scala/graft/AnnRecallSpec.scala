@@ -155,6 +155,59 @@ class AnnRecallSpec extends SparkSpec {
       s"trained IVFADC at nprobe=4 ($rTrained4) must reach untrained exhaustive PQ ($rPlain) at half the scan")
   }
 
+  test("residual IVFADC: ADC ≡ l2(probe residual, residual reconstruction)") {
+    val emb = Tables.embeddings(spark, sf())
+    val cents = Similarity.ivfCentroids(emb)
+    val byId = cents.toMap
+    val assigned = Similarity.ivfAssign(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    // nprobe = all lists so every (probe, cand) pair is reachable
+    val adc = Similarity.ivfadcResidualTopK(emb, col("vec_id") < 20, 5,
+        nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // driver-side recomputation: x's residual codes, then the identity
+    // ADC(q, x) = ||(q − c_list(x)) − reconstruction(codes(x))||²
+    def codesOf(id: Long): Seq[Int] = {
+      val c = byId(assigned(id))
+      val r = vecs(id).zip(c).map { case (a, b) => a - b }
+      (0 until 8).map { s =>
+        val rs = r.slice(s * 8, (s + 1) * 8)
+        cents.zipWithIndex.map { case ((_, cv), ord) =>
+          val cb = cv.slice(s * 8, (s + 1) * 8)
+          (rs.zip(cb).map { case (a, b) => (a - b) * (a - b) }.sum, ord)
+        }.min._2
+      }
+    }
+    assert(adc.nonEmpty)
+    adc.take(30).foreach { case ((p, cand), d) =>
+      val cl = byId(assigned(cand))
+      val qr = vecs(p).zip(cl).map { case (a, b) => a - b }
+      val recon = codesOf(cand).zipWithIndex.flatMap { case (code, s) =>
+        cents(code)._2.slice(s * 8, (s + 1) * 8)
+      }
+      val exact = qr.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(math.abs(d - exact) < 1e-5,
+        s"residual ADC($p,$cand)=$d != identity $exact")
+    }
+    // recall vs exact L2, residual codes vs raw codes at the same prune
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("cand_id"))
+    val truth = topSets(emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("d", graft.plans.native.l2sq(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+    val rRaw = meanRecall(truth, topSets(
+      Similarity.ivfadcTopK(emb, col("vec_id") < 20, 5, nprobe = 2)))
+    val rRes = meanRecall(truth, topSets(
+      Similarity.ivfadcResidualTopK(emb, col("vec_id") < 20, 5, nprobe = 2)))
+    info(f"IVFADC nprobe=2 recall@5: raw codes $rRaw%.3f, residual codes $rRes%.3f")
+  }
+
   test("k-means-trained IVF: recall@5 >= 0.5 (vs untrained sample centroids)") {
     val emb = Tables.embeddings(spark, sf())
     val truth = topSets(Similarity.cosineTopKAgg(emb, col("vec_id") < 20, 5))
