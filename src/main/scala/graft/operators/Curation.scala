@@ -250,6 +250,29 @@ object Curation {
       .withColumn("avg_freq", col("freq_sum") / col("n_tok"))
   }
 
+  /** [[lmBigramScore]] against the STORED [[bigramVocabBuild]] artifact —
+    * the same web-scale wiring as [[lmUnigramScoreVocab]]: the bigram
+    * count table is read from storage, so the score join's build side
+    * sits directly on a shuffle stage and AQE's skew split applies to
+    * the Zipf head. Scores ≡ the inline formulation for a minCount = 1
+    * vocab over the same corpus. */
+  def lmBigramScoreVocab(docs: DataFrame, vocab: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val bigrams = docs.select(col(idCol),
+      explode(native.word_bigrams(col(textCol))).as("bigram"))
+    val counts = vocab.select(col("bigram"), col("cnt"))
+    val totals = counts.agg(count(lit(1)).as("n_types"),
+      sum(col("cnt")).as("n_total"))
+    bigrams.join(counts, "bigram")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cnt")).as("freq_sum"),
+        sum(when(col("cnt") * col("n_types") < col("n_total"), 1L)
+          .otherwise(0L)).as("n_rare"))
+      .withColumn("avg_freq", col("freq_sum") / col("n_bigrams"))
+  }
+
   /** Epoch-style source upsampling — the data-mixture counterpart of
     * temperature DOWNsampling: each source gets a repeat factor r (its
     * "epochs"); every doc is emitted floor(r) times plus one more with
@@ -297,6 +320,21 @@ object Curation {
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     globalRank(counts, Seq(col("cnt").desc, col("word")), "vocab_id")
+  }
+
+  /** The BIGRAM counterpart of [[vocabBuild]] — the stored artifact
+    * [[lmBigramScoreVocab]] consumes: bigram → (vocab_id, count), ids
+    * dense in (count desc, bigram) order via the same two-phase rank.
+    * The bigram universe is larger than the unigram one (Zipf-bounded
+    * in practice, O(vocab²) in theory), which is exactly why the rank
+    * must never hit a single partition. */
+  def bigramVocabBuild(docs: DataFrame, minCount: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val counts = docs
+      .select(explode(native.word_bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    globalRank(counts, Seq(col("cnt").desc, col("bigram")), "vocab_id")
   }
 
   /** Two-phase global dense rank over a TOTAL order with no

@@ -306,14 +306,84 @@ object Similarity {
     * collected exactly once per query). */
   private def pqCodesCol(cents: Array[(Long, Seq[Double])], m: Int,
       sub: Int, vecCol: String): Column =
-    array((0 until m).map { s =>
-      array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
+    pqCodesColBooks(booksFrom(cents, m, sub), sub, vecCol)
+
+  /** Per-subspace codebooks sliced from full-vector centroids — the
+    * untrained default every PQ path starts from. */
+  def booksFrom(cents: Array[(Long, Seq[Double])], m: Int,
+      sub: Int): Array[Array[Seq[Double]]] =
+    Array.tabulate(m)(s => cents.map(_._2.slice(s * sub, (s + 1) * sub)))
+
+  private def pqCodesColBooks(books: Array[Array[Seq[Double]]], sub: Int,
+      vecCol: String): Column =
+    array(books.indices.map { s =>
+      array_min(array(books(s).zipWithIndex.map { case (cw, ord) =>
         struct(
-          l2sqCol(slice(col(vecCol), s * sub + 1, sub),
-            typedlit(cv.slice(s * sub, (s + 1) * sub))).as("dist"),
+          l2sqCol(slice(col(vecCol), s * sub + 1, sub), typedlit(cw))
+            .as("dist"),
           lit(ord).as("ord"))
       }: _*)).getField("ord")
     }: _*)
+
+  /** TRUE per-subspace PQ training: independent k-means in every
+    * subspace over the SUBVECTORS (not slices of full-vector centroids
+    * — the distinction that makes a PQ codebook a codebook). One corpus
+    * pass per round computes all m subspaces' assignments and
+    * decimal-exact means together (explode over subspaces + posexplode
+    * over coordinates, map-side combined to m×numCentroids×sub groups);
+    * the m·numCentroids·sub model doubles collect per round. Per-
+    * subspace total quantization error is non-increasing under Lloyd
+    * steps — AnnRecallSpec asserts exactly that against the untrained
+    * sliced books. Empty codewords keep their previous coordinates. */
+  def trainedSubCodebooks(emb: DataFrame, iters: Int, m: Int = 8,
+      dim: Int = 64, numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Seq[Double]]] = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dim / m
+    var books = booksFrom(
+      ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol), m, sub)
+    for (_ <- 0 until iters) {
+      val perSub = array((0 until m).map { s =>
+        struct(lit(s).as("s"),
+          array_min(array(books(s).zipWithIndex.map { case (cw, ord) =>
+            struct(l2sqCol(slice(col(vecCol), s * sub + 1, sub),
+              typedlit(cw)).as("dist"), lit(ord).as("ord"))
+          }: _*)).getField("ord").as("code"),
+          slice(toDouble(col(vecCol)), s * sub + 1, sub).as("sv"))
+      }: _*)
+      val rows = emb.select(explode(perSub).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
+        .groupBy(col("s"), col("code"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(DecimalType(27, 10))).as("sum"))
+        .select(col("s"), col("code"), col("pos"),
+          round(col("sum").cast("double") / col("n"), 6).as("mean"))
+        .collect()
+      val byKey = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (k, rs) =>
+          k -> rs.sortBy(_.getInt(2)).toSeq.map(_.getDouble(3))
+        }
+      books = Array.tabulate(m)(s => Array.tabulate(numCentroids)(c =>
+        byKey.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** Total PQ quantization error of the corpus under `books` — the
+    * objective k-means minimizes (Σ over vectors and subspaces of the
+    * min distance to a codeword); the scalar the training-improves
+    * assertion compares. One narrow pass + one 1-row agg. */
+  def pqQuantizationError(emb: DataFrame, books: Array[Array[Seq[Double]]],
+      sub: Int, vecCol: String = "embedding"): Double = {
+    val perSub = (0 until books.length).map { s =>
+      array_min(array(books(s).map { cw =>
+        l2sqCol(slice(col(vecCol), s * sub + 1, sub), typedlit(cw))
+      }: _*))
+    }.reduce(_ + _)
+    emb.agg(sum(perSub)).head.getDouble(0)
+  }
 
   def pqCodes(emb: DataFrame, m: Int = 8, dim: Int = 64,
       numCentroids: Int = 8, centroidStride: Int = 32,
@@ -361,6 +431,38 @@ object Similarity {
       array(cents.map { case (_, cv) =>
         l2sqCol(slice(col(vecCol), s * sub + 1, sub),
           typedlit(cv.slice(s * sub, (s + 1) * sub)))
+      }: _*)
+    }: _*)
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), dt.as("dt"))
+    val adc = aggregate(
+      zip_with(col("dt"), col("codes"), (row, c) => element_at(row, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val scored = codes.join(broadcast(probes), col("key") =!= col("id"))
+      // negate: the shared bounded heap keeps the LARGEST scores
+      .select(col("key"), col("id"), (-adc).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, -sc) } }
+      .toDF("probe_id", "cand_id", "adc")
+      .select(col("probe_id"), col("cand_id"), round(col("adc"), 6).as("adc_dist"))
+  }
+
+  /** [[pqTopK]] against EXPLICIT per-subspace codebooks — the trained-
+    * model search path ([[trainedSubCodebooks]] plugs in here). Same
+    * exhaustive-ADC plan: codes-only scan, broadcast probes with
+    * inlined distance tables, bounded-heap top-k. */
+  def pqTopKBooks(emb: DataFrame, probePred: Column, k: Int,
+      books: Array[Array[Seq[Double]]], sub: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val codes = emb.select(col(idCol).as("id"),
+      pqCodesColBooks(books, sub, vecCol).as("codes"))
+    val dt = array(books.indices.map { ss =>
+      array(books(ss).map { cw =>
+        l2sqCol(slice(col(vecCol), ss * sub + 1, sub), typedlit(cw))
       }: _*)
     }: _*)
     val probes = emb.filter(probePred)

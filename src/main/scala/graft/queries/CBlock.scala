@@ -388,6 +388,17 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "lm_bigram_vocab" -> ((s, dir) => {
+      // bigram scores against the STORED bigram-vocab artifact
+      val docs = Tables.documents(s, dir)
+      val out = s"${sys.props("java.io.tmpdir")}/graft_bivocab_" +
+        s"${Integer.toHexString(dir.hashCode)}"
+      Curation.bigramVocabBuild(docs, minCount = 1)
+        .write.mode("overwrite").parquet(out)
+      Curation.lmBigramScoreVocab(docs, s.read.parquet(out))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_spans" -> ((s, dir) => {
       // cross-doc repeated 16-token spans: chunk-hash approximation of
       // exact-substring dedup
@@ -1290,6 +1301,29 @@ object CBlock {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "lm_bigram_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), b AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM w WHERE len(t) >= 2
+         |), c AS (
+         |  SELECT bigram, count(*) AS cnt FROM b GROUP BY 1
+         |), t AS (
+         |  SELECT count(*) AS n_types, CAST(sum(cnt) AS BIGINT) AS n_total
+         |  FROM c
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(cnt) AS BIGINT) AS freq_sum,
+         |  CAST(sum(CASE WHEN cnt * n_types < n_total THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_rare,
+         |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
+         |FROM b JOIN c USING (bigram) CROSS JOIN t
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // scored against the stored bigram-vocab artifact (minCount=1 →
+    // counts are exactly the corpus bigram counts)
+    "lm_bigram_vocab" ->
       s"""WITH w AS (
          |  SELECT doc_id, $toksSql AS t FROM documents
          |), b AS (

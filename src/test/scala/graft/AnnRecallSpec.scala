@@ -208,6 +208,39 @@ class AnnRecallSpec extends SparkSpec {
     info(f"IVFADC nprobe=2 recall@5: raw codes $rRaw%.3f, residual codes $rRes%.3f")
   }
 
+  test("per-subspace PQ training: quantization error non-increasing, recall lifts") {
+    val emb = Tables.embeddings(spark, sf())
+    val sub = 8
+    val untrained = Similarity.booksFrom(Similarity.ivfCentroids(emb), 8, sub)
+    val trained = Similarity.trainedSubCodebooks(emb, iters = 4)
+    // Lloyd's theorem: each round's assignment-then-means step cannot
+    // increase the per-subspace total quantization error (tolerance for
+    // the 6-decimal mean rounding)
+    val e0 = Similarity.pqQuantizationError(emb, untrained, sub)
+    val e1 = Similarity.pqQuantizationError(emb, trained, sub)
+    info(f"PQ quantization error: untrained $e0%.1f → trained $e1%.1f (${e1 / e0}%.3f×)")
+    assert(e1 <= e0 * 1.000001,
+      s"Lloyd training must not increase quantization error: $e0 -> $e1")
+    // recall vs exact-L2 truth: trained SUBSPACE codebooks vs sliced
+    // full-vector centroids on the same exhaustive ADC scan
+    import org.apache.spark.sql.expressions.Window
+    val probes = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("d"), col("cand_id"))
+    val truth = topSets(emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cv"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("d", graft.plans.native.l2sq(col("pv"), col("cv")))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 5))
+    val rU = meanRecall(truth, topSets(
+      Similarity.pqTopK(emb, col("vec_id") < 20, 5)))
+    val rT = meanRecall(truth, topSets(
+      Similarity.pqTopKBooks(emb, col("vec_id") < 20, 5, trained, sub)))
+    info(f"exhaustive ADC recall@5: sliced-centroid books $rU%.3f, trained subspace books $rT%.3f")
+    assert(rT >= rU - 1e-9,
+      s"trained subspace codebooks must not recall below untrained slices: $rT < $rU")
+  }
+
   test("k-means-trained IVF: recall@5 >= 0.5 (vs untrained sample centroids)") {
     val emb = Tables.embeddings(spark, sf())
     val truth = topSets(Similarity.cosineTopKAgg(emb, col("vec_id") < 20, 5))
