@@ -29,7 +29,11 @@ final case class CurateConfig(
     benchMod: Int = 97,
     decontaminateN: Int = 8,
     maxDf: Int = 2,
-    nShards: Int = 16)
+    nShards: Int = 16,
+    // when non-empty, the cleaned corpus is split via [[Curation
+    // .splitAssign]] and the manifest is per (split, shard) — the full
+    // train/valid/test export in one configured pipeline
+    splits: Seq[(String, Double)] = Nil)
 
 object Curation {
 
@@ -61,10 +65,16 @@ object Curation {
         scored.filter(!isBench)
           .join(cont, col("doc_id") === col("__cont"), "left_anti")
       }
-    shardAssign(cleaned, cfg.nShards)
-      .groupBy(col("shard"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(native.token_count(col("text"))).as("tok_sum"))
+    val sharded = shardAssign(cleaned, cfg.nShards)
+    if (cfg.splits.isEmpty)
+      sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(native.token_count(col("text"))).as("tok_sum"))
+    else
+      splitAssign(sharded, cfg.splits)
+        .groupBy(col("split"), col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(native.token_count(col("text"))).as("tok_sum"))
   }
 
   /** GPT-style sequence-packing manifest: per packing stream (`streamCol`),

@@ -181,6 +181,16 @@ object CBlock {
         .orderBy(col("shard"))
     }),
 
+    "curate_split" -> ((s, dir) => {
+      // the FULL configured export: curation pipeline + train/valid/test
+      // split, manifest per (split, shard)
+      val cfg = graft.operators.CurateConfig(
+        langs = Seq("en", "es", "fr"), minQuality = 0.6, nShards = 8,
+        splits = Seq("train" -> 0.9, "valid" -> 0.05, "test" -> 0.05))
+      Curation.curate(cfg, stopwords)(Tables.documents(s, dir))
+        .orderBy(col("split"), col("shard"))
+    }),
+
     "sample_stratified" -> ((s, dir) => {
       TextAnalysis.sampleStratified(Tables.documents(s, dir), "source", k = 5)
         .select(col("doc_id"), col("source"), col("lang"))
@@ -958,6 +968,59 @@ object CBlock {
          |)
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
          |FROM clean GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "curate_split" ->
+      s"""WITH RECURSIVE ${minhashPairsCte("WHERE lang IN ('en','es','fr')")},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents
+         |        WHERE lang IN ('en','es','fr'))
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents WHERE lang IN ('en','es','fr')
+         |), gdf AS (
+         |  SELECT gram, count(*) AS df FROM g GROUP BY 1
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM g JOIN gdf USING (gram)
+         |  WHERE doc_id % 97 = 0 AND df <= 2
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+         |  WHERE doc_id % 97 <> 0
+         |), clean AS (
+         |  SELECT d.doc_id, ${ph("CAST(d.doc_id AS VARCHAR)")} % 8 AS shard,
+         |    len($toksSql) AS n_tok,
+         |    CAST((${ph("'split:' || CAST(d.doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 AS DOUBLE) / 2147483647 AS u
+         |  FROM documents d
+         |  JOIN q ON d.doc_id = q.doc_id
+         |  LEFT JOIN labels l ON d.doc_id = l.ldoc
+         |  WHERE d.lang IN ('en','es','fr')
+         |    AND (l.ldoc IS NULL OR l.cl = d.doc_id)
+         |    AND q.quality >= 0.6
+         |    AND d.doc_id % 97 <> 0
+         |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+         |)
+         |SELECT CASE WHEN u < 0.9 THEN 'train'
+         |            WHEN u < 0.9 + 0.05 THEN 'valid'
+         |            ELSE 'test' END AS split,
+         |  shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum
+         |FROM clean GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT doc_id, source, lang
