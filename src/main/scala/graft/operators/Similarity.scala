@@ -339,20 +339,52 @@ object Similarity {
       dim: Int = 64, numCentroids: Int = 8, centroidStride: Int = 32,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Seq[Double]]] = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
-    import org.apache.spark.sql.types.DecimalType
     val sub = dim / m
-    var books = booksFrom(
+    val init = booksFrom(
       ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol), m, sub)
+    lloydBooks(emb.select(toDouble(col(vecCol)).as("__v")), "__v",
+      iters, init, sub)
+  }
+
+  /** [[trainedSubCodebooks]] over RESIDUALS — the full FAISS recipe:
+    * each vector's residual from its coarse centroid is what the PQ
+    * codebook must cover, so the k-means runs on the residual frame
+    * (coarse assignment held fixed). Feed the result into
+    * [[ivfadcResidualTopK]]'s `booksOverride`. */
+  def trainedResidualBooks(emb: DataFrame, iters: Int, m: Int = 8,
+      dim: Int = 64, numCentroids: Int = 8, centroidStride: Int = 32,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Seq[Double]]] = {
+    require(dim % m == 0, "dim must divide into m equal subspaces")
+    val sub = dim / m
+    val cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    val resFrame = emb
+      .select(col(vecCol).as("__x"),
+        array_min(centScored(col(vecCol), cents))
+          .getField("cent_id").as("__cid"))
+      .select(zip_with(toDouble(col("__x")),
+        centVecFor(col("__cid"), cents), (a, b) => a - b).as("__r"))
+    lloydBooks(resFrame, "__r", iters, booksFrom(cents, m, sub), sub)
+  }
+
+  /** The shared per-subspace Lloyd loop over any double-array frame:
+    * one pass per round computes all m subspaces' assignments and
+    * decimal-exact means (map-side combined to m×numCentroids×sub
+    * groups, rounded to 6 decimals); empty codewords keep their
+    * previous coordinates. */
+  private def lloydBooks(frame: DataFrame, vecColName: String, iters: Int,
+      init: Array[Array[Seq[Double]]], sub: Int): Array[Array[Seq[Double]]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var books = init
     for (_ <- 0 until iters) {
-      val perSub = array((0 until m).map { s =>
+      val perSub = array(books.indices.map { s =>
         struct(lit(s).as("s"),
           array_min(array(books(s).zipWithIndex.map { case (cw, ord) =>
-            struct(l2sqCol(slice(col(vecCol), s * sub + 1, sub),
+            struct(l2sqCol(slice(col(vecColName), s * sub + 1, sub),
               typedlit(cw)).as("dist"), lit(ord).as("ord"))
           }: _*)).getField("ord").as("code"),
-          slice(toDouble(col(vecCol)), s * sub + 1, sub).as("sv"))
+          slice(col(vecColName), s * sub + 1, sub).as("sv"))
       }: _*)
-      val rows = emb.select(explode(perSub).as("e"))
+      val rows = frame.select(explode(perSub).as("e"))
         .select(col("e.s").as("s"), col("e.code").as("code"),
           posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("s"), col("code"), col("pos"))
@@ -365,7 +397,8 @@ object Similarity {
         .map { case (k, rs) =>
           k -> rs.sortBy(_.getInt(2)).toSeq.map(_.getDouble(3))
         }
-      books = Array.tabulate(m)(s => Array.tabulate(numCentroids)(c =>
+      val nCodes = books(0).length
+      books = Array.tabulate(books.length)(s => Array.tabulate(nCodes)(c =>
         byKey.getOrElse((s, c), books(s)(c))))
     }
     books
@@ -564,6 +597,7 @@ object Similarity {
       nprobe: Int = 2, m: Int = 8, dim: Int = 64, numCentroids: Int = 8,
       centroidStride: Int = 32,
       centsOverride: Array[(Long, Seq[Double])] = null,
+      booksOverride: Array[Array[Seq[Double]]] = null,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(dim % m == 0, "dim must divide into m equal subspaces")
     val s = emb.sparkSession
@@ -571,17 +605,20 @@ object Similarity {
     val sub = dim / m
     val cents = if (centsOverride != null) centsOverride
       else ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+    // the residual codebook: sliced centroids by default, or a model
+    // trained on the residuals ([[trainedResidualBooks]])
+    val books = if (booksOverride != null) booksOverride
+      else booksFrom(cents, m, sub)
     def residual(vec: Column, centId: Column): Column =
       zip_with(toDouble(vec), centVecFor(centId, cents), (a, b) => a - b)
-    // residual codes against the same codebook slices: argmin per
-    // subspace of ||r_s − cb_s||² (an expression over the residual
-    // column, so it shares one assignment pass with the cent_id argmin)
+    // residual codes: argmin per subspace of ||r_s − cb_s||² (an
+    // expression over the residual column, so it shares one assignment
+    // pass with the cent_id argmin)
     def residualCodes(r: Column): Column =
       array((0 until m).map { ss =>
-        array_min(array(cents.zipWithIndex.map { case ((_, cv), ord) =>
+        array_min(array(books(ss).zipWithIndex.map { case (cw, ord) =>
           struct(
-            l2sqCol(slice(r, ss * sub + 1, sub),
-              typedlit(cv.slice(ss * sub, (ss + 1) * sub))).as("dist"),
+            l2sqCol(slice(r, ss * sub + 1, sub), typedlit(cw)).as("dist"),
             lit(ord).as("ord"))
         }: _*)).getField("ord")
       }: _*)
@@ -601,9 +638,9 @@ object Similarity {
           x => x.getField("cent_id"))).as("cent_id"))
       .select(col("key"), col("cent_id"),
         array((0 until m).map { ss =>
-          array(cents.map { case (_, cv) =>
+          array(books(ss).map { cw =>
             l2sqCol(slice(residual(col("__q"), col("cent_id")), ss * sub + 1, sub),
-              typedlit(cv.slice(ss * sub, (ss + 1) * sub)))
+              typedlit(cw))
           }: _*)
         }: _*).as("dt"))
     val adc = aggregate(

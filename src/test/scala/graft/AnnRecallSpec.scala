@@ -205,7 +205,15 @@ class AnnRecallSpec extends SparkSpec {
       Similarity.ivfadcTopK(emb, col("vec_id") < 20, 5, nprobe = 2)))
     val rRes = meanRecall(truth, topSets(
       Similarity.ivfadcResidualTopK(emb, col("vec_id") < 20, 5, nprobe = 2)))
-    info(f"IVFADC nprobe=2 recall@5: raw codes $rRaw%.3f, residual codes $rRes%.3f")
+    // the full FAISS recipe: codebook TRAINED ON THE RESIDUALS — the
+    // distribution the codes actually quantize
+    val resBooks = Similarity.trainedResidualBooks(emb, iters = 4)
+    val rResT = meanRecall(truth, topSets(
+      Similarity.ivfadcResidualTopK(emb, col("vec_id") < 20, 5, nprobe = 2,
+        booksOverride = resBooks)))
+    info(f"IVFADC nprobe=2 recall@5: raw codes $rRaw%.3f, residual untrained $rRes%.3f, residual trained $rResT%.3f")
+    assert(rResT >= rRes - 1e-9,
+      s"training on residuals must not recall below the untrained residual codebook: $rResT < $rRes")
   }
 
   test("per-subspace PQ training: quantization error non-increasing, recall lifts") {
