@@ -489,6 +489,114 @@ object Curation {
     * len_in ≤ len_out, i.e. band_in ≤ band_out, so recall stays exact
     * (CurationSpec asserts parity against the unbanded join on a
     * single-prefix corpus). */
+  /** DSIR importance weights (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much more likely its hashed-unigram bag is under a
+    * TARGET distribution (a curated subset selected by `targetPred`)
+    * than under the RAW corpus distribution. Words hash into `buckets`
+    * buckets (`polyHash mod B` — the paper's hashed n-gram features);
+    * both distributions are add-1-smoothed bucket frequencies, and the
+    * per-bucket log-likelihood ratio
+    * `w_b = ln(((t_b+1)·(R+B)) / ((r_b+1)·(T+B)))` is rounded at 6 dp
+    * into an exact decimal, so the per-doc score `Σ_b n_db · w_b` is a
+    * commutative decimal sum — partition-layout exact and
+    * oracle-portable (the single-ln form keeps every intermediate an
+    * exact int64-in-double product).
+    *
+    * Scale: ONE corpus scan explodes tokens into per-(doc, bucket)
+    * counts — the only wide stage, map-side combined onto a key space
+    * bounded by docs×B. The B-row weight table is re-aggregated FROM
+    * that table (model-state sized, no second corpus scan) and
+    * broadcast back. No vocab table, no self-join; at 100 TB nothing
+    * here grows beyond the per-doc count table. */
+  def dsirWeights(docs: DataFrame, targetPred: org.apache.spark.sql.Column,
+      buckets: Int = 64, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDoc = Materialize(docs
+      .select(col(idCol), targetPred.as("is_target"),
+        explode(Portable.tokens(col(textCol))).as("word"))
+      .withColumn("bucket",
+        pmod(native.poly_hash(col("word")), lit(buckets.toLong)))
+      .groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n")))
+    val byBucket = perDoc.groupBy(col("bucket"))
+      .agg(sum(col("n")).as("r_n"),
+        sum(when(col("is_target"), col("n")).otherwise(0L)).as("t_n"))
+    val totals = byBucket
+      .agg(sum(col("r_n")).as("r_tot"), sum(col("t_n")).as("t_tot"))
+    // single-ln log-ratio: the int64 products are exact in a double
+    // (tokens < 2^26 at any test scale), so both engines feed ln the
+    // identical value and the 6-dp round is portable
+    val weights = byBucket.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log(((col("t_n") + 1) * (col("r_tot") + buckets)).cast("double")
+          / ((col("r_n") + 1) * (col("t_tot") + buckets)).cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(16, 6)).as("w"))
+    perDoc.join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("n") * col("w")).as("score_dec"),
+        sum(col("n")).as("n_tokens"))
+      .select(col(idCol),
+        col("score_dec").cast("double").as("dsir_score"),
+        col("n_tokens"),
+        (col("score_dec") > 0).as("selected"))
+  }
+
+  /** Mixture schedule: allocate a token budget across sources with
+    * temperature-α shares capped at `cap` and ONE proportional
+    * redistribution round (the standard data-mixture recipe: α < 1
+    * flattens the source distribution, the cap stops any single crawl
+    * from dominating, and the leftover mass is re-spread over the
+    * uncapped sources pro rata). `alloc_tokens = floor(share · budget)`.
+    * The one-round redistribution can push an uncapped source past the
+    * cap only by ≤ E·c/U — documented approximation, deterministic.
+    *
+    * Determinism: every cross-source reduction (Σ n_s^α, excess mass E,
+    * uncapped mass U) sums 6-dp-rounded DECIMALS — commutative-exact
+    * under any partitioning; the scalar double ops between reductions
+    * are identical IEEE arithmetic in both engines.
+    *
+    * Scale: the per-source agg is ONE map-side-combined shuffle to a
+    * bounded table (distinct sources — thousands at web scale, never
+    * O(corpus)); everything after runs on that table via broadcast
+    * cross-joins of 1-row aggregates. No windows at all, so there is no
+    * single-partition sort to regress on (the vocabBuild lesson). */
+  def mixSchedule(docs: DataFrame, alpha: Double = 0.5, cap: Double = 0.15,
+      budget: Long = 1000000L, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val bySrc = docs
+      .groupBy(col(srcCol))
+      .agg(sum(native.token_count(col(textCol))).as("n_tok"))
+      .withColumn("pw",
+        // sqrt is IEEE correctly-rounded in both engines; pow is not —
+        // route the common α=0.5 through sqrt for exact portability
+        round(if (alpha == 0.5) sqrt(col("n_tok").cast("double"))
+          else pow(col("n_tok").cast("double"), lit(alpha)), 6).cast(dec6))
+    val tot = bySrc.agg(sum(col("pw")).as("pw_tot"))
+    val shared = bySrc.crossJoin(broadcast(tot))
+      .withColumn("p", round(col("pw").cast("double")
+        / col("pw_tot").cast("double"), 6).cast(dec6))
+      .withColumn("capped", col("p") >= lit(cap).cast(dec6))
+    val masses = shared.agg(
+      sum(when(col("capped"), col("p") - lit(cap).cast(dec6))
+        .otherwise(lit(0).cast(dec6))).as("excess"),
+      sum(when(!col("capped"), col("p")).otherwise(lit(0).cast(dec6)))
+        .as("uncapped"))
+    shared.crossJoin(broadcast(masses))
+      .withColumn("share",
+        when(col("capped"), lit(cap).cast(dec6))
+          .otherwise(round(col("p").cast("double") +
+            col("excess").cast("double") * col("p").cast("double") /
+              col("uncapped").cast("double"), 6).cast(dec6)))
+      .select(col(srcCol), col("n_tok"),
+        col("p").cast("double").as("raw_share"),
+        col("capped"),
+        col("share").cast("double").as("share"),
+        floor(col("share").cast("double") * budget).cast("long")
+          .as("alloc_tokens"))
+  }
+
   def containedPairs(docs: DataFrame, prefixLen: Int = 16,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol))

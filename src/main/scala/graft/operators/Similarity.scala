@@ -695,4 +695,42 @@ object Similarity {
       .toDF("probe_id", "cand_id", "cos")
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
+
+  /** Per-label centroid distance — the embedding-space outlier signal a
+    * curation pipeline runs after clustering/labeling: each vector's L2
+    * distance to its own label's centroid (mislabeled or off-manifold
+    * vectors sit far out).
+    *
+    * Determinism: the centroid is built from per-(label, dim) sums of
+    * 9-dp DECIMALS (float → double is exact, double → decimal a fixed
+    * half-up round), so the sums are commutative-exact under any
+    * partitioning; the per-vector distance is then a SEQUENTIAL
+    * zip-fold over dims — the same order DuckDB's list fold uses.
+    *
+    * Scale: one corpus scan explodes to (label, dim) partial sums —
+    * map-side combined to labels×dim rows, model-state sized — and the
+    * centroid table broadcasts back onto the second scan. No self-join,
+    * no window; the explode fan-out (×dim) happens INSIDE a combining
+    * agg, so nothing dim-sized ever shuffles per row. */
+  def labelCentroidDistance(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(20, 9)
+    val comps = emb
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(sum(col("x").cast("double").cast(dec)).as("sx"),
+        count(lit(1)).as("n"))
+    val centroids = comps.groupBy(col(labelCol))
+      .agg(max(col("n")).as("n_label"),
+        array_sort(collect_list(struct(col("dim"), col("sx")))).as("cs"))
+      .select(col(labelCol), col("n_label"),
+        transform(col("cs"),
+          s => s.getField("sx").cast("double") / col("n_label")).as("cen"))
+    emb.join(broadcast(centroids), labelCol)
+      .select(col(idCol), col(labelCol), col("n_label"),
+        round(sqrt(aggregate(
+          zip_with(toDouble(col(vecCol)), col("cen"),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (a, v) => a + v)), 6).as("centroid_dist"))
+  }
 }

@@ -103,4 +103,46 @@ object Sketches {
       .groupBy(col("word"))
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
+
+  /** CMS-gated exact heavy hitters: items whose frequency is at least
+    * `1/fracDenom` of the total item count, found in two passes —
+    * (1) build the depth×width count-min grid (a map-side-combined agg
+    * to ≤ depth·width rows, O(1) state at any corpus size) and inline it
+    * as literal arrays (the IVF-centroid trick: the grid is model-state,
+    * ~32 KB); (2) re-scan with a NARROW map-side gate
+    * `est(w) ≥ threshold` — CMS only over-estimates, so no true heavy
+    * hitter is dropped — and exactly count just the survivors, whose
+    * recount drops the CMS false positives. The result is therefore
+    * EXACTLY the true heavy-hitter set (oracle: plain HAVING), but the
+    * wide exact-count stage only ever shuffles rows whose key passed the
+    * sketch — at 100 TB that is the difference between shuffling the
+    * full Zipf tail and shuffling only the head's rows.
+    *
+    * The total item count needed for the threshold falls out of the
+    * grid itself (row 0 sums to it) — no extra pass. The gate compares
+    * `est · fracDenom ≥ total` in exact int64 arithmetic. */
+  def heavyHitters(items: DataFrame, itemCol: Column, fracDenom: Long = 50,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val h = native.poly_hash(itemCol)
+    val gridRows = items.select(h.as("h"))
+      .select(explode(array((0 until depth).map(k =>
+        struct(lit(k).as("k"),
+          (Portable.rehash(col("h"), k) % width).as("cell"))): _*)).as("kc"))
+      .groupBy(col("kc.k").as("k"), col("kc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val grid = Array.fill(depth, width)(0L)
+    gridRows.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val total = grid(0).sum
+    val est = (0 until depth).map { k =>
+      val row = array(grid(k).map(lit): _*)
+      element_at(row, (Portable.rehash(h, k) % width).cast("int") + 1)
+    }.reduce(least(_, _))
+    items
+      .filter(est * fracDenom >= total) // narrow sketch gate, no false negatives
+      .groupBy(itemCol.as("item"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * fracDenom >= total)
+      .withColumn("total_items", lit(total))
+  }
 }

@@ -567,6 +567,51 @@ object CBlock {
           graft.plans.native.poly_hash(col("redacted")).as("redacted_hash"))
         .orderBy(col("doc_id"))
     }),
+
+    "dsir_select" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. '23): hashed-unigram
+      // log-likelihood ratio vs a curated-source target distribution
+      Curation.dsirWeights(Tables.documents(s, dir),
+          col("source").isin("src0", "src1", "src2", "src3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "curate_curriculum" -> ((s, dir) => {
+      // curriculum ordering: global rank by (quality desc, doc_id) via
+      // the two-phase range-partitioned rank — corpus-sized input, no
+      // single-partition window (the vocabBuild fix, reused)
+      val scored = TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("quality"))
+      Curation.globalRank(scored,
+          Seq(col("quality").desc, col("doc_id")), "curriculum_rank")
+        .orderBy(col("curriculum_rank"))
+    }),
+
+    "sketch_heavy_hitters" -> ((s, dir) => {
+      // CMS-gated exact heavy hitters: words with freq >= total/40; the
+      // sketch gate is a narrow literal-array probe (no false negatives),
+      // the exact recount drops its false positives
+      val words = Tables.documents(s, dir)
+        .select(explode(graft.functions.Portable.tokens(col("text")))
+          .as("word"))
+      graft.operators.Sketches.heavyHitters(words, col("word"), fracDenom = 40)
+        .orderBy(col("item"))
+    }),
+
+    "emb_centroid" -> ((s, dir) => {
+      // embedding-space outlier signal: L2 distance to own label centroid
+      Similarity.labelCentroidDistance(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
+    "mix_schedule" -> ((s, dir) => {
+      // α=0.5 temperature mixture over sources, capped at 6% with one
+      // redistribution round; alloc against a 1M-token budget
+      Curation.mixSchedule(Tables.documents(s, dir), alpha = 0.5,
+          cap = 0.06, budget = 1000000L)
+        .orderBy(col("source"))
+    }),
   )
 
   /** Inline portable poly-hash over a DuckDB string expression (the SQL
@@ -1799,5 +1844,112 @@ object CBlock {
          |)
          |SELECT doc_id, n_redactions, ${ph("redacted")} AS redacted_hash
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_target,
+         |    unnest($toksSql) AS word
+         |  FROM documents
+         |), pd AS (
+         |  SELECT doc_id, is_target, ${ph("word")} % 64 AS bucket, count(*) AS n
+         |  FROM tok GROUP BY 1, 2, 3
+         |), bb AS (
+         |  SELECT bucket, CAST(SUM(n) AS BIGINT) AS r_n,
+         |         CAST(SUM(CASE WHEN is_target THEN n ELSE 0 END) AS BIGINT) AS t_n
+         |  FROM pd GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(SUM(r_n) AS BIGINT) AS r_tot, CAST(SUM(t_n) AS BIGINT) AS t_tot FROM bb
+         |), w AS (
+         |  SELECT bucket,
+         |    CAST(ROUND(ln(CAST((t_n + 1) * (r_tot + 64) AS DOUBLE)
+         |      / CAST((r_n + 1) * (t_tot + 64) AS DOUBLE)), 6) AS DECIMAL(16,6)) AS w
+         |  FROM bb, tot
+         |)
+         |SELECT doc_id,
+         |  CAST(SUM(n * w) AS DOUBLE) AS dsir_score,
+         |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+         |  SUM(n * w) > 0 AS selected
+         |FROM pd JOIN w USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "curate_curriculum" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM t WHERE len(w) > 0
+         |)
+         |SELECT doc_id, quality,
+         |  row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS curriculum_rank
+         |FROM q ORDER BY curriculum_rank""".stripMargin,
+
+    "sketch_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+         |tot AS (SELECT count(*) AS n FROM tok)
+         |SELECT word AS item, count(*) AS freq, (SELECT n FROM tot) AS total_items
+         |FROM tok GROUP BY 1
+         |HAVING count(*) * 40 >= (SELECT n FROM tot)
+         |ORDER BY item""".stripMargin,
+
+    "emb_centroid" ->
+      """WITH c0 AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    unnest(embedding) AS x
+        |  FROM embeddings
+        |), comps AS (
+        |  SELECT label, dim,
+        |    SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,9))) AS sx, count(*) AS n
+        |  FROM c0 GROUP BY 1, 2
+        |), cen AS (
+        |  SELECT label, max(n) AS n_label,
+        |    list(CAST(sx AS DOUBLE) ORDER BY dim) AS sxs
+        |  FROM comps GROUP BY 1
+        |)
+        |SELECT vec_id, e.label, n_label,
+        |  ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(embedding) + 1),
+        |      i -> (CAST(embedding[i] AS DOUBLE) - sxs[i] / n_label)
+        |         * (CAST(embedding[i] AS DOUBLE) - sxs[i] / n_label))),
+        |    (a, v) -> a + v)), 6) AS centroid_dist
+        |FROM embeddings e JOIN cen USING (label)
+        |ORDER BY vec_id""".stripMargin,
+
+    "mix_schedule" ->
+      s"""WITH s AS (
+         |  SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY 1
+         |), pw AS (
+         |  SELECT source, n_tok,
+         |    CAST(ROUND(sqrt(CAST(n_tok AS DOUBLE)), 6) AS DECIMAL(18,6)) AS pw
+         |  FROM s
+         |), tot AS (SELECT SUM(pw) AS pw_tot FROM pw),
+         |sh AS (
+         |  SELECT source, n_tok, pw,
+         |    CAST(ROUND(CAST(pw AS DOUBLE) / CAST(pw_tot AS DOUBLE), 6) AS DECIMAL(18,6)) AS p
+         |  FROM pw, tot
+         |), fl AS (
+         |  SELECT source, n_tok, p,
+         |    p >= CAST(0.06 AS DECIMAL(18,6)) AS capped
+         |  FROM sh
+         |), m AS (
+         |  SELECT SUM(CASE WHEN capped THEN p - CAST(0.06 AS DECIMAL(18,6))
+         |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS excess,
+         |         SUM(CASE WHEN NOT capped THEN p
+         |             ELSE CAST(0 AS DECIMAL(18,6)) END) AS uncapped
+         |  FROM fl
+         |)
+         |SELECT source, n_tok, CAST(p AS DOUBLE) AS raw_share, capped,
+         |  CAST(share AS DOUBLE) AS share,
+         |  CAST(FLOOR(CAST(share AS DOUBLE) * 1000000) AS BIGINT) AS alloc_tokens
+         |FROM (
+         |  SELECT source, n_tok, p, capped,
+         |    CASE WHEN capped THEN CAST(0.06 AS DECIMAL(18,6))
+         |         ELSE CAST(ROUND(CAST(p AS DOUBLE)
+         |           + CAST(excess AS DOUBLE) * CAST(p AS DOUBLE)
+         |             / CAST(uncapped AS DOUBLE), 6) AS DECIMAL(18,6)) END AS share
+         |  FROM fl, m
+         |) ORDER BY source""".stripMargin,
   )
 }

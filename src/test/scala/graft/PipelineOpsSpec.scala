@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{Curation, Similarity, Sketches}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: DSIR importance weights, mixture scheduling,
+  * CMS-gated heavy hitters, and label-centroid embedding distances —
+  * semantics on synthetic corpora where ground truth is computable by
+  * hand, plus the plan shapes their scale story depends on. */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("dsirWeights: target-like docs outscore raw-like docs") {
+    // target docs draw from vocab A, background from vocab B; a held-out
+    // A-like doc must score positive, a B-like doc negative
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zeta eta theta iota kappa"
+    val docs = ((0 until 40).map(i => (i.toLong, a, "tgt")) ++
+      (40 until 80).map(i => (i.toLong, b, "raw")) ++
+      Seq((100L, a, "probe"), (101L, b, "probe")))
+      .toDF("doc_id", "text", "source")
+    val w = Curation.dsirWeights(docs, col("source") === "tgt").cache()
+    val probeA = w.filter(col("doc_id") === 100L).head
+    val probeB = w.filter(col("doc_id") === 101L).head
+    assert(probeA.getAs[Double]("dsir_score") > 0,
+      s"A-like probe must be target-like: $probeA")
+    assert(probeB.getAs[Double]("dsir_score") < 0,
+      s"B-like probe must be raw-like: $probeB")
+    assert(probeA.getAs[Boolean]("selected") && !probeB.getAs[Boolean]("selected"))
+    // deterministic under re-evaluation
+    val again = Curation.dsirWeights(docs, col("source") === "tgt")
+      .select("doc_id", "dsir_score").collect().toSet
+    assert(w.select("doc_id", "dsir_score").collect().toSet === again)
+  }
+
+  test("dsirWeights: weight-table join is broadcast; one corpus-wide stage") {
+    val df = Curation.dsirWeights(Tables.documents(spark, sf()),
+      col("source") === "src0")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the B-row weight table must broadcast, not shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join allowed:\n$p")
+  }
+
+  test("mixSchedule: cap binds on a skewed corpus and mass redistributes") {
+    // one dominant source (10k tokens) vs four small (100 each): with
+    // α=0.5 the dominant sqrt-share is 1/(1+4·0.1)·... > 0.06 cap
+    val docs = (Seq.fill(100)("big") ++ Seq.fill(1)("s1") ++
+      Seq.fill(1)("s2") ++ Seq.fill(1)("s3") ++ Seq.fill(1)("s4"))
+      .zipWithIndex
+      .map { case (src, i) => (i.toLong, Seq.fill(100)("w").mkString(" "), src) }
+      .toDF("doc_id", "text", "source")
+    val m = Curation.mixSchedule(docs, alpha = 0.5, cap = 0.3,
+      budget = 1000L).cache()
+    val big = m.filter(col("source") === "big").head
+    assert(big.getAs[Boolean]("capped"), s"dominant source must cap: $big")
+    assert(big.getAs[Double]("share") === 0.3)
+    // the freed mass lands on the uncapped sources: share > raw p
+    val small = m.filter(col("source") =!= "big").collect()
+    assert(small.forall(r =>
+      r.getAs[Double]("share") > r.getAs[Double]("raw_share")),
+      s"uncapped sources must gain redistributed mass: ${small.mkString(",")}")
+    // total share stays ≈ 1 (one-round redistribution, 6-dp rounding)
+    val tot = m.agg(sum("share")).head.getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-3, s"shares must re-normalize: $tot")
+    assert(m.agg(sum("alloc_tokens")).head.getLong(0) <= 1000L)
+  }
+
+  test("heavyHitters: exactly the true heavy-hitter set, gate is narrow") {
+    // zipf-ish synthetic stream: w0 ×600, w1 ×300, w2 ×90, tail ×10 each
+    val words = (Seq.fill(600)("w0") ++ Seq.fill(300)("w1") ++
+      Seq.fill(90)("w2") ++ (0 until 10).flatMap(i => Seq.fill(10)(s"t$i")))
+      .toDF("word")
+    val hh = Sketches.heavyHitters(words, col("word"), fracDenom = 10)
+    // total = 1090, threshold = 109: w0 and w1 qualify, w2 (90) does not
+    val got = hh.select("item", "freq").as[(String, Long)].collect().toMap
+    assert(got === Map("w0" -> 600L, "w1" -> 300L), s"got $got")
+    // the sketch gate must be a narrow literal probe — no join anywhere
+    val p = hh.queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"the CMS gate must not plan a join:\n$p")
+  }
+
+  test("heavyHitters: collision-heavy grid still yields the exact set") {
+    // width=4 forces collisions → false positives enter the gate; the
+    // exact recount must still drop them (parity with plain HAVING)
+    val words = (Seq.fill(200)("hot") ++ (0 until 50).map(i => s"cold$i"))
+      .toDF("word")
+    val hh = Sketches.heavyHitters(words, col("word"), fracDenom = 5,
+      depth = 2, width = 4)
+    val exact = words.groupBy(col("word").as("item"))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") * 5 >= 250)
+      .select("item", "freq").collect().toSet
+    assert(hh.select("item", "freq").collect().toSet === exact)
+  }
+
+  test("labelCentroidDistance: geometry and broadcast posture") {
+    // two labels; label 0's vectors are symmetric about the origin →
+    // centroid = 0 → equal distances; label 1 has an off-manifold outlier
+    val rows = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(-1f, 0f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(0f, 3f), 1), (4L, Array(0f, 20f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val d = Similarity.labelCentroidDistance(emb).cache()
+    val m = d.select("vec_id", "centroid_dist").as[(Long, Double)]
+      .collect().toMap
+    assert(m(0L) === m(1L), "symmetric vectors are equidistant")
+    assert(m(0L) === 1.0, "centroid of ±e1 is the origin")
+    // label-1 centroid is (0, 8): distances 7, 5, 12 — outlier largest
+    assert(m(4L) > m(2L) && m(4L) > m(3L), s"outlier must be farthest: $m")
+    assert(m(2L) === 7.0 && m(3L) === 5.0 && m(4L) === 12.0)
+    val p = d.queryExecution.sparkPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
+  }
+
+  test("curriculum rank: contiguous, quality-ordered, partitioned windows only") {
+    val df = SparkEntry.queries("curate_curriculum")(spark, sf())
+    val rows = df.select("curriculum_rank", "quality")
+      .as[(Long, Double)].collect()
+    assert(rows.map(_._1).toSeq === rows.indices.map(_.toLong),
+      "ranks must be a contiguous 0-based sequence")
+    assert(rows.sliding(2).forall {
+      case Array((_, q1), (_, q2)) => q1 >= q2
+      case _ => true
+    }, "rank order must be non-increasing quality")
+    // the two-phase rank must never plan an unpartitioned window
+    val unpart = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty,
+      s"curriculum rank planned a single-partition window:\n${df.queryExecution.sparkPlan}")
+  }
+}
