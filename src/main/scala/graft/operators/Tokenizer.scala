@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** BPE tokenizer training (Sennrich et al. '16): iteratively merge the
+  * most frequent adjacent symbol pair. The missing piece of the
+  * training-data story — the corpus pipeline CURATES text, this trains
+  * the vocabulary the export is tokenized against.
+  *
+  * Representation: each word occurrence is one row holding its symbol
+  * sequence encoded as a single string with a unit-separator (U+001F)
+  * between symbols (symbols never contain it — they are substrings of
+  * whitespace tokens). A merge of pair (l, r) is then the GREEDY
+  * left-to-right BPE merge expressed as a sequential string fold: when
+  * the accumulator's last symbol is exactly `l` and the next symbol is
+  * `r`, append `r` WITHOUT a separator (the two symbols fuse); the
+  * self-overlap case ("a a a" under pair (a,a) → [aa, a]) is correct by
+  * construction because the fused symbol no longer equals `l`. The
+  * identical fold runs in the DuckDB oracle (scalar string accumulator —
+  * DuckDB's list_reduce cannot seed a list), so every round — pair
+  * counts, argmax, rewrite — is engine-exact.
+  *
+  * Scale: the CC-iteration pattern (materialized rounds). Each round =
+  * ONE narrow per-row rewrite + ONE map-side-combined pair-count agg
+  * whose key space is vocab²-bounded (in practice the live-pair set,
+  * far smaller); the argmax is a TakeOrdered(1) — model-state to the
+  * driver, exactly like the IVF centroids. Production BPE runs this
+  * loop 30k-50k times over the word-COUNT table rather than raw
+  * occurrences (identical plan with a weight column); the occurrence
+  * form keeps the oracle exact. */
+object Tokenizer {
+
+  val Sep = ""
+
+  /** Train `rounds` merges; returns (merge table rows, final encoded
+    * corpus with doc_id and the round-0 symbol count per occurrence).
+    * Rounds stop early if no adjacent pair remains. */
+  def bpeTrain(docs: DataFrame, rounds: Int, textCol: String = "text",
+      idCol: String = "doc_id"): (Seq[(Int, String, String, Long)], DataFrame) = {
+    var corpus = Materialize(docs
+      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("w"))
+      .select(col(idCol),
+        array_join(Portable.chars(col("w")), Sep).as("enc"),
+        size(Portable.chars(col("w"))).cast("long").as("n0")))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val best = adjacentPairs(corpus)
+        .orderBy(col("cnt").desc, col("l"), col("r")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (bl, br) = (best(0).getString(0), best(0).getString(1))
+        merges += ((r, bl, br, best(0).getLong(2)))
+        corpus = Materialize(corpus.select(col(idCol),
+          mergePair(col("enc"), bl, br).as("enc"), col("n0")))
+        r += 1
+      }
+    }
+    (merges.result(), corpus)
+  }
+
+  /** The merge table a BPE tokenizer ships: one row per
+    * (round, left_sym, right_sym, cnt). */
+  def bpeMerges(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeTrain(docs, rounds, textCol)._1
+      .toDF("round", "left_sym", "right_sym", "cnt")
+  }
+
+  /** Per-doc compression audit of the trained tokenizer: symbol count
+    * before (chars) and after the merges — one map-side-combined agg
+    * over the final materialized corpus. Token-less docs have no word
+    * occurrences and drop out (the oracle's join does the same). */
+  def bpeCompressionAudit(docs: DataFrame, rounds: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (_, corpus) = bpeTrain(docs, rounds, textCol, idCol)
+    corpus.groupBy(col(idCol))
+      .agg(sum(col("n0")).as("n_chars"),
+        sum(size(split(col("enc"), Sep)).cast("long")).as("n_symbols"))
+  }
+
+  /** Adjacent symbol-pair counts over the encoded corpus (the explode
+    * fans out to n_syms−1 rows per word but combines map-side to the
+    * live-pair universe before the shuffle). */
+  def adjacentPairs(corpus: DataFrame): DataFrame = {
+    val syms = split(col("enc"), Sep)
+    corpus.select(explode(when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("l"),
+            element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Greedy left-to-right merge of (l, r) in an encoded symbol string —
+    * the sequential fold described in the class doc; pure narrow
+    * expression, no shuffle. */
+  def mergePair(enc: Column, l: String, r: String): Column =
+    aggregate(split(enc, Sep), lit(""),
+      (acc, s) => when(acc === "", s)
+        .when((acc === l || acc.endsWith(Sep + l)) && s === r, concat(acc, s))
+        .otherwise(concat(acc, lit(Sep), s)))
+}

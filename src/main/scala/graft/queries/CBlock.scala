@@ -612,6 +612,21 @@ object CBlock {
           cap = 0.06, budget = 1000000L)
         .orderBy(col("source"))
     }),
+
+    "tokenizer_bpe" -> ((s, dir) => {
+      // BPE training: 5 greedy most-frequent-pair merge rounds → the
+      // merge table (engine-exact pair counts, argmax, rewrites)
+      graft.operators.Tokenizer.bpeMerges(Tables.documents(s, dir), rounds = 5)
+        .orderBy(col("round"))
+    }),
+
+    "tokenizer_apply" -> ((s, dir) => {
+      // the trained tokenizer's per-doc compression audit: symbols
+      // before (chars) and after the 5 merges
+      graft.operators.Tokenizer.bpeCompressionAudit(
+          Tables.documents(s, dir), rounds = 5)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** Inline portable poly-hash over a DuckDB string expression (the SQL
@@ -622,6 +637,42 @@ object CBlock {
       s"(acc, cd) -> (acc * 31 + cd) % 2147483647)"
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** The BPE training loop as a DuckDB CTE chain (the SQL twin of
+    * Tokenizer.bpeTrain): c0 = per-word-occurrence char symbols encoded
+    * with a U+001F separator; each round k has pair counts `p_k`, the
+    * (cnt desc, l, r) argmax `b_k`, and the greedily rewritten corpus
+    * `c_k` via the SAME scalar-string fold as the Spark side. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      s"""c0 AS (
+         |  SELECT doc_id, array_to_string(string_split(w, ''), chr(31)) AS enc
+         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+         |)""".stripMargin)
+    for (k <- 1 to rounds) {
+      sb ++= s""",
+         |p$k AS (
+         |  SELECT p.l AS l, p.r AS r, count(*) AS cnt
+         |  FROM (
+         |    SELECT unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+         |    FROM (SELECT string_split(enc, chr(31)) AS syms FROM c${k - 1})
+         |  ) GROUP BY 1, 2
+         |),
+         |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |c$k AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST('' AS VARCHAR),
+         |      string_split(enc, chr(31))), (acc, s) ->
+         |      CASE WHEN acc = '' THEN s
+         |           WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND s = b.r
+         |             THEN acc || s
+         |           ELSE acc || chr(31) || s END) AS enc
+         |  FROM c${k - 1}, b$k b
+         |)""".stripMargin
+    }
+    sb.result()
+  }
 
   /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
@@ -1951,5 +2002,25 @@ object CBlock {
          |             / CAST(uncapped AS DOUBLE), 6) AS DECIMAL(18,6)) END AS share
          |  FROM fl, m
          |) ORDER BY source""".stripMargin,
+
+    "tokenizer_bpe" ->
+      s"""WITH ${bpeCtes(5)}
+         |${(1 to 5).map(k =>
+              s"SELECT $k AS round, l AS left_sym, r AS right_sym, cnt FROM b$k")
+              .mkString("", "\nUNION ALL ", "")}
+         |ORDER BY round""".stripMargin,
+
+    "tokenizer_apply" ->
+      s"""WITH ${bpeCtes(5)},
+         |nch AS (
+         |  SELECT doc_id, CAST(SUM(len(string_split(enc, chr(31)))) AS BIGINT) AS n_chars
+         |  FROM c0 GROUP BY 1
+         |),
+         |nsy AS (
+         |  SELECT doc_id, CAST(SUM(len(string_split(enc, chr(31)))) AS BIGINT) AS n_symbols
+         |  FROM c5 GROUP BY 1
+         |)
+         |SELECT doc_id, n_chars, n_symbols
+         |FROM nch JOIN nsy USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Tokenizer
+import org.apache.spark.sql.functions._
+
+/** BPE trainer semantics on hand-computable corpora: greedy left-to-right
+  * merge (including the self-overlap case), merged symbols feeding later
+  * rounds, early exhaustion, and the compression-audit invariants. */
+class TokenizerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mergeOf(word: String, l: String, r: String): String = {
+    Seq(word).toDF("w")
+      .select(Tokenizer.mergePair(
+        array_join(graft.functions.Portable.chars(col("w")), Tokenizer.Sep),
+        l, r).as("enc"))
+      .head.getString(0)
+  }
+
+  test("mergePair: greedy left-to-right, self-overlap handled") {
+    val S = Tokenizer.Sep
+    // "abab" under (a,b): both occurrences merge
+    assert(mergeOf("abab", "a", "b") === s"ab${S}ab")
+    // "aaa" under (a,a): greedy gives [aa, a] — the fused symbol no
+    // longer matches l, so the overlap does NOT double-merge
+    assert(mergeOf("aaa", "a", "a") === s"aa${S}a")
+    assert(mergeOf("aaaa", "a", "a") === s"aa${S}aa")
+    // no occurrence → unchanged encoding
+    assert(mergeOf("xyz", "a", "b") === s"x${S}y${S}z")
+  }
+
+  test("bpeMerges: known corpus trains the expected merge sequence") {
+    // corpus: "abab abab cd" ×3 — pairs: (a,b)×6·… most frequent is
+    // (a,b); after merging, (ab,ab) dominates; then (c,d)
+    val docs = (0 until 3).map(i => (i.toLong, "abab abab cd"))
+      .toDF("doc_id", "text")
+    val m = Tokenizer.bpeMerges(docs, rounds = 3)
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect()
+    assert(m(0) === ((1, "a", "b", 12L)), s"round 1: ${m.toSeq}")
+    assert(m(1) === ((2, "ab", "ab", 6L)), s"round 2: ${m.toSeq}")
+    assert(m(2) === ((3, "c", "d", 3L)), s"round 3: ${m.toSeq}")
+  }
+
+  test("bpeMerges: exhaustion stops early on single-char words") {
+    val docs = Seq((0L, "a b c"), (1L, "a b")).toDF("doc_id", "text")
+    // only pairs ACROSS words don't exist; every word is one symbol →
+    // zero mergeable pairs → empty merge table
+    val m = Tokenizer.bpeMerges(docs, rounds = 5).collect()
+    assert(m.isEmpty)
+  }
+
+  test("bpeCompressionAudit: invariants vs the raw corpus") {
+    val docs = sourcesDocs
+    val audit = Tokenizer.bpeCompressionAudit(docs, rounds = 3).cache()
+    // chars never grow, merges only shrink; every merge round reduces
+    // the total symbol count by exactly its cnt (checked in aggregate)
+    val bad = audit.filter(col("n_symbols") > col("n_chars") ||
+      col("n_symbols") < 1).count()
+    assert(bad === 0)
+    val (merges, _) = Tokenizer.bpeTrain(docs, rounds = 3)
+    val totChars = audit.agg(sum("n_chars")).head.getLong(0)
+    val totSyms = audit.agg(sum("n_symbols")).head.getLong(0)
+    assert(totChars - totSyms === merges.map(_._4).sum,
+      "each merge removes exactly cnt symbols")
+  }
+
+  private def sourcesDocs =
+    graft.sources.Tables.documents(spark, sf()).limit(100)
+}
