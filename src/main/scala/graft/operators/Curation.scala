@@ -379,6 +379,36 @@ object Curation {
       .select(table.columns.map(col) :+ col(outCol): _*)
   }
 
+  /** Two-phase GLOBAL CUMULATIVE SUM over a total order — the running-
+    * total sibling of [[globalRank]] and the primitive behind
+    * budget-bounded curation ("take the best documents until the token
+    * budget is full"): `repartitionByRange` on the order, a per-partition
+    * running sum (window PARTITIONED by the range id — parallel, never a
+    * single-partition sort), then broadcast per-partition value totals
+    * as starting offsets (bounded nPartitions-row agg, model-state
+    * sized). Layout-exact for the same reason the rank is: offsets +
+    * local partial sums always compose to the exact prefix sum. */
+  def globalCumSum(table: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      valueCol: org.apache.spark.sql.Column, outCol: String): DataFrame = {
+    val spark = table.sparkSession
+    import spark.implicits._
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = Materialize(table.withColumn("__v", valueCol)
+      .repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val sizes = parted.groupBy(col("__pid")).agg(sum(col("__v")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.toSeq.map { case (pid, t) =>
+      val o = (pid, acc); acc += t; o
+    }.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.join(broadcast(offsets), "__pid")
+      .withColumn(outCol, sum(col("__v")).over(w) + col("__off"))
+      .select(table.columns.map(col) :+ col(outCol): _*)
+  }
+
   /** Deterministic train/validation/test split — the reproducible
     * hash-based assignment every training-data export needs: each doc
     * draws u = hash("split:" + id) / M in [0, 1) and lands in the first

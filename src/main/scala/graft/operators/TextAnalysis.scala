@@ -226,4 +226,27 @@ object TextAnalysis {
       .withColumn("kept", col("__u") < col("keep_frac"))
       .drop("__cnt", "__min_cnt", "__u")
   }
+
+  /** Character-entropy quality signal: H = −Σ_c p_c·ln(p_c) over the
+    * doc's character distribution (low entropy = repeated filler /
+    * mojibake, high ≈ ln(alphabet) = natural text; the C4/Gopher-family
+    * pipelines gate on exactly this). Computed over the SORTED distinct
+    * characters with a sequential fold so both engines add the identical
+    * IEEE terms in the identical order, then one 6-dp round. Per-row
+    * cost O(distinct·len); pure narrow pass, pipelines with the scan. */
+  def charEntropy(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val chars = Portable.chars(col(textCol))
+    val n = size(chars).cast("double")
+    val ds = array_sort(array_distinct(chars))
+    val terms = transform(ds, c => {
+      val p = size(filter(chars, x => x === c)).cast("double") / n
+      -p * log(p)
+    })
+    docs.select(col("doc_id"),
+      size(chars).cast("long").as("n_chars"),
+      size(ds).cast("long").as("n_distinct"),
+      when(size(chars) > 0,
+        round(aggregate(terms, lit(0.0), (a, t) => a + t), 6))
+        .as("entropy"))
+  }
 }

@@ -627,6 +627,39 @@ object CBlock {
           Tables.documents(s, dir), rounds = 5)
         .orderBy(col("doc_id"))
     }),
+
+    "text_entropy" -> ((s, dir) => {
+      // character-entropy quality signal (sorted-distinct sequential
+      // fold — engine-identical term order)
+      TextAnalysis.charEntropy(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
+    "curate_budget" -> ((s, dir) => {
+      // budget-bounded curation: best docs by quality until the token
+      // budget fills — the two-phase global cumulative sum
+      val scored = TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("quality"), col("n_tokens"))
+      Curation.globalCumSum(scored, Seq(col("quality").desc, col("doc_id")),
+          col("n_tokens"), "cum_tokens")
+        .filter(col("cum_tokens") <= 30000L)
+        .orderBy(col("doc_id"))
+    }),
+
+    "shuffle_export" -> ((s, dir) => {
+      // deterministic global training-order shuffle: rank over the
+      // affine-rehashed id hash — reproducible across engines and runs,
+      // stable for resumable dataloaders
+      val u = (graft.plans.native.poly_hash(
+          concat(lit("shuffle:"), col("doc_id").cast("string")))
+        * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+        graft.plans.HashOps.M
+      Curation.globalRank(
+          Tables.documents(s, dir).select(col("doc_id"), u.as("h")),
+          Seq(col("h"), col("doc_id")), "shuffle_pos")
+        .orderBy(col("shuffle_pos"))
+    }),
   )
 
   /** Inline portable poly-hash over a DuckDB string expression (the SQL
@@ -2022,5 +2055,54 @@ object CBlock {
          |)
          |SELECT doc_id, n_chars, n_symbols
          |FROM nch JOIN nsy USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, list_filter(string_split(text, ''), ch -> ch <> '') AS cs
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, cs, list_sort(list_distinct(cs)) AS ds FROM c
+        |)
+        |SELECT doc_id,
+        |  CAST(len(cs) AS BIGINT) AS n_chars,
+        |  CAST(len(ds) AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(cs) > 0 THEN
+        |    ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(ds, c ->
+        |        -(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs))
+        |          * ln(len(list_filter(cs, x -> x = c)) * 1.0 / len(cs)))),
+        |      (a, t) -> a + t), 6)
+        |  END AS entropy
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "curate_budget" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM t WHERE len(w) > 0
+         |), c AS (
+         |  SELECT doc_id, quality, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM q
+         |)
+         |SELECT doc_id, quality, n_tokens, cum_tokens
+         |FROM c WHERE cum_tokens <= 30000 ORDER BY doc_id""".stripMargin,
+
+    "shuffle_export" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    (${ph("'shuffle:' || CAST(doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, h,
+         |  row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+         |FROM k ORDER BY shuffle_pos""".stripMargin,
   )
 }

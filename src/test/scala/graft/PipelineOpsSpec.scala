@@ -117,6 +117,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
   }
 
+  test("globalCumSum: exact prefix sums under any layout, no global window") {
+    // parity vs the single-partition reference on a shuffled small table
+    val rows = (0 until 500).map(i => ((i * 37) % 500L, (i % 13 + 1).toLong))
+    val df = rows.toDF("id", "v").repartition(7)
+    val cum = Curation.globalCumSum(df, Seq(col("id")), col("v"), "cum")
+      .orderBy("id").select("id", "cum").as[(Long, Long)].collect()
+    var acc = 0L
+    val expect = rows.sortBy(_._1).map { case (id, v) => acc += v; (id, acc) }
+    assert(cum.toSeq === expect)
+    val plan = Curation.globalCumSum(df, Seq(col("id")), col("v"), "cum")
+      .queryExecution.sparkPlan
+    val unpart = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, s"cum-sum planned a single-partition window:\n$plan")
+  }
+
+  test("charEntropy: hand-computable distributions") {
+    val docs = Seq((0L, "aabb"), (1L, "aaaa"), (2L, "abcd"), (3L, ""))
+      .toDF("doc_id", "text")
+    val e = graft.operators.TextAnalysis.charEntropy(docs)
+      .orderBy("doc_id").collect()
+    assert(e(0).getAs[Double]("entropy") === math.round(math.log(2) * 1e6) / 1e6,
+      "uniform 2-symbol → ln 2")
+    assert(e(1).getAs[Double]("entropy") === 0.0, "single symbol → 0")
+    assert(e(2).getAs[Double]("entropy") === math.round(math.log(4) * 1e6) / 1e6,
+      "uniform 4-symbol → ln 4")
+    assert(e(3).isNullAt(e(3).fieldIndex("entropy")), "empty doc → NULL")
+    assert(e(0).getAs[Long]("n_distinct") === 2L)
+  }
+
   test("curriculum rank: contiguous, quality-ordered, partitioned windows only") {
     val df = SparkEntry.queries("curate_curriculum")(spark, sf())
     val rows = df.select("curriculum_rank", "quality")
