@@ -163,6 +163,69 @@ object Multimodal {
     }
   }
 
+  /** aHash-style perceptual image fingerprint (the production image-dedup
+    * primitive: identical/near-identical images collide even across
+    * re-encodes): bit i (row-major pixel i) is set iff that pixel's
+    * weighted gray value strictly exceeds the image mean — compared as
+    * `gray·npix > total` in exact integers, no division. Gray uses the
+    * same r+2g+4b channel weights as [[decodeImage]] so RGB/BGR bugs
+    * flip bits. Image area must fit the 63-bit hash (true for the
+    * synthetic corpus; real pipelines downscale to 8×8 first). */
+  final case class ImageHash(doc_id: Long, width: Long, height: Long,
+      phash: Long, decoded: Boolean)
+
+  def perceptualHash(media: Array[Byte]): Option[(Long, Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val n = w * h
+      require(n <= 62, s"image area $n exceeds the 62-bit hash; downscale first")
+      val gray = Array.ofDim[Long](n)
+      var total = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val g = ((rgb >> 16) & 255) + 2L * ((rgb >> 8) & 255) + 4L * (rgb & 255)
+          gray(y * w + x) = g
+          total += g
+          x += 1
+        }
+        y += 1
+      }
+      var bits = 0L
+      var i = 0
+      while (i < n) {
+        if (gray(i) * n > total) bits |= 1L << i
+        i += 1
+      }
+      Some((w.toLong, h.toLong, bits))
+    }
+  }
+
+  /** Perceptual hashes for a media collection — partition-local decode,
+    * no shuffle; undecodable payloads fall back to the stub header hash
+    * with decoded=false (same policy as [[decodeFeatures]]). */
+  def phashFeatures(ds: Dataset[MediaRecord])
+      (implicit s: SparkSession): Dataset[ImageHash] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        perceptualHash(r.media) match {
+          case Some((w, h, bits)) => ImageHash(r.doc_id, w, h, bits, decoded = true)
+          case None =>
+            val (_, _, header) = decodeStub(r.media)
+            ImageHash(r.doc_id, 0L, 0L, header, decoded = false)
+        }
+      }
+    }
+  }
+
   /** One sampled "frame" of a media payload. */
   final case class Frame(doc_id: Long, frame_idx: Long, frame_hash: Long)
 

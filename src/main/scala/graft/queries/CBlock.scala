@@ -628,6 +628,45 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_phash" -> ((s, dir) => {
+      // perceptual image hash through the REAL codec round-trip (same
+      // media synthesis as mm_decode, incl. the %7 undecodable payloads
+      // exercising the fallback)
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            val payload =
+              if (id % 7 == 0) Option(text).getOrElse("").getBytes("UTF-8")
+              else Multimodal.synthesizeBmp(id)
+            MediaRecord(id, payload, "", "", payload.length.toLong)
+          }
+        }
+      Multimodal.phashFeatures(media).toDF().orderBy(col("doc_id"))
+    }),
+
+    "mm_phash_dups" -> ((s, dir) => {
+      // image-level dedup via perceptual hash: payloads repeat mod 97,
+      // so every hash group collects the docs sharing an image
+      implicit val ss: SparkSession = s
+      import ss.implicits._
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val payload = Multimodal.synthesizeBmp(id % 97)
+            MediaRecord(id, payload, "", "", payload.length.toLong)
+          }
+        }
+      Multimodal.phashFeatures(media).toDF()
+        .groupBy(col("phash"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("phash"))
+    }),
+
     "text_entropy" -> ((s, dir) => {
       // character-entropy quality signal (sorted-distinct sequential
       // fold — engine-identical term order)
@@ -2055,6 +2094,68 @@ object CBlock {
          |)
          |SELECT doc_id, n_chars, n_symbols
          |FROM nch JOIN nsy USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" ->
+      s"""WITH dims AS (
+         |  SELECT doc_id, text,
+         |    4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+         |  FROM documents
+         |), px AS (
+         |  SELECT d.doc_id, y.y * d.w + x.x AS pos,
+         |    (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256
+         |      + 2 * ((d.doc_id * 17 + x.x * 3 + y.y * 5) % 256)
+         |      + 4 * ((x.x + y.y * 11) % 256) AS v
+         |  FROM dims d
+         |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.w
+         |  JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.h
+         |  WHERE d.doc_id % 7 <> 0
+         |), agg AS (
+         |  SELECT doc_id, CAST(sum(v) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM px GROUP BY 1
+         |), hsh AS (
+         |  SELECT p.doc_id,
+         |    CAST(SUM(CASE WHEN p.v * a.n > a.total
+         |      THEN (CAST(1 AS BIGINT) << CAST(p.pos AS INTEGER)) ELSE 0 END)
+         |      AS BIGINT) AS phash
+         |  FROM px p JOIN agg a USING (doc_id) GROUP BY 1
+         |)
+         |SELECT d.doc_id, d.doc_id % 7 <> 0 AS decoded,
+         |  CAST(CASE WHEN d.doc_id % 7 <> 0 THEN d.w ELSE 0 END AS BIGINT) AS width,
+         |  CAST(CASE WHEN d.doc_id % 7 <> 0 THEN d.h ELSE 0 END AS BIGINT) AS height,
+         |  CASE WHEN d.doc_id % 7 <> 0 THEN s.phash
+         |       ELSE ${ph("substr(d.text, 1, 16)")} END AS phash
+         |FROM dims d LEFT JOIN hsh s ON d.doc_id = s.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "mm_phash_dups" ->
+      """WITH ids AS (
+        |  SELECT doc_id, doc_id % 97 AS id2 FROM documents
+        |), dims AS (
+        |  SELECT DISTINCT id2, 4 + id2 % 5 AS w, 3 + id2 % 4 AS h FROM ids
+        |), px AS (
+        |  SELECT d.id2, y.y * d.w + x.x AS pos,
+        |    (d.id2 * 31 + x.x * 7 + y.y * 13) % 256
+        |      + 2 * ((d.id2 * 17 + x.x * 3 + y.y * 5) % 256)
+        |      + 4 * ((x.x + y.y * 11) % 256) AS v
+        |  FROM dims d
+        |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.w
+        |  JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.h
+        |), agg AS (
+        |  SELECT id2, CAST(sum(v) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM px GROUP BY 1
+        |), hsh AS (
+        |  SELECT p.id2,
+        |    CAST(SUM(CASE WHEN p.v * a.n > a.total
+        |      THEN (CAST(1 AS BIGINT) << CAST(p.pos AS INTEGER)) ELSE 0 END)
+        |      AS BIGINT) AS phash
+        |  FROM px p JOIN agg a USING (id2) GROUP BY 1
+        |)
+        |SELECT s.phash, count(*) AS n_docs, min(i.doc_id) AS min_doc
+        |FROM ids i JOIN hsh s USING (id2)
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY phash""".stripMargin,
 
     "text_entropy" ->
       """WITH c AS (

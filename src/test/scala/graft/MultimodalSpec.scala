@@ -60,4 +60,33 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(ds).collect().head
     assert(f.byte_len == 0 && f.n_frames == 1 && f.header_hash == 0L)
   }
+
+  test("perceptualHash: analytic parity, identity, and mean-threshold bits") {
+    // parity with the synthetic pixel formula for a few ids
+    for (id <- Seq(1L, 2L, 13L, 42L)) {
+      val Some((w, h, bits)) = Multimodal.perceptualHash(Multimodal.synthesizeBmp(id))
+      assert(w == 4 + id % 5 && h == 3 + id % 4)
+      val n = (w * h).toInt
+      val gray = (0 until n).map { i =>
+        val (x, y) = (i % w.toInt, i / w.toInt)
+        ((id * 31 + x * 7 + y * 13) % 256) +
+          2 * ((id * 17 + x * 3 + y * 5) % 256) + 4 * ((x + y * 11) % 256)
+      }
+      val total = gray.sum
+      val expect = (0 until n).foldLeft(0L) { (acc, i) =>
+        if (gray(i) * n > total) acc | (1L << i) else acc
+      }
+      assert(bits == expect, s"id=$id")
+    }
+    // identical payloads → identical hash; different ids differ (dedup works)
+    assert(Multimodal.perceptualHash(Multimodal.synthesizeBmp(5L)) ==
+      Multimodal.perceptualHash(Multimodal.synthesizeBmp(5L)))
+    val hashes = (0L until 20L)
+      .flatMap(i => Multimodal.perceptualHash(Multimodal.synthesizeBmp(i)))
+      .map(_._3)
+    assert(hashes.distinct.size >= 18,
+      s"synthetic images should rarely collide: ${hashes.distinct.size}/20")
+    // undecodable bytes → None (the fallback path in phashFeatures)
+    assert(Multimodal.perceptualHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
 }
