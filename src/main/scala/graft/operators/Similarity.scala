@@ -63,6 +63,34 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** HARD-NEGATIVE MINING for contrastive training: per probe, the k
+    * most-similar vectors with a DIFFERENT label — the canonical
+    * batch-mining job behind embedding-model training (high-cosine
+    * other-label examples are the gradient-rich negatives). Same
+    * bounded-heap physical shape as [[cosineTopKAgg]]; the label
+    * mismatch rides the broadcast join condition, so mismatched pairs
+    * are dropped BEFORE any score is computed. */
+  def hardNegatives(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("probe_vec"),
+        col(labelCol).as("probe_label"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"),
+        col(labelCol).as("cand_label"))
+      .join(broadcast(probes), col("cand_label") =!= col("probe_label"))
+      .select(col("key"), col("id"),
+        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "neg_id", "cos")
+      .select(col("probe_id"), col("neg_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component i (1-based) of plane
     * p, in [-1, 1): ((a_p*i + b_p) mod M) / M * 2 - 1 — the same affine
     * family as the portable hashes, so the oracle reproduces it exactly. */

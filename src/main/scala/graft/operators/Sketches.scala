@@ -84,15 +84,25 @@ object Sketches {
     * Scale: building the grid is one map-side-combined agg of at most
     * depth×width rows — O(1) state regardless of corpus size; probing is
     * a broadcast-sized join on (row, cell). */
-  def countMinFreq(items: DataFrame, itemCol: Column, probes: Seq[String],
-      depth: Int = 4, width: Int = 1024): DataFrame = {
-    def cellsOf(hc: Column): Column = array((0 until depth).map(k =>
-      struct(lit(k).as("k"),
-        (Portable.rehash(hc, k) % width).as("cell"))): _*)
-    val cells = items
-      .select(explode(cellsOf(native.poly_hash(itemCol))).as("kc"))
+  /** The CMS grid as a DataFrame of (k, cell, n) — plain-sum cells, so
+    * the SAME aggregation runs batch, incremental (sum two grids), or as
+    * a streaming aggregation across micro-batches
+    * (StreamingSketchSpec proves merge ≡ batch). */
+  def cmsCells(items: DataFrame, itemCol: Column, depth: Int = 4,
+      width: Int = 1024): DataFrame =
+    items
+      .select(explode(cmsCellsOf(native.poly_hash(itemCol), depth, width)).as("kc"))
       .groupBy(col("kc.k").as("k"), col("kc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
+
+  private def cmsCellsOf(hc: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(k =>
+      struct(lit(k).as("k"), (Portable.rehash(hc, k) % width).as("cell"))): _*)
+
+  def countMinFreq(items: DataFrame, itemCol: Column, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    def cellsOf(hc: Column): Column = cmsCellsOf(hc, depth, width)
+    val cells = cmsCells(items, itemCol, depth, width)
     val spark = items.sparkSession
     import spark.implicits._
     val probeCells = probes.toDF("word")
@@ -124,13 +134,7 @@ object Sketches {
   def heavyHitters(items: DataFrame, itemCol: Column, fracDenom: Long = 50,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val h = native.poly_hash(itemCol)
-    val gridRows = items.select(h.as("h"))
-      .select(explode(array((0 until depth).map(k =>
-        struct(lit(k).as("k"),
-          (Portable.rehash(col("h"), k) % width).as("cell"))): _*)).as("kc"))
-      .groupBy(col("kc.k").as("k"), col("kc.cell").as("cell"))
-      .agg(count(lit(1)).as("n"))
-      .collect()
+    val gridRows = cmsCells(items, itemCol, depth, width).collect()
     val grid = Array.fill(depth, width)(0L)
     gridRows.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     val total = grid(0).sum

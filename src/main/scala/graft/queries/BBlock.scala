@@ -20,6 +20,26 @@ object BBlock {
   def queries(eventsUs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q_retention" -> ((s, dir) => {
+      // cohort retention matrix: users grouped by first-activity week,
+      // distinct-user counts per (cohort, week offset). The first-seen
+      // table is O(users) — a shuffle join on user_id that AQE sizes;
+      // the activity table is pre-distinct'd per (user, week) so the
+      // final agg counts plain rows
+      val ev = eventsUs(s, dir)
+      val firstWeek = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+      val active = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        .distinct()
+      active.join(firstWeek, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("wk"), col("cohort")) / 7).cast("long"))
+        .groupBy(col("cohort"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort"), col("week_offset"))
+    }),
+
     "q_window_range" -> ((s, dir) => {
       // RANGE-frame window: trailing-1-hour event count + floor-value sum
       // per user over purchases (integer math for cross-engine parity)
@@ -377,6 +397,19 @@ object BBlock {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |  FROM events GROUP BY 1
+        |), a AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+        |)
+        |SELECT cohort,
+        |  CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+        |  count(*) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
     "q_window_range" ->
       """SELECT event_id, user_id,
         |  CAST(SUM(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT) AS trailing_1h_value,

@@ -628,6 +628,27 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_cluster_stats" -> ((s, dir) => {
+      // dedup-audit histogram: near-dup cluster-size distribution +
+      // docs removed per size — the observability readout a dedup run
+      // ships with its manifest (tiny: O(distinct sizes) rows)
+      Dedup.connectedComponents(
+          Dedup.minhashCandidates(Tables.documents(s, dir), k = 16, bands = 4))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz") - 1).as("docs_removed"))
+        .orderBy(col("cluster_size"))
+    }),
+
+    "sim_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: top-5 most-similar OTHER-label
+      // vectors per probe, through the bounded-heap top-k
+      Similarity.hardNegatives(Tables.embeddings(s, dir),
+          col("vec_id") < 20, k = 5)
+        .orderBy(col("probe_id"), col("cosine").desc, col("neg_id"))
+    }),
+
     "mm_phash" -> ((s, dir) => {
       // perceptual image hash through the REAL codec round-trip (same
       // media synthesis as mm_decode, incl. the %7 undecodable payloads
@@ -2094,6 +2115,42 @@ object CBlock {
          |)
          |SELECT doc_id, n_chars, n_symbols
          |FROM nch JOIN nsy USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_cluster_stats" ->
+      s"""WITH RECURSIVE ${minhashPairsCte()},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS doc_id, min(dst) AS cl FROM reach GROUP BY src
+         |), sizes AS (
+         |  SELECT cl, count(*) AS sz FROM labels GROUP BY cl
+         |)
+         |SELECT sz AS cluster_size, count(*) AS n_clusters,
+         |  CAST(SUM(sz - 1) AS BIGINT) AS docs_removed
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "sim_hard_negatives" ->
+      """WITH probes AS (
+        |  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20
+        |), cos AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neg_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM probes p JOIN embeddings c ON p.label <> c.label
+        |)
+        |SELECT probe_id, neg_id, ROUND(cos, 6) AS cosine
+        |FROM cos
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neg_id) <= 5
+        |ORDER BY probe_id, cosine DESC, neg_id""".stripMargin,
 
     "mm_phash" ->
       s"""WITH dims AS (

@@ -40,4 +40,28 @@ class StreamingSketchSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("CMS grid cells merge across micro-batches == batch grid") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val words = (1 to 2000).map(i => s"w${i % 37}")
+    val ms = MemoryStream[String]
+    val grid = Sketches.cmsCells(ms.toDS().toDF("word"), col("word"),
+      depth = 4, width = 64)
+    val q = grid.writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(words.take(300))
+      q.processAllAvailable()
+      ms.addData(words.drop(300))
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .orderBy("k", "cell").collect().toSeq
+      val batch = Sketches.cmsCells(words.toDF("word"), col("word"),
+          depth = 4, width = 64)
+        .orderBy("k", "cell").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "the heavy-hitter gate's grid is incrementally maintainable")
+    } finally q.stop()
+  }
 }
