@@ -91,6 +91,47 @@ object Similarity {
       .select(col("probe_id"), col("neg_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** INT8 SCALAR QUANTIZATION distortion audit — the other standard
+    * embedding compression next to PQ (4× over fp32, no codebook): each
+    * dimension maps to its own [min, max] range, q = clamp(floor((x−mn)/
+    * (mx−mn)·255)), reconstruction at the cell midpoint. Returns each
+    * vector's L2 distortion ‖x − dequant(quant(x))‖ — the audit that
+    * decides whether SQ is safe for a corpus before committing the
+    * stored index to it.
+    *
+    * Scale: the per-dim min/max stats are ONE map-side-combined agg to
+    * dim rows (model state, collected and inlined as literal arrays —
+    * the IVF-centroid trick), so the quantize→reconstruct→distortion
+    * pass is a pure NARROW projection: no join, no shuffle, pipelines
+    * with the scan. All arithmetic is IEEE doubles from exact float
+    * casts, identical in both engines. */
+  def sqDistortion(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getFloat(1).toDouble,
+        r.getFloat(2).toDouble)).sortBy(_._1)
+    val mnL = array(stats.map(s => lit(s._2)): _*)
+    val mxL = array(stats.map(s => lit(s._3)): _*)
+    val terms = transform(sequence(lit(1), size(col(vecCol))), i => {
+      val x = element_at(col(vecCol), i).cast("double")
+      val mn = element_at(mnL, i)
+      val mx = element_at(mxL, i)
+      // 256 equal cells over [mn, mx] (x = mx clamps into the top cell),
+      // midpoint reconstruction → per-dim error ≤ (mx − mn)/512 exactly
+      val q = when(mx > mn,
+        least(greatest(floor((x - mn) / (mx - mn) * 256), lit(0L)), lit(255L)))
+        .otherwise(lit(0L))
+      val xr = mn + (q + lit(0.5)) * (mx - mn) / lit(256)
+      (x - xr) * (x - xr)
+    })
+    emb.select(col(idCol), col(labelCol),
+      round(sqrt(aggregate(terms, lit(0.0), (a, t) => a + t)), 6)
+        .as("sq_distortion"))
+  }
+
   /** Deterministic pseudo-random hyperplane component i (1-based) of plane
     * p, in [-1, 1): ((a_p*i + b_p) mod M) / M * 2 - 1 — the same affine
     * family as the portable hashes, so the oracle reproduces it exactly. */

@@ -628,6 +628,13 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "emb_quantize_sq" -> ((s, dir) => {
+      // int8 scalar-quantization distortion audit: per-dim [min,max]
+      // ranges inlined as literals → pure narrow quantize/reconstruct
+      Similarity.sqDistortion(Tables.embeddings(s, dir))
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_cluster_stats" -> ((s, dir) => {
       // dedup-audit histogram: near-dup cluster-size distribution +
       // docs removed per size — the observability readout a dedup run
@@ -2115,6 +2122,32 @@ object CBlock {
          |)
          |SELECT doc_id, n_chars, n_symbols
          |FROM nch JOIN nsy USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "emb_quantize_sq" ->
+      """WITH s AS (
+        |  SELECT dim, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx
+        |  FROM (SELECT unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS dim FROM embeddings)
+        |  GROUP BY 1
+        |), sl AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs FROM s
+        |)
+        |SELECT vec_id, label,
+        |  ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(1, len(embedding) + 1), i ->
+        |      (CAST(embedding[i] AS DOUBLE)
+        |        - (mns[i] + ((CASE WHEN mxs[i] > mns[i]
+        |             THEN least(greatest(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |               / (mxs[i] - mns[i]) * 256), 0), 255) ELSE 0 END) + 0.5)
+        |            * (mxs[i] - mns[i]) / 256))
+        |      * (CAST(embedding[i] AS DOUBLE)
+        |        - (mns[i] + ((CASE WHEN mxs[i] > mns[i]
+        |             THEN least(greatest(floor((CAST(embedding[i] AS DOUBLE) - mns[i])
+        |               / (mxs[i] - mns[i]) * 256), 0), 255) ELSE 0 END) + 0.5)
+        |            * (mxs[i] - mns[i]) / 256)))),
+        |    (a, t) -> a + t)), 6) AS sq_distortion
+        |FROM embeddings, sl
+        |ORDER BY vec_id""".stripMargin,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},

@@ -149,6 +149,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e(0).getAs[Long]("n_distinct") === 2L)
   }
 
+  test("sqDistortion: half-cell error bound, constant dims free, narrow plan") {
+    // dim 1 spans [0, 256] → cell width 1, midpoint error ≤ 0.5;
+    // dim 2 is constant → quantizes exactly (contributes 0)
+    val rows = (0 until 256).map(i => (i.toLong, Array(i.toFloat, 7f), 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val d = Similarity.sqDistortion(emb).cache()
+    val vals = d.select("sq_distortion").as[Double].collect()
+    assert(vals.forall(v => v >= 0 && v <= 0.5 + 1e-9),
+      s"distortion must sit inside the half-cell bound: max=${vals.max}")
+    assert(vals.exists(_ > 0), "quantization error should be non-trivial")
+    // corpus audit: distortion bounded by sqrt(sum of per-dim half-cells)
+    val corpus = graft.sources.Tables.embeddings(spark, sf())
+    val stats = corpus.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg((max(col("x")) - min(col("x"))).as("range"))
+      .select("range").as[Float].collect()
+    val bound = math.sqrt(stats.map(r => math.pow(r / 512.0, 2)).sum) + 1e-6
+    val worst = Similarity.sqDistortion(corpus)
+      .agg(max("sq_distortion")).head.getDouble(0)
+    assert(worst <= bound, s"corpus distortion $worst exceeds bound $bound")
+    // the quantize pass is narrow: no join anywhere in the plan
+    val p = Similarity.sqDistortion(emb).queryExecution.sparkPlan.toString
+    assert(!p.contains("Join"), s"SQ audit must not plan a join:\n$p")
+  }
+
   test("curriculum rank: contiguous, quality-ordered, partitioned windows only") {
     val df = SparkEntry.queries("curate_curriculum")(spark, sf())
     val rows = df.select("curriculum_rank", "quality")
