@@ -181,6 +181,32 @@ object CBlock {
         .orderBy(col("shard"))
     }),
 
+    "curate_funnel" -> ((s, dir) => {
+      // per-stage funnel audit of the configured pipeline: how many docs
+      // survive each gate (the observability readout a curation run
+      // publishes next to its manifest)
+      val docs = Tables.documents(s, dir)
+      val inLang = docs.filter(col("lang").isin("en", "es", "fr"))
+      val deduped = Dedup.applyDedup(inLang, Dedup.connectedComponents(
+        Dedup.minhashCandidates(inLang, 16, 4)))
+      val scored = TextAnalysis.quality(deduped, stopwords)
+        .filter(col("quality") >= 0.6)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val cont = Dedup.rareGramContaminated(inLang,
+          pmod(col("doc_id"), lit(97)) === 0, 8, 2)
+        .select(col("doc_id").as("__cont"))
+      val clean = scored.filter(!isBench)
+        .join(cont, col("doc_id") === col("__cont"), "left_anti")
+      Seq("0_input" -> docs, "1_lang" -> inLang, "2_dedup" -> deduped,
+          "3_quality" -> scored, "4_decontaminated" -> clean)
+        .map { case (n, df) =>
+          df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"),
+            col("n_docs"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy(col("stage"))
+    }),
+
     "curate_split" -> ((s, dir) => {
       // the FULL configured export: curation pipeline + train/valid/test
       // split, manifest per (split, shard)
@@ -1117,6 +1143,57 @@ object CBlock {
          |SELECT doc_id, n_tok, r_ntok, r_wlen, r_alpha, r_stop,
          |  r_ntok AND r_wlen AND r_alpha AND r_stop AS pass
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "curate_funnel" ->
+      s"""WITH RECURSIVE ${minhashPairsCte("WHERE lang IN ('en','es','fr')")},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |        + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |        + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents
+         |        WHERE lang IN ('en','es','fr'))
+         |), g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents WHERE lang IN ('en','es','fr')
+         |), gdf AS (
+         |  SELECT gram, count(*) AS df FROM g GROUP BY 1
+         |), bg AS (
+         |  SELECT DISTINCT gram FROM g JOIN gdf USING (gram)
+         |  WHERE doc_id % 97 = 0 AND df <= 2
+         |), cont AS (
+         |  SELECT DISTINCT doc_id FROM g JOIN bg USING (gram)
+         |  WHERE doc_id % 97 <> 0
+         |), ded AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN labels l ON d.doc_id = l.ldoc
+         |  WHERE d.lang IN ('en','es','fr')
+         |    AND (l.ldoc IS NULL OR l.cl = d.doc_id)
+         |), qd AS (
+         |  SELECT ded.doc_id FROM ded JOIN q USING (doc_id)
+         |  WHERE q.quality >= 0.6
+         |)
+         |SELECT stage, n_docs FROM (
+         |  SELECT '0_input' AS stage, count(*) AS n_docs FROM documents
+         |  UNION ALL SELECT '1_lang', count(*) FROM documents
+         |    WHERE lang IN ('en','es','fr')
+         |  UNION ALL SELECT '2_dedup', count(*) FROM ded
+         |  UNION ALL SELECT '3_quality', count(*) FROM qd
+         |  UNION ALL SELECT '4_decontaminated', count(*) FROM qd
+         |    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+         |) ORDER BY stage""".stripMargin,
 
     "curate_configured" ->
       s"""WITH RECURSIVE ${minhashPairsCte("WHERE lang IN ('en','es','fr')")},

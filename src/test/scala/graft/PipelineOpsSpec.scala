@@ -173,6 +173,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"SQ audit must not plan a join:\n$p")
   }
 
+  test("curate_funnel: monotone non-increasing stage counts") {
+    val f = SparkEntry.queries("curate_funnel")(spark, sf())
+      .orderBy("stage").select("n_docs").as[Long].collect()
+    assert(f.length === 5)
+    assert(f.sliding(2).forall { case Array(a, b) => b <= a; case _ => true },
+      s"every gate can only shrink the corpus: ${f.toSeq}")
+    assert(f.last > 0, "the pipeline must not empty the corpus")
+  }
+
   test("curriculum rank: contiguous, quality-ordered, partitioned windows only") {
     val df = SparkEntry.queries("curate_curriculum")(spark, sf())
     val rows = df.select("curriculum_rank", "quality")
