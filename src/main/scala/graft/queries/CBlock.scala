@@ -101,6 +101,18 @@ object CBlock {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    "dedup_embedding_clusters" -> ((s, dir) => {
+      // semantic dedup END-TO-END: cosine near-dup pairs → connected
+      // components → keeper flag (the embedding-space twin of
+      // dedup_clusters; same audited CC machinery)
+      val pairs = Dedup.embeddingPairs(Tables.embeddings(s, dir),
+          tau = 0.35, blockCol = "label")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.connectedComponents(pairs)
+        .withColumn("is_keeper", col("doc_id") === col("cluster"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopKAgg(Tables.embeddings(s, dir),
           col("vec_id") < 20, k = 5)
@@ -982,6 +994,29 @@ object CBlock {
         |)
         |SELECT id_a, id_b, ROUND(c, 6) AS cosine
         |FROM cos WHERE c >= 0.35 ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_clusters" ->
+      """WITH RECURSIVE cos AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |), p AS (
+        |  SELECT id_a AS a, id_b AS b FROM cos WHERE c >= 0.35
+        |), e AS (
+        |  SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |)
+        |SELECT src AS doc_id, min(dst) AS cluster, src = min(dst) AS is_keeper
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
