@@ -20,6 +20,62 @@ object BBlock {
   def queries(eventsUs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "q10_returned" -> ((s, dir) => {
+      // TPC-H Q10 shape: revenue lost to returned items per customer,
+      // top 20 — fact-fact shuffle join + broadcast nation dim
+      val orders = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(moneySum(revenueExpr).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: cross-nation shipping volume by year (all
+      // supp≠cust pairs) — two broadcast nation lookups under aliases
+      val n1 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(moneySum(revenueExpr).as("volume"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    "q14_promo" -> ((s, dir) => {
+      // TPC-H Q14 shape: monthly promo-revenue share — conditional
+      // aggregation over a broadcast part join, ratio of exact decimals
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(
+          moneySum(when(col("p_type") === "PROMO", revenueExpr)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("promo_revenue"),
+          moneySum(revenueExpr).as("total_revenue"))
+        .withColumn("promo_share",
+          round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+        .orderBy(col("month"))
+    }),
+
     "q_retention" -> ((s, dir) => {
       // cohort retention matrix: users grouped by first-activity week,
       // distinct-user counts per (cohort, week offset). The first-seen
@@ -397,6 +453,54 @@ object BBlock {
   )
 
   val oracle: Map[String, String] = Map(
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |    AS DOUBLE) AS volume
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q14_promo" ->
+      """SELECT month, promo_revenue, total_revenue,
+        |  ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share
+        |FROM (
+        |  SELECT date_trunc('month', l_shipdate) AS month,
+        |    CAST(ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS promo_revenue,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1
+        |) ORDER BY month""".stripMargin,
+
     "q_retention" ->
       """WITH f AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
