@@ -326,10 +326,30 @@ object Curation {
     * more than its range slice. */
   def vocabBuild(docs: DataFrame, minCount: Long = 1,
       textCol: String = "text"): DataFrame = {
-    val counts = docs.select(explode(Portable.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= minCount)
+    val counts = vocabCounts(docs, textCol).filter(col("cnt") >= minCount)
     globalRank(counts, Seq(col("cnt").desc, col("word")), "vocab_id")
+  }
+
+  /** The UNRANKED (word, cnt) table behind [[vocabBuild]] — the partial
+    * artifact an incremental ingest stores per batch. */
+  def vocabCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(Portable.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+
+  /** INCREMENTAL vocab maintenance: merge stored per-batch count
+    * artifacts (plain commutative sums), apply minCount on the MERGED
+    * totals (a word crossing the threshold only after merging is kept —
+    * filtering the parts first would lose it), and re-rank through the
+    * two-phase rank. At 100 TB this is the daily-ingest shape: yesterday's
+    * O(vocab) artifact + today's delta counts, NO rescan of history —
+    * provably ≡ a from-scratch [[vocabBuild]] because count sums are
+    * associative-commutative and the rank is a pure function of the
+    * merged table (spec + oracle-exact vs the full rebuild). */
+  def vocabMerge(parts: Seq[DataFrame], minCount: Long = 1): DataFrame = {
+    val merged = parts.reduce(_ unionAll _)
+      .groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    globalRank(merged, Seq(col("cnt").desc, col("word")), "vocab_id")
   }
 
   /** The BIGRAM counterpart of [[vocabBuild]] — the stored artifact

@@ -290,6 +290,17 @@ object CBlock {
         .orderBy(col("vocab_id"))
     }),
 
+    "vocab_merge" -> ((s, dir) => {
+      // incremental vocab maintenance: two disjoint batch artifacts
+      // (even/odd doc ids) merged + re-ranked ≡ the from-scratch build
+      // (the oracle IS the full rebuild — same SQL as vocab_build)
+      val docs = Tables.documents(s, dir)
+      val even = Curation.vocabCounts(docs.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val odd = Curation.vocabCounts(docs.filter(pmod(col("doc_id"), lit(2)) === 1))
+      Curation.vocabMerge(Seq(even, odd), minCount = 2)
+        .orderBy(col("vocab_id"))
+    }),
+
     "sample_temperature" -> ((s, dir) => {
       TextAnalysis.sampleTemperatureT2(Tables.documents(s, dir))
         .groupBy(col("source"))
@@ -1416,6 +1427,17 @@ object CBlock {
          |  CAST(sum(CASE WHEN copy = 1 AND n_copies > floor(r)
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_extra
          |FROM x GROUP BY source ORDER BY source""".stripMargin,
+
+    "vocab_merge" ->
+      s"""WITH c AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |)
+         |SELECT word, cnt,
+         |  CAST(row_number() OVER (ORDER BY cnt DESC, word) - 1 AS BIGINT)
+         |    AS vocab_id
+         |FROM c WHERE cnt >= 2 ORDER BY vocab_id""".stripMargin,
 
     "vocab_build" ->
       s"""WITH c AS (

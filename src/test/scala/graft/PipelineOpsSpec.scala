@@ -173,6 +173,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!p.contains("Join"), s"SQ audit must not plan a join:\n$p")
   }
 
+  test("vocabMerge: threshold applies post-merge, 3-way split == rebuild") {
+    // "rare" appears once per batch — under minCount=2 it must survive
+    // ONLY because the threshold is applied to the merged totals
+    val batches = (0 until 3).map { b =>
+      ((b * 10) until (b * 10 + 3)).map(i => (i.toLong, s"common w$b rare"))
+        .toDF("doc_id", "text")
+    }
+    val merged = Curation.vocabMerge(batches.map(Curation.vocabCounts(_)),
+      minCount = 2).orderBy("vocab_id")
+    val full = Curation.vocabBuild(batches.reduce(_ unionAll _), minCount = 2)
+      .orderBy("vocab_id")
+    assert(merged.collect().toSeq === full.collect().toSeq)
+    assert(merged.filter(col("word") === "rare").count() === 1,
+      "a word crossing minCount only after merging must be kept")
+  }
+
   test("curate_funnel: monotone non-increasing stage counts") {
     val f = SparkEntry.queries("curate_funnel")(spark, sf())
       .orderBy("stage").select("n_docs").as[Long].collect()
