@@ -608,9 +608,28 @@ object Similarity {
     val sub = dim / m
     val cents = if (centsOverride != null) centsOverride
       else ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
-    val index = emb.select(col(idCol).as("id"),
+    val index = ivfadcIndex(emb, cents, m, sub, idCol, vecCol)
+    ivfadcSearch(index, emb, probePred, cents, k, nprobe, m, sub, idCol, vecCol)
+  }
+
+  /** The STORED IVFADC index rows — (id, cent_id, codes): what a
+    * production deployment writes once (partitioned by cent_id) and
+    * every query reads back; plain ints/longs, so the parquet
+    * round-trip is value-exact. One narrow pass. */
+  def ivfadcIndex(emb: DataFrame, cents: Array[(Long, Seq[Double])],
+      m: Int, sub: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"),
       array_min(centScored(col(vecCol), cents)).getField("cent_id").as("cent_id"),
       pqCodesCol(cents, m, sub, vecCol).as("codes"))
+
+  /** ADC search over a (possibly read-back) [[ivfadcIndex]] table. */
+  def ivfadcSearch(index: DataFrame, emb: DataFrame, probePred: Column,
+      cents: Array[(Long, Seq[Double])], k: Int, nprobe: Int, m: Int,
+      sub: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
     val dt = array((0 until m).map { ss =>
       array(cents.map { case (_, cv) =>
         l2sqCol(slice(col(vecCol), ss * sub + 1, sub),

@@ -523,6 +523,23 @@ object CBlock {
         .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
     }),
 
+    "sim_pq_stored" -> ((s, dir) => {
+      // the ANN index LIFECYCLE: build the IVFADC index rows, write them
+      // as parquet partitioned by cent_id (the production layout — a
+      // probe's nprobe lists prune to their partitions), read back, and
+      // search the read-back artifact. Values are ints/longs, so the
+      // round-trip is exact and the oracle is the same as sim_pq_ivf.
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfCentroids(emb, 8, 32)
+      val path = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_pq_index").getPath
+      Similarity.ivfadcIndex(emb, cents, m = 8, sub = 8)
+        .write.mode("overwrite").partitionBy("cent_id").parquet(path)
+      Similarity.ivfadcSearch(s.read.parquet(path), emb,
+          col("vec_id") < 10, cents, k = 5, nprobe = 2, m = 8, sub = 8)
+        .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
+    }),
+
     "sim_pq_residual" -> ((s, dir) => {
       // TRUE IVFADC: PQ over residuals x − c_list, per-(probe, list)
       // distance tables — the FAISS-style production index
@@ -855,7 +872,7 @@ object CBlock {
        |  GROUP BY 1, 2
        |)""".stripMargin
 
-  val oracle: Map[String, String] = Map(
+  private lazy val baseOracle: Map[String, String] = Map(
     "curate_corpus" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},
          |e AS (
@@ -2430,4 +2447,11 @@ object CBlock {
          |  row_number() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
          |FROM k ORDER BY shuffle_pos""".stripMargin,
   )
+
+  /** `sim_pq_stored`'s oracle IS `sim_pq_ivf`'s: the stored-index search
+    * must return precisely what the in-memory build returns — the
+    * parquet round-trip of ints/longs is value-exact, so any divergence
+    * is a REAL bug in the artifact lifecycle. */
+  lazy val oracle: Map[String, String] =
+    baseOracle + ("sim_pq_stored" -> baseOracle("sim_pq_ivf"))
 }
