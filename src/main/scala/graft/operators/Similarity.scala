@@ -63,6 +63,23 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** RADIUS (range) search — the other query mode next to top-k: ALL
+    * vectors within cosine ≥ τ of each probe (dedup-audit "find every
+    * thing like this" rather than "the 5 most alike"). Same broadcast-
+    * probe single-scan shape as the top-k, but no heap: the τ filter is
+    * a narrow predicate, so the result streams straight out of the scan
+    * with no aggregation at all. */
+  def radiusSearch(emb: DataFrame, probePred: Column, tau: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    emb.select(col(idCol).as("cand_id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .withColumn("cos", cosineCol(col("probe_vec"), col("cand_vec")))
+      .filter(col("cos") >= tau)
+      .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: per probe, the k
     * most-similar vectors with a DIFFERENT label — the canonical
     * batch-mining job behind embedding-model training (high-cosine

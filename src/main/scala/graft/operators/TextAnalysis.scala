@@ -227,6 +227,34 @@ object TextAnalysis {
       .drop("__cnt", "__min_cnt", "__u")
   }
 
+  /** TF-IDF keyword extraction: per doc, the top-k terms by
+    * tf·ln(N/df). The idf is rounded at 6 dp into an exact decimal, so
+    * tf·idf products and their comparisons are engine-exact; ties break
+    * on the word. The df table is O(vocab) — the same Zipf-keyed join
+    * as the LM scores (AQE skew-split applies; materialize the vocab
+    * artifact at web scale). The per-doc top-k window partitions by
+    * doc — parallel, never global. */
+  def tfidfTopK(docs: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .withColumn("idf",
+        round(log(lit(n.toDouble) / col("df").cast("double")), 6).cast(dec))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("word"))
+    tf.join(df, "word")
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk").cast("long").as("rank"), col("word"),
+        col("tf"), col("df"), col("score").cast("double").as("tfidf"))
+  }
+
   /** Character-entropy quality signal: H = −Σ_c p_c·ln(p_c) over the
     * doc's character distribution (low entropy = repeated filler /
     * mojibake, high ≈ ln(alphabet) = natural text; the C4/Gopher-family

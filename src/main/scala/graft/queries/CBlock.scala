@@ -714,6 +714,20 @@ object CBlock {
         .orderBy(col("cluster_size"))
     }),
 
+    "sim_radius" -> ((s, dir) => {
+      // range query: every vector within cosine >= 0.3 of each probe —
+      // narrow predicate, no heap, streams out of the scan
+      Similarity.radiusSearch(Tables.embeddings(s, dir),
+          col("vec_id") < 10, tau = 0.3)
+        .orderBy(col("probe_id"), col("cand_id"))
+    }),
+
+    "text_tfidf" -> ((s, dir) => {
+      // TF-IDF keyword extraction: top-3 terms per doc by tf*ln(N/df)
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), k = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
     "sim_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: top-5 most-similar OTHER-label
       // vectors per probe, through the bounded-heap top-k
@@ -2317,6 +2331,45 @@ object CBlock {
          |SELECT sz AS cluster_size, count(*) AS n_clusters,
          |  CAST(SUM(sz - 1) AS BIGINT) AS docs_removed
          |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
+    "sim_radius" ->
+      """WITH probes AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10
+        |), cos AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS c
+        |  FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(c, 6) AS cosine
+        |FROM cos WHERE c >= 0.3 ORDER BY probe_id, cand_id""".stripMargin,
+
+    "text_tfidf" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1, 2
+         |), dfs AS (
+         |  SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+         |), idf AS (
+         |  SELECT word, df,
+         |    CAST(ROUND(ln((SELECT count(*) FROM documents) * 1.0
+         |      / CAST(df AS DOUBLE)), 6) AS DECIMAL(18,6)) AS idf
+         |  FROM dfs
+         |)
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rank, word, tf, df,
+         |  CAST(score AS DOUBLE) AS tfidf
+         |FROM (
+         |  SELECT t.doc_id, t.word, t.tf, i.df, t.tf * i.idf AS score,
+         |    row_number() OVER (PARTITION BY t.doc_id
+         |      ORDER BY t.tf * i.idf DESC, t.word) AS rk
+         |  FROM tf t JOIN idf i USING (word)
+         |) WHERE rk <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "sim_hard_negatives" ->
       """WITH probes AS (
