@@ -198,6 +198,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f.last > 0, "the pipeline must not empty the corpus")
   }
 
+  test("degenerate inputs: empty/edge corpora don't wedge the new operators") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // DSIR with an empty target set: t_tot = 0, add-1 smoothing keeps
+    // every weight finite; all scores defined
+    val one = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val w = Curation.dsirWeights(one, lit(false)).collect()
+    assert(w.length === 2 && w.forall(r =>
+      !r.getAs[Double]("dsir_score").isNaN &&
+      !r.getAs[Double]("dsir_score").isInfinite))
+    // mixSchedule with ONE source: p = 1 >= any cap → capped, share = cap
+    val m = Curation.mixSchedule(one.withColumn("source", lit("only")),
+      cap = 0.5).collect()
+    assert(m.length === 1 && m.head.getAs[Boolean]("capped") &&
+      m.head.getAs[Double]("share") === 0.5)
+    // heavyHitters on an empty stream: empty result, no division issues
+    assert(Sketches.heavyHitters(empty.select(col("text").as("word")),
+      col("word"), 10).collect().isEmpty)
+    // BPE on an empty corpus: zero merges, empty audit
+    assert(graft.operators.Tokenizer.bpeMerges(empty, 3).collect().isEmpty)
+    assert(graft.operators.Tokenizer.bpeCompressionAudit(empty, 3)
+      .collect().isEmpty)
+    // cumulative sum over an empty table: empty, no offsets to collect
+    assert(Curation.globalCumSum(empty.withColumn("v", lit(1L)),
+      Seq(col("doc_id")), col("v"), "cum").collect().isEmpty)
+    // tfidf on a single doc: idf = ln(1) = 0 → all scores 0, ranks by word
+    val t = graft.operators.TextAnalysis.tfidfTopK(
+      Seq((1L, "b a b")).toDF("doc_id", "text"), k = 2).orderBy("rank").collect()
+    assert(t.length === 2 && t.forall(_.getAs[Double]("tfidf") === 0.0) &&
+      t.map(_.getAs[String]("word")).toSeq === Seq("a", "b"))
+  }
+
   test("curriculum rank: contiguous, quality-ordered, partitioned windows only") {
     val df = SparkEntry.queries("curate_curriculum")(spark, sf())
     val rows = df.select("curriculum_rank", "quality")
