@@ -531,8 +531,10 @@ object CBlock {
       // round-trip is exact and the oracle is the same as sim_pq_ivf.
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.ivfCentroids(emb, 8, 32)
-      val path = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_pq_index").getPath
+      // path scoped by the sf dir: concurrent runs at different scale
+      // factors must not clobber each other's artifact
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
       Similarity.ivfadcIndex(emb, cents, m = 8, sub = 8)
         .write.mode("overwrite").partitionBy("cent_id").parquet(path)
       Similarity.ivfadcSearch(s.read.parquet(path), emb,
