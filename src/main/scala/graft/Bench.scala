@@ -72,6 +72,14 @@ object Bench {
     // within one process cannot defend against machine-level contention;
     // cross-round comparisons should treat ±2-3× on sub-second queries as
     // environment noise unless it reproduces.
+    //
+    // Second data point (same round, later session): two BACK-TO-BACK
+    // full sweeps on identical code measured 3.100 s then 0.636 s for
+    // this query (totals 76.1 s vs 59.8 s — the whole board inflated in
+    // the slow run). GC logs from the slow-run JVM show zero full pauses
+    // and no code-cache exhaustion; both timed runs inside a sweep were
+    // equally slow, so the contention window spans seconds. Confirms:
+    // bimodal machine-level noise, not plan/JIT state.
     final case class R(name: String, secs: Double, err: Option[String])
     // SPARK_GRAFT_BENCH_ONLY=a,b,c restricts to named queries (local
     // iteration aid; the driver leaves it unset → full run)

@@ -665,4 +665,73 @@ object Curation {
         col("text_out").startsWith(col("text_in")))
       .select(col("doc_in"), col("doc_out"))
   }
+
+  /** Per-domain quota — the crawl-curation cap that stops one domain from
+    * dominating the mixture (the "no more than N pages per host" rule):
+    * rank each domain's docs by a quality key (here chars desc, id asc —
+    * deterministic under ties) and keep the top `cap`.
+    *
+    * Scale: ONE partitioned window (partitionBy domain) — each domain
+    * sorts independently, no global sort. A mega-domain (the Zipf head
+    * host with 10⁸ pages) makes one heavy sort task; the standard
+    * mitigation is a cheap pre-gate — per-domain count, and for domains
+    * over ~100× cap, a coarse filter (e.g. top-p by bucketed quality)
+    * before the exact rank — which changes no results and bounds the
+    * sorted volume to O(cap) per domain. Not wired here because the cap
+    * semantics stay identical; the window itself is already partitioned. */
+  def domainCap(docs: DataFrame, cap: Int, domainCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("n_chars").desc, col(idCol))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(domainCol), col("n_chars"), col("rk"))
+  }
+
+  /** Interpolated Kneser–Ney bigram model (the smoothing KenLM-style
+    * quality filters train; absolute discount d = 3/4): for every SEEN
+    * bigram (c12 ≥ 1 > d, so the discounted numerator needs no max),
+    *
+    *   P_kn(w2|w1) = (c12 − d)/c1 + d · N1+(w1,·)/c1 · N1+(·,w2)/B
+    *
+    * with c1 = Σ_w2 c12 (context total), N1+(w1,·) = distinct
+    * continuations of w1, N1+(·,w2) = distinct left-contexts of w2
+    * (the continuation probability), B = distinct bigram types. Returns
+    * the top `k` bigrams by (c12 desc, w1, w2) with their components and
+    * P_kn — the MODEL artifact (the vocab_build sibling one order up);
+    * scoring joins against it exactly like the stored-vocab LM scores.
+    *
+    * Determinism: every component is an integer count (commutative-exact
+    * sums); P_kn is derived from those integers by one fixed sequence of
+    * double ops — both engines evaluate the same IEEE expression tree, so
+    * the doubles agree bit-for-bit before the 6-dp round.
+    *
+    * Scale: one corpus scan → bigram counts (map-side combined, Zipf key
+    * — the AQE skew-join caveat on [[lmUnigramScore]] applies to any
+    * downstream score join); the three marginal tables are projections of
+    * the O(types) count table, joined back on word keys; B broadcasts.
+    * Top-k is a TakeOrdered (k-bounded), never a full sort. */
+  def knModel(docs: DataFrame, k: Int = 200,
+      textCol: String = "text"): DataFrame = {
+    val bi = docs
+      .select(explode(native.word_bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .select(split(col("bigram"), " ").getItem(0).as("w1"),
+        split(col("bigram"), " ").getItem(1).as("w2"), col("c12"))
+    val left = bi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
+    val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))
+    val types = bi.agg(count(lit(1)).as("b_types"))
+    bi.join(left, "w1").join(right, "w2").crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1p_fwd"), col("n1p_bwd"), col("b_types"),
+        round((col("c12").cast("double") - lit(0.75d))
+            / col("c1").cast("double")
+          + lit(0.75d) * col("n1p_fwd").cast("double")
+            / col("c1").cast("double")
+            * (col("n1p_bwd").cast("double") / col("b_types").cast("double")),
+          6).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -838,4 +838,33 @@ object Similarity {
             (x, c) => (x - c) * (x - c)),
           lit(0.0), (a, v) => a + v)), 6).as("centroid_dist"))
   }
+
+  /** Signed random projection (Achlioptas/JL): project each embedding to
+    * `outDims` dimensions with a ±1 matrix derived from the minhash-family
+    * affine hash — sign(i,j) = +1 iff ((i+1)·2654435761 + (j+1)·40503)
+    * mod 2147483647 is even. Sign matrices satisfy the JL lemma, so
+    * pairwise distances/cosines survive within (1±ε) at outDims =
+    * O(log n / ε²) — the cheap dimensionality reduction in front of
+    * clustering or coarse ANN when 64+ dims are too wide to shuffle.
+    *
+    * Determinism: the matrix is a pure hash function (no stored state, no
+    * RNG — any executor regenerates it identically), and each output
+    * coordinate is a SEQUENTIAL fold over input dims in index order —
+    * the same IEEE op sequence both engines evaluate, so results are
+    * bit-identical before the 6-dp round.
+    *
+    * Scale: zero shuffle — a narrow map over the corpus; 16× fewer bytes
+    * into whatever shuffles next. */
+  def randomProject(emb: DataFrame, outDims: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol), col("label"),
+      transform(sequence(lit(0), lit(outDims - 1)), j =>
+        round(aggregate(
+          sequence(lit(0), size(col(vecCol)) - 1),
+          lit(0.0d),
+          (acc, i) => acc + element_at(col(vecCol), i + 1).cast("double")
+            * when(((i + 1).cast("long") * lit(2654435761L)
+                + (j + 1).cast("long") * lit(40503L)) % lit(2147483647L)
+                % 2 === 0, lit(1.0d)).otherwise(lit(-1.0d))),
+          6)).as("proj"))
 }

@@ -96,6 +96,26 @@ object BBlock {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    "q_markov" -> ((s, dir) => {
+      // event-sequence transition matrix (the Markov-chain estimate a
+      // sequence-model pipeline derives from clickstreams): consecutive
+      // event pairs per user, P(dst|src) = n / Σ_dst n. The sequence key
+      // is event_id (monotone per stream — immune to sub-µs timestamp
+      // ties that would order differently across engines). One
+      // partitioned window (per-user, no global sort) + one
+      // map-side-combined agg; p is a single division of exact counts.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val totals = Window.partitionBy(col("src_type"))
+      eventsUs(s, dir)
+        .withColumn("dst_type", lead(col("event_type"), 1).over(w))
+        .filter(col("dst_type").isNotNull)
+        .groupBy(col("event_type").as("src_type"), col("dst_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", round(col("n").cast("double")
+          / sum(col("n")).over(totals).cast("double"), 6))
+        .orderBy(col("src_type"), col("dst_type"))
+    }),
+
     "q_window_range" -> ((s, dir) => {
       // RANGE-frame window: trailing-1-hour event count + floor-value sum
       // per user over purchases (integer math for cross-engine parity)
@@ -513,6 +533,21 @@ object BBlock {
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_markov" ->
+      """WITH s AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS dst_type
+        |  FROM events
+        |), c AS (
+        |  SELECT src_type, dst_type, count(*) AS n FROM s
+        |  WHERE dst_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT src_type, dst_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / CAST(SUM(n) OVER (PARTITION BY src_type) AS DOUBLE), 6) AS p
+        |FROM c ORDER BY src_type, dst_type""".stripMargin,
 
     "q_window_range" ->
       """SELECT event_id, user_id,

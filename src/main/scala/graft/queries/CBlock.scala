@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Curation, Dedup, MediaRecord, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -703,6 +703,49 @@ object CBlock {
         .orderBy(col("vec_id"))
     }),
 
+    "emb_project" -> ((s, dir) => {
+      // signed-random-projection dim reduction (64 → 16), flattened to
+      // (vec_id, dim, val) rows — scalar output for the driver compare
+      Similarity.randomProject(Tables.embeddings(s, dir), outDims = 16)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("proj")).as(Seq("dim", "val")))
+        .select(col("vec_id"), col("label"),
+          col("dim").cast("long").as("dim"), col("val"))
+        .orderBy(col("vec_id"), col("dim"))
+    }),
+
+    "curate_domain_cap" -> ((s, dir) => {
+      // per-domain quota: keep each source's top-5 docs by chars
+      Curation.domainCap(Tables.documents(s, dir), cap = 5)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy(col("source"), col("rk"))
+    }),
+
+    "lm_kn_model" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram model artifact, top-200 bigrams
+      Curation.knModel(Tables.documents(s, dir), k = 200)
+    }),
+
+    "graph_source_rank" -> ((s, dir) => {
+      // fixed-point PageRank over the cross-source near-dup graph: a
+      // quality/centrality prior over sources (the host-graph-ranking
+      // shape), built from the SAME minhash pair pipeline dedup uses
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidates(docs, k = 16, bands = 4)
+      val src = docs.select(col("doc_id"), col("source"))
+      val withSrc = pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")),
+          "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")),
+          "doc_b")
+        .filter(col("src_a") =!= col("src_b"))
+      val edges = withSrc.select(col("src_a").as("src"), col("src_b").as("dst"))
+        .union(withSrc.select(col("src_b").as("src"), col("src_a").as("dst")))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      val nodes = docs.select(col("source").as("node")).distinct()
+      Graph.pageRankFixed(edges, nodes, iters = 5).orderBy(col("node"))
+    }),
+
     "dedup_cluster_stats" -> ((s, dir) => {
       // dedup-audit histogram: near-dup cluster-size distribution +
       // docs removed per size — the observability readout a dedup run
@@ -887,6 +930,36 @@ object CBlock {
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)""".stripMargin
+
+  /** Fixed-point PageRank iteration chain (the SQL twin of
+    * Graph.pageRankFixed): expects CTEs `ed(src, dst, w)` and
+    * `nodes(node)` upstream; emits `ow`, `nn`, `r0` … `r{iters}` with
+    * the SAME integer arithmetic (`//` ≡ Spark's `div` on positives). */
+  private def pageRankCtes(iters: Int, scale: Long = 1000000L,
+      dampNum: Long = 85L, dampDen: Long = 100L): String = {
+    val sb = new StringBuilder(
+      s"""ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM ed GROUP BY 1),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |r0 AS (
+         |  SELECT node,
+         |    (CAST($scale AS BIGINT) * ${dampDen - dampNum}) // (n * $dampDen) AS base,
+         |    CAST($scale AS BIGINT) // n AS rank
+         |  FROM nodes, nn
+         |)""".stripMargin)
+    for (k <- 1 to iters) {
+      sb ++= s""",
+         |r$k AS (
+         |  SELECT b.node, b.base,
+         |    b.base + ($dampNum * coalesce(s.in_sum, 0)) // $dampDen AS rank
+         |  FROM r0 b LEFT JOIN (
+         |    SELECT ed.dst, CAST(SUM((CAST(ed.w AS BIGINT) * r.rank) // ow.out_w) AS BIGINT) AS in_sum
+         |    FROM ed JOIN ow USING (src) JOIN r${k - 1} r ON ed.src = r.node
+         |    GROUP BY 1
+         |  ) s ON b.node = s.dst
+         |)""".stripMargin
+    }
+    sb.result()
+  }
 
   private lazy val baseOracle: Map[String, String] = Map(
     "curate_corpus" ->
@@ -2315,6 +2388,67 @@ object CBlock {
         |    (a, t) -> a + t)), 6) AS sq_distortion
         |FROM embeddings, sl
         |ORDER BY vec_id""".stripMargin,
+
+    "emb_project" ->
+      """SELECT vec_id, label, j AS dim,
+        |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |    list_transform(range(0, len(embedding)), i ->
+        |      CAST(embedding[i+1] AS DOUBLE) *
+        |        (CASE WHEN ((i+1) * 2654435761 + (j+1) * 40503)
+        |                   % 2147483647 % 2 = 0
+        |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
+        |    (a, v) -> a + v), 6) AS val
+        |FROM embeddings, (SELECT unnest(range(0, 16)) AS j)
+        |ORDER BY vec_id, dim""".stripMargin,
+
+    "curate_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents
+        |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "lm_kn_model" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), b0 AS (
+         |  SELECT
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM w WHERE len(t) >= 2
+         |), bi AS (
+         |  SELECT string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2, count(*) AS c12
+         |  FROM b0 GROUP BY 1, 2
+         |), l AS (
+         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
+         |  FROM bi GROUP BY 1
+         |), r AS (
+         |  SELECT w2, count(*) AS n1p_bwd FROM bi GROUP BY 1
+         |), t AS (SELECT count(*) AS b_types FROM bi)
+         |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types,
+         |  round((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+         |    + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
+         |      * (CAST(n1p_bwd AS DOUBLE) / CAST(b_types AS DOUBLE)), 6) AS p_kn
+         |FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+         |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "graph_source_rank" ->
+      s"""WITH ${minhashPairsCte()},
+         |ds AS (SELECT doc_id, source FROM documents),
+         |ps AS (
+         |  SELECT a.source AS sa, b.source AS sb
+         |  FROM pairs JOIN ds a ON pairs.doc_a = a.doc_id
+         |             JOIN ds b ON pairs.doc_b = b.doc_id
+         |  WHERE a.source <> b.source
+         |), ed AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT sa AS src, sb AS dst FROM ps
+         |    UNION ALL SELECT sb AS src, sa AS dst FROM ps
+         |  ) GROUP BY 1, 2
+         |), nodes AS (SELECT DISTINCT source AS node FROM documents),
+         |${pageRankCtes(5)}
+         |SELECT node, rank FROM r5 ORDER BY node""".stripMargin,
 
     "dedup_cluster_stats" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},

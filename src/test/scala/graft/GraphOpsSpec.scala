@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators.{Curation, Graph, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-4 session additions: fixed-point PageRank, per-domain quota,
+  * Kneser–Ney model, signed random projection, Markov transitions —
+  * hand-computable ground truth plus the plan postures their scale
+  * story depends on. */
+class GraphOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Scala reference of the fixed-point update (same integer ops) —
+    * the spec's oracle for the distributed loop. */
+  private def refPageRank(edges: Seq[(String, String, Long)],
+      nodes: Seq[String], iters: Int, scale: Long = 1000000L): Map[String, Long] = {
+    val n = nodes.size.toLong
+    val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val base = (scale * 15L) / (n * 100L)
+    var rank = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _, w) => (w * rank(s)) / outW(s) }.sum
+      }
+      rank = nodes.map(nd => nd -> (base + (85L * in.getOrElse(nd, 0L)) / 100L)).toMap
+    }
+    rank
+  }
+
+  test("pageRankFixed: matches the integer reference on a hand graph") {
+    // hub-and-spoke with a dangling node: a→b, a→c (weighted), b→a, d isolated
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L))
+    val nodes = Seq("a", "b", "c", "d")
+    val got = Graph.pageRankFixed(edges.toDF("src", "dst", "w"),
+        nodes.toDF("node"), iters = 5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === refPageRank(edges, nodes, 5))
+    // the isolated node holds exactly the base share every round
+    assert(got("d") === (1000000L * 15L) / (4L * 100L))
+    // hub a (fed by b's whole rank) outranks spokes; spoke b (3/4 of a's
+    // rank) outranks spoke c (1/4)
+    assert(got("a") > got("b") && got("b") > got("c"))
+  }
+
+  test("pageRankFixed: symmetric graph gives equal ranks; partition-layout independent") {
+    val edges = Seq(("x", "y", 1L), ("y", "x", 1L))
+    val df = Graph.pageRankFixed(edges.toDF("src", "dst", "w"),
+      Seq("x", "y").toDF("node"), iters = 4)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("x") === got("y"))
+    // fixed-point arithmetic: any partitioning of the edge table agrees
+    val re = Graph.pageRankFixed(edges.toDF("src", "dst", "w").repartition(7),
+        Seq("x", "y").toDF("node"), iters = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(re === got)
+  }
+
+  test("domainCap: per-domain quota with deterministic tie order") {
+    val docs = (1L to 20L).map(i => (i, s"d${i % 2}", 100L - (i % 5)))
+      .toDF("doc_id", "source", "n_chars")
+    val kept = Curation.domainCap(docs, cap = 3).collect()
+    assert(kept.length === 6)
+    val perDomain = kept.groupBy(_.getString(1))
+    assert(perDomain.forall(_._2.length === 3))
+    // within d1: n_chars 100 for ids 5,15 (i%5==0 → odd ids 5,15), ties
+    // break by doc_id asc → rank1 = doc 5
+    val d1 = perDomain("d1").sortBy(_.getAs[Int]("rk"))
+    assert(d1.head.getLong(0) === 5L)
+    assert(d1.map(_.getAs[Long]("n_chars")).toSeq ===
+      d1.map(_.getAs[Long]("n_chars")).toSeq.sorted.reverse)
+  }
+
+  test("domainCap: the only window is partitioned by domain") {
+    val docs = (1L to 10L).map(i => (i, s"d$i", i)).toDF("doc_id", "source", "n_chars")
+    val wins = Curation.domainCap(docs, 2).queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("knModel: hand-computed Kneser–Ney components and probabilities") {
+    // corpus: "a b a b" + "a b c" → c12: (a,b)=3, (b,a)=1, (b,c)=1
+    // c1: a=3, b=2; N1+(a,·)=1, N1+(b,·)=2; N1+(·,a)=1, (·,b)=1, (·,c)=1; B=3
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val m = Curation.knModel(docs, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getAs[Double]("p_kn"))).toMap
+    assert(m(("a", "b")) === ((3L, 3L, 1L, 1L,
+      math.rint(((3.0 - 0.75) / 3.0 + 0.75 * 1.0 / 3.0 * (1.0 / 3.0)) * 1e6) / 1e6)))
+    assert(m(("b", "a"))._5 === 0.375 && m(("b", "c"))._5 === 0.375)
+    // discounted seen mass of context b (0.375+0.375) leaves d·N1+/c1 =
+    // 0.75 of probability for the continuation backoff — seen rows alone
+    // must sum below 1
+    assert(m(("b", "a"))._5 + m(("b", "c"))._5 < 1.0)
+  }
+
+  test("randomProject: one-hot vectors read the ±1 matrix directly; zero → zero") {
+    val dim = 8
+    val oneHots = (0 until dim).map(i =>
+      (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f), 0))
+    val rows = Similarity.randomProject(
+        (oneHots :+ ((99L, Array.fill(dim)(0.0f), 0))).toDF("vec_id", "embedding", "label"),
+        outDims = 4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
+    // e_i projects to exactly the i-th row of the sign matrix
+    for (i <- 0 until dim; j <- 0 until 4) {
+      val sign = if ((((i + 1).toLong * 2654435761L + (j + 1).toLong * 40503L)
+        % 2147483647L) % 2L == 0L) 1.0 else -1.0
+      assert(rows(i.toLong)(j) === sign, s"e_$i dim $j")
+    }
+    assert(rows(99L).forall(_ === 0.0))
+    // signs are reasonably balanced (JL needs zero-mean entries)
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield
+      if ((((i + 1).toLong * 2654435761L + (j + 1).toLong * 40503L)
+        % 2147483647L) % 2L == 0L) 1 else -1
+    assert(math.abs(signs.sum) < signs.size / 4, s"sign bias: ${signs.sum}")
+  }
+
+  test("q_markov: transition counts and probabilities on a hand stream") {
+    // user 1: A B A B → A→B ×2, B→A ×1; user 2: A A → A→A ×1
+    val ev = Seq((1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "A"), (4L, 1L, "B"),
+      (5L, 2L, "A"), (6L, 2L, "A"))
+      .toDF("event_id", "user_id", "event_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+    val t = ev.withColumn("dst_type", lead(col("event_type"), 1).over(w))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t === Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "A") -> 1L))
+  }
+}
