@@ -713,11 +713,15 @@ object Curation {
     * Top-k is a TakeOrdered (k-bounded), never a full sort. */
   def knModel(docs: DataFrame, k: Int = 200,
       textCol: String = "text"): DataFrame = {
-    val bi = docs
+    // the O(types) count table is materialized ONCE — the marginals (l,
+    // r, B) and the final join all derive from it, so the corpus-sized
+    // bigram explode+agg runs a single time, not four (the dsir_select
+    // share-the-scan pattern)
+    val bi = Materialize(docs
       .select(explode(native.word_bigrams(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .select(split(col("bigram"), " ").getItem(0).as("w1"),
-        split(col("bigram"), " ").getItem(1).as("w2"), col("c12"))
+        split(col("bigram"), " ").getItem(1).as("w2"), col("c12")))
     val left = bi.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_fwd"))
     val right = bi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_bwd"))

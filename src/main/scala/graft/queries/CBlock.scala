@@ -706,9 +706,12 @@ object CBlock {
     "emb_project" -> ((s, dir) => {
       // signed-random-projection dim reduction (64 → 16), flattened to
       // (vec_id, dim, val) rows — scalar output for the driver compare
+      // posexplode_outer: proj always has outDims elements, and the
+      // non-outer Generate would add a `size(proj) > 0` guard that
+      // re-evaluates the whole projection fold a second time
       Similarity.randomProject(Tables.embeddings(s, dir), outDims = 16)
         .select(col("vec_id"), col("label"),
-          posexplode(col("proj")).as(Seq("dim", "val")))
+          posexplode_outer(col("proj")).as(Seq("dim", "val")))
         .select(col("vec_id"), col("label"),
           col("dim").cast("long").as("dim"), col("val"))
         .orderBy(col("vec_id"), col("dim"))
