@@ -711,8 +711,9 @@ object Curation {
     * downstream score join); the three marginal tables are projections of
     * the O(types) count table, joined back on word keys; B broadcasts.
     * Top-k is a TakeOrdered (k-bounded), never a full sort. */
-  def knModel(docs: DataFrame, k: Int = 200,
-      textCol: String = "text"): DataFrame = {
+  /** The FULL KN probability table over every seen bigram — the stored
+    * model artifact [[knModel]] tops and [[knScore]] scores against. */
+  def knTable(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // the O(types) count table is materialized ONCE — the marginals (l,
     // r, B) and the final join all derive from it, so the corpus-sized
     // bigram explode+agg runs a single time, not four (the dsir_select
@@ -735,7 +736,37 @@ object Curation {
             / col("c1").cast("double")
             * (col("n1p_bwd").cast("double") / col("b_types").cast("double")),
           6).as("p_kn"))
+  }
+
+  def knModel(docs: DataFrame, k: Int = 200,
+      textCol: String = "text"): DataFrame =
+    knTable(docs, textCol)
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(k)
+
+  /** Score documents against the KN model (the KenLM-filter gate one
+    * smoothing order up from [[lmBigramScore]]): per doc, the bigram
+    * count, how many of its bigrams fall below probability `tau`
+    * (gibberish signal — improbable-transition density), and the doc's
+    * weakest transition. Docs with < 2 tokens have no bigrams and drop.
+    *
+    * Determinism: each bigram's P_kn is the same IEEE-exact double on
+    * both engines, so the `< tau` flag and min() are order-independent;
+    * the aggregates are integer sums + one min. Scale: the model table
+    * is O(types) (materialized inside [[knTable]]); the score join keys
+    * on the Zipf bigram — the AQE skew-split caveat on [[lmUnigramScore]]
+    * applies. */
+  def knScore(docs: DataFrame, tau: Double = 0.01,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val model = knTable(docs, textCol)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("p_kn"))
+    docs
+      .select(col(idCol),
+        explode(native.word_bigrams(col(textCol))).as("bigram"))
+      .join(model, "bigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn") < tau, 1L).otherwise(0L)).as("n_improbable"),
+        round(min(col("p_kn")), 6).as("min_p"))
   }
 }

@@ -277,4 +277,46 @@ object TextAnalysis {
         round(aggregate(terms, lit(0.0), (a, t) => a + t), 6))
         .as("entropy"))
   }
+
+  /** CCNet-style text normalization — the canonical pre-dedup transform
+    * (case fold, strip non-alphanumerics, collapse whitespace): two docs
+    * that differ only in case/punctuation normalize to the same string,
+    * so EXACT dedup over the normalized form catches the near-dups that
+    * byte-exact hashing misses. Adds a `norm` column.
+    *
+    * Pure narrow pass (three regex rewrites fused into the scan
+    * projection); the regexes are ASCII-class only, so Java and RE2
+    * engines agree byte-for-byte. */
+  def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("norm",
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        " +", " ")))
+
+  /** Overlapping token-window chunking — the retrieval/context-window
+    * prep pass (doc → fixed-size chunks at a fixed stride; the tail
+    * chunk may be short). One narrow explode bounded at
+    * ceil(n_tok/stride) chunks per doc; the chunk hash is the portable
+    * poly-hash of the space-joined window, so a downstream exact-dedup
+    * of chunks composes directly.
+    *
+    * Token-less docs emit nothing (the sequence guard keeps ANSI mode
+    * happy — an empty sequence with a positive step is an error). */
+  def chunkTokens(docs: DataFrame, size: Int, stride: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size)
+    val toks = Portable.tokens(col(textCol))
+    docs
+      .withColumn("__t", toks)
+      .filter(org.apache.spark.sql.functions.size(col("__t")) > 0)
+      .withColumn("off", explode(sequence(lit(0),
+        org.apache.spark.sql.functions.size(col("__t")) - 1, lit(stride))))
+      .select(col(idCol),
+        (col("off") / stride).cast("long").as("chunk_id"),
+        org.apache.spark.sql.functions.size(
+          slice(col("__t"), col("off") + 1, lit(size))).cast("long")
+          .as("n_tok"),
+        native.poly_hash(concat_ws(" ",
+          slice(col("__t"), col("off") + 1, lit(size)))).as("chunk_hash"))
+  }
 }

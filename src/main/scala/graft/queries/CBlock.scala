@@ -3,7 +3,7 @@ package graft.queries
 import graft.operators.{Curation, Dedup, Graph, MediaRecord, Multimodal, Similarity, TextAnalysis}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** C-block: LLM-training-data pipeline operators (SURVEY.md §2.C). The
   * hash-based operators run on native expressions (graft.plans); the
@@ -196,26 +196,43 @@ object CBlock {
     "curate_funnel" -> ((s, dir) => {
       // per-stage funnel audit of the configured pipeline: how many docs
       // survive each gate (the observability readout a curation run
-      // publishes next to its manifest)
+      // publishes next to its manifest). ONE-PASS: each doc carries its
+      // gate flags and every stage count is a conditional sum over a
+      // single scan — the union-of-counts formulation re-ran the
+      // dedup/CC machinery once per downstream stage (3×)
       val docs = Tables.documents(s, dir)
-      val inLang = docs.filter(col("lang").isin("en", "es", "fr"))
-      val deduped = Dedup.applyDedup(inLang, Dedup.connectedComponents(
-        Dedup.minhashCandidates(inLang, 16, 4)))
-      val scored = TextAnalysis.quality(deduped, stopwords)
-        .filter(col("quality") >= 0.6)
-      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val inLangPred = col("lang").isin("en", "es", "fr")
+      val inLang = docs.filter(inLangPred)
+      val labels = Dedup.connectedComponents(
+          Dedup.minhashCandidates(inLang, 16, 4))
+        .select(col("doc_id").as("__cid"), col("cluster"))
       val cont = Dedup.rareGramContaminated(inLang,
           pmod(col("doc_id"), lit(97)) === 0, 8, 2)
         .select(col("doc_id").as("__cont"))
-      val clean = scored.filter(!isBench)
-        .join(cont, col("doc_id") === col("__cont"), "left_anti")
-      Seq("0_input" -> docs, "1_lang" -> inLang, "2_dedup" -> deduped,
-          "3_quality" -> scored, "4_decontaminated" -> clean)
-        .map { case (n, df) =>
-          df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"),
-            col("n_docs"))
-        }
-        .reduce(_ unionAll _)
+      val flagged = TextAnalysis.quality(docs, stopwords)
+        .join(labels, col("doc_id") === col("__cid"), "left")
+        .join(cont, col("doc_id") === col("__cont"), "left")
+        .select(inLangPred.as("f_lang"),
+          (col("__cid").isNull || col("cluster") === col("doc_id"))
+            .as("f_keep"),
+          (col("quality") >= 0.6).as("f_q"),
+          (pmod(col("doc_id"), lit(97)) === 0).as("f_bench"),
+          col("__cont").isNotNull.as("f_cont"))
+      def n(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      flagged.agg(
+          count(lit(1)).as("c0"), n(col("f_lang")).as("c1"),
+          n(col("f_lang") && col("f_keep")).as("c2"),
+          n(col("f_lang") && col("f_keep") && col("f_q")).as("c3"),
+          n(col("f_lang") && col("f_keep") && col("f_q") &&
+            !col("f_bench") && !col("f_cont")).as("c4"))
+        .select(explode(array(
+          struct(lit("0_input").as("stage"), col("c0").as("n_docs")),
+          struct(lit("1_lang").as("stage"), col("c1").as("n_docs")),
+          struct(lit("2_dedup").as("stage"), col("c2").as("n_docs")),
+          struct(lit("3_quality").as("stage"), col("c3").as("n_docs")),
+          struct(lit("4_decontaminated").as("stage"),
+            col("c4").as("n_docs")))).as("s"))
+        .select(col("s.stage").as("stage"), col("s.n_docs").as("n_docs"))
         .orderBy(col("stage"))
     }),
 
@@ -729,6 +746,43 @@ object CBlock {
       Curation.knModel(Tables.documents(s, dir), k = 200)
     }),
 
+    "lm_kn_score" -> ((s, dir) => {
+      // per-doc gate against the KN model: improbable-transition density
+      Curation.knScore(Tables.documents(s, dir), tau = 0.01)
+        .orderBy(col("doc_id"))
+    }),
+
+    "text_normalize" -> ((s, dir) => {
+      // CCNet-style normalization with deterministic case/punct noise
+      // planted on doc_id % 7 ∈ {0, 1} (the text_pii planting pattern)
+      TextAnalysis.normalizeText(noisyDocs(Tables.documents(s, dir)))
+        .select(col("doc_id"),
+          graft.plans.native.poly_hash(col("norm")).as("norm_hash"),
+          length(col("norm")).cast("long").as("n_norm"),
+          (col("norm") =!= col("text")).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_normalized" -> ((s, dir) => {
+      // exact dedup over the NORMALIZED form: collapses the case/punct
+      // variants that byte-exact hashing misses (the planted upper-cased
+      // docs rejoin their lowercase duplicates)
+      TextAnalysis.normalizeText(noisyDocs(Tables.documents(s, dir)))
+        .groupBy(graft.plans.native.poly_hash(col("norm")).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("keeper"))
+    }),
+
+    "text_chunks" -> ((s, dir) => {
+      // overlapping token-window chunking (size 32, stride 24) — the
+      // retrieval/context-window prep pass; chunk hashes compose with
+      // exact dedup downstream
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), size = 32,
+          stride = 24)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     "graph_source_rank" -> ((s, dir) => {
       // fixed-point PageRank over the cross-source near-dup graph: a
       // quality/centrality prior over sources (the host-graph-ranking
@@ -865,6 +919,55 @@ object CBlock {
       s"(acc, cd) -> (acc * 31 + cd) % 2147483647)"
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** Deterministic case/punctuation-variant DUPLICATES for the
+    * normalization queries (the text_pii planting pattern): every
+    * doc_id % 13 == 0 doc gets a byte-different copy (upper-cased,
+    * trailing bangs, offset id) that normalizes back to the original —
+    * so `dedup_normalized` provably finds groups at every scale factor
+    * while byte-exact hashing cannot pair them. */
+  private def noisyDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(upper(col("text")), lit("  !!")).as("text")))
+
+  private val noisySql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 10000000 AS doc_id, upper(text) || '  !!' AS text
+      |FROM documents WHERE doc_id % 13 = 0""".stripMargin
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Kneser–Ney CTE chain ending in `kn(w1, w2, c12, c1, n1p_fwd,
+    * n1p_bwd, b_types, p_kn)` plus the tokenized corpus `w(doc_id, t)`
+    * (shared by lm_kn_model and lm_kn_score). */
+  private val knCtes =
+    s"""w AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents
+       |), b0 AS (
+       |  SELECT
+       |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+       |  FROM w WHERE len(t) >= 2
+       |), bi AS (
+       |  SELECT string_split(bigram, ' ')[1] AS w1,
+       |    string_split(bigram, ' ')[2] AS w2, count(*) AS c12
+       |  FROM b0 GROUP BY 1, 2
+       |), l AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
+       |  FROM bi GROUP BY 1
+       |), r AS (
+       |  SELECT w2, count(*) AS n1p_bwd FROM bi GROUP BY 1
+       |), t AS (SELECT count(*) AS b_types FROM bi),
+       |kn AS (
+       |  SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types,
+       |    round((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
+       |      + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
+       |        * (CAST(n1p_bwd AS DOUBLE) / CAST(b_types AS DOUBLE)), 6) AS p_kn
+       |  FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
+       |)""".stripMargin
 
   /** The BPE training loop as a DuckDB CTE chain (the SQL twin of
     * Tokenizer.bpeTrain): c0 = per-word-occurrence char symbols encoded
@@ -2413,28 +2516,58 @@ object CBlock {
         |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     "lm_kn_model" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents
-         |), b0 AS (
-         |  SELECT
+      s"""WITH $knCtes
+         |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types, p_kn
+         |FROM kn ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "lm_kn_score" ->
+      s"""WITH $knCtes,
+         |db AS (
+         |  SELECT doc_id,
          |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
          |  FROM w WHERE len(t) >= 2
-         |), bi AS (
-         |  SELECT string_split(bigram, ' ')[1] AS w1,
-         |    string_split(bigram, ' ')[2] AS w2, count(*) AS c12
-         |  FROM b0 GROUP BY 1, 2
-         |), l AS (
-         |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, count(*) AS n1p_fwd
-         |  FROM bi GROUP BY 1
-         |), r AS (
-         |  SELECT w2, count(*) AS n1p_bwd FROM bi GROUP BY 1
-         |), t AS (SELECT count(*) AS b_types FROM bi)
-         |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types,
-         |  round((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)
-         |    + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c1 AS DOUBLE)
-         |      * (CAST(n1p_bwd AS DOUBLE) / CAST(b_types AS DOUBLE)), 6) AS p_kn
-         |FROM bi JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN t
-         |ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(SUM(CASE WHEN p_kn < 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_improbable,
+         |  round(min(p_kn), 6) AS min_p
+         |FROM db JOIN kn ON db.bigram = kn.w1 || ' ' || kn.w2
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_normalize" ->
+      s"""WITH noisy AS ($noisySql),
+         |nm AS (
+         |  SELECT doc_id, text, $normSql AS norm FROM noisy
+         |)
+         |SELECT doc_id, ${ph("norm")} AS norm_hash,
+         |  CAST(length(norm) AS BIGINT) AS n_norm, norm <> text AS changed
+         |FROM nm ORDER BY doc_id""".stripMargin,
+
+    "dedup_normalized" ->
+      s"""WITH noisy AS ($noisySql),
+         |nm AS (
+         |  SELECT doc_id, $normSql AS norm FROM noisy
+         |)
+         |SELECT ${ph("norm")} AS norm_hash, min(doc_id) AS keeper,
+         |  count(*) AS n_docs
+         |FROM nm GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY keeper""".stripMargin,
+
+    "text_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), ch AS (
+         |  SELECT doc_id, off, off // 24 AS chunk_id,
+         |    list_slice(t, off + 1, off + 32) AS chunk
+         |  FROM (
+         |    SELECT doc_id, t, unnest(range(0, len(t), 24)) AS off
+         |    FROM w WHERE len(t) > 0
+         |  )
+         |)
+         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |  CAST(len(chunk) AS BIGINT) AS n_tok,
+         |  ${ph("array_to_string(chunk, ' ')")} AS chunk_hash
+         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
 
     "graph_source_rank" ->
       s"""WITH ${minhashPairsCte()},

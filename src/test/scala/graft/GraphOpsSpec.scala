@@ -118,6 +118,55 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(signs.sum) < signs.size / 4, s"sign bias: ${signs.sum}")
   }
 
+  test("normalizeText: case/punct variants collapse; idempotent") {
+    val docs = Seq((1L, "Hello, World!"), (2L, "hello   world"),
+      (3L, "HELLO WORLD??"), (4L, "unrelated text"))
+      .toDF("doc_id", "text")
+    val n = graft.operators.TextAnalysis.normalizeText(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(n(1L) === "hello world" && n(2L) === "hello world" &&
+      n(3L) === "hello world")
+    assert(n(4L) === "unrelated text")
+    // normalizing an already-normal string is the identity
+    val again = graft.operators.TextAnalysis.normalizeText(
+      n.toSeq.toDF("doc_id", "text")).collect()
+      .map(r => r.getString(1) -> r.getString(2))
+    assert(again.forall { case (t, norm) => t === norm })
+  }
+
+  test("chunkTokens: exact windows, short tail, empty doc emits nothing") {
+    // 10 tokens, size 4, stride 3 → offsets 0,3,6,9; lengths 4,4,4,1
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val ch = graft.operators.TextAnalysis.chunkTokens(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ch.forall(_._1 === 1L), "empty doc must emit no chunks")
+    assert(ch.map(c => c._2 -> c._3).toMap ===
+      Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 1L))
+    // every token is covered by at least one chunk: total ≥ n
+    assert(ch.map(_._3).sum >= 10L)
+  }
+
+  test("knScore: improbable-transition density separates gibberish") {
+    // a corpus dominated by "a b" transitions + one doc full of unique
+    // one-off transitions: the one-off doc's bigrams are all rare
+    val common = (1L to 20L).map(i => (i, "a b a b a b"))
+    val odd = (100L, "q1 q2 q3 q4 q5 q6")
+    // one-off transitions score (1−d)/1 + d·(1/B) ≈ 0.357 (the rare
+    // CONTEXT keeps P high — KN discounts, it doesn't zero); the
+    // dominant transitions sit ≈ 0.98, so τ = 0.5 separates them
+    val scores = Curation.knScore((common :+ odd).toDF("doc_id", "text"),
+        tau = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val oddRow = scores(100L)
+    val commonRow = scores(1L)
+    assert(oddRow.getAs[Long]("n_improbable") === oddRow.getAs[Long]("n_bigrams"),
+      s"every one-off transition must be improbable: $oddRow")
+    assert(commonRow.getAs[Long]("n_improbable") === 0L,
+      s"the dominant transition must not be flagged: $commonRow")
+    assert(oddRow.getAs[Double]("min_p") < commonRow.getAs[Double]("min_p"))
+  }
+
   test("q_markov: transition counts and probabilities on a hand stream") {
     // user 1: A B A B → A→B ×2, B→A ×1; user 2: A A → A→A ×1
     val ev = Seq((1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "A"), (4L, 1L, "B"),
