@@ -466,9 +466,13 @@ object Curation {
     * plus a #sources²-bounded aggregate. */
   def sourceOverlap(docs: DataFrame, n: Int = 8,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    val grams = docs.select(col(srcCol).as("src"),
+    // the per-source distinct gram table feeds BOTH self-join sides and
+    // the size marginal — materialized once (the dedup_ngram_jaccard
+    // double-encode fix), so the corpus explode+distinct runs a single
+    // time instead of three
+    val grams = Materialize(docs.select(col(srcCol).as("src"),
         explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
-      .distinct()
+      .distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("gram"), col("src").as("source_a"))
     val b = grams.select(col("gram"), col("src").as("source_b"))

@@ -783,6 +783,27 @@ object CBlock {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    "dedup_chunks" -> ((s, dir) => {
+      // chunk-granularity exact dedup (the paragraph-dedup analog for a
+      // corpus without paragraph breaks): repeated windows across —
+      // or within — docs collapse on the chunk hash
+      TextAnalysis.chunkTokens(Tables.documents(s, dir), size = 32,
+          stride = 24)
+        .groupBy(col("chunk_hash"))
+        .agg(min(col("doc_id")).as("keeper_doc"),
+          count(lit(1)).as("n_dups"))
+        .filter(col("n_dups") > 1)
+        .orderBy(col("chunk_hash"))
+    }),
+
+    "sim_project_rerank" -> ((s, dir) => {
+      // two-stage ANN: shortlist in the 16-dim projected space (4× fewer
+      // flops/bytes), exact cosine rerank on the shortlist only
+      Similarity.projectRerankTopK(Tables.embeddings(s, dir),
+          col("vec_id") < 10, k = 5, shortlist = 100)
+        .orderBy(col("probe_id"), col("cosine").desc, col("cand_id"))
+    }),
+
     "graph_source_rank" -> ((s, dir) => {
       // fixed-point PageRank over the cross-source near-dup graph: a
       // quality/centrality prior over sources (the host-graph-ranking
@@ -2500,7 +2521,8 @@ object CBlock {
         |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |    list_transform(range(0, len(embedding)), i ->
         |      CAST(embedding[i+1] AS DOUBLE) *
-        |        (CASE WHEN ((i+1) * 2654435761 + (j+1) * 40503)
+        |        (CASE WHEN (((i+1) * (((j+1) * 2654435761) % 2147483647))
+        |                    + (((j+1) * 40503) % 2147483647))
         |                   % 2147483647 % 2 = 0
         |              THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END))),
         |    (a, v) -> a + v), 6) AS val
@@ -2568,6 +2590,62 @@ object CBlock {
          |  CAST(len(chunk) AS BIGINT) AS n_tok,
          |  ${ph("array_to_string(chunk, ' ')")} AS chunk_hash
          |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "dedup_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), ch AS (
+         |  SELECT doc_id, list_slice(t, off + 1, off + 32) AS chunk
+         |  FROM (
+         |    SELECT doc_id, t, unnest(range(0, len(t), 24)) AS off
+         |    FROM w WHERE len(t) > 0
+         |  )
+         |)
+         |SELECT ${ph("array_to_string(chunk, ' ')")} AS chunk_hash,
+         |  min(doc_id) AS keeper_doc, count(*) AS n_dups
+         |FROM ch GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY chunk_hash""".stripMargin,
+
+    "sim_project_rerank" ->
+      """WITH pr AS (
+        |  SELECT vec_id AS id,
+        |    list_transform(range(0, 16), j ->
+        |      round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |        list_transform(range(0, len(embedding)), i ->
+        |          CAST(embedding[i+1] AS DOUBLE) *
+        |            (CASE WHEN (((i+1) * (((j+1) * 2654435761) % 2147483647))
+        |                        + (((j+1) * 40503) % 2147483647))
+        |                       % 2147483647 % 2 = 0
+        |                  THEN CAST(1.0 AS DOUBLE)
+        |                  ELSE CAST(-1.0 AS DOUBLE) END))),
+        |        (a, v) -> a + v), 6)) AS proj
+        |  FROM embeddings
+        |), coarse AS (
+        |  SELECT p.id AS probe_id, c.id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, 17), i ->
+        |        (p.proj[i] - c.proj[i]) * (p.proj[i] - c.proj[i]))),
+        |      (a, v) -> a + v) AS pdist
+        |  FROM pr p JOIN pr c ON p.id < 10 AND c.id <> p.id
+        |), short AS (
+        |  SELECT probe_id, cand_id FROM coarse
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY pdist, cand_id) <= 100
+        |), cs AS (
+        |  SELECT s.probe_id, s.cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM short s JOIN embeddings p ON p.vec_id = s.probe_id
+        |               JOIN embeddings c ON c.vec_id = s.cand_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(cos, 6) AS cosine FROM cs
+        |QUALIFY row_number() OVER (PARTITION BY probe_id
+        |  ORDER BY cos DESC, cand_id) <= 5
+        |ORDER BY probe_id, cosine DESC, cand_id""".stripMargin,
 
     "graph_source_rank" ->
       s"""WITH ${minhashPairsCte()},

@@ -105,17 +105,37 @@ class GraphOpsSpec extends SparkSpec {
         outDims = 4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Double](2)).toMap
     // e_i projects to exactly the i-th row of the sign matrix
-    for (i <- 0 until dim; j <- 0 until 4) {
-      val sign = if ((((i + 1).toLong * 2654435761L + (j + 1).toLong * 40503L)
-        % 2147483647L) % 2L == 0L) 1.0 else -1.0
-      assert(rows(i.toLong)(j) === sign, s"e_$i dim $j")
+    def sgn(i: Int, j: Int): Double = {
+      val M = 2147483647L
+      val a = ((j + 1).toLong * 2654435761L) % M
+      val b = ((j + 1).toLong * 40503L) % M
+      if (((i + 1).toLong * a + b) % M % 2L == 0L) 1.0 else -1.0
     }
+    for (i <- 0 until dim; j <- 0 until 4)
+      assert(rows(i.toLong)(j) === sgn(i, j), s"e_$i dim $j")
     assert(rows(99L).forall(_ === 0.0))
-    // signs are reasonably balanced (JL needs zero-mean entries)
-    val signs = for (i <- 0 until 64; j <- 0 until 16) yield
-      if ((((i + 1).toLong * 2654435761L + (j + 1).toLong * 40503L)
-        % 2147483647L) % 2L == 0L) 1 else -1
+    // signs are reasonably balanced (JL needs zero-mean entries) AND not
+    // the rank-1 checkerboard the raw linear-form parity degenerates to
+    // (columns there are all ±column 0 — the recall-killing bug this
+    // spec pins): adjacent columns must disagree on some rows
+    val signs = for (i <- 0 until 64; j <- 0 until 16) yield sgn(i, j)
     assert(math.abs(signs.sum) < signs.size / 4, s"sign bias: ${signs.sum}")
+    val cols = (0 until 16).map(j => (0 until 64).map(i => sgn(i, j)))
+    val degenerate = (1 until 16).forall(j =>
+      cols(j) == cols(0) || cols(j) == cols(0).map(-_))
+    assert(!degenerate, "sign matrix must not be rank-1 in j")
+  }
+
+  test("projectRerankTopK: recall@5 ≥ 0.6 vs exact at a 20% scan") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, col("vec_id") < 10, 5))
+    val approx = pairs(Similarity.projectRerankTopK(emb,
+      col("vec_id") < 10, k = 5, shortlist = 100))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall@5 = $recall (measured 0.72 at build time)")
   }
 
   test("normalizeText: case/punct variants collapse; idempotent") {
