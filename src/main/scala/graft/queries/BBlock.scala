@@ -96,6 +96,47 @@ object BBlock {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    "q19_disjunct" -> ((s, dir) => {
+      // TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/qty
+      // bands — the OR-of-conjunctions predicate a cost-based engine must
+      // evaluate post-join (only isnotnull conjuncts push to the scans);
+      // broadcast part dim, decimal-exact money
+      def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int): Column =
+        col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+          col("l_quantity").between(qLo, qHi)
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey"))
+        .filter(band("Brand#11", 15, 1, 11) || band("Brand#22", 25, 10, 20)
+          || band("Brand#33", 35, 20, 30))
+        .agg(moneySum(revenueExpr).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q22_global_avg" -> ((s, dir) => {
+      // TPC-H Q22 shape: high-balance customers (above the GLOBAL mean —
+      // a broadcast scalar subquery) with no HIGH-VALUE orders (anti join
+      // on a filtered fact), counted per nation. "bal > total/n" is
+      // evaluated as the CROSS-MULTIPLIED
+      // "bal·n > total" — decimal·integer is exact in both engines,
+      // decimal DIVISION scale/rounding rules are not
+      val cust = Tables.customer(s, dir)
+      val tot = cust.agg(
+        round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+          .as("bal_total"),
+        count(lit(1)).as("n_total"))
+      cust.crossJoin(broadcast(tot))
+        .filter(col("c_acctbal").cast(DecimalType(18, 2)) * col("n_total")
+          > col("bal_total"))
+        .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 2))), 2)
+            .cast("double").as("bal_sum"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       // event-sequence transition matrix (the Markov-chain estimate a
       // sequence-model pipeline derives from clickstreams): consecutive
@@ -533,6 +574,36 @@ object BBlock {
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_global_avg" ->
+      """WITH t AS (
+        |  SELECT CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+        |      AS DECIMAL(38,2)) AS bal_total,
+        |    count(*) AS n_total
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, count(*) AS n_cust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS bal_sum
+        |FROM customer, t
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_total > bal_total
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_markov" ->
       """WITH s AS (
