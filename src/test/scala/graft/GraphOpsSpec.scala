@@ -187,6 +187,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(oddRow.getAs[Double]("min_p") < commonRow.getAs[Double]("min_p"))
   }
 
+  test("degenerate inputs: empty/singleton corpora flow through without exceptions") {
+    val emptyDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
+    assert(Curation.domainCap(emptyDocs.withColumn("source", lit("s")), 3).count() === 0)
+    assert(Curation.knModel(emptyDocs.drop("n_chars"), 10).count() === 0)
+    assert(Curation.knScore(emptyDocs.drop("n_chars")).count() === 0)
+    assert(graft.operators.TextAnalysis.chunkTokens(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"), 4, 3).count() === 0)
+    assert(graft.operators.TextAnalysis.normalizeText(
+        Seq((1L, "")).toDF("doc_id", "text"))
+      .select("norm").as[String].head === "")
+    // single-token docs have no bigrams: score drops them, model is empty
+    val one = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(Curation.knModel(one, 10).count() === 0)
+    assert(Curation.knScore(one).count() === 0)
+    // a graph with no edges: every node holds base + nothing
+    val ranks = Graph.pageRankFixed(
+      Seq.empty[(String, String, Long)].toDF("src", "dst", "w"),
+      Seq("a", "b").toDF("node"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ranks === Map("a" -> 75000L, "b" -> 75000L))
+    // empty embedding set
+    assert(Similarity.randomProject(
+      Seq.empty[(Long, Array[Float], Int)].toDF("vec_id", "embedding", "label"))
+      .count() === 0)
+  }
+
   test("q_markov: transition counts and probabilities on a hand stream") {
     // user 1: A B A B → A→B ×2, B→A ×1; user 2: A A → A→A ×1
     val ev = Seq((1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "A"), (4L, 1L, "B"),
