@@ -760,6 +760,31 @@ object Curation {
     * is O(types) (materialized inside [[knTable]]); the score join keys
     * on the Zipf bigram — the AQE skew-split caveat on [[lmUnigramScore]]
     * applies. */
+  /** Deterministic EXACT-k per-stratum subsample (the fixed-size eval/
+    * holdout draw — Bernoulli sampling gives a RANDOM size; this gives
+    * exactly k): priority = the affine-rehashed hash of the doc id (the
+    * [[mixUpsample]] draw machinery — the raw poly hash of a sequential
+    * id is prefix-banded and would bias the sample), keep the k smallest
+    * (priority, id) per stratum. Pure function of the ids: the same
+    * corpus always yields the same sample, on any engine.
+    *
+    * Scale: the rank window is PARTITIONED by stratum and Catalyst
+    * plans the k-filter as a Partial WindowGroupLimit BEFORE the
+    * exchange (posture-asserted) — each map task ships only its local
+    * top-k, so the shuffle carries O(k · tasks) rows per stratum, never
+    * the stratum. */
+  def sampleExactK(docs: DataFrame, k: Int, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = (native.poly_hash(concat(lit("sample:"), col(idCol).cast("string")))
+      * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+      graft.plans.HashOps.M
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
+    docs.withColumn("__u", u)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col(strataCol), col("sample_rank"))
+  }
+
   def knScore(docs: DataFrame, tau: Double = 0.01,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val model = knTable(docs, textCol)

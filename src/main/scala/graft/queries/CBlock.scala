@@ -741,6 +741,12 @@ object CBlock {
         .orderBy(col("source"), col("rk"))
     }),
 
+    "sample_exact_k" -> ((s, dir) => {
+      // deterministic exact-k per-source subsample (fixed-size holdout)
+      Curation.sampleExactK(Tables.documents(s, dir), k = 7)
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "lm_kn_model" -> ((s, dir) => {
       // interpolated Kneser–Ney bigram model artifact, top-200 bigrams
       Curation.knModel(Tables.documents(s, dir), k = 200)
@@ -2536,6 +2542,21 @@ object CBlock {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "sample_exact_k" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, sample_rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY pu, doc_id) AS BIGINT) AS sample_rank
+         |  FROM u
+         |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
 
     "lm_kn_model" ->
       s"""WITH $knCtes

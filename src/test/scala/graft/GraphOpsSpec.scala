@@ -187,6 +187,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(oddRow.getAs[Double]("min_p") < commonRow.getAs[Double]("min_p"))
   }
 
+  test("sampleExactK: exact size, deterministic, unbiased over sequential ids") {
+    val docs = (1L to 1000L).map(i => (i, "s")).toDF("doc_id", "source")
+    val sampled = Curation.sampleExactK(docs, k = 100)
+      .select("doc_id").as[Long].collect()
+    assert(sampled.length === 100)
+    assert(sampled.distinct.length === 100)
+    // prefix-banded draws concentrate in an id band; the rehashed draw
+    // must spread — mean of sampled ids near the population mean
+    val mean = sampled.sum.toDouble / sampled.length
+    assert(mean > 350 && mean < 650, s"sample mean $mean biased")
+    val again = Curation.sampleExactK(docs, k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again === sampled.toSet)
+  }
+
+  test("sampleExactK / domainCap: the k-filter plans as a pre-shuffle WindowGroupLimit") {
+    val docs = (1L to 100L).map(i => (i, s"s${i % 3}", i)).toDF("doc_id", "source", "n_chars")
+    for (df <- Seq(Curation.sampleExactK(docs, 5), Curation.domainCap(docs, 5))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"),
+        s"expected the rank-limit pushdown in:\n$p")
+      assert(p.contains("Partial"),
+        s"expected the PARTIAL (map-side) group limit in:\n$p")
+    }
+  }
+
   test("degenerate inputs: empty/singleton corpora flow through without exceptions") {
     val emptyDocs = Seq.empty[(Long, String, Long)].toDF("doc_id", "text", "n_chars")
     assert(Curation.domainCap(emptyDocs.withColumn("source", lit("s")), 3).count() === 0)
