@@ -96,6 +96,29 @@ object BBlock {
         .orderBy(col("cohort"), col("week_offset"))
     }),
 
+    "q_robust_outliers" -> ((s, dir) => {
+      // robust per-type outlier detection (median + MAD + robust-z gate,
+      // the data-quality screen that survives heavy tails where
+      // mean/stddev break): three stages, each reducing to an O(types)
+      // model table that broadcasts back — median pass, MAD pass,
+      // outlier count at |v − med| > 3·1.4826·mad. Exact percentiles
+      // (cross-engine parity proven by q_percentile)
+      val ev = eventsUs(s, dir)
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val withMed = ev.join(broadcast(med), "event_type")
+      val mad = withMed.groupBy(col("event_type"))
+        .agg(expr("percentile(abs(value - med), 0.5)").as("mad"))
+      withMed.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("median_value"),
+          round(max(col("mad")), 4).as("mad_value"),
+          sum(when(abs(col("value") - col("med")) > lit(4.4478) * col("mad"),
+            1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
     "q19_disjunct" -> ((s, dir) => {
       // TPC-H Q19 shape: revenue under a DISJUNCTION of brand/size/qty
       // bands — the OR-of-conjunctions predicate a cost-based engine must
@@ -574,6 +597,25 @@ object BBlock {
         |  count(*) AS n_users
         |FROM a JOIN f USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
+
+    "q_robust_outliers" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1
+        |), d AS (
+        |  SELECT e.event_type, e.value, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |), md AS (
+        |  SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        |  FROM d GROUP BY 1
+        |)
+        |SELECT d.event_type, count(*) AS n,
+        |  ROUND(max(d.med), 4) AS median_value,
+        |  ROUND(max(md.mad), 4) AS mad_value,
+        |  CAST(SUM(CASE WHEN abs(d.value - d.med) > 4.4478 * md.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q19_disjunct" ->
       """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
