@@ -53,4 +53,36 @@ class StreamingQuotaSpec extends SparkSpec {
         (5L, "b", 2L)))
     } finally q.stop()
   }
+
+  test("restart recovery: quota state survives a full query stop/restart from checkpoint") {
+    // the crash-recovery guarantee: two SEPARATE AvailableNow runs share
+    // a checkpoint — run 2 must restore run 1's admitted-counts from
+    // state store, not re-admit an exhausted domain
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-quota-ckpt").toString
+    val schema = Seq.empty[Arrival].toDS().schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema).parquet(s"$tmp/src")
+      val q = StreamingQuota.quotaGate(stream.as[Arrival], cap = 2)
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+    }
+    Seq(Arrival(1, "a"), Arrival(2, "a"), Arrival(3, "b")).toDS()
+      .write.mode("append").parquet(s"$tmp/src")
+    run() // run 1: a fills its quota (1,2), b admits one
+    Seq(Arrival(4, "a"), Arrival(5, "b"), Arrival(6, "b")).toDS()
+      .write.mode("append").parquet(s"$tmp/src")
+    run() // run 2, fresh query object, SAME checkpoint
+    val all = spark.read.parquet(s"$tmp/out").as[Admitted]
+      .collect().map(a => (a.doc_id, a.domain, a.slot)).toSet
+    // doc 4 must be dropped — only a restored admitted-count can know
+    // domain a was exhausted in the PREVIOUS run
+    assert(all == Set((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 1L),
+      (5L, "b", 2L)))
+  }
 }
