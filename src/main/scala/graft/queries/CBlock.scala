@@ -747,6 +747,40 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "curate_daily" -> ((s, dir) => {
+      // the session capstone — ONE declarative plan composing this
+      // round's operators into the daily-curation shape: normalize →
+      // normalized-form exact dedup (keep group minima) → per-domain
+      // cap (top-20 by chars) → KN-gate (≤ 5% improbable transitions,
+      // model trained on the CAPPED survivors; no-bigram docs pass) →
+      // exact-3 per-source holdout split. Integer-exact gates
+      // throughout; output is the per-(source, split) manifest.
+      val docs = Tables.documents(s, dir)
+      val normed = TextAnalysis.normalizeText(docs)
+        .withColumn("norm_hash", graft.plans.native.poly_hash(col("norm")))
+      val keepers = normed.groupBy(col("norm_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = normed.join(keepers, Seq("norm_hash", "doc_id"))
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      val capped = Curation.domainCap(kept, cap = 20)
+        .select(col("doc_id"), col("source"))
+        .join(kept.select(col("doc_id"), col("text")), "doc_id")
+      val scores = Curation.knScore(capped, tau = 0.002)
+      val gated = capped.join(scores, Seq("doc_id"), "left")
+        .filter(col("n_bigrams").isNull ||
+          col("n_improbable") * 20 <= col("n_bigrams"))
+        .select(col("doc_id"), col("source"), col("text"))
+      val sampled = Curation.sampleExactK(gated, k = 3)
+        .select(col("doc_id"), col("sample_rank"))
+      gated.join(sampled, Seq("doc_id"), "left")
+        .withColumn("split",
+          when(col("sample_rank").isNotNull, lit("valid")).otherwise(lit("train")))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.plans.native.token_count(col("text"))).as("tok_sum"))
+        .orderBy(col("source"), col("split"))
+    }),
+
     "lm_kn_model" -> ((s, dir) => {
       // interpolated Kneser–Ney bigram model artifact, top-200 bigrams
       Curation.knModel(Tables.documents(s, dir), k = 200)
@@ -970,10 +1004,11 @@ object CBlock {
 
   /** Kneser–Ney CTE chain ending in `kn(w1, w2, c12, c1, n1p_fwd,
     * n1p_bwd, b_types, p_kn)` plus the tokenized corpus `w(doc_id, t)`
-    * (shared by lm_kn_model and lm_kn_score). */
-  private val knCtes =
+    * (shared by lm_kn_model, lm_kn_score, and — trained over the capped
+    * survivor set — curate_daily). */
+  private def knCtesOver(from: String): String =
     s"""w AS (
-       |  SELECT doc_id, $toksSql AS t FROM documents
+       |  SELECT doc_id, $toksSql AS t FROM $from
        |), b0 AS (
        |  SELECT
        |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
@@ -2543,6 +2578,59 @@ object CBlock {
         |  FROM documents
         |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
+    "curate_daily" ->
+      s"""WITH nm AS (
+         |  SELECT doc_id, text, source, n_chars, ${ph("norm")} AS norm_hash FROM (
+         |    SELECT doc_id, text, source, n_chars, $normSql AS norm FROM documents
+         |  )
+         |), keep AS (
+         |  SELECT norm_hash, min(doc_id) AS doc_id FROM nm GROUP BY 1
+         |), kept AS (
+         |  SELECT nm.doc_id, nm.text, nm.source, nm.n_chars
+         |  FROM nm JOIN keep ON nm.norm_hash = keep.norm_hash
+         |                   AND nm.doc_id = keep.doc_id
+         |), capped AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY n_chars DESC, doc_id) AS rk
+         |    FROM kept
+         |  ) WHERE rk <= 20
+         |),
+         |${knCtesOver("capped")},
+         |db AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM w WHERE len(t) >= 2
+         |), sc AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    CAST(SUM(CASE WHEN p_kn < 0.002 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_improbable
+         |  FROM db JOIN kn ON db.bigram = kn.w1 || ' ' || kn.w2
+         |  GROUP BY 1
+         |), gated AS (
+         |  SELECT c.doc_id, c.source, c.text
+         |  FROM capped c LEFT JOIN sc ON c.doc_id = sc.doc_id
+         |  WHERE sc.n_bigrams IS NULL OR sc.n_improbable * 20 <= sc.n_bigrams
+         |), samp AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY source
+         |      ORDER BY pu, doc_id) AS rk FROM (
+         |      SELECT doc_id, source,
+         |        (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+         |          * ((1 * 2654435761) % 2147483647)
+         |          + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |      FROM gated
+         |    )
+         |  ) WHERE rk <= 3
+         |)
+         |SELECT g.source,
+         |  CASE WHEN s.doc_id IS NOT NULL THEN 'valid' ELSE 'train' END AS split,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS tok_sum
+         |FROM gated g LEFT JOIN samp s ON g.doc_id = s.doc_id
+         |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+
     "sample_exact_k" ->
       s"""WITH u AS (
          |  SELECT doc_id, source,
@@ -2559,12 +2647,12 @@ object CBlock {
          |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
 
     "lm_kn_model" ->
-      s"""WITH $knCtes
+      s"""WITH ${knCtesOver("documents")}
          |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types, p_kn
          |FROM kn ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
 
     "lm_kn_score" ->
-      s"""WITH $knCtes,
+      s"""WITH ${knCtesOver("documents")},
          |db AS (
          |  SELECT doc_id,
          |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
