@@ -760,11 +760,18 @@ object CBlock {
         .withColumn("norm_hash", graft.plans.native.poly_hash(col("norm")))
       val keepers = normed.groupBy(col("norm_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
-      val kept = normed.join(keepers, Seq("norm_hash", "doc_id"))
-        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
-      val capped = Curation.domainCap(kept, cap = 20)
-        .select(col("doc_id"), col("source"))
-        .join(kept.select(col("doc_id"), col("text")), "doc_id")
+      // stage boundaries MATERIALIZE (what a production run does — each
+      // stage writes its survivor set): without this, the regex
+      // normalization + dedup join lineage re-evaluates once per
+      // downstream consumer (KN model, KN score, gate, sampler, final
+      // agg — measured 4.6 s → 2.6 s at sf0.1)
+      val kept = graft.operators.Materialize(
+        normed.join(keepers, Seq("norm_hash", "doc_id"))
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars")))
+      val capped = graft.operators.Materialize(
+        Curation.domainCap(kept, cap = 20)
+          .select(col("doc_id"), col("source"))
+          .join(kept.select(col("doc_id"), col("text")), "doc_id"))
       val scores = Curation.knScore(capped, tau = 0.002)
       val gated = capped.join(scores, Seq("doc_id"), "left")
         .filter(col("n_bigrams").isNull ||
