@@ -801,6 +801,60 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Mutual-kNN graph audit over LSH buckets — the semantic-clustering
+    * primitive (mutual-kNN is the standard sparsifier in front of
+    * community detection / semantic dedup): EVERY vector is a probe,
+    * its candidates are its own sign-bit bucket, and its top-k by cosine
+    * form the directed kNN edge set. Returns per-vector out-degree
+    * (≤ k — small buckets yield fewer), in-degree, and the count of
+    * MUTUAL edges (i→j AND j→i — the edges a mutual-kNN clustering
+    * keeps).
+    *
+    * Scale: NO corpus broadcast — with every vector a probe, the
+    * broadcast-probes shape of [[annTopK]] would ship the whole corpus
+    * to every executor; instead the pair generation is a bucket-keyed
+    * SELF-JOIN (one shuffle on the bucket id, the [[Dedup
+    * .embeddingPairs]] posture, AQE splitting any hot bucket), and the
+    * top-k runs through the bounded-heap aggregator (≤ k rows per
+    * vector per partition on the shuffle). The k-bounded edge set is
+    * materialized once; the degree/mutuality passes are map-side-
+    * combined aggs and one self-join on O(n·k) rows. */
+  def knnGraph(emb: DataFrame, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
+    val probes = bucketed.select(col("bucket"), col("id").as("key"),
+      col("vec").as("probe_vec"))
+    val scored = probes
+      .join(bucketed.select(col("bucket"), col("id").as("cid"),
+        col("vec").as("cand_vec")), Seq("bucket"))
+      .filter(col("key") =!= col("cid"))
+      .select(col("key"), col("cid").as("id"),
+        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+      .as[graft.plans.Scored]
+    val edges = Materialize(scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, _) => (key, id) } }
+      .toDF("src", "dst"))
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
+    val mutual = edges
+      .join(edges.select(col("src").as("m_dst"), col("dst").as("m_src")),
+        col("src") === col("m_src") && col("dst") === col("m_dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("n_mutual"))
+    emb.select(col(idCol).as("vec_id"))
+      .join(outDeg, col("vec_id") === col("src"), "left_outer").drop("src")
+      .join(inDeg, col("vec_id") === col("dst"), "left_outer").drop("dst")
+      .join(mutual.withColumnRenamed("src", "m_s"),
+        col("vec_id") === col("m_s"), "left_outer").drop("m_s")
+      .select(col("vec_id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+  }
+
   /** Per-label centroid distance — the embedding-space outlier signal a
     * curation pipeline runs after clustering/labeling: each vector's L2
     * distance to its own label's centroid (mislabeled or off-manifold

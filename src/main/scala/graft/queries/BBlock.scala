@@ -160,6 +160,60 @@ object BBlock {
         .orderBy(col("c_nationkey"))
     }),
 
+    "q6_revenue" -> ((s, dir) => {
+      // TPC-H Q6 shape: forecast-revenue-change — the pure scan-side
+      // query: EVERY predicate (shipdate range, discount band, quantity
+      // cap) pushes to the parquet scan, the agg is one partial→final
+      // sum with no shuffle beyond the 1-row exchange. The fastest
+      // possible plan at any scale: bytes read is the only cost.
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(moneySum(dec2(col("l_extendedprice")) * dec4(col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    "q13_custdist" -> ((s, dir) => {
+      // TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+      // join (zero-order customers land in the c_count = 0 bucket; an
+      // inner join would silently drop them) with the priority filter on
+      // the ORDERS side pre-join (≡ putting it in the ON clause), then
+      // two cascaded aggs: per-customer counts shuffle on c_custkey,
+      // the distribution agg runs on an O(distinct counts) table.
+      val filtered = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+      Tables.customer(s, dir)
+        .join(filtered, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+      // per-part average DECORRELATES into an O(parts-in-brand) agg
+      // joined back to the same fact slice. The brand part list
+      // broadcasts ahead of both uses; the avg comparison is
+      // CROSS-MULTIPLIED (5·qty·n < Σqty as decimal·int — exact) so no
+      // engine-specific decimal-division rounding enters the filter.
+      val brandParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23").select(col("p_partkey")))
+      val li = Tables.lineitem(s, dir)
+        .join(brandParts, col("l_partkey") === col("p_partkey"))
+      val avg = li.groupBy(col("l_partkey").as("a_partkey"))
+        .agg(round(sum(dec2(col("l_quantity"))), 2).as("qty_sum"),
+          count(lit(1)).as("n_li"))
+      li.join(avg, col("l_partkey") === col("a_partkey"))
+        .filter(dec2(col("l_quantity")) * lit(5) * col("n_li") < col("qty_sum"))
+        .agg(round(moneySum(dec2(col("l_extendedprice"))) / 7.0, 6)
+          .as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       // event-sequence transition matrix (the Markov-chain estimate a
       // sequence-model pipeline derives from clickstreams): consecutive
@@ -646,6 +700,43 @@ object BBlock {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_totalprice > 300000)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q6_revenue" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |    * CAST(l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+        |li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN p ON l_partkey = p_partkey
+        |), a AS (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(12,2))), 2)
+        |      AS DECIMAL(38,2)) AS qty_sum,
+        |    count(*) AS n_li
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT ROUND(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2)
+        |    AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM li l JOIN a USING (l_partkey)
+        |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.n_li < a.qty_sum""".stripMargin,
 
     "q_markov" ->
       """WITH s AS (

@@ -48,6 +48,21 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_minhash_est" -> ((s, dir) => {
+      // LSH verify stage: per-candidate estimated jaccard from the
+      // stored signatures alone (no text re-read) — what a production
+      // pipeline thresholds on before the cluster graph
+      Dedup.minhashEstimates(Tables.documents(s, dir), k = 16, bands = 4)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "sim_knn_graph" -> ((s, dir) => {
+      // mutual-kNN graph audit over LSH buckets: per-vector out/in
+      // degree + mutual-edge count (the semantic-clustering sparsifier)
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)
+        .orderBy(col("vec_id"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       Dedup.connectedComponents(
           Dedup.minhashCandidates(Tables.documents(s, dir), k = 16, bands = 4))
@@ -1175,6 +1190,60 @@ object CBlock {
     "dedup_minhash" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "dedup_minhash_est" ->
+      s"""WITH ${minhashPairsCte()}
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS n_match,
+         |  CAST(list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+         |    / 16 AS est_jaccard
+         |FROM pairs p
+         |JOIN sig sa ON p.doc_a = sa.doc_id
+         |JOIN sig sb ON p.doc_b = sb.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "sim_knn_graph" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (CAST((i * (((p+1) * 2654435761) % 2147483647)
+        |             + ((p+1) * 40503) % 2147483647) % 2147483647 AS DOUBLE) / 2147483647 * 2 - 1)
+        |        )), (a, x) -> a + x) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, x) -> a + x) AS bucket
+        |  FROM embeddings
+        |), cos AS (
+        |  SELECT p.vec_id AS src, c.vec_id AS dst,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        |), edges AS (
+        |  SELECT src, dst FROM cos
+        |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 5
+        |), od AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY 1),
+        |idg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY 1),
+        |mu AS (
+        |  SELECT e1.src, count(*) AS n_mutual
+        |  FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+        |  GROUP BY 1
+        |)
+        |SELECT v.vec_id,
+        |  coalesce(od.out_deg, 0) AS out_deg,
+        |  coalesce(idg.in_deg, 0) AS in_deg,
+        |  coalesce(mu.n_mutual, 0) AS n_mutual
+        |FROM embeddings v
+        |LEFT JOIN od ON v.vec_id = od.src
+        |LEFT JOIN idg ON v.vec_id = idg.dst
+        |LEFT JOIN mu ON v.vec_id = mu.src
+        |ORDER BY v.vec_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},

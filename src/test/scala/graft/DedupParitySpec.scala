@@ -47,4 +47,29 @@ class DedupParitySpec extends SparkSpec {
     assert(blocked == brute)
     assert(blocked.nonEmpty)
   }
+
+  test("minhashEstimates: same candidate set as minhashCandidates, exact-dup pairs estimate 1.0") {
+    val docs = Tables.documents(spark, sf())
+    val est = Dedup.minhashEstimates(docs, k = 16, bands = 4)
+    val estPairs = est.select("doc_a", "doc_b")
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val candPairs = Dedup.minhashCandidates(docs, k = 16, bands = 4)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(estPairs == candPairs,
+      "the estimate table must cover exactly the LSH candidate pairs")
+    // bounds: n_match ∈ [1·rows, 16] (≥ one full band matched to collide)
+    val bad = est.filter(col("n_match") < 4 || col("n_match") > 16 ||
+      col("est_jaccard") < 0.25 || col("est_jaccard") > 1.0).count()
+    assert(bad == 0, "a colliding pair shares ≥ one full 4-slot band")
+    // planted exact duplicates (identical text ⇒ identical signature)
+    // must estimate exactly 1.0
+    val dup = docs.limit(3).select(col("doc_id") + 1000000L, col("text"),
+      col("lang"), col("source"), col("n_chars"))
+      .toDF(docs.columns: _*)
+    val withDups = docs.unionAll(dup)
+    val dupEst = Dedup.minhashEstimates(withDups, k = 16, bands = 4)
+      .filter(col("doc_b") === col("doc_a") + 1000000L)
+    assert(dupEst.count() == 3)
+    assert(dupEst.filter(col("est_jaccard") =!= 1.0).count() == 0)
+  }
 }

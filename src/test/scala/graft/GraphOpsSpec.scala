@@ -253,4 +253,19 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(t === Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "A") -> 1L))
   }
+
+  test("knnGraph: degree invariants — out ≤ k, Σout = Σin, mutual ≤ min(out, in)") {
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val g = Similarity.knnGraph(emb, k = 5).collect()
+    assert(g.length == emb.count(), "one audit row per vector")
+    val out = g.map(_.getLong(1))
+    val in = g.map(_.getLong(2))
+    val mu = g.map(_.getLong(3))
+    assert(out.forall(_ <= 5), "out-degree is k-bounded")
+    assert(out.sum == in.sum, "every directed edge has one source and one target")
+    assert(g.forall(r => r.getLong(3) <= math.min(r.getLong(1), r.getLong(2))),
+      "mutual edges are a subset of both out- and in-edges")
+    assert(mu.sum % 2 == 0, "mutuality is symmetric — pairs count twice")
+    assert(out.sum > 0, "the bucketed corpus yields edges at this SF")
+  }
 }

@@ -117,4 +117,38 @@ class PlanPostureSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"))
     assert(p.contains("band"), s"length band must be part of the join key:\n$p")
   }
+
+  test("q6_revenue: all three predicates pushed to the parquet scan") {
+    // the plan string elides long PushedFilters lists, so assert on the
+    // (untruncated) leading entries: all three columns' IsNotNull guards
+    // reaching the scan means their comparison filters were pushed with
+    // them (they convert together or not at all)
+    val p = planOf("q6_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "IsNotNull(l_discount), IsNotNull(l_quantity), GreaterThanOrEqual"),
+      s"q6's predicates must reach PushedFilters:\n$p")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned")
+  }
+
+  test("sim_knn_graph: bucket-keyed self-join — no corpus broadcast, no cartesian") {
+    // every vector is a probe, so the annTopK broadcast-probes shape
+    // would broadcast the whole corpus; the graph must use the shuffle
+    // self-join on the bucket key instead
+    val p = planOf("sim_knn_graph")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"knn graph pair generation must be an equi-join on the bucket:\n$p")
+    assert(!p.contains("Window"),
+      s"per-vector top-k must be the bounded heap, not a window sort:\n$p")
+  }
+
+  test("dedup_minhash_est: signatures materialized once, estimate join-free") {
+    // both self-join sides must consume the stored signature table
+    // (Scan ExistingRDD) and the estimate must fold the two sig arrays
+    // already in the row — no third join back to a signature table
+    val p = planOf("dedup_minhash_est")
+    val scans = "Scan ExistingRDD".r.findAllIn(p).length
+    assert(scans >= 2, s"both band sides must scan the materialized sigs:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
