@@ -214,6 +214,48 @@ object BBlock {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q_decile" -> ((s, dir) => {
+      // global decile stats WITHOUT ntile's single-partition sort: the
+      // two-phase range-partitioned rank (Curation.globalRank — the
+      // vocab_build machinery) establishes the total order in parallel,
+      // then decile = (rank·10) div n as EXACT integer division (a
+      // double divide could flip a boundary row cross-engine). The n
+      // lookup is one count agg broadcast back.
+      val o = Tables.orders(s, dir)
+      val ranked = graft.operators.Curation.globalRank(
+        o.select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), "rk")
+      ranked.crossJoin(broadcast(o.agg(count(lit(1)).as("n"))))
+        .withColumn("decile", expr("(rk * 10) div n"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_orders"),
+          moneySum(dec2(col("o_totalprice"))).as("revenue"))
+        .orderBy(col("decile"))
+    }),
+
+    "q_pareto" -> ((s, dir) => {
+      // revenue-concentration (Pareto) audit: the minimum number of
+      // customers covering HALF the total revenue, via the two-phase
+      // global cumulative sum (Curation.globalCumSum) over per-customer
+      // revenue in exact integer CENTS — no single-partition window, no
+      // decimal division; the half test is cross-multiplied (2·cum <
+      // tot). The totals derive from the cumsum's own materialized
+      // table, so the per-customer agg runs once.
+      val rev = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg((round(sum(dec2(col("o_totalprice"))), 2) * 100)
+          .cast("long").as("rev_c"))
+      val cum = graft.operators.Curation.globalCumSum(rev,
+        Seq(col("rev_c").desc, col("o_custkey")), col("rev_c"), "cum_c")
+      val tot = cum.agg(sum(col("rev_c")).as("tot_c"),
+        count(lit(1)).as("n_cust"), max(col("rev_c")).as("max_c"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n_cust")).as("n_cust"),
+          (sum(when(col("cum_c") * 2 < col("tot_c"), 1L).otherwise(0L)) + 1L)
+            .as("n_half"),
+          round(max(col("max_c")).cast("double") / max(col("tot_c")), 6)
+            .as("top1_share"))
+    }),
+
     "q_markov" -> ((s, dir) => {
       // event-sequence transition matrix (the Markov-chain estimate a
       // sequence-model pipeline derives from clickstreams): consecutive
@@ -737,6 +779,38 @@ object BBlock {
         |  count(*) AS n_lines
         |FROM li l JOIN a USING (l_partkey)
         |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.n_li < a.qty_sum""".stripMargin,
+
+    "q_decile" ->
+      """WITH r AS (
+        |  SELECT o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) - 1 AS rk
+        |  FROM orders
+        |), n AS (SELECT count(*) AS n FROM orders)
+        |SELECT (rk * 10) // n AS decile, count(*) AS n_orders,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS revenue
+        |FROM r, n GROUP BY 1 ORDER BY decile""".stripMargin,
+
+    "q_pareto" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) * 100
+        |      AS BIGINT) AS rev_c
+        |  FROM orders GROUP BY 1
+        |), c AS (
+        |  SELECT rev_c,
+        |    SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+        |      ROWS UNBOUNDED PRECEDING) AS cum_c
+        |  FROM rev
+        |), t AS (
+        |  SELECT SUM(rev_c) AS tot_c, count(*) AS n_cust, max(rev_c) AS max_c
+        |  FROM rev
+        |)
+        |SELECT max(n_cust) AS n_cust,
+        |  CAST(SUM(CASE WHEN cum_c * 2 < tot_c THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS n_half,
+        |  ROUND(CAST(max(max_c) AS DOUBLE) / max(tot_c), 6) AS top1_share
+        |FROM c, t""".stripMargin,
 
     "q_markov" ->
       """WITH s AS (

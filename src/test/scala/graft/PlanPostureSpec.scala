@@ -90,6 +90,17 @@ class PlanPostureSpec extends SparkSpec {
       s"vocab rank planned an unpartitioned window:\n${df.queryExecution.sparkPlan}")
   }
 
+  test("q_decile / q_pareto: every window partitioned — ntile/global-cumsum stay two-phase") {
+    Seq("q_decile", "q_pareto").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf("0.01"))
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q planned an unpartitioned (single-task) window")
+    }
+  }
+
   test("split_assign / text_redact: narrow transforms — no join, no window") {
     Seq("split_assign", "text_redact").foreach { q =>
       val p = planOf(q)
