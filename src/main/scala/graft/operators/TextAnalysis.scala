@@ -319,4 +319,52 @@ object TextAnalysis {
         native.poly_hash(concat_ws(" ",
           slice(col("__t"), col("off") + 1, lit(size)))).as("chunk_hash"))
   }
+
+  /** BM25 relevance of every document against a fixed query term set —
+    * the retrieval scorer (Robertson/Spärck Jones) a corpus-search or
+    * RAG-indexing pipeline runs at export time (k1 = 1.2, b = 0.75):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·len/avglen))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)
+    *
+    * Determinism: idf and the tf factor are each rounded at 6 dp into
+    * exact decimals, so the per-doc score is a sum of exact decimal
+    * products — partition-layout exact; the pre-round doubles come from
+    * one fixed IEEE expression tree both engines evaluate identically
+    * (the dsir_select log precedent).
+    *
+    * Scale: tf is restricted to the query terms BEFORE the aggregate
+    * (the explode filters to |q| terms — the per-(doc, term) table is
+    * O(docs·|q|), never O(corpus tokens)); df and the length stats are
+    * tiny aggregates broadcast back; no window, no self-join. Docs
+    * containing no query term drop (inner-join semantics — a retrieval
+    * scorer returns the posting union, not the corpus). */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(16, 6)
+    val lens = docs.select(col(idCol),
+      native.token_count(col(textCol)).as("len"))
+    val stats = lens.agg(count(lit(1)).as("n"),
+      (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
+    val tf = docs
+      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("word"))
+      .filter(col("word").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .withColumn("idf", round(log(
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6).cast(dec))
+      .select(col("word"), col("df"), col("idf"))
+    tf.join(broadcast(df), "word")
+      .join(lens, idCol)
+      .crossJoin(broadcast(stats.select(col("avglen"))))
+      .withColumn("tff", round(col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avglen"))), 6)
+        .cast(dec))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"),
+        round(sum(col("idf") * col("tff")), 6).cast("double").as("bm25"))
+  }
 }

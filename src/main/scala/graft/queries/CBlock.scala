@@ -913,6 +913,15 @@ object CBlock {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    "text_bm25" -> ((s, dir) => {
+      // BM25 retrieval scoring against a fixed query term set (the
+      // RAG-export/search-index scorer): posting-union semantics, exact
+      // decimal score sum
+      TextAnalysis.bm25(Tables.documents(s, dir),
+          Seq("table", "fast", "scan"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_hard_negatives" -> ((s, dir) => {
       // contrastive hard-negative mining: top-5 most-similar OTHER-label
       // vectors per probe, through the bounded-heap top-k
@@ -2882,6 +2891,38 @@ object CBlock {
         |)
         |SELECT probe_id, cand_id, ROUND(c, 6) AS cosine
         |FROM cos WHERE c >= 0.3 ORDER BY probe_id, cand_id""".stripMargin,
+
+    "text_bm25" ->
+      s"""WITH lens AS (
+         |  SELECT doc_id, len($toksSql) AS len FROM documents
+         |), stats AS (
+         |  SELECT count(*) AS n,
+         |    CAST(SUM(len) AS DOUBLE) / count(*) AS avglen
+         |  FROM lens
+         |), tf AS (
+         |  SELECT doc_id, word, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest($toksSql) AS word FROM documents)
+         |  WHERE word IN ('table', 'fast', 'scan')
+         |  GROUP BY 1, 2
+         |), dfs AS (
+         |  SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+         |), idf AS (
+         |  SELECT word, df,
+         |    CAST(ROUND(ln((n - df + 0.5) / (df + 0.5) + 1), 6)
+         |      AS DECIMAL(16,6)) AS idf
+         |  FROM dfs, stats
+         |), scored AS (
+         |  SELECT t.doc_id, t.tf, i.idf,
+         |    CAST(ROUND(t.tf * (1.2 + 1)
+         |      / (t.tf + 1.2 * ((1 - 0.75) + 0.75 * l.len / s.avglen)), 6)
+         |      AS DECIMAL(16,6)) AS tff
+         |  FROM tf t JOIN idf i USING (word)
+         |  JOIN lens l USING (doc_id), stats s
+         |)
+         |SELECT doc_id, count(*) AS n_terms,
+         |  CAST(SUM(tf) AS BIGINT) AS n_hits,
+         |  CAST(ROUND(SUM(idf * tff), 6) AS DOUBLE) AS bm25
+         |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tf AS (
