@@ -48,6 +48,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** Cross-source overlap ESTIMATED from minhash-union sketches — the
+    * O(sources·k) alternative to [[Curation.sourceOverlap]]'s exact
+    * gram self-join: the minhash of a set UNION is the slot-wise MIN of
+    * the member signatures, so each source's whole shingle-set
+    * signature is one min-agg over its docs' signatures, and the
+    * pairwise estimate is matching slots / k. The estimator the mixture
+    * designer runs FIRST (every source pair at sketch cost), with the
+    * exact gram join reserved for the pairs the sketch flags.
+    *
+    * Scale: ONE corpus scan (the same native signature expression as
+    * LSH dedup), map-side-combined min-agg to a sources×k table —
+    * model-state sized — and a slot-keyed self-join on that tiny table.
+    * The sketch is MERGEABLE (min is associative-commutative): per-batch
+    * sketches stored daily combine by slot-wise min, no corpus rescan —
+    * the vocabMerge property for set overlap. */
+  /** The per-(source, slot) union-signature table behind
+    * [[sourceMinhashOverlap]] — the MERGEABLE per-batch artifact: two
+    * batches' tables combine by slot-wise min (spec-proven ≡ the
+    * full-corpus table). */
+  def sourceMinhashSlots(docs: DataFrame, k: Int = 16, shingleN: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame =
+    docs.select(col(srcCol).as("src"),
+        posexplode(native.minhash_sig(col(textCol), k, shingleN))
+          .as(Seq("slot", "h")))
+      .groupBy(col("src"), col("slot")).agg(min(col("h")).as("mh"))
+
+  def sourceMinhashOverlap(docs: DataFrame, k: Int = 16, shingleN: Int = 3,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val slots = sourceMinhashSlots(docs, k, shingleN, srcCol, textCol)
+    val a = slots.select(col("slot"), col("src").as("source_a"),
+      col("mh").as("mh_a"))
+    val b = slots.select(col("slot").as("slot_b"), col("src").as("source_b"),
+      col("mh").as("mh_b"))
+    a.join(b, col("slot") === col("slot_b") && col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L))
+        .as("n_match"))
+      .withColumn("est_jaccard", col("n_match").cast("double") / k)
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming — EXACT,
     * via pigeonhole byte-band blocking: with the 32-bit hash split into 4
     * byte bands, ≤ m differing bits touch ≤ m bands, so some (4−m)-band
@@ -164,9 +204,20 @@ object Dedup {
     * downstream exactly as in the batch path. */
   def incrementalDedup(history: DataFrame, incoming: DataFrame,
       k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    incrementalDedupIndex(
+      minhashBuckets(history, k, bands, shingleN, textCol, idCol),
+      incoming, k, bands, shingleN, textCol, idCol)
+
+  /** [[incrementalDedup]] against an EXPLICIT history bucket index —
+    * the seam the STORED artifact uses: at 100 TB the history index is
+    * computed once per corpus version and written partitioned by a
+    * bucket prefix; the daily check reads it back instead of re-hashing
+    * history. `index` columns: (bucket, doc_id). */
+  def incrementalDedupIndex(index: DataFrame, incoming: DataFrame,
+      k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val h = minhashBuckets(history, k, bands, shingleN, textCol, idCol)
-      .select(col("bucket"), col("doc_id").as("hist_doc"))
+    val h = index.select(col("bucket"), col("doc_id").as("hist_doc"))
     val i = minhashBuckets(incoming, k, bands, shingleN, textCol, idCol)
       .select(col("bucket"), col("doc_id").as("doc_id"))
     h.join(broadcast(i), "bucket")

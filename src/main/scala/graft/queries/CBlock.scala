@@ -97,6 +97,35 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_index_stored" -> ((s, dir) => {
+      // the dedup-index LIFECYCLE (the sim_pq_stored twin for LSH): the
+      // historical corpus's bucket table is the stored artifact a daily
+      // ingest reads back — write it partitioned by a bucket prefix (an
+      // incoming batch's buckets prune to their partitions), read back,
+      // run the incremental check against the read-back index. Buckets
+      // are longs → the parquet round-trip is exact, so the oracle is
+      // dedup_incremental's.
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      Dedup.minhashBuckets(history, 16, 4)
+        .withColumn("bp", pmod(col("bucket"), lit(16L)))
+        .write.mode("overwrite").partitionBy("bp").parquet(path)
+      Dedup.incrementalDedupIndex(
+          s.read.parquet(path).select(col("doc_id"), col("bucket")), incoming)
+        .orderBy(col("doc_id"))
+    }),
+
+    "source_overlap_sketch" -> ((s, dir) => {
+      // cross-source overlap from minhash-union sketches: every source
+      // pair at O(sources·k) cost (the screen in front of the exact
+      // gram join); the sketch is mergeable (slot-wise min)
+      Dedup.sourceMinhashOverlap(Tables.documents(s, dir), k = 16)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "dedup_simhash64" -> ((s, dir) => {
       // 62-bit simhash with 16-bit pigeonhole bands: the full hamming-3
       // radius with 65k-value block keys (no byte-band skew cliff)
@@ -1199,6 +1228,24 @@ object CBlock {
     "dedup_minhash" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "source_overlap_sketch" ->
+      s"""WITH ${minhashPairsCte()},
+         |ssig AS (
+         |  SELECT d.source, s.sig FROM sig s JOIN documents d USING (doc_id)
+         |), slots AS (
+         |  SELECT source, i.i AS slot, min(sig[i.i + 1]) AS mh
+         |  FROM ssig, (SELECT unnest(range(0, 16)) AS i) i
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_match,
+         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16
+         |    AS est_jaccard
+         |FROM slots a JOIN slots b
+         |  ON a.slot = b.slot AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "dedup_minhash_est" ->
       s"""WITH ${minhashPairsCte()}
@@ -3077,10 +3124,12 @@ object CBlock {
          |FROM k ORDER BY shuffle_pos""".stripMargin,
   )
 
-  /** `sim_pq_stored`'s oracle IS `sim_pq_ivf`'s: the stored-index search
-    * must return precisely what the in-memory build returns — the
-    * parquet round-trip of ints/longs is value-exact, so any divergence
-    * is a REAL bug in the artifact lifecycle. */
+  /** `sim_pq_stored`'s oracle IS `sim_pq_ivf`'s, and
+    * `dedup_index_stored`'s IS `dedup_incremental`'s: a stored-artifact
+    * search must return precisely what the in-memory build returns —
+    * the parquet round-trip of ints/longs is value-exact, so any
+    * divergence is a REAL bug in the artifact lifecycle. */
   lazy val oracle: Map[String, String] =
-    baseOracle + ("sim_pq_stored" -> baseOracle("sim_pq_ivf"))
+    baseOracle + ("sim_pq_stored" -> baseOracle("sim_pq_ivf")) +
+      ("dedup_index_stored" -> baseOracle("dedup_incremental"))
 }

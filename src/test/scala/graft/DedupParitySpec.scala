@@ -48,6 +48,23 @@ class DedupParitySpec extends SparkSpec {
     assert(blocked.nonEmpty)
   }
 
+  test("sourceMinhashSlots: per-batch sketches merge by slot-wise min to the full-corpus sketch") {
+    // the mergeability contract: a daily ingest stores per-batch
+    // (source, slot, mh) tables; min-merging them must equal the sketch
+    // of the union corpus — no history rescan
+    val docs = Tables.documents(spark, sf())
+    val b1 = docs.filter(col("doc_id") % 2 === 0)
+    val b2 = docs.filter(col("doc_id") % 2 === 1)
+    val merged = Dedup.sourceMinhashSlots(b1)
+      .unionAll(Dedup.sourceMinhashSlots(b2))
+      .groupBy(col("src"), col("slot")).agg(min(col("mh")).as("mh"))
+      .orderBy("src", "slot").collect().toSeq
+    val full = Dedup.sourceMinhashSlots(docs)
+      .orderBy("src", "slot").collect().toSeq
+    assert(merged == full)
+    assert(full.nonEmpty)
+  }
+
   test("minhashEstimates: same candidate set as minhashCandidates, exact-dup pairs estimate 1.0") {
     val docs = Tables.documents(spark, sf())
     val est = Dedup.minhashEstimates(docs, k = 16, bands = 4)
