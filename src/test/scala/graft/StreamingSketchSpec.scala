@@ -64,4 +64,36 @@ class StreamingSketchSpec extends SparkSpec {
         "the heavy-hitter gate's grid is incrementally maintainable")
     } finally q.stop()
   }
+
+  test("minhash-union source sketch: slot-wise min across micro-batches == batch") {
+    // the source_overlap_sketch artifact maintained AT INGEST: min is
+    // the streaming-aggregable state, so the stored (source, slot, mh)
+    // table stays current without any corpus rescan
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(col("source"), col("text")).limit(400)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(String, String)]
+    val slots = ms.toDS().toDF("source", "text")
+      .select(col("source").as("src"),
+        posexplode(graft.plans.native.minhash_sig(col("text"), 16, 3))
+          .as(Seq("slot", "h")))
+      .groupBy(col("src"), col("slot")).agg(min(col("h")).as("mh"))
+    val q = slots.writeStream.format("memory").queryName("mh_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(docs.take(150))
+      q.processAllAvailable()
+      ms.addData(docs.drop(150))
+      q.processAllAvailable()
+      val streamed = spark.table("mh_stream")
+        .orderBy("src", "slot").collect().toSeq
+      val batch = graft.operators.Dedup.sourceMinhashSlots(
+          docs.toDF("source", "text"))
+        .orderBy("src", "slot").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "the overlap sketch is incrementally maintainable at ingest")
+    } finally q.stop()
+  }
 }
