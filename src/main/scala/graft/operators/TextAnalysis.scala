@@ -343,14 +343,19 @@ object TextAnalysis {
       b: Double = 0.75, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(16, 6)
-    val lens = docs.select(col(idCol),
-      native.token_count(col(textCol)).as("len"))
+    // materialized: the global stats agg and the per-doc length join
+    // both read the token counts — without this the corpus tokenizes
+    // twice more (once per consumer)
+    val lens = Materialize(docs.select(col(idCol),
+      native.token_count(col(textCol)).as("len")))
     val stats = lens.agg(count(lit(1)).as("n"),
       (sum(col("len")).cast("double") / count(lit(1))).as("avglen"))
-    val tf = docs
+    // materialized: df and the score join both consume this table — the
+    // corpus explode (the dominant stage) must run once, not twice
+    val tf = Materialize(docs
       .select(col(idCol), explode(Portable.tokens(col(textCol))).as("word"))
       .filter(col("word").isin(queryTerms: _*))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("word"))
       .agg(countDistinct(col(idCol)).as("df"))
       .crossJoin(broadcast(stats.select(col("n"))))
