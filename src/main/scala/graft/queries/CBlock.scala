@@ -48,6 +48,29 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "vocab_coverage" -> ((s, dir) => {
+      // vocabulary sizing audit: how many distinct words cover 50/90/99%
+      // of all token occurrences — the Zipf-curve readout that decides
+      // the stored vocab's size and whether the lm-score join's build
+      // side broadcasts. Same two-phase global cumsum as q_pareto;
+      // thresholds CROSS-MULTIPLIED in integers (cum·100 < tot·99),
+      // never a division
+      val counts = Curation.vocabCounts(Tables.documents(s, dir))
+      val cum = Curation.globalCumSum(counts,
+        Seq(col("cnt").desc, col("word")), col("cnt"), "cum")
+      val tot = cum.agg(sum(col("cnt")).as("tot"),
+        count(lit(1)).as("n_words"))
+      cum.crossJoin(broadcast(tot))
+        .agg(max(col("n_words")).as("n_words"),
+          max(col("tot")).as("n_tokens"),
+          (sum(when(col("cum") * 2 < col("tot"), 1L).otherwise(0L)) + 1L)
+            .as("n_cover_50"),
+          (sum(when(col("cum") * 10 < col("tot") * 9, 1L).otherwise(0L)) + 1L)
+            .as("n_cover_90"),
+          (sum(when(col("cum") * 100 < col("tot") * 99, 1L).otherwise(0L)) + 1L)
+            .as("n_cover_99"))
+    }),
+
     "dedup_minhash_est" -> ((s, dir) => {
       // LSH verify stage: per-candidate estimated jaccard from the
       // stored signatures alone (no text re-read) — what a production
@@ -1228,6 +1251,29 @@ object CBlock {
     "dedup_minhash" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "vocab_coverage" ->
+      s"""WITH counts AS (
+         |  SELECT word, count(*) AS cnt
+         |  FROM (SELECT unnest($toksSql) AS word FROM documents)
+         |  GROUP BY 1
+         |), c AS (
+         |  SELECT cnt,
+         |    SUM(cnt) OVER (ORDER BY cnt DESC, word
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM counts
+         |), t AS (
+         |  SELECT CAST(SUM(cnt) AS BIGINT) AS tot, count(*) AS n_words
+         |  FROM counts
+         |)
+         |SELECT max(n_words) AS n_words, max(tot) AS n_tokens,
+         |  CAST(SUM(CASE WHEN cum * 2 < tot THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS n_cover_50,
+         |  CAST(SUM(CASE WHEN cum * 10 < tot * 9 THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS n_cover_90,
+         |  CAST(SUM(CASE WHEN cum * 100 < tot * 99 THEN 1 ELSE 0 END) + 1
+         |    AS BIGINT) AS n_cover_99
+         |FROM c, t""".stripMargin,
 
     "source_overlap_sketch" ->
       s"""WITH ${minhashPairsCte()},

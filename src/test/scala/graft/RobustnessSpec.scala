@@ -97,4 +97,28 @@ class RobustnessSpec extends SparkSpec {
     val m = Curation.curate(CurateConfig(nShards = 4), Seq("the", "a"))(docs)
     assert(m.agg(sum("n_docs")).head.getLong(0) >= 1L)
   }
+
+  test("session-4 operators survive degenerate input") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s0", 0L),
+      (1L, "", "en", "s0", 0L),
+      (2L, "one", "en", "s0", 3L),
+      (3L, "table fast table", "de", "s1", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // minhash estimate / union sketch on null/empty/short text: the
+    // signature fallback keeps every doc k-slotted, nothing throws
+    assert(Dedup.minhashEstimates(docs).count() >= 0L)
+    assert(Dedup.sourceMinhashOverlap(docs).count() >= 0L)
+    // bm25: only the doc containing a query term scores; null/empty drop
+    val scored = TextAnalysis.bm25(docs, Seq("table", "fast", "scan"))
+    assert(scored.count() === 1L)
+    assert(scored.head.getLong(2) === 3L) // n_hits: table ×2 + fast
+    // bm25 with a query matching NOTHING: empty posting union, no crash
+    assert(TextAnalysis.bm25(docs, Seq("zzz")).count() === 0L)
+    // knn graph on an empty corpus: zero rows, no exceptions
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    assert(graft.operators.Similarity.knnGraph(
+      emb.filter(col("vec_id") < 0), k = 3).count() === 0L)
+  }
 }
