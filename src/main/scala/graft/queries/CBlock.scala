@@ -180,6 +180,58 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "curate_semantic" -> ((s, dir) => {
+      // the EMBEDDING-SPACE curation capstone — one declarative plan
+      // composing the audited pieces: semantic near-dup removal (cosine
+      // pairs → CC keepers) → centroid outlier screen (keep vectors
+      // within 1.02× their label's mean distance — centroid distances of
+      // high-dim embeddings concentrate hard, measured [0.94, 1.05]
+      // around mean 0.99, so a meaningful outlier gate sits close to the
+      // mean; CROSS-MULTIPLIED in exact decimals: 50·d·n ≤ 51·Σd) →
+      // deterministic exact-10 sample
+      // per label → per-label funnel manifest. The deduped set is
+      // materialized once (the centroid pass reads it twice, the
+      // manifest a third time); the distance table likewise (gate stats
+      // + survivor filter + sample all read it).
+      import org.apache.spark.sql.types.DecimalType
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.embeddingPairs(emb, tau = 0.35, blockCol = "label")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      val clusters = Dedup.connectedComponents(pairs)
+      val kept = graft.operators.Materialize(
+        emb.join(clusters, col("vec_id") === col("doc_id"), "left_outer")
+          .filter(col("doc_id").isNull || col("cluster") === col("vec_id"))
+          .select(emb.columns.map(col): _*))
+      val dist = graft.operators.Materialize(
+        Similarity.labelCentroidDistance(kept)
+          .select(col("vec_id"), col("label"),
+            col("centroid_dist").cast(DecimalType(16, 6)).as("d")))
+      val stats = dist.groupBy(col("label"))
+        .agg(sum(col("d")).as("sum_d"), count(lit(1)).as("n_d"))
+      val surv = dist.join(broadcast(stats), "label")
+        .filter(col("d") * 50 * col("n_d") <= col("sum_d") * 51)
+      val u = (graft.plans.native.poly_hash(
+          concat(lit("sample:"), col("vec_id").cast("string")))
+        * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+        graft.plans.HashOps.M
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("label")).orderBy(col("__u"), col("vec_id"))
+      val sampled = surv.withColumn("__u", u)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+      emb.groupBy(col("label")).agg(count(lit(1)).as("n_raw"))
+        .join(kept.groupBy(col("label")).agg(count(lit(1)).as("n_dedup")),
+          Seq("label"), "left_outer")
+        .join(surv.groupBy(col("label")).agg(count(lit(1)).as("n_screened")),
+          Seq("label"), "left_outer")
+        .join(sampled.groupBy(col("label")).agg(count(lit(1)).as("n_sampled")),
+          Seq("label"), "left_outer")
+        .select(col("label"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_screened"), lit(0L)).as("n_screened"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy(col("label"))
+    }),
+
     "sim_cosine_topk" -> ((s, dir) => {
       Similarity.cosineTopKAgg(Tables.embeddings(s, dir),
           col("vec_id") < 20, k = 5)
@@ -1251,6 +1303,80 @@ object CBlock {
     "dedup_minhash" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "curate_semantic" ->
+      s"""WITH RECURSIVE cos AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+         |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+         |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS c
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |), pe AS (
+         |  SELECT id_a AS a, id_b AS b FROM cos WHERE c >= 0.35
+         |  UNION SELECT id_b AS a, id_a AS b FROM cos WHERE c >= 0.35
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM pe)
+         |  UNION
+         |  SELECT r.src, pe.b FROM reach r JOIN pe ON r.dst = pe.a
+         |), lab AS (
+         |  SELECT src AS ldoc, min(dst) AS cl FROM reach GROUP BY src
+         |), kept AS (
+         |  SELECT v.* FROM embeddings v LEFT JOIN lab l ON v.vec_id = l.ldoc
+         |  WHERE l.ldoc IS NULL OR l.cl = v.vec_id
+         |), c0 AS (
+         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         |    unnest(embedding) AS x
+         |  FROM kept
+         |), comps AS (
+         |  SELECT label, dim,
+         |    SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(20,9))) AS sx, count(*) AS n
+         |  FROM c0 GROUP BY 1, 2
+         |), cen AS (
+         |  SELECT label, max(n) AS n_label,
+         |    list(CAST(sx AS DOUBLE) ORDER BY dim) AS sxs
+         |  FROM comps GROUP BY 1
+         |), dist AS (
+         |  SELECT vec_id, e.label,
+         |    CAST(ROUND(sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list_transform(range(1, len(embedding) + 1),
+         |        i -> (CAST(embedding[i] AS DOUBLE) - sxs[i] / n_label)
+         |           * (CAST(embedding[i] AS DOUBLE) - sxs[i] / n_label))),
+         |      (a, v) -> a + v)), 6) AS DECIMAL(16,6)) AS d
+         |  FROM kept e JOIN cen USING (label)
+         |), ds AS (
+         |  SELECT label, SUM(d) AS sum_d, count(*) AS n_d FROM dist GROUP BY 1
+         |), surv AS (
+         |  SELECT dist.vec_id, dist.label FROM dist JOIN ds USING (label)
+         |  WHERE d * 50 * n_d <= sum_d * 51
+         |), samp AS (
+         |  SELECT label, vec_id FROM (
+         |    SELECT label, vec_id,
+         |      row_number() OVER (PARTITION BY label ORDER BY pu, vec_id) AS rk
+         |    FROM (
+         |      SELECT label, vec_id,
+         |        (${ph("'sample:' || CAST(vec_id AS VARCHAR)")}
+         |          * ((1 * 2654435761) % 2147483647)
+         |          + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |      FROM surv
+         |    )
+         |  ) WHERE rk <= 10
+         |)
+         |SELECT r.label, r.n_raw,
+         |  coalesce(kd.n_dedup, 0) AS n_dedup,
+         |  coalesce(sv.n_screened, 0) AS n_screened,
+         |  coalesce(sp.n_sampled, 0) AS n_sampled
+         |FROM (SELECT label, count(*) AS n_raw FROM embeddings GROUP BY 1) r
+         |LEFT JOIN (SELECT label, count(*) AS n_dedup FROM kept GROUP BY 1) kd
+         |  USING (label)
+         |LEFT JOIN (SELECT label, count(*) AS n_screened FROM surv GROUP BY 1) sv
+         |  USING (label)
+         |LEFT JOIN (SELECT label, count(*) AS n_sampled FROM samp GROUP BY 1) sp
+         |  USING (label)
+         |ORDER BY label""".stripMargin,
 
     "vocab_coverage" ->
       s"""WITH counts AS (
