@@ -238,9 +238,13 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val n = docs.count()
-    val tf = docs
+    // materialized: the df aggregate and the score join both consume the
+    // per-(doc, word) table — without this the corpus explode+agg (the
+    // dominant stage) runs twice (the bm25 lesson; measured 2.0 → 0.9 s
+    // at sf0.1)
+    val tf = Materialize(docs
       .select(col(idCol), explode(Portable.tokens(col(textCol))).as("word"))
-      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("word"))
       .agg(countDistinct(col(idCol)).as("df"))
       .withColumn("idf",
