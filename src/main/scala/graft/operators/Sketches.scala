@@ -30,6 +30,51 @@ object Sketches {
             log((lit(k) - col("occupied")) / lit(k)), 4)))
   }
 
+  /** KMV (k-minimum-values) distinct sketch per key group — the
+    * mergeable cardinality estimator that, unlike linear counting, also
+    * supports set operations (union = re-min of merged k-min sets,
+    * proven in SketchGuaranteesSpec): hash every value through the
+    * affine rehash (sequential ids raw-hash prefix-banded — the
+    * mixUpsample draw lesson), keep each group's k smallest DISTINCT
+    * hashes, estimate n̂ = (k−1)·M / h_k from the k-th minimum. Groups
+    * with fewer than k distinct hashes report their exact count.
+    *
+    * Determinism: hashes are exact integers, h_k is an exact order
+    * statistic, and the estimate is ONE double division rounded at 4 dp
+    * — bit-identical cross-engine. Scale: the distinct pass shuffles
+    * once on (group, hash); the rank window is PARTITIONED by group and
+    * Catalyst plans the k-filter as a pre-shuffle WindowGroupLimit, so
+    * maps ship O(k) rows per group — the sketch is O(groups·k) state,
+    * never the data. */
+  def kmvDistinct(df: DataFrame, keys: Seq[String], valueCol: Column,
+      k: Int = 64): DataFrame = {
+    val mink = Materialize(kmvMinK(df, keys, valueCol, k))
+    mink.groupBy(keys.map(col): _*)
+      .agg(max(col("rk")).cast("long").as("n_min"),
+        max(when(col("rk") === k, col("h"))).as("h_k"))
+      .withColumn("kmv_est",
+        when(col("n_min") < k, col("n_min").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * graft.plans.HashOps.M)
+            / col("h_k"), 4)))
+      .drop("h_k")
+  }
+
+  /** The stored KMV sketch rows behind [[kmvDistinct]] — each group's k
+    * smallest distinct hashes with their rank, O(groups·k). MERGEABLE:
+    * union per-batch sketches, re-rank, keep k — ≡ the full-corpus
+    * sketch (SketchGuaranteesSpec), because the k smallest of a union
+    * are among the union of the k smallest. */
+  def kmvMinK(df: DataFrame, keys: Seq[String], valueCol: Column,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = (native.poly_hash(concat(lit("kmv:"), valueCol.cast("string")))
+      * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+      graft.plans.HashOps.M
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("h"))
+    df.select(keys.map(col) :+ h.as("h"): _*).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Fixed-bin histogram quantile sketch: values bucketed into `bins`
     * equal-width bins over [lo, hi) (out-of-range clamped to the edge
     * bins), per-key bin counts merged as plain sums — commutative, so

@@ -455,6 +455,20 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "sketch_kmv" -> ((s, dir) => {
+      // KMV distinct sketch vs exact: per event type, the k-minimum-
+      // values estimate (k = 64) next to the exact distinct-user count
+      // — the mergeable estimator that also supports set operations
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.kmvDistinct(
+          ev, Seq("event_type"), col("user_id"), k = 64)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("exact"), col("n_min"), col("kmv_est"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.operators.Sketches.linearCountDistinct(
@@ -2060,6 +2074,31 @@ object CBlock {
          |SELECT cg.doc_id, count(*) AS n_shared
          |FROM cg JOIN bg USING (gram)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (${ph("'kmv:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), r AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h
+         |), agg AS (
+         |  SELECT event_type, CAST(max(rk) AS BIGINT) AS n_min,
+         |    max(CASE WHEN rk = 64 THEN h END) AS h_k
+         |  FROM r WHERE rk <= 64 GROUP BY 1
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT agg.event_type, ex.exact, agg.n_min,
+         |  CASE WHEN agg.n_min < 64 THEN CAST(agg.n_min AS DOUBLE)
+         |       ELSE ROUND(63.0 * 2147483647 / agg.h_k, 4) END AS kmv_est
+         |FROM agg JOIN ex USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "sketch_distinct" ->
       s"""WITH sk AS (

@@ -55,4 +55,38 @@ class SketchGuaranteesSpec extends SparkSpec {
         s"$k p95: est $e95 vs disc ${d95(k)}")
     }
   }
+
+  test("KMV sketch: per-batch min-k sets re-min to the full sketch; estimate sane") {
+    import graft.operators.Sketches
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"))
+    // mergeability: union the halves' sketches, re-rank, keep k — must
+    // equal the full-corpus sketch (the k smallest of a union are among
+    // the union of the k smallest)
+    val k = 64
+    val h1 = Sketches.kmvMinK(ev.filter(col("user_id") % 2 === 0),
+      Seq("event_type"), col("user_id"), k)
+    val h2 = Sketches.kmvMinK(ev.filter(col("user_id") % 2 === 1),
+      Seq("event_type"), col("user_id"), k)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val merged = h1.select(col("event_type"), col("h"))
+      .unionAll(h2.select(col("event_type"), col("h"))).distinct()
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .orderBy("event_type", "rk").collect().toSeq
+    val full = Sketches.kmvMinK(ev, Seq("event_type"), col("user_id"), k)
+      .orderBy("event_type", "rk").collect().toSeq
+    assert(merged == full)
+    // estimate sanity: within 50% of exact at k=64 on every group
+    val est = Sketches.kmvDistinct(ev, Seq("event_type"), col("user_id"), k)
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact")), "event_type")
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (e, x) = (r.getDouble(2), r.getLong(3).toDouble)
+      assert(e > x * 0.5 && e < x * 1.5,
+        s"${r.getString(0)}: kmv $e vs exact $x")
+    }
+  }
 }
