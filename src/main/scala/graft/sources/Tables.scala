@@ -19,7 +19,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    // events.parquet stores TIMESTAMP(NANOS): without this flag any
+    // query touching the ts column aborts — set here so every events
+    // consumer is self-contained (a name-filtered Verify of a single
+    // events query must not depend on an A-block query having run first)
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
