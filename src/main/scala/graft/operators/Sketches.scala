@@ -75,6 +75,56 @@ object Sketches {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** KMV set-operation estimates for every GROUP PAIR — the capability
+    * that distinguishes KMV from linear counting: the union sketch of
+    * two groups is the re-min of their k-min sets (no raw data touched),
+    * so n̂(A∪B) comes from the merged k-th minimum, n̂(A∩B) by
+    * inclusion–exclusion, and the jaccard estimate as their ratio.
+    * Audience-overlap / shared-users analysis at O(groups²·k) cost over
+    * the stored sketch — the corpus is scanned ONCE (by [[kmvMinK]]).
+    *
+    * Determinism: per-group and per-pair estimates are single rounded
+    * divisions of exact integers; the intersection subtraction runs on
+    * the 4-dp-rounded estimates (both engines subtract identical
+    * doubles). Negative inclusion–exclusion artifacts clamp to 0. */
+  def kmvPairOverlap(df: DataFrame, keyCol: String, valueCol: Column,
+      k: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mink = Materialize(kmvMinK(df, Seq(keyCol), valueCol, k))
+    def estOf(grouped: DataFrame, keys: Seq[String]): DataFrame =
+      grouped.groupBy(keys.map(col): _*)
+        .agg(max(col("rk")).cast("long").as("n_min"),
+          max(when(col("rk") === k, col("h"))).as("h_k"))
+        .withColumn("est",
+          when(col("n_min") < k, col("n_min").cast("double"))
+            .otherwise(round(lit((k - 1).toDouble * graft.plans.HashOps.M)
+              / col("h_k"), 4)))
+        .select(keys.map(col) :+ col("est"): _*)
+    val perGroup = estOf(mink, Seq(keyCol))
+    val pairs = perGroup.select(col(keyCol).as("key_a"), col("est").as("est_a"))
+      .crossJoin(perGroup.select(col(keyCol).as("key_b"), col("est").as("est_b")))
+      .filter(col("key_a") < col("key_b"))
+    val wp = Window.partitionBy(col("key_a"), col("key_b")).orderBy(col("h"))
+    // membership via two EQUI-joins unioned (an OR-condition join would
+    // plan a nested loop): each pair pulls its two groups' sketch rows
+    val pk = pairs.select(col("key_a"), col("key_b"))
+    val hs = mink.select(col(keyCol), col("h"))
+    val merged = pk.join(hs, col(keyCol) === col("key_a"))
+      .select(col("key_a"), col("key_b"), col("h"))
+      .unionAll(pk.join(hs, col(keyCol) === col("key_b"))
+        .select(col("key_a"), col("key_b"), col("h")))
+      .distinct()
+      .withColumn("rk", row_number().over(wp)).filter(col("rk") <= k)
+    val unionEst = estOf(merged, Seq("key_a", "key_b"))
+      .withColumnRenamed("est", "est_union")
+    pairs.join(unionEst, Seq("key_a", "key_b"))
+      .withColumn("est_intersection",
+        greatest(round(col("est_a") + col("est_b") - col("est_union"), 4),
+          lit(0.0)))
+      .withColumn("est_jaccard",
+        round(col("est_intersection") / col("est_union"), 6))
+  }
+
   /** Fixed-bin histogram quantile sketch: values bucketed into `bins`
     * equal-width bins over [lo, hi) (out-of-range clamped to the edge
     * bins), per-key bin counts merged as plain sums — commutative, so

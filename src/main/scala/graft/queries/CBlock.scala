@@ -469,6 +469,16 @@ object CBlock {
         .orderBy(col("event_type"))
     }),
 
+    "sketch_kmv_overlap" -> ((s, dir) => {
+      // KMV set operations per event-type pair: union estimate by
+      // re-min of the two k-min sets, intersection by inclusion-
+      // exclusion, jaccard as the ratio — audience overlap from the
+      // stored sketch alone (one corpus scan total)
+      graft.operators.Sketches.kmvPairOverlap(
+          Tables.events(s, dir), "event_type", col("user_id"), k = 64)
+        .orderBy(col("key_a"), col("key_b"))
+    }),
+
     "sketch_distinct" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
       graft.operators.Sketches.linearCountDistinct(
@@ -2074,6 +2084,53 @@ object CBlock {
          |SELECT cg.doc_id, count(*) AS n_shared
          |FROM cg JOIN bg USING (gram)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "sketch_kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    (${ph("'kmv:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), mkr AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+         |  FROM h
+         |), mk AS (SELECT * FROM mkr WHERE rk <= 64),
+         |est AS (
+         |  SELECT event_type,
+         |    CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+         |         ELSE ROUND(63.0 * 2147483647
+         |           / max(CASE WHEN rk = 64 THEN h END), 4) END AS est
+         |  FROM mk GROUP BY 1
+         |), pairs AS (
+         |  SELECT a.event_type AS key_a, b.event_type AS key_b,
+         |    a.est AS est_a, b.est AS est_b
+         |  FROM est a JOIN est b ON a.event_type < b.event_type
+         |), mem AS (
+         |  SELECT p.key_a, p.key_b, m.h FROM pairs p
+         |  JOIN mk m ON m.event_type = p.key_a
+         |  UNION ALL
+         |  SELECT p.key_a, p.key_b, m.h FROM pairs p
+         |  JOIN mk m ON m.event_type = p.key_b
+         |), mr AS (
+         |  SELECT key_a, key_b, h,
+         |    row_number() OVER (PARTITION BY key_a, key_b ORDER BY h) AS rk
+         |  FROM (SELECT DISTINCT key_a, key_b, h FROM mem)
+         |), ue AS (
+         |  SELECT key_a, key_b,
+         |    CASE WHEN max(rk) < 64 THEN CAST(max(rk) AS DOUBLE)
+         |         ELSE ROUND(63.0 * 2147483647
+         |           / max(CASE WHEN rk = 64 THEN h END), 4) END AS est_union
+         |  FROM (SELECT * FROM mr WHERE rk <= 64) GROUP BY 1, 2
+         |)
+         |SELECT p.key_a, p.key_b, p.est_a, p.est_b, ue.est_union,
+         |  greatest(ROUND(p.est_a + p.est_b - ue.est_union, 4), 0.0)
+         |    AS est_intersection,
+         |  ROUND(greatest(ROUND(p.est_a + p.est_b - ue.est_union, 4), 0.0)
+         |    / ue.est_union, 6) AS est_jaccard
+         |FROM pairs p JOIN ue USING (key_a, key_b)
+         |ORDER BY key_a, key_b""".stripMargin,
 
     "sketch_kmv" ->
       s"""WITH h AS (
