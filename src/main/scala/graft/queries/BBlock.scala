@@ -214,6 +214,63 @@ object BBlock {
           count(lit(1)).as("n_lines"))
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: one supplier nation's share of a region's PROMO
+      // import volume by year — the deepest star join on the schema
+      // (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region on the demand
+      // side, supplier ⋈ nation on the supply side), every dimension
+      // broadcast; the share is a ratio of conditional decimal sums
+      // computed in ONE aggregation pass (no second join)
+      val cnation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))
+      val snation = Tables.nation(s, dir)
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val asia = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cnation), col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(snation), col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          moneySum(when(col("supp_nation") === "NATION_7", revenueExpr)
+            .otherwise(lit(0).cast(DecimalType(12, 2)))).as("nation_volume"),
+          moneySum(revenueExpr).as("total_volume"))
+        .withColumn("mkt_share",
+          round(col("nation_volume") / col("total_volume"), 6))
+        .orderBy(col("o_year"))
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: the supplier(s) with MAX quarterly revenue —
+      // the scalar-aggregate correlated view decorrelated into a
+      // broadcast 1-row max joined back; equality compares the SAME
+      // rounded decimal-exact double on both sides
+      // materialized: the max pass and the filter both read the O(supp)
+      // revenue view — without it the fact slice scans twice
+      val rev = graft.operators.Materialize(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(moneySum(revenueExpr).as("total_revenue")))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     "q_decile" -> ((s, dir) => {
       // global decile stats WITHOUT ntile's single-partition sort: the
       // two-phase range-partitioned rank (Curation.globalRank — the
@@ -779,6 +836,49 @@ object BBlock {
         |  count(*) AS n_lines
         |FROM li l JOIN a USING (l_partkey)
         |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * a.n_li < a.qty_sum""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH vol AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(ROUND(SUM(CASE WHEN sn.n_name = 'NATION_7'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |      ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE)
+        |      AS nation_volume,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |      AS DOUBLE) AS total_volume
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT o_year, nation_volume, total_volume,
+        |  ROUND(nation_volume / total_volume, 6) AS mkt_share
+        |FROM vol ORDER BY o_year""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))), 2)
+        |      AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q_decile" ->
       """WITH r AS (
