@@ -271,6 +271,101 @@ object BBlock {
         .orderBy(col("s_suppkey"))
     }),
 
+    "q9_profit" -> ((s, dir) => {
+      // TPC-H Q9 shape: product-line PROFIT by supplier nation and year
+      // (the schema has no partsupp, so p_retailprice·quantity stands in
+      // for supplycost — same plan shape): lineitem ⋈ filtered part ⋈
+      // orders ⋈ supplier ⋈ nation, every dimension broadcast, profit =
+      // revenue − cost as ONE decimal expression summed exactly
+      val widgetParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").contains("widget"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val profit = revenueExpr -
+        dec2(col("p_retailprice")) * dec2(col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .join(widgetParts, col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(moneySum(profit).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    "q12_late_priority" -> ((s, dir) => {
+      // TPC-H Q12 shape: order-priority accounting among LATE lineitems
+      // (shipped > 60 days after the order date — the schema's stand-in
+      // for commit < receipt), grouped by return flag (the shipmode
+      // proxy): urgent/high vs other counted as conditional sums in one
+      // agg; the date-window filter pushes to the lineitem scan
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: how many distinct suppliers can furnish each
+      // (brand, type, size) — distinct part-supplier pairs from the fact
+      // (no partsupp table), minus "complaint" suppliers (acctbal < 1000
+      // — the NOT IN subquery becomes a broadcast ANTI join), count
+      // DISTINCT suppkey after an exclusion filter on the part dim
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val complaints = Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 1000).select(col("s_suppkey"))
+      pairs
+        .join(broadcast(complaints),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#13" && col("p_size") <= 25)
+          .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    "q21_waiting" -> ((s, dir) => {
+      // TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+      // finished multi-supplier order (late = shipped > 90 days after
+      // the order date). The classic EXISTS / NOT-EXISTS self-join pair
+      // DECORRELATES into one per-order aggregate — n_supp and n_late
+      // as two countDistincts in a single pass — joined back to the
+      // distinct late (order, supplier) pairs; the fact is scanned once
+      // and reused (materialized) for both sides
+      val li = graft.operators.Materialize(Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late")))
+      val perOrder = li.groupBy(col("l_orderkey").as("g_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+      li.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(perOrder, col("l_orderkey") === col("g_orderkey"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     "q_decile" -> ((s, dir) => {
       // global decile stats WITHOUT ntile's single-partition sort: the
       // two-phase range-partitioned rank (Curation.globalRank — the
@@ -879,6 +974,65 @@ object BBlock {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |      * (CAST(1 AS DECIMAL(6,4)) - CAST(l_discount AS DECIMAL(6,4)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2))
+        |      * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |)
+        |SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_size <= 25
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per_order AS (
+        |  SELECT l_orderkey AS g_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        |  FROM li GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS numwait
+        |FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late) w
+        |JOIN per_order ON l_orderkey = g_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
 
     "q_decile" ->
       """WITH r AS (
