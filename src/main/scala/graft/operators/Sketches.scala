@@ -244,4 +244,67 @@ object Sketches {
       .filter(col("freq") * fracDenom >= total)
       .withColumn("total_items", lit(total))
   }
+
+  /** HLL registers per key group — a PORTABLE HyperLogLog built on the
+    * poly-hash (the header's "HLL is engine-specific" caveat applies to
+    * library HLLs with their private hash/bias tables; with the portable
+    * hash and no bias table the register arithmetic is exact integers in
+    * both engines). m = 64 registers: `bucket = h mod 64`, the remaining
+    * 25 hash bits form `w`, and the register value is
+    * `rho = first-one position of w` (1..25, 26 when w = 0) — computed by
+    * an integer comparison chain, never floating log2 (whose boundary at
+    * exact powers of two could flip cross-engine). `max(rho)` per bucket
+    * is the O(groups·64) stored sketch.
+    *
+    * MERGEABLE: registers from disjoint batches max-merge ≡ the
+    * full-corpus registers (max is associative/commutative/idempotent —
+    * so unlike KMV no distinct pass is needed and duplicate arrivals are
+    * free). One map-side-combined shuffle on (group, bucket). */
+  def hllRegisters(df: DataFrame, keys: Seq[String],
+      valueCol: Column): DataFrame = {
+    val h = Portable.rehash(
+      native.poly_hash(concat(lit("hll:"), valueCol.cast("string"))), 0)
+    val w = shiftright(h, 6)
+    val rho = (0 until 25)
+      .map(i => (1L << (24 - i), (i + 1).toLong))
+      .foldLeft(null: Column) { case (acc, (thr, r)) =>
+        if (acc == null) when(w >= thr, r) else acc.when(w >= thr, r)
+      }.otherwise(lit(26L))
+    df.select(keys.map(col) :+ pmod(h, lit(64L)).as("bucket")
+      :+ rho.as("rho"): _*)
+      .groupBy(keys.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** HLL cardinality estimate per key group from [[hllRegisters]].
+    *
+    * Determinism: the harmonic-mean denominator Σ 2^−M_j is computed as
+    * the SCALED integer Σ 2^(26−M_j) (empty buckets contribute 2^26) —
+    * an exact int64 sum under any partitioning; the estimate is then ONE
+    * double division by the α·m²·2^26 constant (powers-of-two factors
+    * scale the exponent only, so both engines hold the identical
+    * double), with the standard small-range fallback to linear counting
+    * (m·ln(m/V)) when E ≤ 2.5m and zero registers remain — the ln is the
+    * same single-call IEEE arithmetic the linear-counting sketch already
+    * relies on. Round at 4 dp. */
+  def hllDistinct(df: DataFrame, keys: Seq[String],
+      valueCol: Column): DataFrame = {
+    val term = (1 to 26).map(m => (m, 1L << (26 - m)))
+      .foldLeft(null: Column) { case (acc, (m, t)) =>
+        if (acc == null) when(col("m_j") === m, t)
+        else acc.when(col("m_j") === m, t)
+      }
+    val alphaM2 = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0)
+    hllRegisters(df, keys, valueCol)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("occupied"), sum(term).as("s_present"))
+      .withColumn("e_raw", alphaM2 /
+        (col("s_present") + (lit(64L) - col("occupied")) * lit(67108864L))
+          .cast("double"))
+      .withColumn("hll_est",
+        when(col("e_raw") <= 160.0 && col("occupied") < 64,
+          round(lit(64.0) * log(lit(64.0) / (lit(64L) - col("occupied"))), 4))
+          .otherwise(round(col("e_raw"), 4)))
+      .drop("s_present", "e_raw")
+  }
 }

@@ -469,6 +469,20 @@ object CBlock {
         .orderBy(col("event_type"))
     }),
 
+    "sketch_hll" -> ((s, dir) => {
+      // portable HyperLogLog (m = 64) vs exact: the register-based
+      // estimator that, unlike KMV, needs no distinct pass and absorbs
+      // duplicate arrivals for free — integer comparison-chain rho,
+      // exact scaled-integer harmonic sum, linear-counting fallback
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("exact"), col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_kmv_overlap" -> ((s, dir) => {
       // KMV set operations per event-type pair: union estimate by
       // re-min of the two k-min sets, intersection by inclusion-
@@ -2131,6 +2145,46 @@ object CBlock {
          |    / ue.est_union, 6) AS est_jaccard
          |FROM pairs p JOIN ue USING (key_a, key_b)
          |ORDER BY key_a, key_b""".stripMargin,
+
+    "sketch_hll" -> {
+      val rhoCase = (0 until 25)
+        .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+        .mkString(" ")
+      val termCase = (1 to 26)
+        .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+        .mkString(" ")
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), b AS (
+         |  SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h
+         |), r AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE $rhoCase ELSE 26 END) AS m_j
+         |  FROM b GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type, count(*) AS occupied,
+         |    SUM(CASE m_j $termCase END) AS s_present
+         |  FROM r GROUP BY 1
+         |), est AS (
+         |  SELECT event_type, occupied,
+         |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+         |      / (s_present + (64 - occupied) * 67108864) AS e_raw
+         |  FROM agg
+         |), ex AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT est.event_type, ex.exact, CAST(occupied AS BIGINT) AS occupied,
+         |  CASE WHEN e_raw <= 160 AND occupied < 64
+         |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
+         |       ELSE ROUND(e_raw, 4) END AS hll_est
+         |FROM est JOIN ex ON est.event_type = ex.event_type
+         |ORDER BY est.event_type""".stripMargin
+    },
 
     "sketch_kmv" ->
       s"""WITH h AS (

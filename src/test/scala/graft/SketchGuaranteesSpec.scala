@@ -89,4 +89,51 @@ class SketchGuaranteesSpec extends SparkSpec {
         s"${r.getString(0)}: kmv $e vs exact $x")
     }
   }
+
+  test("HLL sketch: per-batch registers max-merge to the full sketch; both estimate paths sane") {
+    val ev = graft.sources.Tables.events(spark, sf())
+      .select(col("event_type"), col("user_id"))
+    // mergeability: max is associative/commutative/idempotent, so the
+    // halves' register tables max-merge to exactly the full registers
+    val r1 = Sketches.hllRegisters(ev.filter(col("user_id") % 2 === 0),
+      Seq("event_type"), col("user_id"))
+    val r2 = Sketches.hllRegisters(ev.filter(col("user_id") % 2 === 1),
+      Seq("event_type"), col("user_id"))
+    val merged = r1.unionAll(r2)
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("m_j")).as("m_j"))
+      .orderBy("event_type", "bucket").collect().toSeq
+    val full = Sketches.hllRegisters(ev, Seq("event_type"), col("user_id"))
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(merged == full)
+    // duplicate arrivals are free: doubling the stream leaves registers
+    // (and so the estimate) unchanged — the property KMV's distinct
+    // pass has to pay for
+    val doubled = Sketches.hllRegisters(ev.unionAll(ev),
+      Seq("event_type"), col("user_id"))
+      .orderBy("event_type", "bucket").collect().toSeq
+    assert(doubled == full)
+    // estimate sanity: within 50% of exact on every group (m = 64 has
+    // ~13% standard error; the bound is loose on purpose)
+    val est = Sketches.hllDistinct(ev, Seq("event_type"), col("user_id"))
+      .join(ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact")), "event_type")
+      .collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (e, x) = (r.getDouble(2), r.getLong(3).toDouble)
+      assert(e > x * 0.5 && e < x * 1.5,
+        s"${r.getString(0)}: hll $e vs exact $x")
+    }
+    // the raw-HLL path (E > 2.5m): a synthetic group with 4000 distinct
+    // values must route around the linear-counting fallback and still
+    // land within 50%
+    import spark.implicits._
+    val big = (0 until 4000).map(i => ("g", i.toLong)).toDF("g", "v")
+    val bigEst = Sketches.hllDistinct(big, Seq("g"), col("v"))
+      .select(col("occupied"), col("hll_est")).head()
+    assert(bigEst.getLong(0) == 64, "4000 distinct must fill all 64 registers")
+    val e = bigEst.getDouble(1)
+    assert(e > 2000 && e < 6000, s"raw-path estimate $e vs exact 4000")
+  }
 }
