@@ -108,6 +108,19 @@ object Portable {
       .reduce(_ + _)
   }
 
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * non-negative integer columns (a's bit i lands at 2i+1, b's at 2i) —
+    * the multi-dimensional clustering key under which a range of z-values
+    * bounds BOTH dimensions, so file-level min/max stats prune scans
+    * filtered on either column. Exact integer arithmetic (shift/mod/add),
+    * identical in DuckDB as `((a // 2^i) % 2) * 2^(2i+1)` sums. */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        pmod(shiftright(a.cast("long"), i), lit(2L)) * lit(1L << (2 * i + 1)) +
+        pmod(shiftright(b.cast("long"), i), lit(2L)) * lit(1L << (2 * i))
+    }
+
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

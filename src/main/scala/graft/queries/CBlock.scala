@@ -771,6 +771,35 @@ object CBlock {
         .orderBy(col("shard"))
     }),
 
+    "shard_zorder" -> ((s, dir) => {
+      // Z-ORDER clustered layout audit: rows range-partitioned into 32
+      // "files" by the Morton key of (l_partkey, l_suppkey) — the
+      // multi-dim sort whose z-ranges bound BOTH dimensions as the file
+      // count grows (min/max readout below = the parquet footer stats a
+      // part- or supplier-filtered scan prunes on; a single-dim sort
+      // bounds only its own column). At this table's 20:1 key-
+      // cardinality ratio 32 files buy a 32× partkey bound while
+      // suppkey still spans — the honest z-order trade-off; the square-
+      // grid case where both dims bound is CurationSpec's. File
+      // assignment is the two-phase global rank (no single-partition
+      // sort), file = (rank·32) div n exact.
+      val z = graft.functions.Portable
+        .zValue(col("l_partkey"), col("l_suppkey"), 16)
+      val ranked = Curation.globalRank(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber"), z.as("z")),
+        Seq(col("z"), col("l_orderkey"), col("l_linenumber")), "rk")
+      ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+        .withColumn("file_id", expr("(rk * 32) div n"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy(col("file_id"))
+    }),
+
     "dedup_contained" -> ((s, dir) => {
       // prefix-containment dups (truncation/re-crawl pairs), blocked join
       Curation.containedPairs(Tables.documents(s, dir), prefixLen = 16)
@@ -2784,6 +2813,26 @@ object CBlock {
          |SELECT shard, count(*) AS n_docs,
          |  CAST(sum(n_tok) AS BIGINT) AS tok_sum
          |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "shard_zorder" -> {
+      val zTerms = (0 until 16).map { i =>
+        s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+          s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         |    ($zTerms) AS z
+         |  FROM lineitem
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1 AS rk
+         |  FROM z
+         |), n AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT (rk * 32) // n AS file_id, count(*) AS n_rows,
+         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         |FROM r, n GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
 
     "dedup_contained" ->
       """WITH d AS (SELECT doc_id, text FROM documents)

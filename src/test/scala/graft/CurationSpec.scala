@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Curation
 import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Curation operators: semantics + the plan shapes their 100 TB story
@@ -298,5 +299,31 @@ class CurationSpec extends SparkSpec {
       .select(explode(graft.functions.Portable.tokens(col("text"))).as("w"))
       .filter(col("w") === top.getString(0)).count()
     assert(top.getLong(1) === direct)
+  }
+
+  test("zValue: z-order files bound BOTH dims on a square grid; a single-dim sort cannot") {
+    import spark.implicits._
+    // 64×64 key grid, 16 files → z-order tiles are 16×16 (span 15 in
+    // each dim); sorting by `a` alone gives a-spans of 3 but leaves b
+    // spanning the full 63
+    val grid = (0 until 64).flatMap(a => (0 until 64).map(b => (a, b)))
+      .toDF("a", "b")
+    val z = graft.functions.Portable.zValue(col("a"), col("b"), 6)
+    def fileSpans(ordered: DataFrame): Seq[(Long, Long)] =
+      ordered.withColumn("file_id", expr("(rk * 16) div 4096"))
+        .groupBy("file_id")
+        .agg((max(col("a")) - min(col("a"))).cast("long").as("sa"),
+          (max(col("b")) - min(col("b"))).cast("long").as("sb"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val zSpans = fileSpans(Curation.globalRank(
+      grid.withColumn("z", z), Seq(col("z")), "rk"))
+    assert(zSpans.size == 16)
+    assert(zSpans.forall { case (sa, sb) => sa <= 15 && sb <= 15 },
+      s"z-order file spans exceed the 16x16 tile: $zSpans")
+    val aSpans = fileSpans(Curation.globalRank(
+      grid, Seq(col("a"), col("b")), "rk"))
+    assert(aSpans.forall { case (sa, _) => sa <= 3 })
+    assert(aSpans.forall { case (_, sb) => sb == 63 },
+      "single-dim sort should leave b unbounded in every file")
   }
 }
