@@ -79,6 +79,31 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      // dedup-POLICY sweep from the stored sketch alone: candidate-pair
+      // and affected-doc counts at five LSH-verify thresholds — the
+      // tuning readout a pipeline owner reads before fixing τ. The
+      // signature table and pair estimates are computed ONCE
+      // (minhashEstimates materializes them); the sweep itself is a
+      // narrow 5-literal explode + two bounded aggs, so trying another
+      // τ grid never re-touches the corpus.
+      val est = Dedup.minhashEstimates(Tables.documents(s, dir),
+        k = 16, bands = 4)
+      val th = graft.operators.Materialize(est
+        .select(col("doc_a"), col("doc_b"),
+          explode(array(Seq(4, 6, 8, 10, 12).map(t => lit(t.toLong)): _*))
+            .as("t_match"), col("n_match"))
+        .filter(col("n_match") >= col("t_match"))
+        .drop("n_match"))
+      val nPairs = th.groupBy(col("t_match"))
+        .agg(count(lit(1)).as("n_pairs"))
+      val nDocs = th.select(col("t_match"), col("doc_a").as("d"))
+        .unionAll(th.select(col("t_match"), col("doc_b").as("d")))
+        .groupBy(col("t_match"))
+        .agg(countDistinct(col("d")).as("n_docs"))
+      nPairs.join(nDocs, "t_match").orderBy(col("t_match"))
+    }),
+
     "sim_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph audit over LSH buckets: per-vector out/in
       // degree + mutual-edge count (the semantic-clustering sparsifier)
@@ -1499,6 +1524,33 @@ object CBlock {
          |JOIN sig sa ON p.doc_a = sa.doc_id
          |JOIN sig sb ON p.doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_threshold_sweep" ->
+      s"""WITH ${minhashPairsCte()},
+         |est AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    CAST(list_sum(list_transform(range(1, 17), i ->
+         |      CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS BIGINT)
+         |      AS n_match
+         |  FROM pairs p
+         |  JOIN sig sa ON p.doc_a = sa.doc_id
+         |  JOIN sig sb ON p.doc_b = sb.doc_id
+         |), th AS (
+         |  SELECT t.t_match, e.doc_a, e.doc_b
+         |  FROM est e, (SELECT CAST(unnest([4, 6, 8, 10, 12]) AS BIGINT)
+         |    AS t_match) t
+         |  WHERE e.n_match >= t.t_match
+         |), np AS (
+         |  SELECT t_match, count(*) AS n_pairs FROM th GROUP BY 1
+         |), nd AS (
+         |  SELECT t_match, count(DISTINCT d) AS n_docs FROM (
+         |    SELECT t_match, doc_a AS d FROM th
+         |    UNION ALL SELECT t_match, doc_b AS d FROM th)
+         |  GROUP BY 1
+         |)
+         |SELECT np.t_match, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd ON np.t_match = nd.t_match
+         |ORDER BY np.t_match""".stripMargin,
 
     "sim_knn_graph" ->
       """WITH b AS (

@@ -96,4 +96,33 @@ class StreamingSketchSpec extends SparkSpec {
         "the overlap sketch is incrementally maintainable at ingest")
     } finally q.stop()
   }
+
+  test("HLL registers: max across micro-batches == batch registers") {
+    // the cardinality sketch maintained AT INGEST: max(rho) is the
+    // streaming-aggregable state (duplicate re-deliveries are even
+    // absorbed for free — no distinct pass like KMV's), so the stored
+    // (group, bucket, m_j) table stays current without any rescan
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val data = (1 to 2500).map(i => (s"g${i % 4}", (i % 700).toLong))
+    val ms = MemoryStream[(String, Long)]
+    val regs = Sketches.hllRegisters(ms.toDS().toDF("g", "v"),
+      Seq("g"), col("v"))
+    val q = regs.writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    try {
+      ms.addData(data.take(400))
+      q.processAllAvailable()
+      ms.addData(data.slice(400, 400)) // an empty micro-batch is a no-op
+      ms.addData(data.drop(400))
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream")
+        .orderBy("g", "bucket").collect().toSeq
+      val batch = Sketches.hllRegisters(data.toDF("g", "v"),
+          Seq("g"), col("v"))
+        .orderBy("g", "bucket").collect().toSeq
+      assert(streamed.nonEmpty && streamed == batch,
+        "the HLL register table is incrementally maintainable at ingest")
+    } finally q.stop()
+  }
 }
