@@ -80,6 +80,53 @@ object Multimodal {
     }
   }
 
+  /** Per-clip audio features: windowed energy + relative silence — the
+    * VAD/trim-silence shape every audio-ingest pipeline runs before
+    * feature extraction. The payload is read as 8-bit PCM (the test
+    * corpus has no real audio; ASCII bytes stand in as samples — the
+    * REAL part is the plumbing: binary column in, partition-local
+    * windowing, integer per-window energy, bounded per-clip state out).
+    *
+    * Per non-overlapping 64-sample window: energy = Σ (x−96)² (exact
+    * integers). A window is "quiet" if its energy is below HALF the
+    * clip's mean window energy — the per-clip-normalized test is
+    * cross-multiplied (2·n·e < Σe) so no division enters; peak window =
+    * argmax energy, lowest index on ties. All int64 → oracle-exact. */
+  final case class AudioFeatures(doc_id: Long, n_windows: Long,
+      n_quiet: Long, peak_idx: Long, peak_energy: Long)
+
+  def audioFeatures(ds: Dataset[MediaRecord], window: Int = 64)
+      (implicit s: SparkSession): Dataset[AudioFeatures] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val len = r.media.length
+        val n = (len + window - 1) / window
+        if (n == 0) Iterator.empty
+        else {
+          val e = Array.ofDim[Long](n)
+          var i = 0
+          while (i < len) {
+            val d = (r.media(i) & 0xff).toLong - 96L
+            e(i / window) += d * d
+            i += 1
+          }
+          val total = e.sum
+          var quiet = 0L
+          var peakIdx = 0
+          var w = 0
+          while (w < n) {
+            if (2L * n * e(w) < total) quiet += 1
+            if (e(w) > e(peakIdx)) peakIdx = w
+            w += 1
+          }
+          Iterator.single(AudioFeatures(r.doc_id, n.toLong, quiet,
+            peakIdx.toLong, e(peakIdx)))
+        }
+      }
+    }
+  }
+
   /** Decoded-image features: real dimensions + channel-weighted pixel sum
     * when a registered codec decoded the payload; the stub's header hash
     * (and zero dims) when none did. */

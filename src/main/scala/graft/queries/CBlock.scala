@@ -547,6 +547,17 @@ object CBlock {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "mm_audio" -> ((s, dir) => {
+      // audio-modality plumbing: payload as 8-bit PCM, 64-sample window
+      // energies, per-clip-normalized silence count + peak window — the
+      // VAD shape, partition-local, integer-exact
+      implicit val ss: SparkSession = s
+      Multimodal.audioFeatures(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       implicit val ss: SparkSession = s
       Multimodal.extractFeatures(
@@ -2314,6 +2325,33 @@ object CBlock {
         |    (a, x) -> a + x)), 6) AS l2_norm,
         |  len(embedding) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "mm_audio" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, (len(text) + 63) // 64)) AS w_idx, text
+        |  FROM documents WHERE len(text) > 0
+        |), e AS (
+        |  SELECT doc_id, w_idx,
+        |    CAST(list_sum(list_prepend(0, list_transform(
+        |      string_split(substr(text, CAST(w_idx * 64 + 1 AS INT), 64), ''),
+        |      ch -> (unicode(ch) - 96) * (unicode(ch) - 96)))) AS BIGINT)
+        |      AS energy
+        |  FROM w
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_windows, sum(energy) AS total,
+        |    max(energy) AS peak_energy
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT e.doc_id, CAST(a.n_windows AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN 2 * a.n_windows * e.energy < a.total
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+        |  CAST(min(CASE WHEN e.energy = a.peak_energy THEN e.w_idx END)
+        |    AS BIGINT) AS peak_idx,
+        |  CAST(a.peak_energy AS BIGINT) AS peak_energy
+        |FROM e JOIN agg a ON e.doc_id = a.doc_id
+        |GROUP BY e.doc_id, a.n_windows, a.peak_energy
+        |ORDER BY e.doc_id""".stripMargin,
 
     "mm_frames" ->
       s"""WITH f AS (

@@ -89,4 +89,28 @@ class MultimodalSpec extends SparkSpec {
     // undecodable bytes → None (the fallback path in phashFeatures)
     assert(Multimodal.perceptualHash("not an image".getBytes("UTF-8")).isEmpty)
   }
+
+  test("audioFeatures: hand-computed windows — silence, peak, partial tail") {
+    implicit val s: SparkSession = spark
+    import s.implicits._
+    // clip 1: a silent window (all samples at the 96 center, energy 0)
+    // then a loud one (196 → (100)²·64 = 640 000); clip 2: one partial
+    // 10-sample window at 106 → energy 10·100 = 1000, nothing quiet
+    // (a window is never quiet relative to itself)
+    val clip1 = Array.fill[Byte](64)(96.toByte) ++ Array.fill[Byte](64)(196.toByte)
+    val clip2 = Array.fill[Byte](10)(106.toByte)
+    val ds = Seq(
+      graft.operators.MediaRecord(1L, clip1, "s", "en", clip1.length.toLong),
+      graft.operators.MediaRecord(2L, clip2, "s", "en", clip2.length.toLong)).toDS()
+    val out = Multimodal.audioFeatures(ds).collect()
+      .map(a => a.doc_id -> a).toMap
+    assert(out(1L).n_windows == 2 && out(1L).n_quiet == 1 &&
+      out(1L).peak_idx == 1 && out(1L).peak_energy == 640000L)
+    assert(out(2L).n_windows == 1 && out(2L).n_quiet == 0 &&
+      out(2L).peak_idx == 0 && out(2L).peak_energy == 1000L)
+    // empty payload → no row (matches the oracle's inner-join semantics)
+    val empty = Seq(graft.operators.MediaRecord(3L, Array.emptyByteArray,
+      "s", "en", 0L)).toDS()
+    assert(Multimodal.audioFeatures(empty).collect().isEmpty)
+  }
 }
