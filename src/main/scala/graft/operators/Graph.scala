@@ -71,4 +71,36 @@ object Graph {
     }
     ranks
   }
+
+  /** Triangle participation over an undirected graph given as `edges(a, b)`
+    * with `a < b` (each edge once) — the cluster-density audit of a
+    * near-dup graph: a doc in many triangles sits in a tight duplicate
+    * clique (safe to collapse aggressively); a high-degree doc with few
+    * triangles is a hub of pairwise-only matches (the LSH-false-positive
+    * smell worth inspecting before applyDedup).
+    *
+    * Shape: the standard ordered node-iterator join — because every edge
+    * is stored (lo, hi), a triangle a<b<c is found EXACTLY once as
+    * e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c); no direction explosion, no dedup pass.
+    * The edge table is materialized once and reused by all three sides
+    * and the degree count. Two shuffle joins on edge endpoints — at 100 TB
+    * the cost is bounded by the candidate-pair table (k-bounded per doc
+    * for LSH graphs), never the corpus. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = Materialize(edges.select(col("a"), col("b")))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+    val triPerDoc = tri.select(col("ta").as("d"))
+      .unionAll(tri.select(col("tb").as("d")))
+      .unionAll(tri.select(col("tc").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("n_tri"))
+    e.select(col("a").as("d")).unionAll(e.select(col("b").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+      .join(triPerDoc, Seq("d"), "left_outer")
+      .select(col("d").as("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
 }

@@ -104,6 +104,19 @@ object CBlock {
       nPairs.join(nDocs, "t_match").orderBy(col("t_match"))
     }),
 
+    "dedup_graph_triangles" -> ((s, dir) => {
+      // cluster-density audit of the near-dup graph: per-doc degree +
+      // triangle participation (tight cliques collapse safely; high
+      // degree with few triangles smells of LSH false positives).
+      // Ordered node-iterator join — each a<b<c triangle found once.
+      val edges = Dedup.minhashEstimates(Tables.documents(s, dir),
+          k = 16, bands = 4)
+        .filter(col("n_match") >= 8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Graph.triangleCounts(edges)
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph audit over LSH buckets: per-vector out/in
       // degree + mutual-edge count (the semantic-clustering sparsifier)
@@ -1535,6 +1548,36 @@ object CBlock {
          |JOIN sig sa ON p.doc_a = sa.doc_id
          |JOIN sig sb ON p.doc_b = sb.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_graph_triangles" ->
+      s"""WITH ${minhashPairsCte()},
+         |ed AS (
+         |  SELECT p.doc_a AS a, p.doc_b AS b
+         |  FROM pairs p
+         |  JOIN sig sa ON p.doc_a = sa.doc_id
+         |  JOIN sig sb ON p.doc_b = sb.doc_id
+         |  WHERE list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8
+         |), tri AS (
+         |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+         |  FROM ed e1
+         |  JOIN ed e2 ON e1.b = e2.a
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+         |), nodes AS (
+         |  SELECT ta AS d FROM tri
+         |  UNION ALL SELECT tb FROM tri
+         |  UNION ALL SELECT tc FROM tri
+         |), deg AS (
+         |  SELECT d, count(*) AS degree FROM (
+         |    SELECT a AS d FROM ed UNION ALL SELECT b AS d FROM ed)
+         |  GROUP BY 1
+         |), tpd AS (
+         |  SELECT d, count(*) AS n_tri FROM nodes GROUP BY 1
+         |)
+         |SELECT deg.d AS doc_id, deg.degree,
+         |  CAST(coalesce(tpd.n_tri, 0) AS BIGINT) AS n_tri
+         |FROM deg LEFT JOIN tpd ON deg.d = tpd.d
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_threshold_sweep" ->
       s"""WITH ${minhashPairsCte()},

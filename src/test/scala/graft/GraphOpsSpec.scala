@@ -268,4 +268,20 @@ class GraphOpsSpec extends SparkSpec {
     assert(mu.sum % 2 == 0, "mutuality is symmetric — pairs count twice")
     assert(out.sum > 0, "the bucketed corpus yields edges at this SF")
   }
+
+  test("triangleCounts: K4 clique, pendant path, and isolated edge — exact counts") {
+    // K4 on {1,2,3,4} (4 triangles, every node in 3), a pendant path
+    // 4-5-6 (no triangles, node 5 has degree 2), and an isolated edge
+    // 7-8 (degree 1, no triangles); each edge stored once as (lo, hi)
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (7L, 8L)).toDF("a", "b")
+    val out = Graph.triangleCounts(edges).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (3L, 3L) && out(2L) == (3L, 3L) && out(3L) == (3L, 3L))
+    assert(out(4L) == (4L, 3L), "node 4: clique degree 3 + pendant edge")
+    assert(out(5L) == (2L, 0L) && out(6L) == (1L, 0L))
+    assert(out(7L) == (1L, 0L) && out(8L) == (1L, 0L))
+    assert(out.size == 8)
+  }
 }
