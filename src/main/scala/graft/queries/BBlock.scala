@@ -366,6 +366,103 @@ object BBlock {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    "q2_min_cost" -> ((s, dir) => {
+      // TPC-H Q2 shape: the cheapest EUROPE supplier for each LARGE
+      // small-size part. The schema has no partsupp, so the observed
+      // per-(part, supplier) minimum extended price stands in for
+      // ps_supplycost (min over doubles — no arithmetic, exact and
+      // partition-order independent). The correlated
+      // `cost = (SELECT min(cost) ... WHERE same part)` subquery
+      // DECORRELATES into a per-part min agg joined back on equality —
+      // the textbook Q2 plan. Supplier→nation→region is a pure
+      // broadcast dim chain; the only wide stages are the pair agg and
+      // the per-part min, both map-side combined.
+      val euroSupp = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val parts = broadcast(Tables.part(s, dir)
+        .filter(col("p_type") === "LARGE" && col("p_size") <= 20)
+        .select(col("p_partkey"), col("p_size")))
+      val cost = Tables.lineitem(s, dir)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_size"), col("s_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(min(col("l_extendedprice")).as("supply_cost"))
+      val minCost = cost.groupBy(col("p_partkey").as("m_partkey"))
+        .agg(min(col("supply_cost")).as("min_cost"))
+      cost.join(minCost, col("p_partkey") === col("m_partkey") &&
+          col("supply_cost") === col("min_cost"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_size"), col("supply_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    "q11_important_stock" -> ((s, dir) => {
+      // TPC-H Q11 shape: parts whose EUROPE-supplied value exceeds the
+      // mean part value — the scalar `HAVING value > fraction * total`
+      // subquery becomes ONE broadcast totals row compared
+      // cross-multiplied in exact integer cents (value_c · n_parts >
+      // tot_c — no double division, no fixed fraction that would go
+      // empty at 100× scale). Value table is materialized once and
+      // feeds both the totals agg and the filter.
+      val euroSupp = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+      val value = graft.operators.Materialize(Tables.lineitem(s, dir)
+        .join(euroSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg((round(sum(dec2(col("l_extendedprice"))), 2) * 100)
+          .cast("long").as("value_c")))
+      val tot = value.agg(sum(col("value_c")).as("tot_c"),
+        count(lit(1)).as("n_parts"))
+      value.crossJoin(broadcast(tot))
+        .filter(col("value_c") * col("n_parts") > col("tot_c"))
+        .select(col("l_partkey"),
+          round(col("value_c").cast("double") / 100.0, 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    "q20_promotion" -> ((s, dir) => {
+      // TPC-H Q20 shape: ASIA suppliers who shipped the MAJORITY of some
+      // widget part's 1996 volume (availqty > ½·qty with the fact
+      // standing in for partsupp). The nested IN-chain (part name → qty
+      // threshold → supplier) becomes: per-(part, supplier) qty and
+      // per-part totals off ONE materialized slice, the majority test in
+      // exact integer units (quantities are integral doubles, sums are
+      // exact well past 2^53 — cast to long for the compare), then a
+      // LEFT SEMI from the supplier dim. Order of joins keeps every dim
+      // broadcast; the qty agg is the only shuffle.
+      val widgets = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").endsWith("widget"))
+        .select(col("p_partkey")))
+      val qty = graft.operators.Materialize(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(widgets, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("pair_qty")))
+      val perPart = qty.groupBy(col("l_partkey").as("t_partkey"))
+        .agg(sum(col("pair_qty")).as("part_qty"))
+      val majority = qty.join(perPart, col("l_partkey") === col("t_partkey"))
+        .filter(col("pair_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(majority, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"), col("s_suppkey"))
+    }),
+
     "q_decile" -> ((s, dir) => {
       // global decile stats WITHOUT ntile's single-partition sort: the
       // two-phase range-partitioned rank (Curation.globalRank — the
@@ -1033,6 +1130,74 @@ object BBlock {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supp > 1 AND n_late = 1
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "q2_min_cost" ->
+      """WITH euro_supp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'
+        |), cost AS (
+        |  SELECT p_partkey, p_size, s_suppkey, s_name, s_acctbal, n_name,
+        |    min(l_extendedprice) AS supply_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN euro_supp ON l_suppkey = s_suppkey
+        |  WHERE p_type = 'LARGE' AND p_size <= 20
+        |  GROUP BY 1, 2, 3, 4, 5, 6
+        |), min_cost AS (
+        |  SELECT p_partkey AS m_partkey, min(supply_cost) AS mc
+        |  FROM cost GROUP BY 1
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_size, supply_cost
+        |FROM cost JOIN min_cost
+        |  ON p_partkey = m_partkey AND supply_cost = mc
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q11_important_stock" ->
+      """WITH value AS (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))), 2) * 100
+        |      AS BIGINT) AS value_c
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (
+        |    SELECT s_suppkey FROM supplier
+        |    JOIN nation ON s_nationkey = n_nationkey
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'EUROPE')
+        |  GROUP BY 1
+        |), t AS (
+        |  SELECT SUM(value_c) AS tot_c, COUNT(*) AS n_parts FROM value
+        |)
+        |SELECT l_partkey, ROUND(value_c / 100.0, 2) AS value
+        |FROM value, t
+        |WHERE value_c * n_parts > tot_c
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+
+    "q20_promotion" ->
+      """WITH qty AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS pair_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE '%widget')
+        |  GROUP BY 1, 2
+        |), per_part AS (
+        |  SELECT l_partkey AS t_partkey, SUM(pair_qty) AS part_qty
+        |  FROM qty GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND s_suppkey IN (
+        |  SELECT l_suppkey FROM qty JOIN per_part ON l_partkey = t_partkey
+        |  WHERE pair_qty * 2 > part_qty)
+        |ORDER BY s_name, s_suppkey""".stripMargin,
 
     "q_decile" ->
       """WITH r AS (
