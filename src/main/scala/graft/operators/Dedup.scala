@@ -507,4 +507,67 @@ object Dedup {
       .filter(col("jac") >= tau)
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
+
+  /** Prefix-filtered EXACT set-similarity self-join (the AllPairs /
+    * PPJoin family: order the token universe rare-first, then any pair
+    * with jaccard ≥ τ must collide on one of the first
+    * |x| − ⌈τ·|x|⌉ + 1 tokens of each side — everything else is pruned
+    * without ever being paired). Unlike [[ngramJaccardPairs]] this needs
+    * NO block column: the frequency-ordered prefix IS the blocking, and
+    * because the filter is provably lossless the output is the exact
+    * τ-threshold pair set, not a recall-bounded candidate set.
+    *
+    * τ is passed as the rational tauNum/tauDen and every threshold test
+    * is integer cross-multiplied (⌈sz·τ⌉ = (sz·num + den − 1) div den;
+    * jaccard ≥ τ ⟺ den·|∩| ≥ num·|∪|) — no float boundary can flip a
+    * pair cross-engine.
+    *
+    * Scale: one corpus scan builds the gram table (materialized — the
+    * frequency agg and the doc-set build both read it); the global
+    * rare-first rank uses the two-phase range-partitioned rank (never a
+    * single-partition window); prefixes hold only the RAREST tokens of
+    * each doc, so the candidate join fans out on keys whose posting
+    * lists are short by construction — the frequent tokens that would
+    * dominate a naive token-inverted join never enter a join key. The
+    * exact verify touches only surviving candidates via
+    * `array_intersect` on the two rank arrays already in the row. */
+  def prefixJaccardPairs(docs: DataFrame, n: Int, tauNum: Int, tauDen: Int,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tauNum/tauDen <= 1")
+    val toks = Materialize(docs.select(col(idCol).as("doc_id"),
+      explode(native.ngram_hash_set(col(textCol), n)).as("tok")))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = Curation.globalRank(freq,
+      Seq(col("f").asc, col("tok")), "rk")
+    // rks sorted ascending = the doc's tokens in rare-first order
+    val docSets = Materialize(toks
+      .join(ranked.select(col("tok"), col("rk")), "tok")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("rk"))).as("rks"),
+        count(lit(1)).as("sz")))
+    val prefLen = (col("sz") -
+      expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
+    val pref = docSets.select(col("doc_id"), col("sz"),
+      explode(slice(col("rks"), lit(1), prefLen)).as("key"))
+    val a = pref.select(col("key"), col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"))
+    val b = pref.select(col("key").as("key_b"), col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"))
+    // lossless length prune: jaccard ≤ min/max, so τ·max ≤ min must hold
+    val cand = a.join(b, col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b") &&
+        col("sz_a") * tauNum <= col("sz_b") * tauDen &&
+        col("sz_b") * tauNum <= col("sz_a") * tauDen)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val sa = docSets.select(col("doc_id").as("doc_a"),
+      col("rks").as("rks_a"), col("sz").as("isz_a"))
+    val sb = docSets.select(col("doc_id").as("doc_b"),
+      col("rks").as("rks_b"), col("sz").as("isz_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter_sz", size(array_intersect(col("rks_a"), col("rks_b")))
+        .cast("long"))
+      .withColumn("union_sz", col("isz_a") + col("isz_b") - col("inter_sz"))
+      .filter(col("inter_sz") * tauDen >= col("union_sz") * tauNum)
+      .select(col("doc_a"), col("doc_b"), col("inter_sz"), col("union_sz"))
+  }
 }

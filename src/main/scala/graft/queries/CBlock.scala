@@ -200,6 +200,15 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_prefix_jaccard" -> ((s, dir) => {
+      // AllPairs/PPJoin prefix filter: EXACT jaccard ≥ 4/5 over 3-gram
+      // sets with NO block column — the rare-first prefix IS the
+      // blocking, integer-cross-multiplied thresholds throughout
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir), n = 3,
+          tauNum = 4, tauDen = 5)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingPairs(Tables.embeddings(s, dir), tau = 0.35,
           blockCol = "label")
@@ -1726,6 +1735,22 @@ object CBlock {
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hd
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_prefix_jaccard" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(text) >= 3
+         |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")}))
+         |         ELSE [${ph("text")}] END AS ng
+         |  FROM documents
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.ng, b.ng)) AS inter_sz,
+         |  len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)) AS union_sz
+         |FROM g a JOIN g b ON a.doc_id < b.doc_id
+         |WHERE 5 * len(list_intersect(a.ng, b.ng))
+         |  >= 4 * (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_ngram_jaccard" ->

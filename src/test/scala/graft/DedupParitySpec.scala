@@ -89,4 +89,31 @@ class DedupParitySpec extends SparkSpec {
     assert(dupEst.count() == 3)
     assert(dupEst.filter(col("est_jaccard") =!= 1.0).count() == 0)
   }
+
+  test("prefixJaccardPairs: lossless vs all-pairs, and the prefix prunes") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf()).limit(300)
+    val pp = Dedup.prefixJaccardPairs(docs, n = 3, tauNum = 4, tauDen = 5)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    // brute force over the SAME hashed gram sets, integer thresholds
+    val g = docs.select(col("doc_id"),
+      native.ngram_hash_set(col("text"), 3).as("ng"))
+    val a = g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+    val b = g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+    val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter_sz",
+        size(array_intersect(col("ng_a"), col("ng_b"))).cast("long"))
+      .withColumn("union_sz",
+        size(col("ng_a")).cast("long") + size(col("ng_b")) - col("inter_sz"))
+      .filter(col("inter_sz") * 5 >= col("union_sz") * 4)
+      .select(col("doc_a"), col("doc_b"), col("inter_sz"), col("union_sz"))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(pp == brute)
+    assert(pp.nonEmpty)
+    // identical docs always survive (jaccard 1 ≥ any τ) — degenerate
+    // single-gram docs included (prefix length 1 must still emit)
+    val tiny = Seq((1L, "ab"), (2L, "ab"), (3L, "zq")).toDF("doc_id", "text")
+    val tinyPairs = Dedup.prefixJaccardPairs(tiny, 3, 4, 5).collect()
+    assert(tinyPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
 }
