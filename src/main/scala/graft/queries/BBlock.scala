@@ -366,6 +366,56 @@ object BBlock {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    "agg_incremental" -> ((s, dir) => {
+      // INCREMENTAL VIEW MAINTENANCE — the 100 TB rollup pattern: the
+      // historical slice collapses ONCE into a mergeable partial-agg
+      // state table (decimal sum / count / max — all algebraic, so
+      // state ⊕ delta == full recompute by construction), the daily
+      // delta aggregates alone, and the merge re-aggregates two
+      // O(groups) tables. History is never rescanned per refresh; here
+      // the state is materialized from the pre-cutoff slice to stand in
+      // for the stored artifact. Final values round in the decimal
+      // domain AFTER the merge — bit-exact vs the full recompute.
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      val orders = Tables.orders(s, dir)
+      def partial(df: DataFrame): DataFrame = df.groupBy(col("o_custkey"))
+        .agg(sum(dec2(col("o_totalprice"))).as("sum_d"),
+          count(lit(1)).as("n"), max(col("o_totalprice")).as("mx"))
+      val state = graft.operators.Materialize(
+        partial(orders.filter(col("o_orderdate") < cutoff)))
+      val delta = partial(orders.filter(col("o_orderdate") >= cutoff))
+      state.unionAll(delta).groupBy(col("o_custkey"))
+        .agg(round(sum(col("sum_d")), 2).cast("double").as("total"),
+          sum(col("n")).as("n_orders"), max(col("mx")).as("max_price"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    "scd2_intervals" -> ((s, dir) => {
+      // SCD2 dimension build from a changelog (CDC compaction): per-user
+      // consecutive runs of the same event_type collapse to
+      // [valid_from, valid_to] intervals — gaps-and-islands with a lag
+      // change flag and a running change count, every window PARTITIONED
+      // by user (parallel, no global sort). The sequence key is
+      // event_id (monotone per stream — immune to timestamp ties).
+      // is_current marks each user's open interval.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val runs = eventsUs(s, dir)
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("chg", when(col("prev").isNull ||
+          col("prev") =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("run", sum(col("chg")).over(byUser))
+        .groupBy(col("user_id"), col("run"))
+        .agg(max(col("event_type")).as("event_type"),
+          min(col("event_id")).as("valid_from"),
+          max(col("event_id")).as("valid_to"),
+          count(lit(1)).as("n_events"))
+      runs.withColumn("is_current",
+          col("run") === max(col("run")).over(Window.partitionBy(col("user_id"))))
+        .select(col("user_id"), col("event_type"), col("valid_from"),
+          col("valid_to"), col("n_events"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     "q2_min_cost" -> ((s, dir) => {
       // TPC-H Q2 shape: the cheapest EUROPE supplier for each LARGE
       // small-size part. The schema has no partsupp, so the observed
@@ -1130,6 +1180,34 @@ object BBlock {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supp > 1 AND n_late = 1
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "agg_incremental" ->
+      """SELECT o_custkey,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS total,
+        |  COUNT(*) AS n_orders, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY o_custkey""".stripMargin,
+
+    "scd2_intervals" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w <> event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), r AS (
+        |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY event_id
+        |    ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM x
+        |), g AS (
+        |  SELECT user_id, run, MAX(event_type) AS event_type,
+        |    MIN(event_id) AS valid_from, MAX(event_id) AS valid_to,
+        |    COUNT(*) AS n_events
+        |  FROM r GROUP BY 1, 2
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to, n_events,
+        |  run = MAX(run) OVER (PARTITION BY user_id) AS is_current
+        |FROM g ORDER BY user_id, valid_from""".stripMargin,
 
     "q2_min_cost" ->
       """WITH euro_supp AS (
