@@ -376,4 +376,40 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("n_hits"),
         round(sum(col("idf") * col("tff")), 6).cast("double").as("bm25"))
   }
+
+  /** Document-level token CO-OCCURRENCE with lift — the phrase/collocation
+    * signal (word2vec-era PMI is ln of this lift): for token pairs
+    * appearing together in ≥ minSupport documents, lift =
+    * N·c_xy / (c_x·c_y) (>1 ⇒ the pair co-occurs more than independence
+    * predicts). Pairs come from a per-document self-join of DISTINCT
+    * tokens (doc-level presence, not positions), so fan-out per doc is
+    * bounded by its distinct-token count.
+    *
+    * Scale: the distinct-token table is materialized once (pair join +
+    * totals both read it); the pair agg is map-side combined and the
+    * support filter prunes BEFORE the totals join, so at web scale the
+    * totals join runs on the surviving O(frequent-pairs) table and the
+    * token-totals side stays O(vocab) — broadcast when it fits, shuffle
+    * join otherwise (AQE decides; lift needs no global state beyond N). */
+  def cooccurrence(docs: DataFrame, minSupport: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = Materialize(docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Portable.tokens(col(textCol)))).as("tok")))
+    val totals = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val a = toks.select(col("doc_id"), col("tok").as("tok_a"))
+    val b = toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b"))
+    a.join(b, col("doc_id") === col("doc_b") && col("tok_a") < col("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSupport)
+      .join(broadcast(totals.select(col("tok").as("tok_a"), col("c").as("c_a"))),
+        "tok_a")
+      .join(broadcast(totals.select(col("tok").as("tok_b"), col("c").as("c_b"))),
+        "tok_b")
+      .crossJoin(broadcast(n))
+      .withColumn("lift", round(col("c_xy").cast("double") * col("n")
+        / (col("c_a").cast("double") * col("c_b")), 6))
+      .select(col("tok_a"), col("tok_b"), col("c_xy"), col("lift"))
+  }
 }

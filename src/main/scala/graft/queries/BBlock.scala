@@ -366,6 +366,60 @@ object BBlock {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    "table_diff" -> ((s, dir) => {
+      // version diff between two table snapshots (the data-versioning
+      // audit before promoting a corpus build): FULL OUTER on the
+      // primary key classifies every key as added / removed / changed,
+      // unchanged rows drop out. Derived snapshots here (v1 = keys not
+      // ≡0 mod 17; v2 = keys not ≡0 mod 13, prices +1 for keys ≡0 mod
+      // 7) so the diff provably has all three classes at every scale.
+      // One shuffle on the key; at 100 TB you'd compare a per-row hash
+      // instead of each column, same plan shape.
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val v1 = o.filter(col("o_orderkey") % 17 =!= 0)
+        .select(col("o_orderkey").as("k1"), col("o_totalprice").as("old_price"))
+      val v2 = o.filter(col("o_orderkey") % 13 =!= 0)
+        .select(col("o_orderkey").as("k2"),
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")).as("new_price"))
+      v1.join(v2, col("k1") === col("k2"), "full_outer")
+        .withColumn("status",
+          when(col("k1").isNull, "added")
+            .when(col("k2").isNull, "removed")
+            .when(col("old_price") =!= col("new_price"), "changed"))
+        .filter(col("status").isNotNull)
+        .select(coalesce(col("k1"), col("k2")).as("o_orderkey"),
+          col("status"), col("old_price"), col("new_price"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    "profile_table" -> ((s, dir) => {
+      // per-column data profile (the audit every ingest runs before a
+      // corpus promotes): row count, null count, exact NDV, top-value
+      // count and share — one long-format row per profiled column. Each
+      // column's value histogram reduces map-side; the profile is
+      // O(columns) rows. At 100 TB swap exact NDV for the HLL sketch
+      // (sketch_hll) — same plan shape, bounded state.
+      val o = Tables.orders(s, dir)
+      val profiles = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+        .map { c =>
+          val vc = o.filter(col(c).isNotNull)
+            .groupBy(col(c).cast("string").as("v"))
+            .agg(count(lit(1)).as("cnt"))
+          val top = vc.agg(max(col("cnt")).as("top_count"))
+          o.agg(count(lit(1)).as("n_rows"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+              countDistinct(col(c)).as("ndv"))
+            .crossJoin(broadcast(top))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_null"),
+              col("ndv"), col("top_count"),
+              round(col("top_count").cast("double") / col("n_rows"), 6)
+                .as("top_share"))
+        }
+      profiles.reduce(_ unionAll _).orderBy(col("col_name"))
+    }),
+
     "agg_incremental" -> ((s, dir) => {
       // INCREMENTAL VIEW MAINTENANCE — the 100 TB rollup pattern: the
       // historical slice collapses ONCE into a mergeable partial-agg
@@ -1180,6 +1234,60 @@ object BBlock {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE n_supp > 1 AND n_late = 1
         |GROUP BY 1, 2 ORDER BY numwait DESC, s_name""".stripMargin,
+
+    "table_diff" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey AS k1, o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 17 <> 0
+        |), v2 AS (
+        |  SELECT o_orderkey AS k2,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 13 <> 0
+        |)
+        |SELECT COALESCE(k1, k2) AS o_orderkey,
+        |  CASE WHEN k1 IS NULL THEN 'added'
+        |       WHEN k2 IS NULL THEN 'removed'
+        |       WHEN old_price <> new_price THEN 'changed' END AS status,
+        |  old_price, new_price
+        |FROM v1 FULL OUTER JOIN v2 ON k1 = k2
+        |WHERE (CASE WHEN k1 IS NULL THEN 'added'
+        |       WHEN k2 IS NULL THEN 'removed'
+        |       WHEN old_price <> new_price THEN 'changed' END) IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "profile_table" ->
+      """SELECT 'o_orderstatus' AS col_name,
+        |  (SELECT count(*) FROM orders) AS n_rows,
+        |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NULL) AS n_null,
+        |  (SELECT count(DISTINCT o_orderstatus) FROM orders) AS ndv,
+        |  (SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus) t)
+        |    AS top_count,
+        |  ROUND((SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_orderstatus IS NOT NULL GROUP BY o_orderstatus) t)
+        |    * 1.0 / (SELECT count(*) FROM orders), 6) AS top_share
+        |UNION ALL
+        |SELECT 'o_orderpriority',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority IS NULL),
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders),
+        |  (SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority) t),
+        |  ROUND((SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_orderpriority IS NOT NULL GROUP BY o_orderpriority) t)
+        |    * 1.0 / (SELECT count(*) FROM orders), 6)
+        |UNION ALL
+        |SELECT 'o_custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+        |  (SELECT count(DISTINCT o_custkey) FROM orders),
+        |  (SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_custkey IS NOT NULL GROUP BY o_custkey) t),
+        |  ROUND((SELECT max(c) FROM (SELECT count(*) c FROM orders
+        |     WHERE o_custkey IS NOT NULL GROUP BY o_custkey) t)
+        |    * 1.0 / (SELECT count(*) FROM orders), 6)
+        |ORDER BY col_name""".stripMargin,
 
     "agg_incremental" ->
       """SELECT o_custkey,

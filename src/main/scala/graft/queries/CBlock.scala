@@ -1142,6 +1142,13 @@ object CBlock {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    "text_cooccur" -> ((s, dir) => {
+      // doc-level token co-occurrence with lift (the collocation /
+      // phrase-detection signal): support-pruned BEFORE the totals join
+      TextAnalysis.cooccurrence(Tables.documents(s, dir), minSupport = 5)
+        .orderBy(col("tok_a"), col("tok_b"))
+    }),
+
     "text_bm25" -> ((s, dir) => {
       // BM25 retrieval scoring against a fixed query term set (the
       // RAG-export/search-index scorer): posting-union semantics, exact
@@ -3499,6 +3506,23 @@ object CBlock {
          |  CAST(SUM(tf) AS BIGINT) AS n_hits,
          |  CAST(ROUND(SUM(idf * tff), 6) AS DOUBLE) AS bm25
          |FROM scored GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "text_cooccur" ->
+      s"""WITH t AS (
+         |  SELECT DISTINCT doc_id, u.tok
+         |  FROM documents, unnest(list_distinct($toksSql)) AS u(tok)
+         |), tot AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |p AS (
+         |  SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS c_xy
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+         |  GROUP BY 1, 2
+         |)
+         |SELECT tok_a, tok_b, c_xy,
+         |  ROUND(c_xy * 1.0 * n / (ca.c * cb.c), 6) AS lift
+         |FROM p JOIN tot ca ON tok_a = ca.tok JOIN tot cb ON tok_b = cb.tok, n
+         |WHERE c_xy >= 5
+         |ORDER BY tok_a, tok_b""".stripMargin,
 
     "text_tfidf" ->
       s"""WITH tf AS (
