@@ -288,14 +288,21 @@ object Sketches {
     * same single-call IEEE arithmetic the linear-counting sketch already
     * relies on. Round at 4 dp. */
   def hllDistinct(df: DataFrame, keys: Seq[String],
-      valueCol: Column): DataFrame = {
+      valueCol: Column): DataFrame =
+    hllEstimate(hllRegisters(df, keys, valueCol), keys)
+
+  /** Estimate from an EXPLICIT register table (columns: keys, bucket,
+    * m_j) — the seam the stored/merged sketch paths use: registers
+    * max-merge across shards or corpus versions, then estimate here.
+    * Same arithmetic as the inline path (see [[hllDistinct]]). */
+  def hllEstimate(regs: DataFrame, keys: Seq[String]): DataFrame = {
     val term = (1 to 26).map(m => (m, 1L << (26 - m)))
       .foldLeft(null: Column) { case (acc, (m, t)) =>
         if (acc == null) when(col("m_j") === m, t)
         else acc.when(col("m_j") === m, t)
       }
     val alphaM2 = lit(0.709) * lit(64.0) * lit(64.0) * lit(67108864.0)
-    hllRegisters(df, keys, valueCol)
+    regs
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("occupied"), sum(term).as("s_present"))
       .withColumn("e_raw", alphaM2 /

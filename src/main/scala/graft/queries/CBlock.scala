@@ -502,6 +502,23 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "sketch_hll_merge" -> ((s, dir) => {
+      // distributed HLL the way a 1000-executor rollup actually runs:
+      // registers built per SHARD (event_id mod 4 — disjoint batches),
+      // max-merged across shards per (group, bucket), THEN estimated.
+      // The oracle computes the estimate directly over the whole table —
+      // the hash-match IS the proof that merge ≡ direct
+      val ev = Tables.events(s, dir)
+      val sharded = graft.operators.Sketches.hllRegisters(
+        ev.withColumn("shard", pmod(col("event_id"), lit(4L))),
+        Seq("shard", "event_type"), col("user_id"))
+      val merged = sharded.groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("m_j")).as("m_j"))
+      graft.operators.Sketches.hllEstimate(merged, Seq("event_type"))
+        .select(col("event_type"), col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_kmv" -> ((s, dir) => {
       // KMV distinct sketch vs exact: per event type, the k-minimum-
       // values estimate (k = 64) next to the exact distinct-user count
@@ -2351,6 +2368,41 @@ object CBlock {
          |       ELSE ROUND(e_raw, 4) END AS hll_est
          |FROM est JOIN ex ON est.event_type = ex.event_type
          |ORDER BY est.event_type""".stripMargin
+    },
+
+    "sketch_hll_merge" -> {
+      val rhoCase = (0 until 25)
+        .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+        .mkString(" ")
+      val termCase = (1 to 26)
+        .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+        .mkString(" ")
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), b AS (
+         |  SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h
+         |), r AS (
+         |  SELECT event_type, bucket,
+         |    max(CASE $rhoCase ELSE 26 END) AS m_j
+         |  FROM b GROUP BY 1, 2
+         |), agg AS (
+         |  SELECT event_type, count(*) AS occupied,
+         |    SUM(CASE m_j $termCase END) AS s_present
+         |  FROM r GROUP BY 1
+         |)
+         |SELECT event_type, CAST(occupied AS BIGINT) AS occupied,
+         |  CASE WHEN CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+         |         / (s_present + (64 - occupied) * 67108864) <= 160
+         |       AND occupied < 64
+         |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
+         |       ELSE ROUND(CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+         |         / (s_present + (64 - occupied) * 67108864), 4) END AS hll_est
+         |FROM agg
+         |ORDER BY event_type""".stripMargin
     },
 
     "sketch_kmv" ->
