@@ -162,4 +162,29 @@ class PlanPostureSpec extends SparkSpec {
     assert(scans >= 2, s"both band sides must scan the materialized sigs:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("dedup_prefix_jaccard: prefix-keyed equi-join, partitioned windows only") {
+    // the AllPairs prefix filter must plan as equi-joins on the prefix
+    // key (never cartesian/nested-loop over the corpus), and the global
+    // rare-first rank must stay two-phase (no single-task window)
+    val df = SparkEntry.queries("dedup_prefix_jaccard")(spark, sf("0.01"))
+    val plan = df.queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join degraded to a non-equi physical shape:\n$p")
+    val wins = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "token rank planned an unpartitioned (single-task) window")
+  }
+
+  test("table_diff / agg_incremental: one shuffle shape, no window, no cartesian") {
+    Seq("table_diff", "agg_incremental").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      assert(!p.contains("WindowExec"), s"$q should not need a window")
+    }
+  }
 }
