@@ -121,4 +121,32 @@ class RobustnessSpec extends SparkSpec {
     assert(graft.operators.Similarity.knnGraph(
       emb.filter(col("vec_id") < 0), k = 3).count() === 0L)
   }
+
+  test("session-5 operators survive degenerate input") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "en", "s0", 0L),
+      (1L, "", "en", "s0", 0L),
+      (2L, "ab", "en", "s0", 2L),
+      (3L, "ab", "de", "s1", 2L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // prefix jaccard: null text drops in the gram pass; the two "ab"
+    // single-gram docs (prefix length 1) must still pair exactly
+    val pp = Dedup.prefixJaccardPairs(docs, 3, 4, 5).collect()
+    assert(pp.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
+    // empty corpus: no pairs, no exceptions (globalRank over zero rows)
+    assert(Dedup.prefixJaccardPairs(
+      docs.filter(col("doc_id") < 0), 3, 4, 5).count() === 0L)
+    // co-occurrence: support above any count ⇒ empty, never throws;
+    // support 1 on a single two-token doc ⇒ exactly one pair, lift = N
+    assert(TextAnalysis.cooccurrence(docs, minSupport = 99).count() === 0L)
+    val one = Seq((1L, "x y")).toDF("doc_id", "text")
+    val co = TextAnalysis.cooccurrence(one, minSupport = 1).collect()
+    assert(co.length === 1 && co.head.getDouble(3) === 1.0)
+    // HLL estimate from an EMPTY register table: zero groups, no crash
+    import graft.operators.Sketches
+    val noRegs = Seq.empty[(String, Long, Long)]
+      .toDF("event_type", "bucket", "m_j")
+    assert(Sketches.hllEstimate(noRegs, Seq("event_type")).count() === 0L)
+  }
 }
