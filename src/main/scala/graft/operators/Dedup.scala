@@ -508,6 +508,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
+  /** Hashed word w-SHINGLE set — the canonical near-dup representation
+    * for prefix-filtered similarity joins: contiguous w-word windows,
+    * poly-hashed (portable — the DuckDB twin hashes the same strings),
+    * distinct. Docs shorter than w words fall back to the single hash
+    * of their whole token string; null text propagates to null and
+    * drops downstream. The w-shingle universe grows with the corpus
+    * (word COMBINATIONS, not the flat char-gram alphabet), which is
+    * exactly what keeps rare-prefix posting lists short at scale. */
+  def wordShingleHashSet(textCol: Column, w: Int): Column = {
+    val ws = Portable.tokens(textCol)
+    val idx = sequence(lit(1), greatest(size(ws) - (w - 1), lit(1)))
+    val sh = transform(idx, i => native.poly_hash(
+      concat_ws(" ", (0 until w).map(o => element_at(ws, i + o)): _*)))
+    when(size(ws) >= w, array_distinct(sh))
+      .otherwise(array(native.poly_hash(array_join(ws, " "))))
+  }
+
   /** Prefix-filtered EXACT set-similarity self-join (the AllPairs /
     * PPJoin family: order the token universe rare-first, then any pair
     * with jaccard ≥ τ must collide on one of the first
@@ -522,7 +539,17 @@ object Dedup {
     * jaccard ≥ τ ⟺ den·|∩| ≥ num·|∪|) — no float boundary can flip a
     * pair cross-engine.
     *
-    * Scale: one corpus scan builds the gram table (materialized — the
+    * `setCol` picks the set domain, and the CHOICE IS THE SCALE LEVER:
+    * prefix filtering assumes a Zipfian universe where each doc's
+    * rarest tokens are globally rare. Word shingles
+    * ([[wordShingleHashSet]]) have that shape — the universe grows with
+    * the corpus, so posting lists of prefix tokens stay short. A flat
+    * char-3-gram alphabet (a few hundred values regardless of corpus
+    * size) degenerates: every "rare" gram appears in thousands of docs
+    * and the candidate join explodes — measured 22.8 s vs 1.0 s at
+    * sf0.1 for exactly this operator on the two domains.
+    *
+    * Scale: one corpus scan builds the token table (materialized — the
     * frequency agg and the doc-set build both read it); the global
     * rare-first rank uses the two-phase range-partitioned rank (never a
     * single-partition window); prefixes hold only the RAREST tokens of
@@ -531,11 +558,11 @@ object Dedup {
     * dominate a naive token-inverted join never enter a join key. The
     * exact verify touches only surviving candidates via
     * `array_intersect` on the two rank arrays already in the row. */
-  def prefixJaccardPairs(docs: DataFrame, n: Int, tauNum: Int, tauDen: Int,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+  def prefixJaccardPairs(docs: DataFrame, setCol: Column,
+      tauNum: Int, tauDen: Int, idCol: String = "doc_id"): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tauNum/tauDen <= 1")
     val toks = Materialize(docs.select(col(idCol).as("doc_id"),
-      explode(native.ngram_hash_set(col(textCol), n)).as("tok")))
+      explode(setCol).as("tok")))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val ranked = Curation.globalRank(freq,
       Seq(col("f").asc, col("tok")), "rk")

@@ -103,4 +103,28 @@ object Graph {
       .select(col("d").as("doc_id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Common-neighbor link prediction over the near-dup graph — the
+    * "pairs the LSH bands MISSED" audit: two docs sharing ≥ minCommon
+    * near-dup neighbors but no direct edge are strong merge candidates
+    * (a band-collision near-miss). Wedge enumeration through each
+    * center node: adj(y→x) ⋈ adj(y→z) with x < z counts every common
+    * neighbor exactly once; the LEFT ANTI against the (lo, hi) edge
+    * table keeps only non-edges.
+    *
+    * Scale: one shuffle join on the center node; fan-out per center is
+    * degree² — bounded for LSH graphs (k-bounded candidate lists), and
+    * the standard mitigation for hubs (drop centers above a degree cap)
+    * composes as a pre-filter on the adjacency table. */
+  def commonNeighbors(edges: DataFrame, minCommon: Long = 2): DataFrame = {
+    val e = Materialize(edges.select(col("a"), col("b")))
+    val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+    val l = adj.select(col("a").as("y"), col("b").as("x"))
+    val r = adj.select(col("a").as("y2"), col("b").as("z"))
+    val cn = l.join(r, col("y") === col("y2") && col("x") < col("z"))
+      .groupBy(col("x"), col("z")).agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    cn.join(e, cn("x") === e("a") && cn("z") === e("b"), "left_anti")
+      .select(col("x").as("doc_a"), col("z").as("doc_b"), col("common"))
+  }
 }

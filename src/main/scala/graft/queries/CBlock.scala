@@ -117,6 +117,18 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_graph_suggest" -> ((s, dir) => {
+      // link prediction over the near-dup graph: non-edge pairs sharing
+      // >= 1 shared near-dup neighbor — the band-collision near-misses worth
+      // a direct verify before applyDedup
+      val edges = Dedup.minhashEstimates(Tables.documents(s, dir),
+          k = 16, bands = 4)
+        .filter(col("n_match") >= 8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Graph.commonNeighbors(edges, minCommon = 1)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "sim_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph audit over LSH buckets: per-vector out/in
       // degree + mutual-edge count (the semantic-clustering sparsifier)
@@ -201,11 +213,13 @@ object CBlock {
     }),
 
     "dedup_prefix_jaccard" -> ((s, dir) => {
-      // AllPairs/PPJoin prefix filter: EXACT jaccard ≥ 4/5 over 3-gram
-      // sets with NO block column — the rare-first prefix IS the
-      // blocking, integer-cross-multiplied thresholds throughout
-      Dedup.prefixJaccardPairs(Tables.documents(s, dir), n = 3,
-          tauNum = 4, tauDen = 5)
+      // AllPairs/PPJoin prefix filter: EXACT jaccard ≥ 4/5 over word
+      // 3-SHINGLE sets with NO block column — the rare-first prefix IS
+      // the blocking. Shingles, not char grams: the shingle universe
+      // grows with the corpus, so prefix posting lists stay short (the
+      // flat 3-gram alphabet degenerated to 22.8 s at sf0.1)
+      Dedup.prefixJaccardPairs(Tables.documents(s, dir),
+          Dedup.wordShingleHashSet(col("text"), 3), tauNum = 4, tauDen = 5)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -1612,6 +1626,28 @@ object CBlock {
          |FROM deg LEFT JOIN tpd ON deg.d = tpd.d
          |ORDER BY doc_id""".stripMargin,
 
+    "dedup_graph_suggest" ->
+      s"""WITH ${minhashPairsCte()},
+         |ed AS (
+         |  SELECT p.doc_a AS a, p.doc_b AS b
+         |  FROM pairs p
+         |  JOIN sig sa ON p.doc_a = sa.doc_id
+         |  JOIN sig sb ON p.doc_b = sb.doc_id
+         |  WHERE list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8
+         |), adj AS (
+         |  SELECT a AS y, b AS x FROM ed
+         |  UNION ALL SELECT b AS y, a AS x FROM ed
+         |), cn AS (
+         |  SELECT l.x AS doc_a, r.x AS doc_b, count(*) AS common
+         |  FROM adj l JOIN adj r ON l.y = r.y AND l.x < r.x
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, common FROM cn
+         |WHERE common >= 1 AND NOT EXISTS
+         |  (SELECT 1 FROM ed WHERE a = doc_a AND b = doc_b)
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_threshold_sweep" ->
       s"""WITH ${minhashPairsCte()},
          |est AS (
@@ -1762,12 +1798,15 @@ object CBlock {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_prefix_jaccard" ->
-      s"""WITH g AS (
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS ws FROM documents
+         |), g AS (
          |  SELECT doc_id,
-         |    CASE WHEN len(text) >= 3
-         |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")}))
-         |         ELSE [${ph("text")}] END AS ng
-         |  FROM documents
+         |    CASE WHEN len(ws) >= 3
+         |         THEN list_distinct(list_transform(range(1, len(ws) - 1),
+         |           i -> ${ph("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}))
+         |         ELSE [${ph("array_to_string(ws, ' ')")}] END AS ng
+         |  FROM w
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  len(list_intersect(a.ng, b.ng)) AS inter_sz,

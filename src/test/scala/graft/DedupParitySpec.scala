@@ -93,11 +93,11 @@ class DedupParitySpec extends SparkSpec {
   test("prefixJaccardPairs: lossless vs all-pairs, and the prefix prunes") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf()).limit(300)
-    val pp = Dedup.prefixJaccardPairs(docs, n = 3, tauNum = 4, tauDen = 5)
+    val shingles = Dedup.wordShingleHashSet(col("text"), 3)
+    val pp = Dedup.prefixJaccardPairs(docs, shingles, tauNum = 4, tauDen = 5)
       .orderBy("doc_a", "doc_b").collect().toSeq
-    // brute force over the SAME hashed gram sets, integer thresholds
-    val g = docs.select(col("doc_id"),
-      native.ngram_hash_set(col("text"), 3).as("ng"))
+    // brute force over the SAME hashed shingle sets, integer thresholds
+    val g = docs.select(col("doc_id"), shingles.as("ng"))
     val a = g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
     val b = g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
     val brute = a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
@@ -111,9 +111,10 @@ class DedupParitySpec extends SparkSpec {
     assert(pp == brute)
     assert(pp.nonEmpty)
     // identical docs always survive (jaccard 1 ≥ any τ) — degenerate
-    // single-gram docs included (prefix length 1 must still emit)
+    // single-shingle docs included (prefix length 1 must still emit)
     val tiny = Seq((1L, "ab"), (2L, "ab"), (3L, "zq")).toDF("doc_id", "text")
-    val tinyPairs = Dedup.prefixJaccardPairs(tiny, 3, 4, 5).collect()
+    val tinyPairs = Dedup.prefixJaccardPairs(tiny,
+      Dedup.wordShingleHashSet(col("text"), 3), 4, 5).collect()
     assert(tinyPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 }

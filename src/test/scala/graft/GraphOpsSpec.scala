@@ -284,4 +284,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(7L) == (1L, 0L) && out(8L) == (1L, 0L))
     assert(out.size == 8)
   }
+
+  test("commonNeighbors: K4 minus an edge suggests it; paths and edges don't") {
+    // K4 on {1,2,3,4} WITHOUT edge (3,4): nodes 3 and 4 share neighbors
+    // {1,2} → the one ≥2-common suggestion is exactly the missing edge.
+    // The path 5-6-7 gives (5,7) only ONE common neighbor (below the
+    // floor), and existing edges are anti-joined away even when they
+    // share neighbors (e.g. (1,2) shares {3,4}).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val out = Graph.commonNeighbors(edges, minCommon = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((3L, 4L, 2L)))
+    // at minCommon = 1 the path's wedge appears too
+    val loose = Graph.commonNeighbors(edges, minCommon = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose == Set((3L, 4L), (5L, 7L)))
+  }
 }

@@ -130,13 +130,15 @@ class RobustnessSpec extends SparkSpec {
       (2L, "ab", "en", "s0", 2L),
       (3L, "ab", "de", "s1", 2L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    // prefix jaccard: null text drops in the gram pass; the two "ab"
-    // single-gram docs (prefix length 1) must still pair exactly
-    val pp = Dedup.prefixJaccardPairs(docs, 3, 4, 5).collect()
+    // prefix jaccard: null text drops in the shingle pass; the two "ab"
+    // single-shingle docs (prefix length 1) must still pair exactly
+    // (the "" doc hashes alone — no partner, no pair)
+    val sh3 = Dedup.wordShingleHashSet(col("text"), 3)
+    val pp = Dedup.prefixJaccardPairs(docs, sh3, 4, 5).collect()
     assert(pp.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((2L, 3L)))
     // empty corpus: no pairs, no exceptions (globalRank over zero rows)
     assert(Dedup.prefixJaccardPairs(
-      docs.filter(col("doc_id") < 0), 3, 4, 5).count() === 0L)
+      docs.filter(col("doc_id") < 0), sh3, 4, 5).count() === 0L)
     // co-occurrence: support above any count ⇒ empty, never throws;
     // support 1 on a single two-token doc ⇒ exactly one pair, lift = N
     assert(TextAnalysis.cooccurrence(docs, minSupport = 99).count() === 0L)
