@@ -89,6 +89,16 @@ object Bench {
       SparkEntry.queries.filter { case (n, _) => s(n) })
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Either[String, Double] = {
+        // Release DEAD materialization blocks from prior queries before
+        // timing: Materialize local-checkpoints eagerly and a finished
+        // query's blocks are unreachable, but they still occupy the
+        // unified memory pool — measured on dedup_prefix_jaccard (3
+        // materializations): 0.85 s in a fresh session vs 6.6 s after
+        // 28 queries' accumulated blocks, same code, reproducible.
+        // Each timed run rebuilds its own plan, so nothing live is lost.
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
         catch { case e: Throwable =>

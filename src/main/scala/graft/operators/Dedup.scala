@@ -511,19 +511,20 @@ object Dedup {
   /** Hashed word w-SHINGLE set — the canonical near-dup representation
     * for prefix-filtered similarity joins: contiguous w-word windows,
     * poly-hashed (portable — the DuckDB twin hashes the same strings),
-    * distinct. Docs shorter than w words fall back to the single hash
-    * of their whole token string; null text propagates to null and
-    * drops downstream. The w-shingle universe grows with the corpus
-    * (word COMBINATIONS, not the flat char-gram alphabet), which is
-    * exactly what keeps rare-prefix posting lists short at scale. */
-  def wordShingleHashSet(textCol: Column, w: Int): Column = {
-    val ws = Portable.tokens(textCol)
-    val idx = sequence(lit(1), greatest(size(ws) - (w - 1), lit(1)))
-    val sh = transform(idx, i => native.poly_hash(
-      concat_ws(" ", (0 until w).map(o => element_at(ws, i + o)): _*)))
-    when(size(ws) >= w, array_distinct(sh))
-      .otherwise(array(native.poly_hash(array_join(ws, " "))))
-  }
+    * sorted distinct. Docs shorter than w words fall back to the single
+    * hash of their raw text; null text propagates to null and drops
+    * downstream. The w-shingle universe grows with the corpus (word
+    * COMBINATIONS, not the flat char-gram alphabet), which is exactly
+    * what keeps rare-prefix posting lists short at scale.
+    *
+    * Native single-pass expression (ShingleHashSetExpr): the
+    * higher-order-function formulation (`transform(sequence(...), i ->
+    * poly_hash(concat_ws(element_at(ws, i), ...)))`) inlines the
+    * tokenize into EVERY element_at — O(shingles · len) re-splitting
+    * per row, measured 4.5 s of the 6 s pipeline at sf0.1; the native
+    * kernel tokenizes once (the wordBigrams lesson, again). */
+  def wordShingleHashSet(textCol: Column, w: Int): Column =
+    native.shingle_hash_set(textCol, w)
 
   /** Prefix-filtered EXACT set-similarity self-join (the AllPairs /
     * PPJoin family: order the token universe rare-first, then any pair
@@ -546,15 +547,19 @@ object Dedup {
     * the corpus, so posting lists of prefix tokens stay short. A flat
     * char-3-gram alphabet (a few hundred values regardless of corpus
     * size) degenerates: every "rare" gram appears in thousands of docs
-    * and the candidate join explodes — measured 22.8 s vs 1.0 s at
-    * sf0.1 for exactly this operator on the two domains.
+    * and the candidate join explodes — measured 22.8 s (grams) vs
+    * 6.6 s (shingles) at sf0.1 for this operator, before the native
+    * shingle kernel took the shingle path to 2.4 s.
     *
     * Scale: one corpus scan builds the token table (materialized — the
     * frequency agg and the doc-set build both read it); the global
     * rare-first rank uses the two-phase range-partitioned rank (never a
-    * single-partition window); prefixes hold only the RAREST tokens of
-    * each doc, so the candidate join fans out on keys whose posting
-    * lists are short by construction — the frequent tokens that would
+    * single-partition window; struct-keyed (f, tok) arrays were tried
+    * instead and ran 4× SLOWER end-to-end — array_intersect over
+    * non-atomic element types leaves codegen, so the dense long rank
+    * pays for itself). Prefixes hold only the RAREST tokens of each
+    * doc, so the candidate join fans out on keys whose posting lists
+    * are short by construction — the frequent tokens that would
     * dominate a naive token-inverted join never enter a join key. The
     * exact verify touches only surviving candidates via
     * `array_intersect` on the two rank arrays already in the row. */

@@ -104,6 +104,22 @@ object HashOps {
     }
   }
 
+  /** Sorted distinct word-n-shingle hashes — the set representation the
+    * prefix-filtered similarity join consumes. One tokenize pass per row
+    * (the higher-order-function formulation re-tokenizes the document
+    * for every element_at — measured 4.5 s of a 6 s pipeline at sf0.1). */
+  def shingleHashSet(s: UTF8String, n: Int): ArrayData = {
+    val hs = shingleHashes(s.toString, n)
+    java.util.Arrays.sort(hs)
+    var w = 0
+    var i = 0
+    while (i < hs.length) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
   /** MinHash signature: k affine minima over the word-n-shingle hashes. */
   def minhashSig(s: UTF8String, k: Int, shingleN: Int): ArrayData = {
     val hs = shingleHashes(s.toString, shingleN)

@@ -119,6 +119,18 @@ case class NgramHashSetExpr(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class ShingleHashSetExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.shingleHashSet(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.shingleHashSet($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashSetExpr =
+    copy(child = newChild)
+}
+
 case class SortedJaccardExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -245,6 +257,8 @@ object native {
     asCol(MinCharNgramHashExpr(exprOf(c), n))
   def ngram_hash_set(c: Column, n: Int): Column =
     asCol(NgramHashSetExpr(exprOf(c), n))
+  def shingle_hash_set(c: Column, n: Int): Column =
+    asCol(ShingleHashSetExpr(exprOf(c), n))
   def sorted_jaccard(a: Column, b: Column): Column =
     asCol(SortedJaccardExpr(exprOf(a), exprOf(b)))
   def cosine_sim(a: Column, b: Column): Column =

@@ -1799,13 +1799,13 @@ object CBlock {
 
     "dedup_prefix_jaccard" ->
       s"""WITH w AS (
-         |  SELECT doc_id, $toksSql AS ws FROM documents
+         |  SELECT doc_id, text, $toksSql AS ws FROM documents
          |), g AS (
          |  SELECT doc_id,
          |    CASE WHEN len(ws) >= 3
          |         THEN list_distinct(list_transform(range(1, len(ws) - 1),
          |           i -> ${ph("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")}))
-         |         ELSE [${ph("array_to_string(ws, ' ')")}] END AS ng
+         |         ELSE [${ph("text")}] END AS ng
          |  FROM w
          |)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -20,12 +20,17 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
-    df.explain("formatted")
-    df.count() // warm-up
+    val fn = graft.SparkEntry.queries(name)
+    fn(spark, sfDir).explain("formatted")
+    fn(spark, sfDir).count() // warm-up
+    // REBUILD the DataFrame inside the timer: Materialize() checkpoints
+    // eagerly at CONSTRUCTION time, so timing a pre-built df measures
+    // only the post-checkpoint tail (dedup_prefix_jaccard read 0.85 s
+    // here vs 6.6 s in Bench until this tool was fixed to match
+    // Bench's fn(...).count() semantics).
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = fn(spark, sfDir).count()
       println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
     spark.stop()
