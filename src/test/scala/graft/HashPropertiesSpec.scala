@@ -135,4 +135,19 @@ class HashPropertiesSpec extends AnyFunSuite {
       assert(math.abs(HashOps.hashedLinearScore(u(s), r)) <= toks.length.toLong * r)
     }
   }
+
+  test("shingleHashSet = sorted distinct shingle hashes on ragged input") {
+    forAll(raggedText) { s =>
+      val toks = s.split(" ", -1).filter(_.nonEmpty)
+      val expected =
+        if (toks.length < 3) Array(HashOps.polyHashStr(s))
+        else toks.sliding(3).map(w =>
+          HashOps.polyHashStr(w.mkString(" "))).toArray.distinct.sorted
+      val got = HashOps.shingleHashSet(u(s), 3)
+      assert(got.toLongArray().toSeq === expected.toSeq)
+      // set semantics: sorted ascending, no duplicates
+      val arr = got.toLongArray()
+      assert(arr.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
+    }
+  }
 }
