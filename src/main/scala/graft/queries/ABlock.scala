@@ -22,6 +22,32 @@ object ABlock {
   def queries(msgs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    "sync_rollover" -> ((s, dir) => {
+      // SIZE-based index rollover (the ILM/rollover lifecycle the
+      // reference's daily {topic}-{date} naming approximates by time —
+      // es.rs:203-248): per-topic cumulative payload bytes in arrival
+      // order (msg_id — monotone per stream), generation = (cum−1) div
+      // 16 KiB, so an index closes once its byte budget fills. The
+      // window is PARTITIONED by topic (parallel, never a global
+      // sort); the readout is one row per closed generation.
+      val w = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      msgs(s, dir)
+        .withColumn("bytes", coalesce(length(col("data")).cast("long"), lit(0L)))
+        .withColumn("cum", sum(col("bytes")).over(w))
+        // greatest(·,1) guards the cum=0 corner (all-empty payloads),
+        // where floor vs truncating integer division would disagree
+        // cross-engine on (0−1) div cap
+        .withColumn("gen", expr("(greatest(cum, 1) - 1) div 16384"))
+        .groupBy(col("topic"), col("gen"))
+        .agg(count(lit(1)).as("n_msgs"), sum(col("bytes")).as("gen_bytes"))
+        .withColumn("index_name",
+          concat(col("topic"), lit("-g"), col("gen").cast("string")))
+        .select(col("topic"), col("gen"), col("index_name"),
+          col("n_msgs"), col("gen_bytes"))
+        .orderBy(col("topic"), col("gen"))
+    }),
+
     "sync_rewrite" -> ((s, dir) => {
       msgs(s, dir)
         .withColumn("topic_full", partitionedTopic)
@@ -256,6 +282,22 @@ object ABlock {
   )
 
   val oracle: Map[String, String] = Map(
+    "sync_rollover" ->
+      """WITH m AS (
+        |  SELECT event_id AS msg_id, event_type AS topic, props AS data
+        |  FROM events
+        |), c AS (
+        |  SELECT topic, msg_id, COALESCE(len(data), 0) AS bytes,
+        |    SUM(COALESCE(len(data), 0)) OVER (PARTITION BY topic
+        |      ORDER BY msg_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m
+        |)
+        |SELECT topic, (greatest(cum, 1) - 1) // 16384 AS gen,
+        |  topic || '-g' ||
+        |    CAST((greatest(cum, 1) - 1) // 16384 AS VARCHAR) AS index_name,
+        |  count(*) AS n_msgs, SUM(bytes) AS gen_bytes
+        |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin,
+
     "sync_rewrite" ->
       """WITH t AS (
         |  SELECT event_type || '-partition-' || (event_id % 3) AS topic_full FROM events
