@@ -292,10 +292,11 @@ object ABlock {
         |      ORDER BY msg_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM m
         |)
-        |SELECT topic, (greatest(cum, 1) - 1) // 16384 AS gen,
+        |SELECT topic, CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS gen,
         |  topic || '-g' ||
-        |    CAST((greatest(cum, 1) - 1) // 16384 AS VARCHAR) AS index_name,
-        |  count(*) AS n_msgs, SUM(bytes) AS gen_bytes
+        |    CAST(CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS VARCHAR)
+        |      AS index_name,
+        |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
         |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin,
 
     "sync_rewrite" ->
