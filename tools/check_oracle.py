@@ -56,6 +56,20 @@ for name, sql in sorted(oracle.items()):
     eq = True
     for c in got.columns:
         a, b = got[c], exp[c]
+        # The driver's hash is TYPE-sensitive: DuckDB HUGEINT lands as
+        # float64 and hashes differently from Spark's int64 even when every
+        # value is identical (bit us on q12_late_priority / sync_rollover in
+        # round 4). Flag int-vs-float kind skew as a failure BEFORE the
+        # value-level comparison so the local gate matches driver semantics.
+        # (Object-dtype columns are exempt: pandas reads e.g. decimals and
+        # strings as 'O' on one side only, which the value loop handles.)
+        kinds = {a.dtype.kind, b.dtype.kind}
+        if kinds == {'i', 'f'} or kinds == {'u', 'f'}:
+            print(f"FAIL {name}: col {c} dtype skew spark={a.dtype} "
+                  f"oracle={b.dtype} (driver hash is type-sensitive; "
+                  f"CAST the oracle to BIGINT/DOUBLE to match)")
+            eq = False
+            continue
         try:
             if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                 import numpy as np
