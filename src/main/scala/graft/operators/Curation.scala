@@ -463,16 +463,38 @@ object Curation {
     * (map-side combined), so the pair join fans out by the per-gram
     * source list — bounded by #sources (a constant ~100s even at web
     * scale), never by occurrence counts. Scale: one gram-keyed shuffle
-    * plus a #sources²-bounded aggregate. */
+    * plus a #sources²-bounded aggregate.
+    *
+    * `domainMod` bounds the shuffle for 100 TB corpora: keep only grams
+    * whose hash ≡ 0 (mod domainMod) — a deterministic 1/domainMod sample
+    * of the GRAM DOMAIN, identical across sources (the mod-sampling
+    * estimator; same family as bottom-k/KMV coordinated sampling).
+    * Because every source is filtered by the same hash predicate, a
+    * sampled intersection/union is an unbiased 1/domainMod scale of the
+    * true one: `n_shared` is reported scaled back up (×domainMod), and
+    * `jaccard` is the sampled ratio, a consistent estimator of the true
+    * jaccard (ratio of coordinated samples; relative error ~
+    * 1/sqrt(|A∩B|/domainMod)). domainMod=1 keeps the exact matrix. The
+    * explode+distinct+join shuffle shrinks by domainMod — the lever that
+    * turns shuffle ∝ corpus-chars into shuffle ∝ corpus-chars/domainMod;
+    * the production screen stays [[sourceOverlapSketch]], with this as
+    * the tunable exact/estimate path. */
   def sourceOverlap(docs: DataFrame, n: Int = 8,
-      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+      srcCol: String = "source", textCol: String = "text",
+      domainMod: Long = 1L): DataFrame = {
+    require(domainMod >= 1, "domainMod must be >= 1")
     // the per-source distinct gram table feeds BOTH self-join sides and
     // the size marginal — materialized once (the dedup_ngram_jaccard
     // double-encode fix), so the corpus explode+distinct runs a single
     // time instead of three
-    val grams = Materialize(docs.select(col(srcCol).as("src"),
+    val exploded = docs.select(col(srcCol).as("src"),
         explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
-      .distinct())
+    // the domain filter sits BEFORE distinct: it prunes at the scan-side
+    // projection, so the distinct's shuffle already carries only the
+    // sampled domain
+    val sampled = if (domainMod == 1L) exploded
+      else exploded.filter(pmod(col("gram"), lit(domainMod)) === 0)
+    val grams = Materialize(sampled.distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val a = grams.select(col("gram"), col("src").as("source_a"))
     val b = grams.select(col("gram"), col("src").as("source_b"))
@@ -485,7 +507,8 @@ object Curation {
         col("n_grams").as("__nb"))), "source_b")
       .withColumn("jaccard", round(col("n_shared") /
         (col("__na") + col("__nb") - col("n_shared")), 6))
-      .select(col("source_a"), col("source_b"), col("n_shared"),
+      .select(col("source_a"), col("source_b"),
+        (col("n_shared") * domainMod).as("n_shared"),
         col("jaccard"))
   }
 

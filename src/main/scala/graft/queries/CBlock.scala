@@ -912,6 +912,14 @@ object CBlock {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "source_overlap_bounded" -> ((s, dir) => {
+      // the 100 TB path of the exact matrix: mod-16 coordinated domain
+      // sample of the gram space — shuffle shrinks 16×, n_shared is
+      // rescaled, jaccard is the sampled-ratio estimator
+      Curation.sourceOverlap(Tables.documents(s, dir), n = 8, domainMod = 16L)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "text_redact" -> ((s, dir) => {
       // same deterministic PII planting as text_pii, then the redaction
       // TRANSFORM; byte-exact redacted text proven via portable hash
@@ -3137,6 +3145,28 @@ object CBlock {
          |  GROUP BY 1, 2
          |)
          |SELECT source_a, source_b, n_shared,
+         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+         |FROM p
+         |JOIN sizes sa ON sa.src = source_a
+         |JOIN sizes sb ON sb.src = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "source_overlap_bounded" ->
+      s"""WITH g0 AS (
+         |  SELECT source AS src,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), g AS (SELECT DISTINCT src, gram FROM g0 WHERE gram % 16 = 0),
+         |sizes AS (
+         |  SELECT src, count(*) AS n_grams FROM g GROUP BY 1
+         |), p AS (
+         |  SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.src < b.src
+         |  GROUP BY 1, 2
+         |)
+         |SELECT source_a, source_b, CAST(n_shared * 16 AS BIGINT) AS n_shared,
          |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
          |FROM p
          |JOIN sizes sa ON sa.src = source_a

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-generated parquet tables. Reads are plain
@@ -19,13 +21,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** The events table, with `ts` normalized to BIGINT epoch-nanos — the
+    * shape every downstream consumer assumes. The driver has shipped the
+    * column under two physical layouts (TIMESTAMP(NANOS), read as a long
+    * via nanosAsLong, and timestamp[us], read as TIMESTAMP_NTZ), so the
+    * read is schema-adaptive: branch on the decoded dtype here, at the one
+    * seam, instead of letting 38 queries die at analysis time when the
+    * layout flips. The NTZ→LTZ cast is identity because every session in
+    * this repo pins spark.sql.session.timeZone=UTC, matching DuckDB's
+    * naive read of the same file. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // events.parquet stores TIMESTAMP(NANOS): without this flag any
-    // query touching the ts column aborts — set here so every events
-    // consumer is self-contained (a name-filtered Verify of a single
-    // events query must not depend on an A-block query having run first)
+    // keep the flag for the legacy nanos layout: without it any query
+    // touching a TIMESTAMP(NANOS) ts column aborts — set here so every
+    // events consumer is self-contained (a name-filtered Verify of a
+    // single events query must not depend on another having run first)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df // legacy layout: already BIGINT nanos
+      case TimestampType | TimestampNTZType =>
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -19,9 +19,7 @@ object StreamingSyncDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    val msgs = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val msgs = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
         col("props").as("data"))

@@ -20,11 +20,10 @@ object ScaleDemo {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import spark.implicits._
 
     // 1. salted aggregation vs direct
-    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val ev = graft.sources.Tables.events(spark, sfDir)
       .select(col("event_type"), (col("value") * 100).cast("long").as("cents"))
     val direct = ev.groupBy("event_type")
       .agg(sum("cents").as("sum_value"), count(lit(1)).as("n"))
@@ -52,7 +51,7 @@ object ScaleDemo {
 
     // 3. stateful streaming sessionization
     val tmp = java.nio.file.Files.createTempDirectory("graft-scale-demo").toString
-    val evs = spark.read.parquet(s"$sfDir/events.parquet")
+    val evs = graft.sources.Tables.events(spark, sfDir)
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
     evs.write.parquet(s"$tmp/src")
     implicit val s: SparkSession = spark

@@ -21,9 +21,7 @@ object Throughput {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-
-    val base = spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+    val base = graft.sources.Tables.events(spark, "/root/testdata/sf0.1")
     val msgs = base
       .crossJoin(spark.range(replicas).select(col("id").as("rep")))
       .select((col("event_id") * replicas + col("rep")).as("msg_id"),

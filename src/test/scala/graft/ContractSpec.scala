@@ -16,6 +16,32 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("schema-drift canary: current testdata normalizes to expected dtypes") {
+    // Loads every table from the CURRENT /root/testdata and pins the
+    // post-normalization dtypes downstream code assumes. Round 5 died
+    // because events.ts silently flipped TIMESTAMP(NANOS)→timestamp[us]
+    // at the driver seam; this catches the next flip in the local gate.
+    import org.apache.spark.sql.types._
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.Tables.All.foreach { t =>
+      assert(graft.sources.Tables.load(spark, dir, t).schema.nonEmpty, s"$t unreadable")
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == LongType,
+      s"events.ts must normalize to BIGINT nanos, got ${ev.schema("ts").dataType}")
+    // value-level pin: nanos magnitude (2020..2030 epoch range), not micros
+    val t0 = ev.selectExpr("min(ts)").first().getLong(0)
+    assert(t0 > 1.5e18.toLong && t0 < 2.0e18.toLong,
+      s"events.ts min $t0 not in epoch-nanos range — wrong unit after normalization")
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    assert(li.schema("l_shipdate").dataType.isInstanceOf[TimestampType.type] ||
+      li.schema("l_shipdate").dataType == TimestampNTZType,
+      s"lineitem.l_shipdate unexpected dtype ${li.schema("l_shipdate").dataType}")
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    assert(emb.schema("embedding").dataType.isInstanceOf[ArrayType],
+      s"embeddings.embedding unexpected dtype ${emb.schema("embedding").dataType}")
+  }
+
   test("oracle SQL references only the driver-registered tables") {
     val allowed = graft.sources.Tables.All.toSet
     val tablePattern = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r

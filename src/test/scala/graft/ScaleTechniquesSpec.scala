@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Skew
 import graft.streaming.StreamingSessionize
+import graft.sources.Tables
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -14,8 +15,7 @@ import java.nio.file.Files
 class ScaleTechniquesSpec extends SparkSpec {
 
   test("salted aggregation == direct aggregation") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = Tables.events(spark, sf())
       .select(col("event_type"), (col("value") * 100).cast("long").as("cents"))
     val direct = ev.groupBy("event_type")
       .agg(sum("cents").as("sum_value"), count(lit(1)).as("n"))
@@ -169,9 +169,8 @@ class ScaleTechniquesSpec extends SparkSpec {
   test("stateful streaming sessions == batch sessions (closed ones)") {
     implicit val s: SparkSession = spark
     import s.implicits._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Files.createTempDirectory("graft-sess").toString
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = Tables.events(spark, sf())
       .select(col("user_id"), timestamp_micros(expr("ts div 1000")).as("ts"))
     ev.write.parquet(s"$tmp/src")
 

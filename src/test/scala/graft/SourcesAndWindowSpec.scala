@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{SyncConfig, SyncPipeline}
 import graft.sources.JsonLines
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.{Files, Paths}
@@ -109,8 +110,7 @@ class SourcesAndWindowSpec extends SparkSpec {
 
   test("streaming windowed agg with watermark == batch tumbling agg") {
     val tmp = Files.createTempDirectory("graft-winagg").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+    val msgs = Tables.events(spark, sf())
       .select(col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"))
     msgs.write.parquet(s"$tmp/src")

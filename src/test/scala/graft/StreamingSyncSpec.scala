@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.{SyncConfig, SyncPipeline}
 import graft.streaming.StreamingSync
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -23,8 +24,7 @@ class StreamingSyncSpec extends SparkSpec {
     val sinkDir = s"$tmp/sink"
     val metricsDir = s"$tmp/metrics"
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+    val msgs = Tables.events(spark, sf())
       .select(col("event_id").as("msg_id"),
         col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
@@ -58,8 +58,7 @@ class StreamingSyncSpec extends SparkSpec {
 
   test("bounded consumer batches (maxFilesPerTrigger) reach the same result") {
     val tmp = Files.createTempDirectory("graft-stream3").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+    val msgs = Tables.events(spark, sf())
       .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
         col("props").as("data"))
@@ -76,8 +75,7 @@ class StreamingSyncSpec extends SparkSpec {
 
   test("streaming message dedup drops broker redeliveries") {
     val tmp = Files.createTempDirectory("graft-dedup").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+    val msgs = Tables.events(spark, sf())
       .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
         col("props").as("data")).limit(300)
@@ -95,8 +93,7 @@ class StreamingSyncSpec extends SparkSpec {
 
   test("bulk failures are diverted, counted per index, and metered") {
     val tmp = Files.createTempDirectory("graft-bulkfail").toString
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+    val msgs = Tables.events(spark, sf())
       .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
         col("props").as("data"))
@@ -154,8 +151,7 @@ class StreamingSyncSpec extends SparkSpec {
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"${sf()}/events.parquet")
+    Tables.events(spark, sf())
       .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
         timestamp_micros(expr("ts div 1000")).as("publish_time"),
         col("props").as("data"))

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.SyncConfig
 import graft.streaming.{StreamingSync, SyncMetrics}
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
@@ -16,8 +17,7 @@ class SyncMetricsSpec extends SparkSpec {
     spark.streams.addListener(listener)
     try {
       val tmp = Files.createTempDirectory("graft-metrics").toString
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val msgs = spark.read.parquet(s"${sf()}/events.parquet")
+      val msgs = Tables.events(spark, sf())
         .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
           timestamp_micros(expr("ts div 1000")).as("publish_time"),
           col("props").as("data")).limit(200)

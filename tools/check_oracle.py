@@ -64,7 +64,7 @@ for name, sql in sorted(oracle.items()):
         # (Object-dtype columns are exempt: pandas reads e.g. decimals and
         # strings as 'O' on one side only, which the value loop handles.)
         kinds = {a.dtype.kind, b.dtype.kind}
-        if kinds == {'i', 'f'} or kinds == {'u', 'f'}:
+        if len(kinds) > 1 and kinds <= {'i', 'u', 'f', 'b'}:
             print(f"FAIL {name}: col {c} dtype skew spark={a.dtype} "
                   f"oracle={b.dtype} (driver hash is type-sensitive; "
                   f"CAST the oracle to BIGINT/DOUBLE to match)")
