@@ -37,8 +37,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); without this the plain
-      // per-table warm-up read aborts (the round-1 "stage 28" noise).
+      // legacy-layout compatibility: when events.parquet stores
+      // TIMESTAMP(NANOS) (rounds ≤4), the plain per-table warm-up read
+      // aborts without this; harmless on the current micros layout
+      // (Tables.events normalizes either way).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -703,6 +703,24 @@ object BBlock {
         .orderBy(col("purchase_id"))
     }),
 
+    "q_attribution" -> ((s, dir) => {
+      // the BATCH twin of StreamingIntervalJoin.attribute, run through
+      // the SAME code path (EliminateEventTimeWatermark drops the
+      // watermark node for batch): conversions matched to the same
+      // user's impressions within 1h — oracle-checked here, streaming ≡
+      // batch proven in StreamingJoinSpec
+      val ev = eventsUs(s, dir)
+      val impressions = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val conversions = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      graft.streaming.StreamingIntervalJoin
+        .attribute(impressions, conversions, windowSec = 3600)
+        .orderBy(col("imp_id"), col("conv_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // clicks within ±30 min of each purchase by the same user — the
       // bounded range join via time-bucket equi-join (Temporal)
@@ -1497,6 +1515,21 @@ object BBlock {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         |) x ON TRUE
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH i AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS imp_ts, event_id AS imp_id
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS conv_ts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT i.user_id, imp_id, conv_id, imp_ts, conv_ts
+        |FROM i JOIN c
+        |  ON i.user_id = c.user_id
+        | AND conv_ts >= imp_ts
+        | AND conv_ts <= imp_ts + INTERVAL 3600 SECOND
+        |ORDER BY imp_id, conv_id""".stripMargin,
 
     "q_range_join" ->
       """WITH c AS (

@@ -1024,6 +1024,17 @@ object CBlock {
         .orderBy(col("source"), col("rk"))
     }),
 
+    "quota_gate" -> ((s, dir) => {
+      // the BATCH reference relation of StreamingQuota: first-20 docs per
+      // source in doc_id arrival order, with 1-based admission slots —
+      // oracle-checked here; StreamingQuotaSpec proves the stateful
+      // streaming gate emits exactly this relation
+      graft.streaming.StreamingQuota.batchQuota(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source").as("domain")), cap = 20)
+        .orderBy(col("domain"), col("slot"))
+    }),
+
     "sample_exact_k" -> ((s, dir) => {
       // deterministic exact-k per-source subsample (fixed-size holdout)
       Curation.sampleExactK(Tables.documents(s, dir), k = 7)
@@ -3366,6 +3377,14 @@ object CBlock {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "quota_gate" ->
+      """SELECT doc_id, domain, slot FROM (
+        |  SELECT doc_id, source AS domain,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS slot
+        |  FROM documents
+        |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
 
     "curate_daily" ->
       s"""WITH nm AS (

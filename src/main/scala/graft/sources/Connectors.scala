@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Config-selected connector seams — the boundary where the sandbox
+  * stand-ins (file sources, the indexed parquet store) and real
+  * Pulsar/Elasticsearch bindings are interchangeable.
+  *
+  * The reference wires its endpoints from CLI config (args.rs: pulsar
+  * URL + topic regex in, ES URL out); this registry is the same idea at
+  * the DataFrame layer. Everything inside the seam — the message shape
+  * `(msg_id, topic, publish_time, data)`, the transform chain, bulk
+  * metrics `(index, app, written[, failed])` — is connector-agnostic, so
+  * an off-sandbox deployment registers a `pulsar` [[MessageConnector]]
+  * (spark-sql-pulsar / Kafka-compatible reader mapped to the message
+  * shape) and an `elasticsearch` [[BulkSinkConnector]]
+  * (elasticsearch-hadoop `es.resource.write = {index}`), and
+  * [[graft.streaming.StreamingSync]] runs unchanged — StreamingSyncSpec
+  * exercises the sync through these seams via the default providers. */
+object Connectors {
+
+  /** Source seam: a subscription yielding the canonical message stream
+    * `(msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING)`.
+    * `maxBatch` is ingestion backpressure (consumer --batch-size,
+    * args.rs:101-103) in the connector's own unit — files per trigger
+    * here, messages per poll on a broker. */
+  trait MessageConnector {
+    def name: String
+    def readStream(spark: SparkSession, uri: String,
+        maxBatch: Option[Int] = None): DataFrame
+    def read(spark: SparkSession, uri: String): DataFrame
+  }
+
+  /** Sink seam: write one admitted micro-batch to the index target,
+    * return per-(index, app) bulk metrics. `isFailed` marks docs the
+    * bulk response would reject (diverted to `failedTarget`, counted in
+    * a `failed` metrics column) — es.rs:133-191 semantics. */
+  trait BulkSinkConnector {
+    def name: String
+    def writeBatch(batch: DataFrame, target: String,
+        isFailed: Option[Column] = None,
+        failedTarget: Option[String] = None): DataFrame
+  }
+
+  /** Parquet-file message stream (the driver-data stand-in for the
+    * Pulsar subscription; one file = one consumer batch). */
+  object ParquetMessages extends MessageConnector {
+    val name = "parquet"
+    def readStream(spark: SparkSession, uri: String,
+        maxBatch: Option[Int]): DataFrame = {
+      val r = spark.readStream
+        .schema(graft.streaming.StreamingSync.messageSchema)
+      maxBatch.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(uri)
+    }
+    def read(spark: SparkSession, uri: String): DataFrame =
+      spark.read.schema(graft.streaming.StreamingSync.messageSchema)
+        .parquet(uri)
+  }
+
+  /** JSON-lines message stream (raw byte-payload consumer analog —
+    * pulsar.rs:63-69; directory name = topic). */
+  object JsonLinesMessages extends MessageConnector {
+    val name = "jsonlines"
+    def readStream(spark: SparkSession, uri: String,
+        maxBatch: Option[Int]): DataFrame =
+      JsonLines.readStream(spark, uri)
+    def read(spark: SparkSession, uri: String): DataFrame =
+      JsonLines.read(spark, uri)
+  }
+
+  /** The indexed parquet store as the bulk sink (ES bulk-API analog;
+    * partition directory = index). */
+  object IndexedParquetBulk extends BulkSinkConnector {
+    val name = "indexed-parquet"
+    def writeBatch(batch: DataFrame, target: String,
+        isFailed: Option[Column], failedTarget: Option[String]): DataFrame =
+      isFailed match {
+        case Some(cond) => graft.sinks.IndexedParquetSink
+          .writeBatchAccounted(batch, target, cond, failedTarget)
+        case None => graft.sinks.IndexedParquetSink.writeBatch(batch, target)
+      }
+  }
+
+  private val sources = Seq(ParquetMessages, JsonLinesMessages)
+    .map(c => c.name -> c).toMap
+  private val sinks = Seq(IndexedParquetBulk).map(c => c.name -> c).toMap
+
+  /** Resolve a source connector by config name. Off-sandbox bindings
+    * (e.g. "pulsar") register here; unknown names fail with the roster. */
+  def source(name: String): MessageConnector =
+    sources.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown message connector '$name' (have: ${sources.keys.mkString(", ")})"))
+
+  def sink(name: String): BulkSinkConnector =
+    sinks.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown bulk sink '$name' (have: ${sinks.keys.mkString(", ")})"))
+}

@@ -29,13 +29,13 @@ object StreamingSync {
   /** File-based streaming source of messages (the test stand-in for the
     * Pulsar consumer; one file = one consumer batch). `batchFiles` bounds
     * files per micro-batch — the analog of the reference's consumer
-    * --batch-size (args.rs:101-103), i.e. ingestion backpressure. */
+    * --batch-size (args.rs:101-103), i.e. ingestion backpressure.
+    * Delegates to the [[graft.sources.Connectors]] seam: a deployment
+    * selects a different connector by config name instead of editing
+    * this file. */
   def readMessageStream(spark: SparkSession, dir: String,
-      batchFiles: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(messageSchema)
-    batchFiles.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(dir)
-  }
+      batchFiles: Option[Int] = None): DataFrame =
+    graft.sources.Connectors.ParquetMessages.readStream(spark, dir, batchFiles)
 
   /** Exactly-once message admission under redelivery: drop duplicate
     * msg_ids within the watermark horizon (the engine-side counterpart of
@@ -72,21 +72,22 @@ object StreamingSync {
       availableNow: Boolean = false, flushIntervalMs: Long = 5000,
       batchFiles: Option[Int] = None,
       failedDocPattern: Option[String] = None,
-      maxRetries: Int = 3): StreamingQuery = {
-    val out = transform(cfg)(readMessageStream(spark, sourceDir, batchFiles))
+      maxRetries: Int = 3,
+      source: graft.sources.Connectors.MessageConnector =
+        graft.sources.Connectors.ParquetMessages,
+      sink: graft.sources.Connectors.BulkSinkConnector =
+        graft.sources.Connectors.IndexedParquetBulk): StreamingQuery = {
+    val out = transform(cfg)(source.readStream(spark, sourceDir, batchFiles))
     val writer = out.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = SyncPipeline.rateLimit(cfg)(batch)
           .select("msg_id", "topic", "publish_time", "data",
             "index", "app", "ts_resolved", "is_debug", "field_count")
         val metrics = IndexedParquetSink.withRetries(maxRetries) { () =>
-          failedDocPattern match {
-            case Some(p) => IndexedParquetSink.writeBatchAccounted(
-              admitted, sinkPath,
-              org.apache.spark.sql.functions.col("data").rlike(p),
-              Some(s"$sinkPath/_failed"))
-            case None => IndexedParquetSink.writeBatch(admitted, sinkPath)
-          }
+          sink.writeBatch(admitted, sinkPath,
+            failedDocPattern.map(p =>
+              org.apache.spark.sql.functions.col("data").rlike(p)),
+            failedDocPattern.map(_ => s"$sinkPath/_failed"))
         }
         SyncMetrics.recordBulk(metrics)
         metrics.withColumn("batch_id",

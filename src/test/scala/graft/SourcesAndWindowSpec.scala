@@ -95,6 +95,26 @@ class SourcesAndWindowSpec extends SparkSpec {
       .toSet == Set("web", "audit"))
   }
 
+  test("connector registry resolves by config name; unknown names fail with roster") {
+    import graft.sources.Connectors
+    assert(Connectors.source("parquet").name === "parquet")
+    assert(Connectors.source("jsonlines").name === "jsonlines")
+    assert(Connectors.sink("indexed-parquet").name === "indexed-parquet")
+    val e = intercept[IllegalArgumentException](Connectors.source("pulsar"))
+    assert(e.getMessage.contains("parquet"), "error must list the roster")
+    // the seam carries the canonical message shape end-to-end
+    val tmp = Files.createTempDirectory("graft-conn").toString
+    Tables.events(spark, sf()).limit(5)
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+      .write.parquet(s"$tmp/msgs")
+    val msgs = Connectors.source("parquet").read(spark, s"$tmp/msgs")
+    assert(msgs.columns.toSeq ===
+      Seq("msg_id", "topic", "publish_time", "data"))
+    assert(msgs.count() === 5)
+  }
+
   test("JsonLines streaming == batch through the same pipeline") {
     val dir = stageJsonl()
     val cfg = SyncConfig()
