@@ -44,6 +44,24 @@ class PlanPostureSpec extends SparkSpec {
     }
   }
 
+  test("q_attribution: equi-keyed on user_id, interval as post-join filter") {
+    val p = planOf("q_attribution")
+    assert(!p.contains("CartesianProduct"),
+      s"interval join must stay user_id-equi-keyed:\n$p")
+  }
+
+  test("quota_gate / source_overlap_bounded: partitioned window; sampled equi-join") {
+    val wins = SparkEntry.queries("quota_gate")(spark, sf("0.01"))
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      "quota window must be partitioned by domain")
+    val p = planOf("source_overlap_bounded")
+    assert(!p.contains("CartesianProduct"),
+      s"bounded overlap keeps the gram-keyed equi-join:\n$p")
+  }
+
   test("sim_ivf assign stage is one narrow pass: no join, no window") {
     val p = planOf("sim_ivf")
     assert(!p.contains("Join") && !p.contains("Window"),
