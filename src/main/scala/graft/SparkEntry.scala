@@ -34,24 +34,20 @@ object SparkEntry {
     rewriteRules = Seq(("click", "web"), ("view", "web"), ("purchase", "commerce")),
     debugLogPatterns = Seq("\"k\": 4[0-9]\\}"))
 
-  /** events table → the message-stream shape the pipeline consumes. The
-    * events parquet stores nanosecond timestamps, which Spark reads as a
-    * long (nanosAsLong); truncating to micros matches DuckDB's read. */
-  private def messages(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir).select(
+  /** events table → the message-stream shape the pipeline consumes.
+    * Rides [[Tables.eventsTime]] (micros TIMESTAMP, schema-adaptive), so
+    * on the timestamp layout a publish_time range predicate pushes to
+    * the parquet scan; values match the legacy nanos-div-1000 read. */
+  private def messages(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTime(s, dir).select(
       col("event_id").as("msg_id"),
       col("event_type").as("topic"),
-      timestamp_micros(expr("ts div 1000")).as("publish_time"),
+      col("ts").as("publish_time"),
       col("props").as("data"))
-  }
 
   /** events with micros event-time (shared by analytics queries). */
-  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.eventsTime(s, dir)
 
   /** Flagship: full sync pipeline on sf0.001. */
   def entry(spark: SparkSession): DataFrame =

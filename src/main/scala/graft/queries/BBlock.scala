@@ -703,6 +703,22 @@ object BBlock {
         .orderBy(col("purchase_id"))
     }),
 
+    "q_time_window" -> ((s, dir) => {
+      // THE canonical 100 TB event query: aggregate over a time window.
+      // Rides the pushdown-friendly eventsUs shape, so the ts range
+      // reaches the parquet scan as PushedFilters (row-group pruning) —
+      // posture-guarded in PlanPostureSpec
+      eventsUs(s, dir)
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .orderBy(col("event_type"))
+    }),
+
     "q_attribution" -> ((s, dir) => {
       // the BATCH twin of StreamingIntervalJoin.attribute, run through
       // the SAME code path (EliminateEventTimeWatermark drops the
@@ -1515,6 +1531,16 @@ object BBlock {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         |) x ON TRUE
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_time_window" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  min(event_id) AS first_id, max(event_id) AS last_id
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_attribution" ->
       """WITH i AS (

@@ -45,6 +45,31 @@ object Tables {
         throw new IllegalStateException(s"unsupported events.ts dtype: $other")
     }
   }
+  /** events with `ts` as a micros TIMESTAMP — the pushdown-friendly
+    * shape for time-range scans. On the current timestamp[us] layout the
+    * column passes through (NTZ→LTZ cast, identity under the repo-wide
+    * UTC session tz), so `ts >= lit` predicates reach the parquet scan
+    * as PushedFilters with row-group statistics — the scan shape a
+    * 100 TB time-window query lives or dies by. On the legacy nanos
+    * layout the value is computed (that layout exposes no timestamp
+    * stats to Spark anyway). Same micros values as
+    * `timestamp_micros(events.ts div 1000)` on BOTH layouts. */
+  def eventsTime(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case TimestampType => df
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts dtype: $other")
+    }
+  }
+
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

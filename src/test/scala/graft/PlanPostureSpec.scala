@@ -44,6 +44,22 @@ class PlanPostureSpec extends SparkSpec {
     }
   }
 
+  test("eventsTime: a time-range predicate reaches the parquet scan") {
+    // the 100 TB event query is a time-window scan; the nanos-normalized
+    // shape (Tables.events) necessarily computes ts above the scan, so
+    // the time-typed accessor must exist and keep range predicates in
+    // PushedFilters, where row-group stats prune
+    import org.apache.spark.sql.functions.{col, lit}
+    val p = graft.sources.Tables.eventsTime(spark, sf("0.01"))
+      .filter(col("ts") >= lit("2024-06-01 00:00:00").cast("timestamp"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"ts range predicate must push to the scan:\n$p")
+    val q = planOf("q_time_window")
+    assert(q.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts"),
+      s"q_time_window's window must prune at the scan:\n$q")
+  }
+
   test("q_attribution: equi-keyed on user_id, interval as post-join filter") {
     val p = planOf("q_attribution")
     assert(!p.contains("CartesianProduct"),
