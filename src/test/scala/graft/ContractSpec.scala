@@ -42,6 +42,32 @@ class ContractSpec extends SparkSpec {
       s"embeddings.embedding unexpected dtype ${emb.schema("embedding").dataType}")
   }
 
+  test("events seam: legacy BIGINT-nanos layout reads identically to the current layout") {
+    // the driver has shipped events.ts under two physical layouts; the
+    // current testdata only exercises the timestamp branch, so synthesize
+    // the legacy shape (ts stored as BIGINT epoch-nanos) and prove both
+    // accessors return the SAME values through either branch
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val dir = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-legacy").toString
+    graft.sources.Tables.events(spark, dir) // already BIGINT nanos
+      .write.parquet(s"$tmp/events.parquet")
+
+    val cur = graft.sources.Tables.events(spark, dir)
+    val leg = graft.sources.Tables.events(spark, tmp)
+    assert(leg.schema("ts").dataType == LongType)
+    assert(leg.select(sum(col("ts").cast("decimal(38,0)")), count(lit(1))).first() ===
+      cur.select(sum(col("ts").cast("decimal(38,0)")), count(lit(1))).first())
+
+    val curT = graft.sources.Tables.eventsTime(spark, dir)
+    val legT = graft.sources.Tables.eventsTime(spark, tmp)
+    assert(curT.schema("ts").dataType == TimestampType &&
+      legT.schema("ts").dataType == TimestampType)
+    assert(legT.select(sum(unix_micros(col("ts")).cast("decimal(38,0)"))).first() ===
+      curT.select(sum(unix_micros(col("ts")).cast("decimal(38,0)"))).first())
+  }
+
   test("oracle SQL references only the driver-registered tables") {
     val allowed = graft.sources.Tables.All.toSet
     val tablePattern = "(?i)\\bFROM\\s+([a-z_][a-z0-9_]*)".r
