@@ -19,32 +19,54 @@ object ABlock {
   private val rewriteRules =
     Seq(("click", "web"), ("view", "web"), ("purchase", "commerce"))
 
+  /** SIZE-based index rollover generations (the ILM/rollover lifecycle
+    * the reference's daily {topic}-{date} naming approximates by time —
+    * es.rs:203-248): per-topic cumulative payload bytes in arrival
+    * order (msg_id — monotone per stream), generation = (cum−1) div
+    * 16 KiB, so an index closes once its byte budget fills. The window
+    * is PARTITIONED by topic (parallel, never a global sort); one row
+    * per closed generation. greatest(·,1) guards the cum=0 corner
+    * (all-empty payloads), where floor vs truncating integer division
+    * would disagree cross-engine on (0−1) div cap. Shared by
+    * `sync_rollover` (creation readout) and `sync_expire_plan` (the
+    * delete-phase decision). */
+  private def rolloverGens(msgs: (SparkSession, String) => DataFrame,
+      s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    msgs(s, dir)
+      .withColumn("bytes", coalesce(length(col("data")).cast("long"), lit(0L)))
+      .withColumn("cum", sum(col("bytes")).over(w))
+      .withColumn("gen", expr("(greatest(cum, 1) - 1) div 16384"))
+      .groupBy(col("topic"), col("gen"))
+      .agg(count(lit(1)).as("n_msgs"), sum(col("bytes")).as("gen_bytes"))
+      .withColumn("index_name",
+        concat(col("topic"), lit("-g"), col("gen").cast("string")))
+      .select(col("topic"), col("gen"), col("index_name"),
+        col("n_msgs"), col("gen_bytes"))
+  }
+
   def queries(msgs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sync_rollover" -> ((s, dir) => {
-      // SIZE-based index rollover (the ILM/rollover lifecycle the
-      // reference's daily {topic}-{date} naming approximates by time —
-      // es.rs:203-248): per-topic cumulative payload bytes in arrival
-      // order (msg_id — monotone per stream), generation = (cum−1) div
-      // 16 KiB, so an index closes once its byte budget fills. The
-      // window is PARTITIONED by topic (parallel, never a global
-      // sort); the readout is one row per closed generation.
-      val w = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      msgs(s, dir)
-        .withColumn("bytes", coalesce(length(col("data")).cast("long"), lit(0L)))
-        .withColumn("cum", sum(col("bytes")).over(w))
-        // greatest(·,1) guards the cum=0 corner (all-empty payloads),
-        // where floor vs truncating integer division would disagree
-        // cross-engine on (0−1) div cap
-        .withColumn("gen", expr("(greatest(cum, 1) - 1) div 16384"))
-        .groupBy(col("topic"), col("gen"))
-        .agg(count(lit(1)).as("n_msgs"), sum(col("bytes")).as("gen_bytes"))
-        .withColumn("index_name",
-          concat(col("topic"), lit("-g"), col("gen").cast("string")))
+      rolloverGens(msgs, s, dir).orderBy(col("topic"), col("gen"))
+    }),
+
+    "sync_expire_plan" -> ((s, dir) => {
+      // the ILM DELETE-phase plan over the rollover generations
+      // (Retention.expireGenerations' decision relation, made
+      // oracle-visible): keep the newest 2 generations per topic,
+      // mark the rest expired. max(gen) is a per-topic agg broadcast
+      // back — never a global sort; at scale this reads the store
+      // LISTING (index names), not the data, exactly like Retention.
+      val gens = rolloverGens(msgs, s, dir)
+      val floors = gens.groupBy(col("topic"))
+        .agg((max(col("gen")) - 1).as("floor_gen"))
+      gens.join(broadcast(floors), "topic")
+        .withColumn("expired", col("gen") < col("floor_gen"))
         .select(col("topic"), col("gen"), col("index_name"),
-          col("n_msgs"), col("gen_bytes"))
+          col("expired"))
         .orderBy(col("topic"), col("gen"))
     }),
 
@@ -298,6 +320,27 @@ object ABlock {
         |      AS index_name,
         |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
         |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin,
+
+    "sync_expire_plan" ->
+      """WITH m AS (
+        |  SELECT event_id AS msg_id, event_type AS topic, props AS data
+        |  FROM events
+        |), c AS (
+        |  SELECT topic, msg_id,
+        |    SUM(COALESCE(len(data), 0)) OVER (PARTITION BY topic
+        |      ORDER BY msg_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m
+        |), g AS (
+        |  SELECT topic, CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS gen
+        |  FROM c GROUP BY 1, 2
+        |), f AS (
+        |  SELECT topic, max(gen) - 1 AS floor_gen FROM g GROUP BY 1
+        |)
+        |SELECT g.topic, g.gen,
+        |  g.topic || '-g' || CAST(g.gen AS VARCHAR) AS index_name,
+        |  g.gen < f.floor_gen AS expired
+        |FROM g JOIN f ON g.topic = f.topic
+        |ORDER BY g.topic, g.gen""".stripMargin,
 
     "sync_rewrite" ->
       """WITH t AS (
