@@ -90,6 +90,35 @@ object Curation {
     * are per-stream. The explode fan-out is bounded: a doc spans at most
     * n_tok/seqLen + 1 sequences, so the exploded row count is
     * O(total_tokens / seqLen + n_docs). */
+  /** Packing-efficiency audit over [[packSequences]]'s layout — the
+    * numbers a training team reads before a run: per stream, the doc and
+    * sequence counts, total tokens, the fill rate (tokens / (n_seqs ×
+    * seqLen); contiguous-concat packing wastes only the final partial
+    * sequence, so this is ≈1 − waste), and how many docs are SPLIT
+    * across a sequence boundary (attention-masking / document-bleed
+    * exposure). Same single stream-partitioned window as the packer —
+    * one shuffle, then a per-stream agg. */
+  def packEfficiency(docs: DataFrame, seqLen: Int,
+      streamCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+    docs
+      .withColumn("n_tok", native.token_count(col(textCol)))
+      .filter(col("n_tok") > 0)
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .withColumn("first_seq", floor(col("tok_start") / seqLen))
+      .withColumn("last_seq", floor((col("tok_end") - 1) / seqLen))
+      .groupBy(col(streamCol))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("tok_end")).as("total_tokens"),
+        (floor((max(col("tok_end")) - 1) / seqLen) + 1).as("n_seqs"),
+        sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+          .as("n_split_docs"))
+      .withColumn("fill_rate",
+        round(col("total_tokens") / (col("n_seqs") * seqLen), 6))
+  }
+
   def packSequences(docs: DataFrame, seqLen: Int,
       streamCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {

@@ -602,4 +602,45 @@ object Dedup {
       .filter(col("inter_sz") * tauDen >= col("union_sz") * tauNum)
       .select(col("doc_a"), col("doc_b"), col("inter_sz"), col("union_sz"))
   }
+
+  /** Representative (medoid-style) selection per embedding-dedup cluster —
+    * the semantic-dedup KEEP step when "keep min id" is too arbitrary:
+    * per cluster, the member closest to the cluster centroid.
+    *
+    * Exactness trick: a float centroid (avg of doubles) is NOT
+    * reproducible across engines or partition layouts (summation order),
+    * so dims are first quantized to the integer lattice q_i =
+    * floor(x_i · scale) — per-row, order-free, identical everywhere —
+    * and the argmin runs on n·‖q_x‖² − 2·q_x·S (S = per-dim integer
+    * sums), which orders members exactly like distance-to-centroid on
+    * the lattice but needs only BIGINT arithmetic (|q|≤scale, 64 dims,
+    * n cluster members: n·Σq² ≤ n·64·scale² — far inside long range at
+    * scale=10⁶). Ties break on vec_id.
+    *
+    * Scale: posexplode fans each member to its dims (×dim rows, narrow),
+    * one shuffle on (cluster, dim) for the sums, one broadcast-sized
+    * join back (sums table is #clusters × dims), one per-cluster
+    * window over member scores. Cluster sizes are dedup-sized (small);
+    * the corpus never self-joins. */
+  def clusterMedoids(emb: DataFrame, clusters: DataFrame,
+      scale: Long = 1000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val member = emb.join(clusters, emb(idCol) === clusters("doc_id"))
+      .select(col("cluster"), col(idCol), posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .withColumn("q", floor(col("x").cast("double") * scale).cast("long"))
+    val sums = member.groupBy(col("cluster"), col("dim"))
+      .agg(sum(col("q")).as("s"), count(lit(1)).as("n"))
+    val scores = member.join(sums, Seq("cluster", "dim"))
+      .groupBy(col("cluster"), col(idCol))
+      .agg(sum(col("n") * col("q") * col("q") - lit(2L) * col("q") * col("s"))
+        .as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("score"), col(idCol))
+    scores.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .join(clusters.groupBy(col("cluster")).agg(count(lit(1)).as("n_members")),
+        "cluster")
+      .select(col("cluster"), col(idCol).as("medoid"), col("n_members"),
+        col("score"))
+  }
 }

@@ -241,6 +241,18 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_medoid" -> ((s, dir) => {
+      // semantic-dedup representative selection: per near-dup cluster,
+      // the member closest to the centroid — on the integer-quantized
+      // lattice so the argmin is bit-exact cross-engine (see
+      // Dedup.clusterMedoids)
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Dedup.embeddingPairs(emb, tau = 0.35, blockCol = "label")
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      Dedup.clusterMedoids(emb, Dedup.connectedComponents(pairs))
+        .orderBy(col("cluster"))
+    }),
+
     "curate_semantic" -> ((s, dir) => {
       // the EMBEDDING-SPACE curation capstone — one declarative plan
       // composing the audited pieces: semantic near-dup removal (cosine
@@ -696,6 +708,12 @@ object CBlock {
       // training-sequence packing manifest: 256-token sequences per source
       Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
         .orderBy(col("source"), col("seq_id"))
+    }),
+
+    "pack_efficiency" -> ((s, dir) => {
+      // the pre-run packing audit: per-source fill rate + split-doc count
+      Curation.packEfficiency(Tables.documents(s, dir), seqLen = 256)
+        .orderBy(col("source"))
     }),
 
     "lm_unigram_score" -> ((s, dir) => {
@@ -1887,6 +1905,49 @@ object CBlock {
         |SELECT src AS doc_id, min(dst) AS cluster, src = min(dst) AS is_keeper
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
+    "dedup_medoid" ->
+      """WITH RECURSIVE cos AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))), (x,y) -> x + y))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), (x,y) -> x + y))) AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |), p AS (
+        |  SELECT id_a AS a, id_b AS b FROM cos WHERE c >= 0.35
+        |), e AS (
+        |  SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p
+        |), reach(src, dst) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+        |), cl AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
+        |), q AS (
+        |  SELECT cl.cluster, em.vec_id, t.i AS dim,
+        |    CAST(floor(CAST(em.embedding[t.i] AS DOUBLE) * 1000000) AS BIGINT) AS qv
+        |  FROM embeddings em JOIN cl ON em.vec_id = cl.doc_id, range(1, 65) t(i)
+        |), sums AS (
+        |  SELECT cluster, dim, CAST(SUM(qv) AS BIGINT) AS s, count(*) AS n
+        |  FROM q GROUP BY 1, 2
+        |), sc AS (
+        |  SELECT q.cluster, q.vec_id,
+        |    CAST(SUM(sums.n * q.qv * q.qv - 2 * q.qv * sums.s) AS BIGINT) AS score
+        |  FROM q JOIN sums ON q.cluster = sums.cluster AND q.dim = sums.dim
+        |  GROUP BY 1, 2
+        |), nm AS (
+        |  SELECT cluster, count(*) AS n_members FROM cl GROUP BY 1
+        |)
+        |SELECT cluster, medoid, n_members, score FROM (
+        |  SELECT sc.cluster, sc.vec_id AS medoid, nm.n_members, sc.score,
+        |    row_number() OVER (PARTITION BY sc.cluster
+        |      ORDER BY sc.score, sc.vec_id) AS rk
+        |  FROM sc JOIN nm ON sc.cluster = nm.cluster
+        |) WHERE rk = 1 ORDER BY cluster""".stripMargin,
+
     "sim_cosine_topk" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |cos AS (
@@ -2687,6 +2748,31 @@ object CBlock {
          |  CAST(sum(least(tok_end, (seq_id + 1) * 256)
          |    - greatest(tok_start, seq_id * 256)) AS BIGINT) AS n_tokens
          |FROM e GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
+
+    "pack_efficiency" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql) AS n_tok FROM documents
+         |), s AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS tok_end
+         |  FROM t WHERE n_tok > 0
+         |), d AS (
+         |  SELECT source, tok_end,
+         |    (tok_end - n_tok) // 256 AS first_seq,
+         |    (tok_end - 1) // 256 AS last_seq
+         |  FROM s
+         |), a AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(max(tok_end) AS BIGINT) AS total_tokens,
+         |    CAST((max(tok_end) - 1) // 256 + 1 AS BIGINT) AS n_seqs,
+         |    CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_split_docs
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT source, n_docs, total_tokens, n_seqs, n_split_docs,
+         |  ROUND(total_tokens / (n_seqs * 256.0), 6) AS fill_rate
+         |FROM a ORDER BY source""".stripMargin,
 
     "lm_unigram_score" ->
       s"""WITH w AS (
