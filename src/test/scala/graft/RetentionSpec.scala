@@ -61,6 +61,41 @@ class RetentionSpec extends SparkSpec {
     r.kept.foreach { idx => assert(after(idx) === before(idx), idx) }
   }
 
+  test("full ILM loop: streaming sync writes dated indices, retention expires by horizon") {
+    // sync → store → expire, through the real seams: StreamingSync
+    // routes messages into {topic}-{yyyy.MM.dd} index partitions
+    // (Connectors.IndexedParquetBulk), then Retention ages out
+    // everything older than the horizon — the reference's daily-index
+    // lifecycle end-to-end (util.rs:13-48 naming, es.rs rollover).
+    import graft.operators.SyncConfig
+    import graft.streaming.StreamingSync
+    import graft.sources.Tables
+    val tmp = Files.createTempDirectory("graft-ilm").toString
+    val msgs = Tables.eventsTime(spark, sf())
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        col("ts").as("publish_time"), col("props").as("data"))
+      .limit(300)
+    msgs.write.parquet(s"$tmp/src")
+    StreamingSync.start(spark, SyncConfig(), s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true).awaitTermination(120000)
+
+    val indices = spark.read.parquet(s"$tmp/sink")
+      .select("index").distinct().collect().map(_.getString(0)).sorted
+    assert(indices.nonEmpty && indices.forall(_.matches(".+-\\d{4}\\.\\d{2}\\.\\d{2}")),
+      s"sync must write dated indices: ${indices.take(3).mkString(",")}")
+
+    // horizon = the median date: older dated indices must vanish
+    val dates = indices.map(_.takeRight(10)).distinct.sorted
+    val horizon = dates(dates.length / 2)
+    val r = Retention.expireBefore(spark, s"$tmp/sink", horizon)
+    assert(r.deleted.nonEmpty == dates.exists(_ < horizon))
+    val left = spark.read.parquet(s"$tmp/sink")
+      .select("index").distinct().collect().map(_.getString(0))
+    assert(left.forall(_.takeRight(10) >= horizon),
+      s"indices older than $horizon survived: ${left.mkString(",")}")
+    assert(left.toSet === indices.filter(_.takeRight(10) >= horizon).toSet)
+  }
+
   test("expiry on an empty or missing store is a no-op") {
     val tmp = Files.createTempDirectory("graft-retention-empty").toString
     val r = Retention.expireBefore(spark, s"$tmp/nope", "2024.01.01")
