@@ -29,7 +29,7 @@ class PlanPostureSpec extends SparkSpec {
 
   test("dedup/sim operators: no cartesian or nested-loop join") {
     Seq("dedup_minhash", "dedup_simhash", "dedup_ngram_jaccard",
-        "dedup_embedding", "sim_ann_lsh").foreach { q =>
+        "dedup_embedding", "sim_ann_lsh", "dedup_medoid").foreach { q =>
       val p = planOf(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
