@@ -1042,6 +1042,40 @@ object CBlock {
         .orderBy(col("source"), col("rk"))
     }),
 
+    "curate_dq_report" -> ((s, dir) => {
+      // the per-source data-quality report a mixture designer reads
+      // first: doc/char volumes, mean tokens + quality over scoreable
+      // docs, and the dominant language with its share. Determinism:
+      // mean_quality sums the (bit-identical) per-doc quality through
+      // DECIMAL(12,6) — order-free — then divides once in double;
+      // top_lang breaks count ties on lang. Two aggs + one tiny
+      // window, all source-keyed.
+      val docs = Tables.documents(s, dir)
+      val alld = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      val scored = TextAnalysis.quality(docs, stopwords)
+        .filter(col("n_tokens") > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_scored"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 6)
+            .as("mean_tokens"),
+          round(sum(col("quality").cast("decimal(12,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("ln").desc, col("lang"))
+      val top = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("ln"))
+        .withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"), col("ln"))
+      alld.join(scored, "source").join(top, "source")
+        .withColumn("top_lang_share",
+          round(col("ln").cast("double") / col("n_docs"), 6))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("n_scored"), col("mean_tokens"), col("mean_quality"),
+          col("top_lang"), col("top_lang_share"))
+        .orderBy(col("source"))
+    }),
+
     "quota_gate" -> ((s, dir) => {
       // the BATCH reference relation of StreamingQuota: first-20 docs per
       // source in doc_id arrival order, with 1-based admission slots —
@@ -3463,6 +3497,39 @@ object CBlock {
         |      ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents
         |) WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "curate_dq_report" ->
+      s"""WITH alld AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |  FROM documents GROUP BY 1
+         |), t AS (
+         |  SELECT source, $toksSql AS w FROM documents
+         |), q AS (
+         |  SELECT source, CAST(len(w) AS BIGINT) AS n_tok,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |      + 0.3 * (1.0 - len(list_filter(w, x -> list_contains(['the','a'], x))) * 1.0 / len(w))
+         |      + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM t WHERE len(w) > 0
+         |), sc AS (
+         |  SELECT source, count(*) AS n_scored,
+         |    ROUND(CAST(SUM(n_tok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+         |    ROUND(CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)
+         |      / count(*), 6) AS mean_quality
+         |  FROM q GROUP BY 1
+         |), lg AS (
+         |  SELECT source, lang, count(*) AS ln FROM documents GROUP BY 1, 2
+         |), top AS (
+         |  SELECT source, lang AS top_lang, ln,
+         |    row_number() OVER (PARTITION BY source ORDER BY ln DESC, lang) AS rk
+         |  FROM lg
+         |)
+         |SELECT a.source, a.n_docs, a.total_chars, s.n_scored,
+         |  s.mean_tokens, s.mean_quality, t2.top_lang,
+         |  ROUND(t2.ln * 1.0 / a.n_docs, 6) AS top_lang_share
+         |FROM alld a JOIN sc s ON a.source = s.source
+         |JOIN top t2 ON t2.source = a.source AND t2.rk = 1
+         |ORDER BY a.source""".stripMargin,
 
     "quota_gate" ->
       """SELECT doc_id, domain, slot FROM (
