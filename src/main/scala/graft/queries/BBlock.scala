@@ -703,6 +703,38 @@ object BBlock {
         .orderBy(col("purchase_id"))
     }),
 
+    "q_events_anomaly" -> ((s, dir) => {
+      // per-(topic, day) volume anomaly vs the trailing week — the
+      // consumption-rate monitoring the reference exposes as counters
+      // (prometheus.rs) turned into a query: z = (n − mean7) / std7
+      // over the 7 preceding days. Determinism: counts are integers,
+      // mean/var come from integer sums (sum, sum of squares) divided
+      // once in double; std>0 guard avoids 0/0. Windows PARTITIONED
+      // by topic (parallel); one shuffle to daily counts, then a
+      // days-sized window — at 100 TB the daily rollup is the only
+      // corpus-sized pass.
+      val daily = eventsUs(s, dir)
+        .groupBy(col("event_type").as("topic"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("topic")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      daily
+        .withColumn("w_n", count(col("n")).over(w))
+        .withColumn("w_sum", sum(col("n")).over(w))
+        .withColumn("w_sum2", sum(col("n") * col("n")).over(w))
+        .filter(col("w_n") === 7)
+        .withColumn("mean7", col("w_sum").cast("double") / 7)
+        .withColumn("var7",
+          (col("w_sum2").cast("double") - col("w_sum").cast("double")
+            * col("w_sum") / 7) / 7)
+        .withColumn("z", when(col("var7") > 0,
+          round((col("n") - col("mean7")) / sqrt(col("var7")), 6)))
+        .select(col("topic"), col("day"), col("n"),
+          round(col("mean7"), 6).as("mean7"), col("z"))
+        .orderBy(col("topic"), col("day"))
+    }),
+
     "q_time_window" -> ((s, dir) => {
       // THE canonical 100 TB event query: aggregate over a time window.
       // Rides the pushdown-friendly eventsUs shape, so the ts range
@@ -1531,6 +1563,29 @@ object BBlock {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         |) x ON TRUE
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type AS topic, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), win AS (
+        |  SELECT topic, day, n,
+        |    count(n) OVER w AS w_n,
+        |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sum2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY topic ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT topic, day, n,
+        |  ROUND(w_sum / 7.0, 6) AS mean7,
+        |  CASE WHEN (w_sum2 - w_sum * 1.0 * w_sum / 7) / 7 > 0
+        |    THEN ROUND((n - w_sum / 7.0)
+        |      / sqrt((w_sum2 - w_sum * 1.0 * w_sum / 7) / 7), 6)
+        |  END AS z
+        |FROM win WHERE w_n = 7
+        |ORDER BY topic, day""".stripMargin,
 
     "q_time_window" ->
       """SELECT event_type,
