@@ -148,6 +148,36 @@ class StreamingSyncSpec extends SparkSpec {
       .value("""graft_es_retry_total{sink="test2"}""") == 1)
   }
 
+  test("sync runs unchanged through a swapped source connector (jsonlines)") {
+    // the A33 seam claim, proven with the NON-default connector: the
+    // same StreamingSync.start, fed by the jsonlines MessageConnector
+    // (topic = directory name), lands the same admitted set as the
+    // batch pipeline over the same messages
+    import graft.sources.Connectors
+    val tmp = Files.createTempDirectory("graft-conn-sync").toString
+    val payloads = (0 until 60).map(i => s"""{"k": $i}""")
+    Seq("web", "errs").foreach { topic =>
+      val dir = new java.io.File(s"$tmp/topics/$topic")
+      dir.mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/topics/$topic/part-0.jsonl"),
+        payloads.mkString("\n").getBytes)
+    }
+    val q = StreamingSync.start(spark, cfg, s"$tmp/topics/*/*.jsonl",
+      s"$tmp/sink", s"$tmp/metrics", availableNow = true,
+      source = Connectors.JsonLinesMessages)
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$tmp/sink")
+    val batch = SyncPipeline(cfg)(
+      Connectors.JsonLinesMessages.read(spark, s"$tmp/topics/*/*.jsonl"))
+    assert(streamed.count() > 0 && streamed.count() == batch.count())
+    assert(streamed.select("msg_id", "index", "app").orderBy("msg_id")
+      .collect().toSeq ==
+      batch.select("msg_id", "index", "app").orderBy("msg_id")
+        .collect().toSeq)
+  }
+
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"
