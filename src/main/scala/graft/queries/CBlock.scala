@@ -317,6 +317,29 @@ object CBlock {
         .orderBy(col("vec_id"))
     }),
 
+    "sim_probe_sweep" -> ((s, dir) => {
+      // the ANN operating curve (the C112 threshold-sweep idea applied
+      // to IVF): recall@5 vs brute for nprobe ∈ {1,2,4} over the 20
+      // probe vectors — the policy audit that picks nprobe before a
+      // deployment. Each sweep point reuses the SAME ivfTopK plan;
+      // recall is a ratio of integer counts (deterministic).
+      val emb = Tables.embeddings(s, dir)
+      val probe = col("vec_id") < 20
+      val brute = graft.operators.Similarity.cosineTopK(emb, probe, 5)
+        .select(col("probe_id"), col("cand_id"))
+      Seq(1, 2, 4).map(np =>
+          graft.operators.Similarity.ivfTopK(emb, probe, k = 5, nprobe = np)
+            .withColumn("nprobe", lit(np)))
+        .reduce(_.unionAll(_))
+        .join(brute, Seq("probe_id", "cand_id"))
+        .groupBy(col("nprobe"))
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("recall", round(col("n_hits").cast("double") / 100, 6))
+        .select(col("nprobe").cast("long").as("nprobe"), col("n_hits"),
+          col("recall"))
+        .orderBy(col("nprobe"))
+    }),
+
     "sim_ivf_refined" -> ((s, dir) => {
       // one decimal-exact Lloyd step: refined centroid coordinates +
       // member counts (the k-means training iteration as a plan)
@@ -2015,6 +2038,67 @@ object CBlock {
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
         |ORDER BY vec_id""".stripMargin,
+
+    "sim_probe_sweep" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |), assign AS (
+        |  SELECT vec_id, cent_id FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), prnk AS (
+        |  SELECT vec_id AS probe_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS crk
+        |  FROM d WHERE vec_id < 20
+        |), np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |pc AS (
+        |  SELECT np.nprobe, p.probe_id, p.cent_id FROM prnk p, np
+        |  WHERE p.crk <= np.nprobe
+        |), cand AS (
+        |  SELECT pc.nprobe, pc.probe_id, a.vec_id AS cand_id
+        |  FROM pc JOIN assign a ON a.cent_id = pc.cent_id
+        |  WHERE a.vec_id <> pc.probe_id
+        |), sc AS (
+        |  SELECT cd.nprobe, cd.probe_id, cd.cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM cand cd
+        |  JOIN embeddings p ON p.vec_id = cd.probe_id
+        |  JOIN embeddings c ON c.vec_id = cd.cand_id
+        |), ivf AS (
+        |  SELECT nprobe, probe_id, cand_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY nprobe, probe_id
+        |    ORDER BY cos DESC, cand_id) <= 5
+        |), bcos AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |  WHERE p.vec_id < 20
+        |), brute AS (
+        |  SELECT probe_id, cand_id FROM bcos
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id) <= 5
+        |)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe, count(*) AS n_hits,
+        |  ROUND(count(*) / 100.0, 6) AS recall
+        |FROM ivf JOIN brute USING (probe_id, cand_id)
+        |GROUP BY 1 ORDER BY nprobe""".stripMargin,
 
     "sim_ivf_refined" ->
       """WITH cents AS (
