@@ -596,6 +596,22 @@ object CBlock {
         .orderBy(col("event_type"))
     }),
 
+    "sketch_hll_daily" -> ((s, dir) => {
+      // time-bucketed HLL: distinct users per (event_type, day) — the
+      // rollup dimension where MERGEABLE registers earn their keep (day
+      // registers max-merge into week/month without a rescan; the
+      // merge ≡ direct proof is sketch_hll_merge). Same estimator,
+      // extra group key.
+      val ev = Tables.eventsTime(s, dir).withColumn("day", to_date(col("ts")))
+      graft.operators.Sketches.hllDistinct(ev, Seq("event_type", "day"), col("user_id"))
+        .join(ev.groupBy(col("event_type"), col("day"))
+          .agg(countDistinct(col("user_id")).as("exact")),
+          Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("exact"),
+          col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "sketch_kmv_overlap" -> ((s, dir) => {
       // KMV set operations per event-type pair: union estimate by
       // re-min of the two k-min sets, intersection by inclusion-
@@ -2605,6 +2621,48 @@ object CBlock {
          |       ELSE ROUND(e_raw, 4) END AS hll_est
          |FROM est JOIN ex ON est.event_type = ex.event_type
          |ORDER BY est.event_type""".stripMargin
+    },
+
+    "sketch_hll_daily" -> {
+      val rhoCase = (0 until 25)
+        .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+        .mkString(" ")
+      val termCase = (1 to 26)
+        .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+        .mkString(" ")
+      s"""WITH h AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), b AS (
+         |  SELECT event_type, day, h % 64 AS bucket, h // 64 AS w FROM h
+         |), r AS (
+         |  SELECT event_type, day, bucket,
+         |    max(CASE $rhoCase ELSE 26 END) AS m_j
+         |  FROM b GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT event_type, day, count(*) AS occupied,
+         |    SUM(CASE m_j $termCase END) AS s_present
+         |  FROM r GROUP BY 1, 2
+         |), est AS (
+         |  SELECT event_type, day, occupied,
+         |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+         |      / (s_present + (64 - occupied) * 67108864) AS e_raw
+         |  FROM agg
+         |), ex AS (
+         |  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    count(DISTINCT user_id) AS exact
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT est.event_type, est.day, ex.exact,
+         |  CAST(occupied AS BIGINT) AS occupied,
+         |  CASE WHEN e_raw <= 160 AND occupied < 64
+         |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
+         |       ELSE ROUND(e_raw, 4) END AS hll_est
+         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.day = ex.day
+         |ORDER BY est.event_type, est.day""".stripMargin
     },
 
     "sketch_hll_merge" -> {
