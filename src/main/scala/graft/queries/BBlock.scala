@@ -703,6 +703,26 @@ object BBlock {
         .orderBy(col("purchase_id"))
     }),
 
+    "q_topic_drift" -> ((s, dir) => {
+      // week-over-week topic COMPOSITION drift (the mixture monitor
+      // pairing q_events_anomaly's volume view): per (topic, week),
+      // share of all events and its delta vs the prior week. Shares
+      // are integer-count ratios divided once in double; drift
+      // subtracts the raw ratios and rounds once (cross-engine exact).
+      val wk = eventsUs(s, dir)
+        .groupBy(col("event_type").as("topic"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val tot = wk.groupBy(col("week")).agg(sum(col("n")).as("wn"))
+      val w = Window.partitionBy(col("topic")).orderBy(col("week"))
+      wk.join(broadcast(tot), "week")
+        .withColumn("sr", col("n").cast("double") / col("wn"))
+        .select(col("topic"), col("week"), col("n"),
+          round(col("sr"), 6).as("share"),
+          round(col("sr") - lag(col("sr"), 1).over(w), 6).as("drift"))
+        .orderBy(col("topic"), col("week"))
+    }),
+
     "q_events_anomaly" -> ((s, dir) => {
       // per-(topic, day) volume anomaly vs the trailing week — the
       // consumption-rate monitoring the reference exposes as counters
@@ -1563,6 +1583,22 @@ object BBlock {
         |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
         |) x ON TRUE
         |ORDER BY purchase_id""".stripMargin,
+
+    "q_topic_drift" ->
+      """WITH wk AS (
+        |  SELECT event_type AS topic,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT week, CAST(sum(n) AS BIGINT) AS wn FROM wk GROUP BY 1
+        |), j AS (
+        |  SELECT topic, wk.week, n, n * 1.0 / wn AS sr
+        |  FROM wk JOIN tot ON wk.week = tot.week
+        |)
+        |SELECT topic, week, n, ROUND(sr, 6) AS share,
+        |  ROUND(sr - lag(sr) OVER (PARTITION BY topic ORDER BY week), 6) AS drift
+        |FROM j ORDER BY topic, week""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH daily AS (
