@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.Portable
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -40,11 +41,11 @@ object Tokenizer {
 
   val Sep = ""
 
-  /** Train `rounds` merges; returns (merge table rows, final encoded
-    * corpus with doc_id and the round-0 symbol count per occurrence).
-    * Rounds stop early if no adjacent pair remains. */
-  def bpeTrain(docs: DataFrame, rounds: Int, textCol: String = "text",
-      idCol: String = "doc_id"): (Seq[(Int, String, String, Long)], DataFrame) = {
+  /** The training loop over the per-occurrence word stream: returns
+    * (merge rows, final encoded distinct-word vocab `(w, wt, enc, n0)`,
+    * the occurrence stream). Rounds stop early if no pair remains. */
+  private def trainState(docs: DataFrame, rounds: Int, textCol: String,
+      idCol: String): (Seq[(Int, String, String, Long)], DataFrame, DataFrame) = {
     val occurrences = docs
       .select(col(idCol), explode(Portable.tokens(col(textCol))).as("w"))
     var vocab = Materialize(occurrences
@@ -67,10 +68,19 @@ object Tokenizer {
         r += 1
       }
     }
+    (merges.result(), vocab, occurrences)
+  }
+
+  /** Train `rounds` merges; returns (merge table rows, final encoded
+    * corpus with doc_id and the round-0 symbol count per occurrence).
+    * Rounds stop early if no adjacent pair remains. */
+  def bpeTrain(docs: DataFrame, rounds: Int, textCol: String = "text",
+      idCol: String = "doc_id"): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, vocab, occurrences) = trainState(docs, rounds, textCol, idCol)
     // lazy per-occurrence view: occurrences ⋈ final vocab (the vocab is
     // model-state sized, so AQE broadcasts it); merge-only callers never
     // trigger this join
-    (merges.result(),
+    (merges,
       occurrences.join(vocab.drop("wt"), "w")
         .select(col(idCol), col("enc"), col("n0")))
   }
@@ -95,6 +105,84 @@ object Tokenizer {
     corpus.groupBy(col(idCol))
       .agg(sum(col("n0")).as("n_chars"),
         sum(size(split(col("enc"), Sep)).cast("long")).as("n_symbols"))
+  }
+
+  /** The id-level export a training pipeline actually consumes: apply the
+    * trained merge table to every word occurrence and emit the per-doc
+    * TOKEN-ID sequence — one row per (doc, position) with the dense
+    * vocab id and the surface symbol. Ids are 0-based in symbol sort
+    * order (the shipped vocab file's layout); `pos` is the token's
+    * 0-based position within its document (word order, then symbol order
+    * within the word — both deterministic).
+    *
+    * Scale: the encode itself is the occurrence stream joined to the
+    * final distinct-word vocab (model-state sized → AQE broadcast) plus
+    * ONE doc-partitioned window for positions; the id table is built
+    * from the VOCAB's symbols (bounded by chars + merge rounds), so its
+    * global row_number window is model-state, exactly like the IVF
+    * centroid collects — never corpus-sized. */
+  def bpeEncode(docs: DataFrame, rounds: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val (_, vocab, _) = trainState(docs, rounds, textCol, idCol)
+    val occ = docs
+      .select(col(idCol), posexplode(Portable.tokens(col(textCol))))
+      .toDF(idCol, "wpos", "w")
+    val symed = occ.join(vocab.select(col("w"), col("enc")), "w")
+      .select(col(idCol), col("wpos"), posexplode(split(col("enc"), Sep)))
+      .toDF(idCol, "wpos", "spos", "sym")
+    symed.join(broadcast(vocabIds(vocab)), "sym")
+      .withColumn("pos", (row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("wpos"), col("spos")))
+        - 1).cast("long"))
+      .select(col(idCol), col("pos"), col("tok_id"), col("sym"))
+  }
+
+  /** Dense 0-based id per distinct final symbol of a trained vocab, in
+    * symbol sort order — the id↔symbol mapping a tokenizer ships. The
+    * single-partition ordering window is over the model-state-sized
+    * symbol set (≤ initial chars + merge rounds), not the corpus. */
+  def vocabIds(vocab: DataFrame): DataFrame =
+    vocab.select(explode(split(col("enc"), Sep)).as("sym")).distinct()
+      .withColumn("tok_id",
+        (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
+
+  /** Packs [[bpeEncode]]'s id sequences into fixed `seqLen`-id training
+    * sequences with DOCUMENT-BOUNDARY offsets — the attention-mask seam
+    * [[Curation.packEfficiency]] audits, now at id granularity: one row
+    * per (stream, sequence, contributing doc) holding where the doc's
+    * slice starts inside the sequence (`off_start`), how many of its ids
+    * land there (`n_ids`), and the ids themselves in order
+    * (comma-joined). Concatenating a sequence's slices in `off_start`
+    * order reconstructs the training row exactly.
+    *
+    * Scale: the layout is the SAME single stream-partitioned running-sum
+    * window as [[Curation.packSequences]] (over per-doc id counts — doc
+    * rows, not tokens), then one token-granular group-by on
+    * (stream, seq, doc) — O(total ids) rows through one shuffle, the
+    * floor a physical id-level export cannot beat. Docs with zero
+    * tokens drop out (same admission as the packer). */
+  def packIds(docs: DataFrame, rounds: Int, seqLen: Int,
+      streamCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val enc = bpeEncode(docs, rounds, textCol, idCol)
+    val perDoc = enc.groupBy(col(idCol)).agg(count(lit(1)).as("n_ids"))
+    val w = Window.partitionBy(col(streamCol)).orderBy(col(idCol))
+    val laid = docs.select(col(idCol), col(streamCol)).join(perDoc, idCol)
+      .withColumn("tok_end", sum(col("n_ids")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_ids"))
+      .select(col(idCol), col(streamCol), col("tok_start"))
+    enc.join(laid, idCol)
+      .withColumn("gpos", col("tok_start") + col("pos"))
+      .withColumn("seq_id", floor(col("gpos") / seqLen))
+      .groupBy(col(streamCol), col("seq_id"), col(idCol))
+      .agg(min(col("gpos")).as("mn"),
+        count(lit(1)).as("n_ids"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("gpos"), col("tok_id")))),
+          x => x.getField("tok_id").cast("string")), ",").as("ids"))
+      .withColumn("off_start", col("mn") - col("seq_id") * seqLen)
+      .select(col(streamCol), col("seq_id"), col(idCol), col("off_start"),
+        col("n_ids"), col("ids"))
   }
 
   /** Adjacent symbol-pair counts over an encoded per-occurrence corpus

@@ -1053,6 +1053,23 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "tokenizer_encode" -> ((s, dir) => {
+      // the id-level export: trained merges + dense vocab ids applied to
+      // every doc → per-(doc, position) token id (trimmed to a
+      // deterministic doc subset to keep the oracle row count sane)
+      graft.operators.Tokenizer.bpeEncode(Tables.documents(s, dir), rounds = 5)
+        .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    "pack_ids" -> ((s, dir) => {
+      // id-granular sequence packing: 64-id training rows with
+      // document-boundary offsets + the comma-joined ids per doc slice
+      graft.operators.Tokenizer.packIds(Tables.documents(s, dir),
+          rounds = 5, seqLen = 64)
+        .orderBy(col("source"), col("seq_id"), col("off_start"))
+    }),
+
     "emb_quantize_sq" -> ((s, dir) => {
       // int8 scalar-quantization distortion audit: per-dim [min,max]
       // ranges inlined as literals → pure narrow quantize/reconstruct
@@ -1444,12 +1461,24 @@ object CBlock {
     * with a U+001F separator; each round k has pair counts `p_k`, the
     * (cnt desc, l, r) argmax `b_k`, and the greedily rewritten corpus
     * `c_k` via the SAME scalar-string fold as the Spark side. */
-  private def bpeCtes(rounds: Int): String = {
-    val sb = new StringBuilder(
-      s"""c0 AS (
-         |  SELECT doc_id, array_to_string(string_split(w, ''), chr(31)) AS enc
-         |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
-         |)""".stripMargin)
+  private def bpeCtes(rounds: Int, withPos: Boolean = false): String = {
+    val carry = if (withPos) ", wpos" else ""
+    val c0 =
+      if (withPos)
+        s"""c0 AS (
+           |  SELECT doc_id, p.pos AS wpos,
+           |    array_to_string(string_split(p.w, ''), chr(31)) AS enc
+           |  FROM (SELECT doc_id,
+           |        unnest(list_transform(range(1, len(t) + 1),
+           |          i -> struct_pack(pos := i, w := t[i]))) AS p
+           |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+           |)""".stripMargin
+      else
+        s"""c0 AS (
+           |  SELECT doc_id, array_to_string(string_split(w, ''), chr(31)) AS enc
+           |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+           |)""".stripMargin
+    val sb = new StringBuilder(c0)
     for (k <- 1 to rounds) {
       sb ++= s""",
          |p$k AS (
@@ -1462,7 +1491,7 @@ object CBlock {
          |),
          |b$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
          |c$k AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id$carry,
          |    list_reduce(list_prepend(CAST('' AS VARCHAR),
          |      string_split(enc, chr(31))), (acc, s) ->
          |      CASE WHEN acc = '' THEN s
@@ -1474,6 +1503,33 @@ object CBlock {
     }
     sb.result()
   }
+
+  /** CTEs `syms(doc_id, wpos, spos, sym)` + `vocab(sym, tok_id)` +
+    * `enc(doc_id, pos, tok_id, sym)` over the positioned BPE chain's
+    * final corpus `c$rounds` — the SQL twin of Tokenizer.bpeEncode
+    * (shared by tokenizer_encode and pack_ids). */
+  private def bpeEncodeCtes(rounds: Int): String =
+    s"""${bpeCtes(rounds, withPos = true)},
+       |syms AS (
+       |  SELECT doc_id, wpos, u.spos AS spos, u.s AS sym
+       |  FROM (SELECT doc_id, wpos,
+       |        unnest(list_transform(range(1, len(ss) + 1),
+       |          i -> struct_pack(spos := i, s := ss[i]))) AS u
+       |        FROM (SELECT doc_id, wpos,
+       |              string_split(enc, chr(31)) AS ss FROM c$rounds))
+       |),
+       |vocab AS (
+       |  SELECT sym,
+       |    CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tok_id
+       |  FROM (SELECT DISTINCT sym FROM syms)
+       |),
+       |enc AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY wpos, spos)
+       |      - 1 AS BIGINT) AS pos,
+       |    tok_id, sym
+       |  FROM syms JOIN vocab USING (sym)
+       |)""".stripMargin
 
   /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
@@ -3579,6 +3635,35 @@ object CBlock {
               s"SELECT $k AS round, l AS left_sym, r AS right_sym, cnt FROM b$k")
               .mkString("", "\nUNION ALL ", "")}
          |ORDER BY round""".stripMargin,
+
+    "tokenizer_encode" ->
+      s"""WITH ${bpeEncodeCtes(5)}
+         |SELECT doc_id, pos, tok_id, sym FROM enc
+         |WHERE doc_id % 7 = 0
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    "pack_ids" ->
+      s"""WITH ${bpeEncodeCtes(5)},
+         |pd AS (SELECT doc_id, count(*) AS n_ids FROM enc GROUP BY 1),
+         |laid AS (
+         |  SELECT d.doc_id, d.source,
+         |    SUM(pd.n_ids) OVER (PARTITION BY d.source ORDER BY d.doc_id)
+         |      - pd.n_ids AS tok_start
+         |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+         |),
+         |placed AS (
+         |  SELECT l.source, e.doc_id, e.tok_id,
+         |    l.tok_start + e.pos AS gpos,
+         |    CAST(floor((l.tok_start + e.pos) / 64.0) AS BIGINT) AS seq_id
+         |  FROM enc e JOIN laid l ON e.doc_id = l.doc_id
+         |)
+         |SELECT source, seq_id, doc_id,
+         |  CAST(min(gpos) - seq_id * 64 AS BIGINT) AS off_start,
+         |  CAST(count(*) AS BIGINT) AS n_ids,
+         |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY gpos) AS ids
+         |FROM placed
+         |GROUP BY 1, 2, 3
+         |ORDER BY source, seq_id, off_start""".stripMargin,
 
     "tokenizer_apply" ->
       s"""WITH ${bpeCtes(5)},

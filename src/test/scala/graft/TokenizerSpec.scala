@@ -66,6 +66,54 @@ class TokenizerSpec extends SparkSpec {
       "each merge removes exactly cnt symbols")
   }
 
+  test("bpeEncode: id sequences decode back to the tokenized text") {
+    val docs = sourcesDocs
+    val enc = Tokenizer.bpeEncode(docs, rounds = 3).cache()
+    // concatenating syms in pos order must reproduce the doc's
+    // whitespace-stripped text — the lossless-round-trip property an
+    // id-level export needs
+    val rebuilt = enc.groupBy("doc_id")
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym"))).as("joined"))
+    val want = docs.select(col("doc_id"),
+      array_join(graft.functions.Portable.tokens(col("text")), "").as("want"))
+      .filter(col("want") =!= "")
+    val joined = rebuilt.join(want, "doc_id").cache()
+    assert(joined.count() === want.count())
+    assert(joined.filter(col("joined") =!= col("want")).count() === 0)
+    // tok_id ↔ sym is a bijection
+    val pairs = enc.select("sym", "tok_id").distinct().count()
+    assert(pairs === enc.select("sym").distinct().count())
+    assert(pairs === enc.select("tok_id").distinct().count())
+    // id count per doc ≡ the compression audit's n_symbols
+    val audit = Tokenizer.bpeCompressionAudit(docs, rounds = 3)
+    val cnts = enc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(audit.join(cnts, "doc_id")
+      .filter(col("n") =!= col("n_symbols")).count() === 0)
+  }
+
+  test("packIds: slices tile sequences contiguously, full except stream-last") {
+    val docs = sourcesDocs
+    val packed = Tokenizer.packIds(docs, rounds = 3, seqLen = 32).cache()
+    // slices within a (stream, sequence) tile [0, fill) with no gap
+    val seqs = packed.groupBy("source", "seq_id")
+      .agg(min("off_start").as("mn"), sum("n_ids").as("fill"),
+        max(col("off_start") + col("n_ids")).as("end")).cache()
+    assert(seqs.filter(col("mn") =!= 0 || col("end") =!= col("fill"))
+      .count() === 0)
+    // every sequence except each stream's last is exactly seqLen full
+    val last = seqs.groupBy("source").agg(max("seq_id").as("last"))
+    assert(seqs.join(last, "source")
+      .filter(col("seq_id") < col("last") && col("fill") =!= 32)
+      .count() === 0)
+    // id conservation vs the encode, and the ids string length matches
+    assert(packed.agg(sum("n_ids")).head.getLong(0) ===
+      Tokenizer.bpeEncode(docs, rounds = 3).count())
+    assert(packed.filter(size(split(col("ids"), ",")) =!= col("n_ids"))
+      .count() === 0)
+  }
+
   private def sourcesDocs =
     graft.sources.Tables.documents(spark, sf()).limit(100)
 }
