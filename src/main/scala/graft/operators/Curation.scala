@@ -96,8 +96,12 @@ object Curation {
     * seqLen); contiguous-concat packing wastes only the final partial
     * sequence, so this is ≈1 − waste), and how many docs are SPLIT
     * across a sequence boundary (attention-masking / document-bleed
-    * exposure). Same single stream-partitioned window as the packer —
-    * one shuffle, then a per-stream agg. */
+    * exposure). NOTE `n_docs` counts PACKED docs only — zero-token docs
+    * fail the packer's admission (`n_tok > 0`, same as
+    * [[packSequences]]) and are excluded here too; corpus-level doc
+    * counts come from curate_dq_report, not this audit. Same single
+    * stream-partitioned window as the packer — one shuffle, then a
+    * per-stream agg. */
   def packEfficiency(docs: DataFrame, seqLen: Int,
       streamCol: String = "source", idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -536,9 +540,13 @@ object Curation {
         col("n_grams").as("__nb"))), "source_b")
       .withColumn("jaccard", round(col("n_shared") /
         (col("__na") + col("__nb") - col("n_shared")), 6))
+      // `domain_mod` marks the row shape: 1 = exact counts, >1 = the
+      // rescaled-n_shared estimator (where n_shared/(|A|+|B|−n_shared)
+      // ≠ jaccard, because jaccard is the SAMPLED ratio) — consumers
+      // must not recompute jaccard from the rescaled count
       .select(col("source_a"), col("source_b"),
         (col("n_shared") * domainMod).as("n_shared"),
-        col("jaccard"))
+        col("jaccard"), lit(domainMod).as("domain_mod"))
   }
 
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes

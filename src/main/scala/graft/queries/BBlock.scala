@@ -724,10 +724,14 @@ object BBlock {
     }),
 
     "q_events_anomaly" -> ((s, dir) => {
-      // per-(topic, day) volume anomaly vs the trailing week — the
-      // consumption-rate monitoring the reference exposes as counters
-      // (prometheus.rs) turned into a query: z = (n − mean7) / std7
-      // over the 7 preceding days. Determinism: counts are integers,
+      // per-(topic, day) volume anomaly vs a trailing-week baseline —
+      // the consumption-rate monitoring the reference exposes as
+      // counters (prometheus.rs) turned into a query: z = (n − mean7)
+      // / std7 over the 7 preceding OBSERVED days (a ROWS frame — a
+      // topic with a zero-event calendar day contributes no row, so
+      // the baseline is the last 7 days WITH traffic, not the last 7
+      // calendar days; densify days per topic before the window if
+      // calendar-week behavior is wanted). Determinism: counts are integers,
       // mean/var come from integer sums (sum, sum of squares) divided
       // once in double; std>0 guard avoids 0/0. Windows PARTITIONED
       // by topic (parallel); one shuffle to daily counts, then a

@@ -3474,7 +3474,8 @@ object CBlock {
          |  GROUP BY 1, 2
          |)
          |SELECT source_a, source_b, n_shared,
-         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard,
+         |  CAST(1 AS BIGINT) AS domain_mod
          |FROM p
          |JOIN sizes sa ON sa.src = source_a
          |JOIN sizes sb ON sb.src = source_b
@@ -3496,7 +3497,8 @@ object CBlock {
          |  GROUP BY 1, 2
          |)
          |SELECT source_a, source_b, CAST(n_shared * 16 AS BIGINT) AS n_shared,
-         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard
+         |  ROUND(n_shared / (sa.n_grams + sb.n_grams - n_shared), 6) AS jaccard,
+         |  CAST(16 AS BIGINT) AS domain_mod
          |FROM p
          |JOIN sizes sa ON sa.src = source_a
          |JOIN sizes sb ON sb.src = source_b

@@ -78,11 +78,17 @@ object Retention {
       spark.sparkContext.hadoopConfiguration)
     val names = indexDirs(fs, new Path(path), partitionCol)
       .map(_.getName.stripPrefix(s"$partitionCol="))
-    // floor = (max gen + 1) - keepLast per topic, from the listing alone
+    // floor = the keepLast-th LARGEST existing generation per topic (not
+    // max+1-keepLast): generation numbers can be non-contiguous after an
+    // external delete (e.g. web-g0, web-g7), and an arithmetic floor
+    // would then keep fewer than keepLast SURVIVING indices
     val floor: Map[String, Long] = names
       .collect { case GenIndex(topic, g) => (topic, g.toLong) }
       .groupBy(_._1)
-      .map { case (t, gs) => (t, gs.map(_._2).max + 1 - keepLast) }
+      .map { case (t, gs) =>
+        val sorted = gs.map(_._2).distinct.sorted(Ordering[Long].reverse)
+        (t, sorted(math.min(keepLast, sorted.size) - 1))
+      }
     run(spark, path, partitionCol) {
       case GenIndex(topic, g) => g.toLong < floor.getOrElse(topic, Long.MinValue)
       case _ => false

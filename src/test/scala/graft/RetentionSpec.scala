@@ -61,6 +61,19 @@ class RetentionSpec extends SparkSpec {
     r.kept.foreach { idx => assert(after(idx) === before(idx), idx) }
   }
 
+  test("expireGenerations keeps k SURVIVING generations when numbers are non-contiguous") {
+    // after an external delete the generation numbers can have holes
+    // (web-g0, web-g7): the floor must be the keepLast-th largest
+    // EXISTING generation, not max+1-keepLast — the arithmetic floor
+    // would keep only g7 here
+    val (store, _) = mkStore(5, Seq("web-g0", "web-g7", "web-g9"))
+
+    val r = Retention.expireGenerations(spark, store, keepLast = 2)
+
+    assert(r.deleted === Seq("web-g0"))
+    assert(r.kept.toSet === Set("web-g7", "web-g9"))
+  }
+
   test("full ILM loop: streaming sync writes dated indices, retention expires by horizon") {
     // sync → store → expire, through the real seams: StreamingSync
     // routes messages into {topic}-{yyyy.MM.dd} index partitions
