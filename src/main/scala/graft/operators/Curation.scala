@@ -549,6 +549,62 @@ object Curation {
         col("jaccard"), lit(domainMod).as("domain_mod"))
   }
 
+  /** Screen → exact composition over the source-overlap ladder (the
+    * production 100 TB path run end-to-end instead of as two separate
+    * operators): [[Dedup.sourceMinhashOverlap]]'s O(sources·k) sketch
+    * screens every pair, and the exact gram recount runs ONLY for pairs
+    * the sketch flags with ≥ `minMatch` matching minhash slots (an
+    * integer threshold — never a float compare at the boundary).
+    *
+    * Scale shape: the flagged-pair set is #sources²-bounded model state,
+    * BROADCAST three ways — each side of the gram self-join keeps only
+    * sources that appear in a flagged pair (the gram explode/distinct
+    * shuffle shrinks to flagged sources before the join), and the joined
+    * pairs are pair-filtered before the count agg. The corpus-chars
+    * shuffle that makes exact overlap quadratic-ish at 100 TB is paid
+    * only for the (typically tiny) flagged subset; everything else stops
+    * at the sketch. Output carries both the screen's estimate and the
+    * exact recount, so the row is its own screen-quality audit. */
+  def sourceOverlapFlagged(docs: DataFrame, n: Int = 8, k: Int = 16,
+      minMatch: Int = 2, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(minMatch >= 1 && minMatch <= k, "minMatch must be in [1, k]")
+    val flagged = Dedup.sourceMinhashOverlap(docs, k,
+        srcCol = srcCol, textCol = textCol)
+      .filter(col("n_match") >= minMatch)
+      .select(col("source_a"), col("source_b"), col("est_jaccard"))
+    val exploded = docs.select(col(srcCol).as("src"),
+      explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+    val grams = Materialize(exploded.distinct())
+    val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
+    val aSrc = flagged.select(col("source_a").as("src")).distinct()
+    val bSrc = flagged.select(col("source_b").as("src")).distinct()
+    val a = grams.join(broadcast(aSrc), "src")
+      .select(col("gram"), col("src").as("source_a"))
+    val b = grams.join(broadcast(bSrc), "src")
+      .select(col("gram"), col("src").as("source_b"))
+    val recount = a.join(b, "gram").filter(col("source_a") < col("source_b"))
+      .join(broadcast(flagged.select(col("source_a"), col("source_b"))),
+        Seq("source_a", "source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("__n"))
+    // LEFT from the flagged set: a sketch-flagged pair sharing ZERO
+    // exact grams (the screen's false positive — possible because the
+    // sketch shingles words while the recount uses char n-grams) must
+    // surface as an n_shared=0 row, not vanish — that row IS the
+    // screen-quality finding
+    flagged.join(recount, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("n_grams").as("__na"))), "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("n_grams").as("__nb"))), "source_b")
+      .withColumn("n_shared", coalesce(col("__n"), lit(0L)))
+      .withColumn("jaccard", round(col("n_shared") /
+        (col("__na") + col("__nb") - col("n_shared")), 6))
+      .select(col("source_a"), col("source_b"), col("est_jaccard"),
+        col("n_shared"), col("jaccard"))
+  }
+
   /** Feature-hashed linear classifier (fasttext-shaped): each token hashes
     * to a weight, the doc score is the weight sum, predict = score > 0.
     * Weights are deterministic functions of the token hash (stand-in for a

@@ -977,6 +977,17 @@ object CBlock {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "source_overlap_flagged" -> ((s, dir) => {
+      // screen → exact composition (the production sequence run as ONE
+      // operator): the O(sources·k) minhash sketch flags pairs with ≥2
+      // matching slots, then the exact 8-gram recount runs ONLY for
+      // those — gram-join sides pre-filtered by the broadcast
+      // flagged-source set, zero-gram flagged pairs kept as audit rows
+      Curation.sourceOverlapFlagged(Tables.documents(s, dir), n = 8,
+          k = 16, minMatch = 2)
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "text_redact" -> ((s, dir) => {
       // same deterministic PII planting as text_pii, then the redaction
       // TRANSFORM; byte-exact redacted text proven via portable hash
@@ -3502,6 +3513,46 @@ object CBlock {
          |FROM p
          |JOIN sizes sa ON sa.src = source_a
          |JOIN sizes sb ON sb.src = source_b
+         |ORDER BY source_a, source_b""".stripMargin,
+
+    "source_overlap_flagged" ->
+      s"""WITH ${minhashPairsCte()},
+         |ssig AS (
+         |  SELECT d.source, s.sig FROM sig s JOIN documents d USING (doc_id)
+         |), slots AS (
+         |  SELECT source, i.i AS slot, min(sig[i.i + 1]) AS mh
+         |  FROM ssig, (SELECT unnest(range(0, 16)) AS i) i
+         |  GROUP BY 1, 2
+         |), flag AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE) / 16
+         |      AS est_jaccard
+         |  FROM slots a JOIN slots b ON a.slot = b.slot AND a.source < b.source
+         |  GROUP BY 1, 2
+         |  HAVING SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) >= 2
+         |), g0 AS (
+         |  SELECT source AS src,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), g AS (SELECT DISTINCT src, gram FROM g0),
+         |sizes AS (SELECT src, count(*) AS n_grams FROM g GROUP BY 1),
+         |p AS (
+         |  SELECT f.source_a, f.source_b, count(*) AS n
+         |  FROM flag f
+         |  JOIN g a ON a.src = f.source_a
+         |  JOIN g b ON b.src = f.source_b AND a.gram = b.gram
+         |  GROUP BY 1, 2
+         |)
+         |SELECT f.source_a, f.source_b, f.est_jaccard,
+         |  CAST(COALESCE(p.n, 0) AS BIGINT) AS n_shared,
+         |  ROUND(COALESCE(p.n, 0)
+         |    / (sa.n_grams + sb.n_grams - COALESCE(p.n, 0)), 6) AS jaccard
+         |FROM flag f
+         |LEFT JOIN p USING (source_a, source_b)
+         |JOIN sizes sa ON sa.src = f.source_a
+         |JOIN sizes sb ON sb.src = f.source_b
          |ORDER BY source_a, source_b""".stripMargin,
 
     "text_redact" ->
