@@ -247,6 +247,20 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_rate_limit_stream" -> ((s, dir) => {
+      // A29's stateful cross-batch limiter promoted to an oracle row:
+      // the REAL streaming operator (file source → state → memory sink)
+      // consumes the message stream in one micro-batch and must admit
+      // the exact message set of the batch window — same DuckDB SQL as
+      // sync_rate_limit anchors both
+      val cfg = SyncConfig(
+        rateLimits = Map("purchase" -> 2, "click" -> 1),
+        rateLimitWindow = "hour")
+      graft.streaming.StreamedBatch.rateLimited(s,
+          msgs(s, dir).withColumn("app", col("topic")), cfg)
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_bulk_batch" -> ((s, dir) => {
       val cfg = SyncConfig(bufferSize = 50)
       SyncPipeline.bulkBatches(cfg)(msgs(s, dir)
@@ -425,6 +439,18 @@ object ABlock {
         |FROM d GROUP BY 1, 2 ORDER BY topic, is_debug""".stripMargin,
 
     "sync_rate_limit" ->
+      """SELECT event_id AS msg_id, event_type AS app
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', ts)
+        |    ORDER BY ts, event_id)
+        |  <= CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
+        |          ELSE 2147483647 END
+        |ORDER BY msg_id""".stripMargin,
+
+    // IDENTICAL SQL to sync_rate_limit — the streaming limiter must
+    // admit the batch window's exact message set
+    "sync_rate_limit_stream" ->
       """SELECT event_id AS msg_id, event_type AS app
         |FROM events
         |QUALIFY row_number() OVER (

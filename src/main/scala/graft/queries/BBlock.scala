@@ -1073,6 +1073,19 @@ object BBlock {
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
     }),
+
+    "q_sessionize_stream" -> ((s, dir) => {
+      // B12's stateful flatMapGroupsWithState sessionizer promoted to an
+      // oracle row: the REAL streaming operator runs over the events
+      // table (plus a per-user far-future sentinel so every real
+      // session closes), and the emitted relation must hash-match the
+      // SAME DuckDB SQL as q_sessionize — streaming ≡ batch, anchored
+      // by the oracle instead of a spec assertion
+      graft.streaming.StreamedBatch.sessionCounts(s,
+          eventsUs(s, dir).select(col("user_id"), col("ts")),
+          gapMinutes = 30)
+        .orderBy(col("user_id"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1850,6 +1863,20 @@ object BBlock {
         |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
 
     "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // IDENTICAL SQL to q_sessionize — the point of the row: the
+    // streaming path must reproduce the batch relation bit-for-bit
+    "q_sessionize_stream" ->
       """WITH g AS (
         |  SELECT user_id,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

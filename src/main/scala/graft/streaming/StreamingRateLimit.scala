@@ -27,13 +27,19 @@ object StreamingRateLimit {
 
   final case class RlState(counts: Map[Long, Long])
 
-  private def windowMs(window: String): Long = window match {
-    case "second" => 1000L
-    case "minute" => 60000L
-    case "hour"   => 3600000L
+  private def windowUs(window: String): Long = window match {
+    case "second" => 1000000L
+    case "minute" => 60000000L
+    case "hour"   => 3600000000L
     case other => throw new IllegalArgumentException(
       s"unsupported rate-limit window: $other")
   }
+
+  /** Epoch micros (getTime is ms-truncated; nanos carries the rest) —
+    * admission order must be µs-exact to admit the SAME messages as the
+    * batch limiter's (publish_time, msg_id) window. */
+  private def us(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
 
   /** Admit the first `limit(app)` messages per (app, window) in
     * (publish_time, msg_id) order, counting across micro-batches. Apps
@@ -45,7 +51,7 @@ object StreamingRateLimit {
     else {
       val s = stream.sparkSession
       import s.implicits._
-      val unit = windowMs(cfg.rateLimitWindow)
+      val unit = windowUs(cfg.rateLimitWindow)
       val limits = cfg.rateLimits
       stream
         .groupByKey(_.app)
@@ -53,13 +59,13 @@ object StreamingRateLimit {
           OutputMode.Append, GroupStateTimeout.NoTimeout) {
           (app: String, it: Iterator[RlMsg], state: GroupState[RlState]) =>
             val limit = limits.get(app).map(_.toLong).getOrElse(Long.MaxValue)
-            val msgs = it.toArray.sortBy(m => (m.publish_time.getTime, m.msg_id))
+            val msgs = it.toArray.sortBy(m => (us(m.publish_time), m.msg_id))
             var counts = state.getOption.map(_.counts)
               .getOrElse(Map.empty[Long, Long])
             var maxWin = counts.keysIterator.foldLeft(0L)(math.max)
             val out = Array.newBuilder[RlMsg]
             msgs.foreach { m =>
-              val win = m.publish_time.getTime / unit
+              val win = math.floorDiv(us(m.publish_time), unit)
               maxWin = math.max(maxWin, win)
               val used = counts.getOrElse(win, 0L)
               if (used < limit) {

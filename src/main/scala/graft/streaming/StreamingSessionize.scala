@@ -15,37 +15,46 @@ import java.sql.Timestamp
 object StreamingSessionize {
 
   final case class Event(user_id: Long, ts: Timestamp)
+  // start/last in MICROSECONDS: gap comparisons must be µs-exact to
+  // match the batch/oracle sessionization (`ts.getTime` is ms-truncated
+  // and would mis-split a pair whose gap straddles 30min by <1ms)
   final case class SessionState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, session_start: Timestamp,
       n_events: Int, duration_sec: Long)
 
+  /** Epoch micros of a Timestamp (getTime is ms-truncated; the nanos
+    * field carries the rest). */
+  private def us(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos.toLong / 1000L
+
   def sessions(events: Dataset[Event], gapMinutes: Int)
       (implicit s: SparkSession): Dataset[Session] = {
     import s.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          def emit(st: SessionState): Session =
+            Session(user, new Timestamp(st.start / 1000L), st.n,
+              (st.last - st.start) / 1000000L)
           if (state.hasTimedOut) {
             // watermark passed start of the inactivity gap: close and emit
             val st = state.get
             state.remove()
-            Iterator(Session(user, new Timestamp(st.start), st.n,
-              (st.last - st.start) / 1000))
+            Iterator(emit(st))
           } else {
-            val sorted = evs.map(_.ts.getTime).toSeq.sorted
+            val sorted = evs.map(e => us(e.ts)).toSeq.sorted
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(st) if t - st.last <= gapMs =>
+                case Some(st) if t - st.last <= gapUs =>
                   cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1))
                 case Some(st) =>
-                  closed ::= Session(user, new Timestamp(st.start), st.n,
-                    (st.last - st.start) / 1000)
+                  closed ::= emit(st)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
@@ -53,7 +62,10 @@ object StreamingSessionize {
             }
             cur.foreach { st =>
               state.update(st)
-              state.setTimeoutTimestamp(st.last + gapMs)
+              // timeout clock is ms-granular; µs→ms truncation only
+              // affects WHEN an idle session times out, never how
+              // events group into sessions
+              state.setTimeoutTimestamp((st.last + gapUs) / 1000L)
             }
             closed.reverseIterator
           }
