@@ -19,6 +19,30 @@ object Similarity {
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Deterministic PLANTED-CLUSTER embeddings derived from `vec_id` —
+    * the honest-recall testbed the near-uniform synthetic embeddings
+    * can't be (they cap every ANN recall number; r6 verdict #3):
+    * cluster = vec_id mod 7 (coprime with the stride-32 centroid
+    * sampling, so the sampled centroids cover every cluster), center
+    * coordinates hash-seeded per (cluster, dim), perturbation ±1/32
+    * hash-seeded per (vec, dim). Every value is an exact dyadic
+    * rational ((2k+j)·2⁻¹¹ with |2k+j| ≤ 2064), so the float32 cast is
+    * EXACT and the DuckDB double twin is bit-identical — portable
+    * arithmetic, no RNG. Pure narrow projection: derives from the
+    * existing embeddings table's ids, no new source. */
+  def plantedEmbeddings(emb: DataFrame): DataFrame = {
+    val m = lit(2147483647L)
+    emb.select(col("vec_id"), col("label"),
+      transform(sequence(lit(1L), lit(64L)), d => {
+        val c = pmod(col("vec_id"), lit(7L))
+        val center = (pmod(pmod((c + 1) * lit(2654435761L) + d * lit(40503L),
+          m), lit(2001L)) - 1000L).cast("double") / lit(1024.0)
+        val noise = (pmod(pmod((col("vec_id") * 31 + d) * lit(2654435761L)
+          + lit(7919L), m), lit(4097L)) - 2048L).cast("double") / lit(2048.0)
+        (center + noise).cast("float")
+      }).as("embedding"))
+  }
+
   /** Cosine similarity between two float-vector columns — native
     * expression with the oracle's exact sequential-fold order (the HOF
     * reference formula Portable.cosine is parity-tested against it). */

@@ -323,21 +323,16 @@ object CBlock {
       // probe vectors — the policy audit that picks nprobe before a
       // deployment. Each sweep point reuses the SAME ivfTopK plan;
       // recall is a ratio of integer counts (deterministic).
-      val emb = Tables.embeddings(s, dir)
-      val probe = col("vec_id") < 20
-      val brute = graft.operators.Similarity.cosineTopK(emb, probe, 5)
-        .select(col("probe_id"), col("cand_id"))
-      Seq(1, 2, 4).map(np =>
-          graft.operators.Similarity.ivfTopK(emb, probe, k = 5, nprobe = np)
-            .withColumn("nprobe", lit(np)))
-        .reduce(_.unionAll(_))
-        .join(brute, Seq("probe_id", "cand_id"))
-        .groupBy(col("nprobe"))
-        .agg(count(lit(1)).as("n_hits"))
-        .withColumn("recall", round(col("n_hits").cast("double") / 100, 6))
-        .select(col("nprobe").cast("long").as("nprobe"), col("n_hits"),
-          col("recall"))
-        .orderBy(col("nprobe"))
+      probeSweep(Tables.embeddings(s, dir))
+    }),
+
+    "sim_probe_sweep_planted" -> ((s, dir) => {
+      // the SAME operating curve on planted-cluster embeddings (7
+      // hash-seeded centers, exactly-float32 dyadic values): where the
+      // near-uniform corpus caps recall at 0.25/0.41/0.70, separated
+      // clusters show the real saturation knee a deployment would tune
+      // against — same plan, honest data
+      probeSweep(Similarity.plantedEmbeddings(Tables.embeddings(s, dir)))
     }),
 
     "sim_ivf_refined" -> ((s, dir) => {
@@ -1417,6 +1412,103 @@ object CBlock {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** recall@5-vs-brute sweep over nprobe ∈ {1,2,4} for an embeddings
+    * relation (shared by sim_probe_sweep and its planted-cluster twin). */
+  private def probeSweep(emb: DataFrame): DataFrame = {
+    val probe = col("vec_id") < 20
+    val brute = Similarity.cosineTopK(emb, probe, 5)
+      .select(col("probe_id"), col("cand_id"))
+    Seq(1, 2, 4).map(np =>
+        Similarity.ivfTopK(emb, probe, k = 5, nprobe = np)
+          .withColumn("nprobe", lit(np)))
+      .reduce(_.unionAll(_))
+      .join(brute, Seq("probe_id", "cand_id"))
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("recall", round(col("n_hits").cast("double") / 100, 6))
+      .select(col("nprobe").cast("long").as("nprobe"), col("n_hits"),
+        col("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** The planted-cluster embedding relation as a DuckDB CTE (the SQL
+    * twin of Similarity.plantedEmbeddings — same integer hash chain,
+    * same dyadic rationals, so the float32 cast on the Spark side is
+    * value-identical to this double arithmetic). */
+  private val plantedCte: String =
+    """pemb AS (
+      |  SELECT vec_id, label,
+      |    list_transform(range(1, 65), d ->
+      |      CAST((((((vec_id % 7) + 1) * 2654435761 + d * 40503)
+      |               % 2147483647 % 2001 - 1000) / 1024.0
+      |          + (((vec_id * 31 + d) * 2654435761 + 7919)
+      |               % 2147483647 % 4097 - 2048) / 2048.0) AS DOUBLE)) AS embedding
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** sim_probe_sweep's oracle body (shared with the planted twin). */
+  private val probeSweepOracle: String =
+    """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cent_vec
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), d AS (
+        |  SELECT e.vec_id, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE))
+        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, cents c
+        |), assign AS (
+        |  SELECT vec_id, cent_id FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+        |), prnk AS (
+        |  SELECT vec_id AS probe_id, cent_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS crk
+        |  FROM d WHERE vec_id < 20
+        |), np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        |pc AS (
+        |  SELECT np.nprobe, p.probe_id, p.cent_id FROM prnk p, np
+        |  WHERE p.crk <= np.nprobe
+        |), cand AS (
+        |  SELECT pc.nprobe, pc.probe_id, a.vec_id AS cand_id
+        |  FROM pc JOIN assign a ON a.cent_id = pc.cent_id
+        |  WHERE a.vec_id <> pc.probe_id
+        |), sc AS (
+        |  SELECT cd.nprobe, cd.probe_id, cd.cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM cand cd
+        |  JOIN embeddings p ON p.vec_id = cd.probe_id
+        |  JOIN embeddings c ON c.vec_id = cd.cand_id
+        |), ivf AS (
+        |  SELECT nprobe, probe_id, cand_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY nprobe, probe_id
+        |    ORDER BY cos DESC, cand_id) <= 5
+        |), bcos AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |  WHERE p.vec_id < 20
+        |), brute AS (
+        |  SELECT probe_id, cand_id FROM bcos
+        |  QUALIFY row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, cand_id) <= 5
+        |)
+        |SELECT CAST(nprobe AS BIGINT) AS nprobe, count(*) AS n_hits,
+        |  ROUND(count(*) / 100.0, 6) AS recall
+        |FROM ivf JOIN brute USING (probe_id, cand_id)
+        |GROUP BY 1 ORDER BY nprobe""".stripMargin
+
+
   /** Deterministic case/punctuation-variant DUPLICATES for the
     * normalization queries (the text_pii planting pattern): every
     * doc_id % 13 == 0 doc gets a byte-different copy (upper-cased,
@@ -2122,66 +2214,14 @@ object CBlock {
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
         |ORDER BY vec_id""".stripMargin,
 
-    "sim_probe_sweep" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, embedding AS cent_vec
-        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
-        |), d AS (
-        |  SELECT e.vec_id, c.cent_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE))
-        |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent_vec[i] AS DOUBLE)))),
-        |      (a, x) -> a + x) AS dist
-        |  FROM embeddings e, cents c
-        |), assign AS (
-        |  SELECT vec_id, cent_id FROM d
-        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
-        |), prnk AS (
-        |  SELECT vec_id AS probe_id, cent_id,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) AS crk
-        |  FROM d WHERE vec_id < 20
-        |), np AS (SELECT unnest([1, 2, 4]) AS nprobe),
-        |pc AS (
-        |  SELECT np.nprobe, p.probe_id, p.cent_id FROM prnk p, np
-        |  WHERE p.crk <= np.nprobe
-        |), cand AS (
-        |  SELECT pc.nprobe, pc.probe_id, a.vec_id AS cand_id
-        |  FROM pc JOIN assign a ON a.cent_id = pc.cent_id
-        |  WHERE a.vec_id <> pc.probe_id
-        |), sc AS (
-        |  SELECT cd.nprobe, cd.probe_id, cd.cand_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
-        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
-        |  FROM cand cd
-        |  JOIN embeddings p ON p.vec_id = cd.probe_id
-        |  JOIN embeddings c ON c.vec_id = cd.cand_id
-        |), ivf AS (
-        |  SELECT nprobe, probe_id, cand_id FROM sc
-        |  QUALIFY row_number() OVER (PARTITION BY nprobe, probe_id
-        |    ORDER BY cos DESC, cand_id) <= 5
-        |), bcos AS (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
-        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
-        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
-        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
-        |  FROM embeddings p JOIN embeddings c ON p.vec_id <> c.vec_id
-        |  WHERE p.vec_id < 20
-        |), brute AS (
-        |  SELECT probe_id, cand_id FROM bcos
-        |  QUALIFY row_number() OVER (PARTITION BY probe_id
-        |    ORDER BY cos DESC, cand_id) <= 5
-        |)
-        |SELECT CAST(nprobe AS BIGINT) AS nprobe, count(*) AS n_hits,
-        |  ROUND(count(*) / 100.0, 6) AS recall
-        |FROM ivf JOIN brute USING (probe_id, cand_id)
-        |GROUP BY 1 ORDER BY nprobe""".stripMargin,
+    "sim_probe_sweep" -> probeSweepOracle,
+
+    // same sweep SQL over the planted relation: prepend the pemb CTE and
+    // point every embeddings reference at it
+    "sim_probe_sweep_planted" ->
+      ("WITH " + plantedCte + ",\n"
+        + probeSweepOracle.stripPrefix("WITH ")
+          .replaceAll("\\bembeddings\\b", "pemb")),
 
     "sim_ivf_refined" ->
       """WITH cents AS (
