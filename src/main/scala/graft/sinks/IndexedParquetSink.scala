@@ -1,5 +1,6 @@
 package graft.sinks
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -59,6 +60,118 @@ object IndexedParquetSink {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), agg.schema)
     } finally batch.unpersist()
+  }
+
+  /** EXACTLY-ONCE append of one micro-batch into the indexed store — the
+    * commit-marker protocol that makes checkpoint REPLAY (the streaming
+    * counterpart of broker redelivery, pulsar.rs:193-221 reconnect loop)
+    * safe for a file sink the way ES doc-ids make it safe for the
+    * reference's bulk writes:
+    *
+    *  1. a marker at `_commits/<batchId>` means the batch is fully in
+    *     the store → a replay returns the recorded metrics and writes
+    *     NOTHING (no dup);
+    *  2. no marker → scrub any partial output of a mid-batch crash
+    *     (every file this protocol moves is named `b<batchId>-*`, so
+    *     the orphans of a died attempt are exactly a glob), stage the
+    *     batch under `_staging/<batchId>`, MOVE the staged files into
+    *     their `index=` directories under the batch-scoped names, then
+    *     atomically rename the marker into place (create-temp + rename).
+    *
+    * A crash at ANY point replays into case 2 and converges: the store
+    * after restart equals the batch relation exactly — no loss (the
+    * checkpoint replays uncommitted batches), no dup (committed batches
+    * skip, partial attempts are scrubbed by name). Underscore-prefixed
+    * dirs (`_commits`, `_staging`) are invisible to parquet readers, so
+    * the store layout stays `index=`-partitioned for pruning, retention
+    * and compaction. Metadata cost is O(#files in the batch) renames —
+    * no data rewrite. */
+  def writeBatchExactlyOnce(batch: DataFrame, path: String, batchId: Long,
+      isFailed: Option[org.apache.spark.sql.Column] = None,
+      failedPath: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val fs = FileSystem.get(new java.net.URI(path),
+      spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$path/_commits/$batchId")
+    val metricsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("index",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("app",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("written",
+        org.apache.spark.sql.types.LongType)) ++
+      isFailed.map(_ => org.apache.spark.sql.types.StructField("failed",
+        org.apache.spark.sql.types.LongType)))
+    def metricsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toIndexedSeq, 1), metricsSchema)
+    if (fs.exists(marker)) {
+      // replay AFTER commit: the batch is already in the store — return
+      // the metrics recorded in the marker, write nothing
+      val in = fs.open(marker)
+      val content = try scala.io.Source.fromInputStream(in).mkString
+        finally in.close()
+      metricsDf(content.linesIterator.filter(_.nonEmpty).map { l =>
+        val f = l.split("\t", -1)
+        if (isFailed.isDefined)
+          org.apache.spark.sql.Row(f(0), f(1), f(2).toLong, f(3).toLong)
+        else org.apache.spark.sql.Row(f(0), f(1), f(2).toLong)
+      }.toSeq)
+    } else {
+      // replay after a mid-batch crash (or first attempt): scrub this
+      // batch's orphans by name, then write fresh
+      def scrub(root: String): Unit = {
+        val st = new Path(s"$root/_staging/$batchId")
+        if (fs.exists(st)) fs.delete(st, true)
+        fs.globStatus(new Path(s"$root/index=*/b$batchId-*"))
+          .foreach(s => fs.delete(s.getPath, false))
+      }
+      scrub(path)
+      failedPath.foreach(scrub)
+      batch.cache()
+      try {
+        def stageAndMove(df: DataFrame, root: String): Unit = {
+          val staging = s"$root/_staging/$batchId"
+          df.write.mode("overwrite").partitionBy("index").parquet(staging)
+          var k = 0
+          fs.globStatus(new Path(s"$staging/index=*/part-*"))
+            .sortBy(_.getPath.toString).foreach { s =>
+              val idxDir = new Path(s"$root/${s.getPath.getParent.getName}")
+              fs.mkdirs(idxDir)
+              if (!fs.rename(s.getPath,
+                  new Path(idxDir, s"b$batchId-$k.parquet")))
+                throw new IllegalStateException(
+                  s"commit move failed for ${s.getPath}")
+              k += 1
+            }
+          fs.delete(new Path(s"$root/_staging/$batchId"), true)
+        }
+        isFailed match {
+          case Some(cond) =>
+            stageAndMove(batch.filter(!cond), path)
+            failedPath.foreach(fp => stageAndMove(batch.filter(cond), fp))
+          case None => stageAndMove(batch, path)
+        }
+        val agg = isFailed match {
+          case Some(cond) => batch.groupBy(col("index"), col("app"))
+            .agg(sum(when(!cond, 1L).otherwise(0L)).as("written"),
+              sum(when(cond, 1L).otherwise(0L)).as("failed"))
+          case None => batch.groupBy(col("index"), col("app"))
+            .agg(count(lit(1)).as("written"))
+        }
+        val rows = agg.collect().toIndexedSeq
+        // marker last, atomically: temp file + rename — the commit point
+        val tmp = new Path(s"$path/_commits/.tmp-$batchId")
+        fs.mkdirs(new Path(s"$path/_commits"))
+        val outS = fs.create(tmp, true)
+        try outS.write(rows.map(r => r.toSeq.mkString("\t"))
+          .mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally outS.close()
+        if (!fs.rename(tmp, marker))
+          throw new IllegalStateException(s"marker rename failed for $marker")
+        metricsDf(rows)
+      } finally batch.unpersist()
+    }
   }
 
   /** Transient-failure retry with linear backoff — the engine analog of

@@ -83,11 +83,15 @@ object StreamingSync {
         val admitted = SyncPipeline.rateLimit(cfg)(batch)
           .select("msg_id", "topic", "publish_time", "data",
             "index", "app", "ts_resolved", "is_debug", "field_count")
+        // batchId makes the store write idempotent under checkpoint
+        // replay (commit-marker protocol): a replayed batch skips if
+        // committed, scrubs-and-rewrites if it died mid-write
         val metrics = IndexedParquetSink.withRetries(maxRetries) { () =>
           sink.writeBatch(admitted, sinkPath,
             failedDocPattern.map(p =>
               org.apache.spark.sql.functions.col("data").rlike(p)),
-            failedDocPattern.map(_ => s"$sinkPath/_failed"))
+            failedDocPattern.map(_ => s"$sinkPath/_failed"),
+            batchId = Some(batchId))
         }
         SyncMetrics.recordBulk(metrics)
         metrics.withColumn("batch_id",

@@ -178,6 +178,92 @@ class StreamingSyncSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("mid-batch crash + restart from checkpoint: store equals batch relation exactly (no loss, no dup)") {
+    // the r6-verdict #4 fault injection: the stream is KILLED mid-write
+    // (orphan batch-scoped files on disk, no commit marker), restarted
+    // from the checkpoint, and the indexed store must converge to the
+    // batch relation bit-for-bit — replay scrubs the orphans (no dup)
+    // and rewrites the uncommitted batch (no loss)
+    import graft.sources.Connectors
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val tmp = Files.createTempDirectory("graft-crash").toString
+    // no rate limits: admission is then batch-split-invariant, so the
+    // final store must equal the batch pipeline regardless of batching
+    val cfg2 = SyncConfig(
+      globalFilters = Seq("\"k\": 13\\}"),
+      rewriteRules = Seq(("click", "web"), ("view", "web")))
+    val msgs = Tables.events(spark, sf())
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+    msgs.repartition(3).write.parquet(s"$tmp/src") // 3 files → 3 batches
+
+    val fs = FileSystem.get(new java.net.URI(tmp),
+      spark.sparkContext.hadoopConfiguration)
+    object CrashOnce extends Connectors.BulkSinkConnector {
+      val name = "crash-once"
+      @volatile var fired = false
+      def writeBatch(batch: org.apache.spark.sql.DataFrame, target: String,
+          isFailed: Option[org.apache.spark.sql.Column],
+          failedTarget: Option[String],
+          batchId: Option[Long]): org.apache.spark.sql.DataFrame = {
+        if (!fired && batchId.exists(_ >= 1)) {
+          fired = true
+          // leave exactly the wreckage a crashed commit-move leaves:
+          // some b<id>-* files in their index dirs, NO marker
+          val stage = s"$target/_staging/__crash"
+          batch.limit(7).coalesce(1).write.mode("overwrite")
+            .partitionBy("index").parquet(stage)
+          fs.globStatus(new Path(s"$stage/index=*/part-*"))
+            .zipWithIndex.foreach { case (s0, i) =>
+              val idxDir = new Path(s"$target/${s0.getPath.getParent.getName}")
+              fs.mkdirs(idxDir)
+              fs.rename(s0.getPath,
+                new Path(idxDir, s"b${batchId.get}-orphan$i.parquet"))
+            }
+          fs.delete(new Path(stage), true)
+          throw new RuntimeException("injected mid-batch crash")
+        }
+        Connectors.IndexedParquetBulk.writeBatch(batch, target, isFailed,
+          failedTarget, batchId)
+      }
+    }
+
+    val q1 = StreamingSync.start(spark, cfg2, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, batchFiles = Some(1),
+      maxRetries = 0, sink = CrashOnce)
+    val died = try { q1.awaitTermination(120000); false } catch {
+      case _: org.apache.spark.sql.streaming.StreamingQueryException => true
+    }
+    assert(died, "the injected crash must kill the stream")
+    // the crash left real wreckage: orphan files present, batch 0 committed
+    assert(fs.globStatus(new Path(s"$tmp/sink/index=*/b1-orphan*")).nonEmpty)
+    assert(fs.exists(new Path(s"$tmp/sink/_commits/0")))
+    assert(!fs.exists(new Path(s"$tmp/sink/_commits/1")))
+
+    // restart from the same checkpoint: batch 1 replays (scrub+rewrite),
+    // batch 2 runs fresh
+    StreamingSync.start(spark, cfg2, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, batchFiles = Some(1),
+      maxRetries = 0, sink = CrashOnce).awaitTermination(120000)
+
+    val store = spark.read.parquet(s"$tmp/sink")
+    val batch = SyncPipeline(cfg2)(msgs)
+    assert(store.count() == batch.count(), "no loss")
+    assert(store.select("msg_id").distinct().count() == store.count(), "no dup")
+    assert(store.select("msg_id", "index", "app").orderBy("msg_id")
+      .collect().toSeq ==
+      batch.select("msg_id", "index", "app").orderBy("msg_id")
+        .collect().toSeq, "store == batch relation exactly")
+    // the orphans were scrubbed, every batch has its marker, and the
+    // once-per-batch metrics agree with the store
+    assert(fs.globStatus(new Path(s"$tmp/sink/index=*/b1-orphan*")).isEmpty)
+    Seq(0, 1, 2).foreach(b =>
+      assert(fs.exists(new Path(s"$tmp/sink/_commits/$b")), s"marker $b"))
+    assert(spark.read.parquet(s"$tmp/metrics")
+      .agg(sum("written")).head.getLong(0) == store.count())
+  }
+
   test("second availableNow run is incremental (checkpoint): no re-write") {
     val tmp = Files.createTempDirectory("graft-stream2").toString
     val srcDir = s"$tmp/src"
