@@ -56,6 +56,57 @@ class ScaleTechniquesSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hot-key sync corpus: time-bucketed window keys bound the hot partition; salting splits the hot agg") {
+    import graft.operators.{SyncConfig, SyncPipeline}
+    // the r6-verdict #5 shape: ONE topic carries 90% of the stream
+    val msgs = Tables.events(spark, sf())
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+      .withColumn("topic",
+        when(pmod(col("msg_id"), lit(10)) < 9, lit("hot"))
+          .otherwise(col("topic")))
+    // the events payload carries no app field, so every message enriches
+    // to __DEFAULT_APP__ — the app dimension is ALREADY 100% skewed; the
+    // planted topic skew covers the index dimension
+    val cfg = SyncConfig(rateLimits = Map("__DEFAULT_APP__" -> 1000000),
+      rateLimitWindow = "hour")
+    val out = SyncPipeline(cfg)(msgs).cache()
+    val total = out.count()
+    val hotRows = out.filter(col("topic_base") === "hot").count()
+    assert(hotRows.toDouble / total >= 0.85, "the corpus is actually skewed")
+
+    // 1. the admission window partitions on (app, hour) and the app key
+    //    is one value for 100% of rows: the LARGEST window partition
+    //    must still be a small fraction of the stream — the hour bucket
+    //    in the key is what keeps the rate-limit stage off a single
+    //    task at 100 TB
+    val maxWindowPart = out
+      .groupBy(col("app"), date_trunc("hour", col("publish_time")))
+      .count().agg(max("count")).head.getLong(0)
+    assert(maxWindowPart.toDouble / total <= 0.10,
+      s"the sole app must spread over hour buckets: max $maxWindowPart of $total")
+
+    // 2. bulk batching partitions on index = topic-DATE: the hot
+    //    topic's 90% splits across its dates the same way
+    val maxIndexPart = out.groupBy(col("index")).count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxIndexPart.toDouble / hotRows <= 0.25,
+      s"hot index must split by date: max $maxIndexPart of $hotRows")
+
+    // 3. the per-topic metrics agg on the 90% key: salted ≡ direct
+    //    (the mitigation for the one stage whose key has NO time bucket)
+    val ev = out.select(col("topic_base"),
+      col("field_count").cast("long").as("v"))
+    val direct = ev.groupBy("topic_base")
+      .agg(sum("v").as("sum_value"), count(lit(1)).as("n"))
+      .orderBy("topic_base").collect().toSeq
+    val salted = Skew.saltedSumCount(ev, Seq("topic_base"), "v", salts = 16)
+      .orderBy("topic_base").collect().toSeq
+    assert(salted == direct, "salted agg must equal direct on the hot key")
+    out.unpersist()
+  }
+
   test("Zipf-skewed word join: AQE skew-join splits the hot partition") {
     // the lmUnigramScore web-scale shape (SURVEY §6): vocab too big to
     // broadcast → the score join shuffles by word and the Zipf head
