@@ -1,0 +1,104 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths}
+
+/** Two-point scale probe (r6 verdict #7): the 100×-scaling claim should
+  * not rest on plan shape alone, so this tool replicates the sf0.1
+  * tables `replicas`× (ids remapped to stay unique, event times jittered
+  * by the replica index in µs; text/vectors unchanged) and times a
+  * fixed set of the board's most expensive queries at BOTH sizes,
+  * writing SCALE.json with per-query walls and the observed slope
+  * (scaled_sec / base_sec, to compare against `replicas`).
+  *
+  * The probe set is restricted to queries that are LINEAR BY DESIGN
+  * (scans, time-bucketed windows, per-key windows, bounded-probe ANN,
+  * range ranks) — replicating a corpus also multiplies its near-dup
+  * structure, so dedup-family queries would honestly show a quadratic
+  * pair component that says something about the DATA, not the plan;
+  * the dedup scaling story is the banded-join argument in SURVEY §6.
+  * Usage: runMain graft.tools.ScaleProbe [replicas] [reps] */
+object ScaleProbe {
+
+  val probes: Seq[String] = Seq(
+    "sync_pipeline", "q_sessionize", "q_events_anomaly", "q_time_window",
+    "q_attribution", "sketch_hll_daily",
+    "sim_pq_residual", "sim_ivf_trained",
+    "shard_zorder", "lm_kn_model")
+
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val baseDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scaledDir = Files.createTempDirectory("graft-scale").toString
+    def rep(df: DataFrame): (DataFrame, org.apache.spark.sql.Column) = {
+      val r = df.crossJoin(spark.range(replicas).select(col("id").as("__rep")))
+      (r, col("__rep"))
+    }
+    // events: unique event_id, µs-jittered ts (same schema → the
+    // Tables.events seam normalizes the copy exactly like the source)
+    locally {
+      val (e, r) = rep(spark.read.parquet(s"$baseDir/events.parquet"))
+      e.withColumn("event_id", col("event_id") * replicas + r)
+        // timestampadd preserves the source's timestamp flavor (NTZ or
+        // LTZ), so the scaled copy keeps the driver layout
+        .withColumn("ts", expr("timestampadd(MICROSECOND, __rep, ts)"))
+        .drop("__rep")
+        .write.parquet(s"$scaledDir/events.parquet")
+    }
+    locally {
+      val (d, r) = rep(spark.read.parquet(s"$baseDir/documents.parquet"))
+      d.withColumn("doc_id", col("doc_id") * replicas + r).drop("__rep")
+        .write.parquet(s"$scaledDir/documents.parquet")
+    }
+    locally {
+      val (v, r) = rep(spark.read.parquet(s"$baseDir/embeddings.parquet"))
+      v.withColumn("vec_id", col("vec_id") * replicas + r).drop("__rep")
+        .write.parquet(s"$scaledDir/embeddings.parquet")
+    }
+    locally { // shard_zorder's input
+      val (l, r) = rep(spark.read.parquet(s"$baseDir/lineitem.parquet"))
+      l.withColumn("l_orderkey", col("l_orderkey") * replicas + r)
+        .drop("__rep")
+        .write.parquet(s"$scaledDir/lineitem.parquet")
+    }
+
+    def time(name: String, dir: String): Double = {
+      val fn = graft.SparkEntry.queries(name)
+      fn(spark, dir).count() // warm
+      (1 to reps).map { _ =>
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+
+    def fmt(d: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val rows = probes.map { q =>
+      val b = time(q, baseDir)
+      val s = time(q, scaledDir)
+      println(f"[scale] $q%-20s base=$b%.2fs scaled=$s%.2fs slope=${s / b}%.2f (data x$replicas)")
+      s""""$q":{"base_sec":${fmt(b)},"scaled_sec":${fmt(s)},"slope":${fmt(s / b)}}"""
+    }
+    val line = s"""{"replicas":$replicas,"queries":{${rows.mkString(",")}}}"""
+    Files.writeString(Paths.get("SCALE.json"), line + "\n")
+    println(line)
+    spark.stop()
+  }
+}
