@@ -10,6 +10,46 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Temporal {
 
+  /** Per-(topic, day) volume anomaly vs a trailing-week baseline:
+    * z = (n − mean7) / std7 over the 7 preceding days, mean/var from
+    * integer sums (sum, sum²) divided once in double (engine-exact).
+    *
+    * `dense = false`: the ROWS (-7,-1) frame runs over OBSERVED days —
+    * a zero-event calendar day contributes no row, so the baseline is
+    * the last 7 days WITH traffic (the q_events_anomaly semantics).
+    * `dense = true`: days are densified per topic over its [min, max]
+    * span with n=0 fillers first, so the same frame IS the 7 preceding
+    * CALENDAR days and a zero-event day both feeds the baseline and
+    * gets its own (collapse-alarm) z row. The densify is a per-topic
+    * min/max agg exploded to #topics × span rows — calendar-bounded,
+    * never corpus-bounded; `daily` remains the only corpus-sized input.
+    * Input `daily`: (topic, day DATE, n LONG). */
+  def volumeAnomaly(daily: DataFrame, dense: Boolean): DataFrame = {
+    val base =
+      if (!dense) daily
+      else daily.groupBy(col("topic"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("topic"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+        .join(daily, Seq("topic", "day"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("topic")).orderBy(col("day"))
+      .rowsBetween(-7, -1)
+    base
+      .withColumn("w_n", count(col("n")).over(w))
+      .withColumn("w_sum", sum(col("n")).over(w))
+      .withColumn("w_sum2", sum(col("n") * col("n")).over(w))
+      .filter(col("w_n") === 7)
+      .withColumn("mean7", col("w_sum").cast("double") / 7)
+      .withColumn("var7",
+        (col("w_sum2").cast("double") - col("w_sum").cast("double")
+          * col("w_sum") / 7) / 7)
+      .withColumn("z", when(col("var7") > 0,
+        round((col("n") - col("mean7")) / sqrt(col("var7")), 6)))
+      .select(col("topic"), col("day"), col("n"),
+        round(col("mean7"), 6).as("mean7"), col("z"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * right.ts <= left.ts (inclusive) under the same key.
     *

@@ -737,25 +737,28 @@ object BBlock {
       // by topic (parallel); one shuffle to daily counts, then a
       // days-sized window — at 100 TB the daily rollup is the only
       // corpus-sized pass.
-      val daily = eventsUs(s, dir)
-        .groupBy(col("event_type").as("topic"),
-          to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n"))
-      val w = Window.partitionBy(col("topic")).orderBy(col("day"))
-        .rowsBetween(-7, -1)
-      daily
-        .withColumn("w_n", count(col("n")).over(w))
-        .withColumn("w_sum", sum(col("n")).over(w))
-        .withColumn("w_sum2", sum(col("n") * col("n")).over(w))
-        .filter(col("w_n") === 7)
-        .withColumn("mean7", col("w_sum").cast("double") / 7)
-        .withColumn("var7",
-          (col("w_sum2").cast("double") - col("w_sum").cast("double")
-            * col("w_sum") / 7) / 7)
-        .withColumn("z", when(col("var7") > 0,
-          round((col("n") - col("mean7")) / sqrt(col("var7")), 6)))
-        .select(col("topic"), col("day"), col("n"),
-          round(col("mean7"), 6).as("mean7"), col("z"))
+      graft.operators.Temporal.volumeAnomaly(
+          eventsUs(s, dir)
+            .groupBy(col("event_type").as("topic"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")),
+          dense = false)
+        .orderBy(col("topic"), col("day"))
+    }),
+
+    "q_events_anomaly_dense" -> ((s, dir) => {
+      // the CALENDAR-week sibling of q_events_anomaly (the advisor's
+      // observed-vs-calendar distinction made executable): days are
+      // densified per topic with n=0 fillers, so the ROWS (-7,-1)
+      // frame IS the 7 preceding calendar days and a zero-event day
+      // both feeds the baseline and gets its own (collapse-alarm) z
+      // row — see Temporal.volumeAnomaly for the scale shape
+      graft.operators.Temporal.volumeAnomaly(
+          eventsUs(s, dir)
+            .groupBy(col("event_type").as("topic"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")),
+          dense = true)
         .orderBy(col("topic"), col("day"))
     }),
 
@@ -1628,6 +1631,39 @@ object BBlock {
         |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
         |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sum2
         |  FROM daily
+        |  WINDOW w AS (PARTITION BY topic ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT topic, day, n,
+        |  ROUND(w_sum / 7.0, 6) AS mean7,
+        |  CASE WHEN (w_sum2 - w_sum * 1.0 * w_sum / 7) / 7 > 0
+        |    THEN ROUND((n - w_sum / 7.0)
+        |      / sqrt((w_sum2 - w_sum * 1.0 * w_sum / 7) / 7), 6)
+        |  END AS z
+        |FROM win WHERE w_n = 7
+        |ORDER BY topic, day""".stripMargin,
+
+    "q_events_anomaly_dense" ->
+      """WITH daily AS (
+        |  SELECT event_type AS topic, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT topic, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT s.topic, CAST(u.d AS DATE) AS day
+        |  FROM spans s,
+        |    unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+        |      CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+        |), dense AS (
+        |  SELECT c.topic, c.day, CAST(COALESCE(dy.n, 0) AS BIGINT) AS n
+        |  FROM cal c LEFT JOIN daily dy ON dy.topic = c.topic AND dy.day = c.day
+        |), win AS (
+        |  SELECT topic, day, n,
+        |    count(n) OVER w AS w_n,
+        |    CAST(sum(n) OVER w AS BIGINT) AS w_sum,
+        |    CAST(sum(n * n) OVER w AS BIGINT) AS w_sum2
+        |  FROM dense
         |  WINDOW w AS (PARTITION BY topic ORDER BY day
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
         |)

@@ -155,4 +155,29 @@ class SourcesAndWindowSpec extends SparkSpec {
     assert(joined.filter(col("s.n") =!= col("b.n")).count() == 0)
     assert(streamed.count() >= batch.count() - 5)
   }
+
+  test("volumeAnomaly dense vs observed: diverge exactly on calendar gaps") {
+    import graft.operators.Temporal
+    import spark.implicits._
+    // days 1..12 with day 10 MISSING — the zero-event calendar day
+    val daily = (1 to 12).filter(_ != 10)
+      .map(d => ("t", java.sql.Date.valueOf(f"2024-01-$d%02d"), 10L + d))
+      .toDF("topic", "day", "n")
+    def byDay(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getDate(1).toString ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val obs = byDay(Temporal.volumeAnomaly(daily, dense = false))
+    val den = byDay(Temporal.volumeAnomaly(daily, dense = true))
+    // dense gives the gap day its own n=0 collapse-alarm row (its 7
+    // preceding calendar days are all present); observed never sees it
+    assert(den("2024-01-10")._1 === 0L)
+    assert(!obs.contains("2024-01-10"))
+    // and the NEXT day's baseline differs: observed frame = last 7 days
+    // WITH traffic (3..9 → mean 16), dense frame includes the zero day
+    // (4..10 → mean 99/7)
+    assert(obs("2024-01-11")._2 === 16.0)
+    assert(den("2024-01-11")._2 === math.rint(99.0 / 7 * 1e6) / 1e6)
+    // on the gap-free prefix both agree exactly
+    assert(obs("2024-01-09") === den("2024-01-09"))
+  }
 }
