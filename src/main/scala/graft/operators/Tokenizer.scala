@@ -146,6 +146,19 @@ object Tokenizer {
       .withColumn("tok_id",
         (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
 
+  /** Decode-side of [[bpeEncode]]: reassemble each document from its
+    * token stream (syms concatenated in pos order). Composing
+    * encode→decode must reproduce the whitespace-stripped text exactly —
+    * the losslessness CONTRACT of an id-level export, checkable against
+    * a trivial oracle. One doc-keyed agg over the encode output. */
+  def bpeRoundTrip(docs: DataFrame, rounds: Int, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    bpeEncode(docs, rounds, textCol, idCol)
+      .groupBy(col(idCol))
+      .agg(concat_ws("", transform(
+        array_sort(collect_list(struct(col("pos"), col("sym")))),
+        x => x.getField("sym"))).as("rebuilt"))
+
   /** Packs [[bpeEncode]]'s id sequences into fixed `seqLen`-id training
     * sequences with DOCUMENT-BOUNDARY offsets — the attention-mask seam
     * [[Curation.packEfficiency]] audits, now at id granularity: one row

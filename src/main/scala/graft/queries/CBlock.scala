@@ -1068,6 +1068,16 @@ object CBlock {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    "tokenizer_roundtrip" -> ((s, dir) => {
+      // the losslessness contract as an ORACLE row: the full train →
+      // encode → decode chain must reproduce each doc's
+      // whitespace-stripped text, which the oracle computes trivially —
+      // any drift anywhere in the BPE machinery breaks the hash
+      graft.operators.Tokenizer.bpeRoundTrip(Tables.documents(s, dir),
+          rounds = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_ids" -> ((s, dir) => {
       // id-granular sequence packing: 64-id training rows with
       // document-boundary offsets + the comma-joined ids per doc slice
@@ -3734,6 +3744,14 @@ object CBlock {
          |SELECT doc_id, pos, tok_id, sym FROM enc
          |WHERE doc_id % 7 = 0
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // the oracle side is the trivial identity — that asymmetry is the
+    // point: the engine's whole BPE chain must land back on it
+    "tokenizer_roundtrip" ->
+      s"""SELECT doc_id, array_to_string($toksSql, '') AS rebuilt
+         |FROM documents
+         |WHERE len($toksSql) > 0
+         |ORDER BY doc_id""".stripMargin,
 
     "pack_ids" ->
       s"""WITH ${bpeEncodeCtes(5)},
