@@ -137,6 +137,15 @@ object Tokenizer {
       .select(col(idCol), col("pos"), col("tok_id"), col("sym"))
   }
 
+  /** The shipped vocab ARTIFACT of a trained tokenizer: (sym, tok_id)
+    * over the final merged symbol set — what [[bpeEncode]] assigns ids
+    * from and what a serving-side decoder loads. */
+  def bpeVocab(docs: DataFrame, rounds: Int,
+      textCol: String = "text"): DataFrame = {
+    val (_, vocab, _) = trainState(docs, rounds, textCol, "doc_id")
+    vocabIds(vocab)
+  }
+
   /** Dense 0-based id per distinct final symbol of a trained vocab, in
     * symbol sort order — the id↔symbol mapping a tokenizer ships. The
     * single-partition ordering window is over the model-state-sized

@@ -607,6 +607,30 @@ object CBlock {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    "sketch_hll_weekly" -> ((s, dir) => {
+      // the TIME-dimension register rollup a daily-materialized sketch
+      // store serves: day registers (C125's shape) max-merge into week
+      // registers WITHOUT rescanning the corpus, then estimate. The
+      // oracle computes the weekly estimate directly over events, so
+      // the hash match proves day→week merge ≡ direct — C117's
+      // shard-merge theorem applied to time
+      val ev = Tables.eventsTime(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = graft.operators.Sketches.hllRegisters(
+        ev, Seq("event_type", "day"), col("user_id"))
+      val weekly = daily
+        .withColumn("week", to_date(date_trunc("week", col("day"))))
+        .groupBy(col("event_type"), col("week"), col("bucket"))
+        .agg(max(col("m_j")).as("m_j"))
+      graft.operators.Sketches.hllEstimate(weekly, Seq("event_type", "week"))
+        .join(ev.withColumn("week", to_date(date_trunc("week", col("day"))))
+          .groupBy(col("event_type"), col("week"))
+          .agg(countDistinct(col("user_id")).as("exact")),
+          Seq("event_type", "week"))
+        .select(col("event_type"), col("week"), col("exact"),
+          col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"), col("week"))
+    }),
+
     "sketch_kmv_overlap" -> ((s, dir) => {
       // KMV set operations per event-type pair: union estimate by
       // re-min of the two k-min sets, intersection by inclusion-
@@ -1066,6 +1090,14 @@ object CBlock {
       graft.operators.Tokenizer.bpeEncode(Tables.documents(s, dir), rounds = 5)
         .filter(pmod(col("doc_id"), lit(7)) === 0)
         .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    "tokenizer_vocab" -> ((s, dir) => {
+      // the shipped vocab artifact: (sym, tok_id) of the trained
+      // tokenizer — completes the artifact set (merges C71, ids C126,
+      // packs C127, round-trip C130)
+      graft.operators.Tokenizer.bpeVocab(Tables.documents(s, dir), rounds = 5)
+        .orderBy(col("tok_id"))
     }),
 
     "tokenizer_roundtrip" -> ((s, dir) => {
@@ -2740,6 +2772,52 @@ object CBlock {
          |ORDER BY est.event_type""".stripMargin
     },
 
+    // direct WEEKLY estimate over events — the Spark side rolls day
+    // registers into weeks, so the hash match proves merge ≡ direct
+    "sketch_hll_weekly" -> {
+      val rhoCase = (0 until 25)
+        .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+        .mkString(" ")
+      val termCase = (1 to 26)
+        .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+        .mkString(" ")
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+         |  FROM events
+         |), b AS (
+         |  SELECT event_type, week, h % 64 AS bucket, h // 64 AS w FROM h
+         |), r AS (
+         |  SELECT event_type, week, bucket,
+         |    max(CASE $rhoCase ELSE 26 END) AS m_j
+         |  FROM b GROUP BY 1, 2, 3
+         |), agg AS (
+         |  SELECT event_type, week, count(*) AS occupied,
+         |    SUM(CASE m_j $termCase END) AS s_present
+         |  FROM r GROUP BY 1, 2
+         |), est AS (
+         |  SELECT event_type, week, occupied,
+         |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+         |      / (s_present + (64 - occupied) * 67108864) AS e_raw
+         |  FROM agg
+         |), ex AS (
+         |  SELECT event_type,
+         |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+         |    count(DISTINCT user_id) AS exact
+         |  FROM events GROUP BY 1, 2
+         |)
+         |SELECT est.event_type, est.week, ex.exact,
+         |  CAST(occupied AS BIGINT) AS occupied,
+         |  CASE WHEN e_raw <= 160 AND occupied < 64
+         |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
+         |       ELSE ROUND(e_raw, 4) END AS hll_est
+         |FROM est JOIN ex ON est.event_type = ex.event_type AND est.week = ex.week
+         |ORDER BY est.event_type, est.week""".stripMargin
+    },
+
     "sketch_hll_daily" -> {
       val rhoCase = (0 until 25)
         .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
@@ -3744,6 +3822,10 @@ object CBlock {
          |SELECT doc_id, pos, tok_id, sym FROM enc
          |WHERE doc_id % 7 = 0
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "tokenizer_vocab" ->
+      s"""WITH ${bpeEncodeCtes(5)}
+         |SELECT sym, tok_id FROM vocab ORDER BY tok_id""".stripMargin,
 
     // the oracle side is the trivial identity — that asymmetry is the
     // point: the engine's whole BPE chain must land back on it

@@ -221,4 +221,33 @@ class PlanPostureSpec extends SparkSpec {
       assert(!p.contains("WindowExec"), s"$q should not need a window")
     }
   }
+
+  test("source_overlap_flagged: gram sides filtered through broadcast joins, no cartesian") {
+    val p = planOf("source_overlap_flagged")
+    assert(!p.contains("CartesianProduct"), s"flagged overlap plans a cartesian:\n$p")
+    // the flagged-source/pair sets must reach the gram join as
+    // broadcasts — a shuffle here means the screen stopped pruning
+    assert(p.contains("BroadcastHashJoin"),
+      s"flagged-pair filtering must be broadcast:\n$p")
+  }
+
+  test("tokenizer_encode / pack_ids: corpus windows partitioned; only the vocab-id window is global") {
+    Seq("tokenizer_encode", "pack_ids").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf("0.01")).queryExecution.sparkPlan
+      val p = plan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian")
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      // doc-position and stream-layout windows are partitioned; the one
+      // permitted global window orders the MODEL-STATE-sized vocab-id
+      // table (bounded by chars + merge rounds, like the IVF centroid
+      // collects) — more than one global window means a corpus-sized
+      // sort snuck in
+      val global = wins.count(_.partitionSpec.isEmpty)
+      assert(global <= 1, s"$q has $global unpartitioned windows (max 1, the vocab ids)")
+      assert(wins.exists(_.partitionSpec.nonEmpty),
+        s"$q lost its partitioned corpus window")
+    }
+  }
 }
