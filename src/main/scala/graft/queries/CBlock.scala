@@ -1092,6 +1092,18 @@ object CBlock {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    "train_corpus_ids" -> ((s, dir) => {
+      // THE id-level capstone: quality-gate the corpus (curate_corpus's
+      // 0.62 bar), train the tokenizer ON THE SURVIVORS, encode them,
+      // pack into 64-id training rows — corpus → tensors in one
+      // declarative chain, every stage individually audited upstream
+      val curated = TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .filter(col("quality") >= 0.62)
+        .select(col("doc_id"), col("source"), col("text"))
+      graft.operators.Tokenizer.packIds(curated, rounds = 5, seqLen = 64)
+        .orderBy(col("source"), col("seq_id"), col("off_start"))
+    }),
+
     "tokenizer_vocab" -> ((s, dir) => {
       // the shipped vocab artifact: (sym, tok_id) of the trained
       // tokenizer — completes the artifact set (merges C71, ids C126,
@@ -1473,6 +1485,33 @@ object CBlock {
       .orderBy(col("nprobe"))
   }
 
+  /** pack_ids' oracle over an arbitrary doc relation `from` (must have
+    * doc_id, source, text); `prefix` injects upstream CTEs (e.g. the
+    * quality gate of train_corpus_ids). */
+  private def packIdsOracle(from: String = "documents",
+      prefix: String = ""): String =
+    s"""WITH $prefix${bpeEncodeCtes(5, from)},
+       |pd AS (SELECT doc_id, count(*) AS n_ids FROM enc GROUP BY 1),
+       |laid AS (
+       |  SELECT d.doc_id, d.source,
+       |    SUM(pd.n_ids) OVER (PARTITION BY d.source ORDER BY d.doc_id)
+       |      - pd.n_ids AS tok_start
+       |  FROM $from d JOIN pd ON d.doc_id = pd.doc_id
+       |),
+       |placed AS (
+       |  SELECT l.source, e.doc_id, e.tok_id,
+       |    l.tok_start + e.pos AS gpos,
+       |    CAST(floor((l.tok_start + e.pos) / 64.0) AS BIGINT) AS seq_id
+       |  FROM enc e JOIN laid l ON e.doc_id = l.doc_id
+       |)
+       |SELECT source, seq_id, doc_id,
+       |  CAST(min(gpos) - seq_id * 64 AS BIGINT) AS off_start,
+       |  CAST(count(*) AS BIGINT) AS n_ids,
+       |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY gpos) AS ids
+       |FROM placed
+       |GROUP BY 1, 2, 3
+       |ORDER BY source, seq_id, off_start""".stripMargin
+
   /** The planted-cluster embedding relation as a DuckDB CTE (the SQL
     * twin of Similarity.plantedEmbeddings — same integer hash chain,
     * same dyadic rationals, so the float32 cast on the Spark side is
@@ -1606,7 +1645,8 @@ object CBlock {
     * with a U+001F separator; each round k has pair counts `p_k`, the
     * (cnt desc, l, r) argmax `b_k`, and the greedily rewritten corpus
     * `c_k` via the SAME scalar-string fold as the Spark side. */
-  private def bpeCtes(rounds: Int, withPos: Boolean = false): String = {
+  private def bpeCtes(rounds: Int, withPos: Boolean = false,
+      from: String = "documents"): String = {
     val carry = if (withPos) ", wpos" else ""
     val c0 =
       if (withPos)
@@ -1616,12 +1656,12 @@ object CBlock {
            |  FROM (SELECT doc_id,
            |        unnest(list_transform(range(1, len(t) + 1),
            |          i -> struct_pack(pos := i, w := t[i]))) AS p
-           |        FROM (SELECT doc_id, $toksSql AS t FROM documents))
+           |        FROM (SELECT doc_id, $toksSql AS t FROM $from))
            |)""".stripMargin
       else
         s"""c0 AS (
            |  SELECT doc_id, array_to_string(string_split(w, ''), chr(31)) AS enc
-           |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM documents)
+           |  FROM (SELECT doc_id, unnest($toksSql) AS w FROM $from)
            |)""".stripMargin
     val sb = new StringBuilder(c0)
     for (k <- 1 to rounds) {
@@ -1653,8 +1693,8 @@ object CBlock {
     * `enc(doc_id, pos, tok_id, sym)` over the positioned BPE chain's
     * final corpus `c$rounds` — the SQL twin of Tokenizer.bpeEncode
     * (shared by tokenizer_encode and pack_ids). */
-  private def bpeEncodeCtes(rounds: Int): String =
-    s"""${bpeCtes(rounds, withPos = true)},
+  private def bpeEncodeCtes(rounds: Int, from: String = "documents"): String =
+    s"""${bpeCtes(rounds, withPos = true, from)},
        |syms AS (
        |  SELECT doc_id, wpos, u.spos AS spos, u.s AS sym
        |  FROM (SELECT doc_id, wpos,
@@ -3835,28 +3875,22 @@ object CBlock {
          |WHERE len($toksSql) > 0
          |ORDER BY doc_id""".stripMargin,
 
-    "pack_ids" ->
-      s"""WITH ${bpeEncodeCtes(5)},
-         |pd AS (SELECT doc_id, count(*) AS n_ids FROM enc GROUP BY 1),
-         |laid AS (
-         |  SELECT d.doc_id, d.source,
-         |    SUM(pd.n_ids) OVER (PARTITION BY d.source ORDER BY d.doc_id)
-         |      - pd.n_ids AS tok_start
-         |  FROM documents d JOIN pd ON d.doc_id = pd.doc_id
+    "pack_ids" -> packIdsOracle(),
+
+    // the capstone chain: quality gate (curate_corpus's 0.62 bar) →
+    // train on SURVIVORS → encode → pack; the oracle replays every
+    // stage over the filtered relation
+    "train_corpus_ids" -> packIdsOracle(from = "q", prefix =
+      s"""q AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |          + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |          + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |    FROM (SELECT doc_id, source, text, $toksSql AS w FROM documents)
+         |  ) WHERE quality >= 0.62
          |),
-         |placed AS (
-         |  SELECT l.source, e.doc_id, e.tok_id,
-         |    l.tok_start + e.pos AS gpos,
-         |    CAST(floor((l.tok_start + e.pos) / 64.0) AS BIGINT) AS seq_id
-         |  FROM enc e JOIN laid l ON e.doc_id = l.doc_id
-         |)
-         |SELECT source, seq_id, doc_id,
-         |  CAST(min(gpos) - seq_id * 64 AS BIGINT) AS off_start,
-         |  CAST(count(*) AS BIGINT) AS n_ids,
-         |  string_agg(CAST(tok_id AS VARCHAR), ',' ORDER BY gpos) AS ids
-         |FROM placed
-         |GROUP BY 1, 2, 3
-         |ORDER BY source, seq_id, off_start""".stripMargin,
+         |""".stripMargin),
 
     "tokenizer_apply" ->
       s"""WITH ${bpeCtes(5)},
