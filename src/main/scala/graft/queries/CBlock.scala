@@ -48,6 +48,40 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_eval" -> ((s, dir) => {
+      // measured dedup QUALITY against planted ground truth (the ANN
+      // recall-floor idea applied to LSH dedup): every 7th doc gets a
+      // perturbed near-dup twin at two strengths — 'tail' (3 words
+      // appended, jaccard ≈ 1) and 'half' (first half kept, jaccard
+      // ≈ 0.5, where 4-row bands can genuinely miss) — and each row
+      // reports how many planted pairs the 16-perm/4-band pipeline
+      // caught plus the non-planted candidate count: the deterministic,
+      // engine-exact operating curve of the dedup config
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      def eval(level: String, variant: Column): DataFrame = {
+        val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            variant.as("text"))
+        val cand = Dedup.minhashCandidates(docs.unionByName(planted),
+          k = 16, bands = 4)
+        val truth = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id").as("doc_a"),
+            (col("doc_id") + 10000000L).as("doc_b"))
+        cand.join(truth.withColumn("is_truth", lit(1L)),
+            Seq("doc_a", "doc_b"), "left")
+          .agg(sum(coalesce(col("is_truth"), lit(0L))).as("n_caught"),
+            sum(when(col("is_truth").isNull, 1L).otherwise(0L)).as("n_other"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .select(lit(level).as("level"), col("n_truth"), col("n_caught"),
+            col("n_other"),
+            round(col("n_caught") / col("n_truth"), 6).as("recall"))
+      }
+      eval("tail", concat(col("text"), lit(" zq1 zq2 zq3")))
+        .unionByName(eval("half", expr(
+          "substring(text, 1, greatest(CAST(floor(length(text) / 2) AS INT), 1))")))
+        .orderBy(col("level"))
+    }),
+
     "vocab_coverage" -> ((s, dir) => {
       // vocabulary sizing audit: how many distinct words cover 50/90/99%
       // of all token occurrences — the Zipf-curve readout that decides
@@ -1719,9 +1753,10 @@ object CBlock {
   /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
     * dedup_clusters). */
-  private def minhashPairsCte(where: String = ""): String =
+  private def minhashPairsCte(where: String = "",
+      from: String = "documents"): String =
     s"""tok AS (
-       |  SELECT doc_id, $toksSql AS w, text FROM documents $where
+       |  SELECT doc_id, $toksSql AS w, text FROM $from $where
        |), sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(w) >= 3
@@ -1817,6 +1852,37 @@ object CBlock {
     "dedup_minhash" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT doc_a, doc_b FROM pairs ORDER BY 1, 2""".stripMargin,
+
+    "dedup_eval" ->
+      Seq("tail" -> "text || ' zq1 zq2 zq3'",
+          "half" -> "substr(text, 1, greatest(len(text) // 2, 1))")
+        .map { case (level, variant) =>
+          s"""SELECT * FROM (
+             |WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 10000000 AS doc_id, $variant AS text
+             |  FROM documents WHERE doc_id % 7 = 0
+             |),
+             |${minhashPairsCte(from = "corpus")},
+             |truth AS (
+             |  SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
+             |  FROM documents WHERE doc_id % 7 = 0
+             |),
+             |j AS (
+             |  SELECT p.doc_a, p.doc_b,
+             |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth
+             |  FROM pairs p
+             |  LEFT JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+             |)
+             |SELECT '$level' AS level,
+             |  (SELECT count(*) FROM truth) AS n_truth,
+             |  CAST(SUM(is_truth) AS BIGINT) AS n_caught,
+             |  CAST(SUM(1 - is_truth) AS BIGINT) AS n_other,
+             |  ROUND(SUM(is_truth) * 1.0 / (SELECT count(*) FROM truth), 6)
+             |    AS recall
+             |FROM j)""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY level"),
 
     "curate_semantic" ->
       s"""WITH RECURSIVE cos AS (
