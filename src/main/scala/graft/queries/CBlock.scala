@@ -82,6 +82,34 @@ object CBlock {
         .orderBy(col("level"))
     }),
 
+    "dedup_eval_bands" -> ((s, dir) => {
+      // the (bands, rows-per-band) POLICY SWEEP on the hard planted
+      // corpus (jaccard ≈ 0.5 twins): recall at bands ∈ {2,4,8} with
+      // k=16 — the S-curve 1−(1−j^r)^b predicts ≈0.008/0.23/0.90, and
+      // this query publishes the measured curve the config is picked
+      // from; each point reuses the SAME banding plan
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"), expr(
+          "substring(text, 1, greatest(CAST(floor(length(text) / 2) AS INT), 1))")
+          .as("text"))
+      val corpus = docs.unionByName(planted)
+      val truth = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 10000000L).as("doc_b"))
+      Seq(2, 4, 8).map { b =>
+        Dedup.minhashCandidates(corpus, k = 16, bands = b)
+          .join(truth.withColumn("is_truth", lit(1L)),
+            Seq("doc_a", "doc_b"), "left")
+          .agg(sum(coalesce(col("is_truth"), lit(0L))).as("n_caught"),
+            sum(when(col("is_truth").isNull, 1L).otherwise(0L)).as("n_other"))
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_truth"))))
+          .select(lit(b.toLong).as("bands"), col("n_truth"), col("n_caught"),
+            col("n_other"),
+            round(col("n_caught") / col("n_truth"), 6).as("recall"))
+      }.reduce(_.unionByName(_)).orderBy(col("bands"))
+    }),
+
     "vocab_coverage" -> ((s, dir) => {
       // vocabulary sizing audit: how many distinct words cover 50/90/99%
       // of all token occurrences — the Zipf-curve readout that decides
@@ -1754,7 +1782,8 @@ object CBlock {
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
     * dedup_clusters). */
   private def minhashPairsCte(where: String = "",
-      from: String = "documents"): String =
+      from: String = "documents", bands: Int = 4): String = {
+    val rows = 16 / bands
     s"""tok AS (
        |  SELECT doc_id, $toksSql AS w, text FROM $from $where
        |), sh AS (
@@ -1774,14 +1803,15 @@ object CBlock {
        |), bands AS (
        |  SELECT doc_id, b.band,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |      [sig[band*4+1], sig[band*4+2], sig[band*4+3], sig[band*4+4]]),
+       |      list_transform(range(0, $rows), i -> sig[band * $rows + i + 1])),
        |      (a, x) -> (a * 31 + x) % 2147483647) AS bh
-       |  FROM sig, (SELECT unnest(range(0, 4)) AS band) b
+       |  FROM sig, (SELECT unnest(range(0, $bands)) AS band) b
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)""".stripMargin
+  }
 
   /** Fixed-point PageRank iteration chain (the SQL twin of
     * Graph.pageRankFixed): expects CTEs `ed(src, dst, w)` and
@@ -1883,6 +1913,36 @@ object CBlock {
              |    AS recall
              |FROM j)""".stripMargin
         }.mkString("", "\nUNION ALL\n", "\nORDER BY level"),
+
+    "dedup_eval_bands" ->
+      Seq(2, 4, 8).map { b =>
+        s"""SELECT * FROM (
+           |WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 10000000 AS doc_id,
+           |    substr(text, 1, greatest(len(text) // 2, 1)) AS text
+           |  FROM documents WHERE doc_id % 7 = 0
+           |),
+           |${minhashPairsCte(from = "corpus", bands = b)},
+           |truth AS (
+           |  SELECT doc_id AS doc_a, doc_id + 10000000 AS doc_b
+           |  FROM documents WHERE doc_id % 7 = 0
+           |),
+           |j AS (
+           |  SELECT p.doc_a, p.doc_b,
+           |    CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth
+           |  FROM pairs p
+           |  LEFT JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+           |)
+           |SELECT CAST($b AS BIGINT) AS bands,
+           |  (SELECT count(*) FROM truth) AS n_truth,
+           |  CAST(SUM(is_truth) AS BIGINT) AS n_caught,
+           |  CAST(SUM(1 - is_truth) AS BIGINT) AS n_other,
+           |  ROUND(SUM(is_truth) * 1.0 / (SELECT count(*) FROM truth), 6)
+           |    AS recall
+           |FROM j)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY bands"),
 
     "curate_semantic" ->
       s"""WITH RECURSIVE cos AS (
