@@ -25,7 +25,12 @@ object ScaleProbe {
     "sync_pipeline", "q_sessionize", "q_events_anomaly", "q_time_window",
     "q_attribution", "sketch_hll_daily",
     "sim_pq_residual", "sim_ivf_trained",
-    "shard_zorder", "lm_kn_model")
+    "shard_zorder", "lm_kn_model",
+    // the id-level export chain: replicated docs duplicate WORDS but not
+    // the distinct-word table, so BPE training cost is
+    // replication-invariant and encode/pack scale with total tokens —
+    // linear by design, now measured
+    "tokenizer_encode", "pack_ids", "lm_unigram_score")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
