@@ -830,6 +830,25 @@ object CBlock {
         .orderBy(col("source"), col("seq_id"))
     }),
 
+    "pack_length_hist" -> ((s, dir) => {
+      // the seqLen-policy readout BEFORE packing: per source, doc-length
+      // histogram in power-of-4-ish integer buckets (CASE chain on
+      // integers — never floating log2, whose exact-power boundaries
+      // could flip cross-engine) + token mass per bucket; the numbers
+      // that decide seqLen and whether long docs need chunking first
+      val n = graft.plans.native.token_count(col("text"))
+      Tables.documents(s, dir)
+        .withColumn("n_tok", n)
+        .filter(col("n_tok") > 0)
+        .withColumn("bucket_lo",
+          when(col("n_tok") < 16, 1L).when(col("n_tok") < 64, 16L)
+            .when(col("n_tok") < 256, 64L).when(col("n_tok") < 1024, 256L)
+            .otherwise(1024L))
+        .groupBy(col("source"), col("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_sum"))
+        .orderBy(col("source"), col("bucket_lo"))
+    }),
+
     "pack_efficiency" -> ((s, dir) => {
       // the pre-run packing audit: per-source fill rate + split-doc count
       Curation.packEfficiency(Tables.documents(s, dir), seqLen = 256)
@@ -3988,6 +4007,19 @@ object CBlock {
          |SELECT doc_id, pos, tok_id, sym FROM enc
          |WHERE doc_id % 7 = 0
          |ORDER BY doc_id, pos""".stripMargin,
+
+    "pack_length_hist" ->
+      s"""WITH t AS (
+         |  SELECT source, CAST(len($toksSql) AS BIGINT) AS n_tok
+         |  FROM documents
+         |)
+         |SELECT source,
+         |  CAST(CASE WHEN n_tok < 16 THEN 1 WHEN n_tok < 64 THEN 16
+         |       WHEN n_tok < 256 THEN 64 WHEN n_tok < 1024 THEN 256
+         |       ELSE 1024 END AS BIGINT) AS bucket_lo,
+         |  count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+         |FROM t WHERE n_tok > 0
+         |GROUP BY 1, 2 ORDER BY source, bucket_lo""".stripMargin,
 
     "tokenizer_vocab" ->
       s"""WITH ${bpeEncodeCtes(5)}
