@@ -151,4 +151,32 @@ class RobustnessSpec extends SparkSpec {
       .toDF("event_type", "bucket", "m_j")
     assert(Sketches.hllEstimate(noRegs, Seq("event_type")).count() === 0L)
   }
+
+  test("tokenizer id-export chain survives degenerate input") {
+    import graft.operators.Tokenizer
+    // null text, empty text, single char, whitespace-only — only the
+    // real tokens produce ids; nothing throws anywhere in the chain
+    val docs = Seq(
+      (0L, null.asInstanceOf[String], "s0"),
+      (1L, "", "s0"),
+      (2L, "x", "s0"),
+      (3L, "   ", "s1"),
+      (4L, "x y x", "s1"))
+      .toDF("doc_id", "text", "source")
+    val enc = Tokenizer.bpeEncode(docs, rounds = 3).collect()
+    assert(enc.map(_.getLong(0)).toSet === Set(2L, 4L),
+      "only tokenizable docs emit ids")
+    val packed = Tokenizer.packIds(docs, rounds = 3, seqLen = 2).collect()
+    assert(packed.nonEmpty &&
+      packed.map(r => r.getAs[Long]("n_ids")).sum === enc.length,
+      "packing conserves the id count")
+    // EMPTY corpus end-to-end: no merges, no ids, no packs, no throw
+    val none = docs.filter(col("doc_id") < 0)
+    assert(Tokenizer.bpeMerges(none, rounds = 3).count() === 0L)
+    assert(Tokenizer.bpeEncode(none, rounds = 3).count() === 0L)
+    assert(Tokenizer.packIds(none, rounds = 3, seqLen = 2).count() === 0L)
+    // all-whitespace corpus degenerates identically
+    val blank = docs.filter(col("doc_id") === 3L)
+    assert(Tokenizer.bpeEncode(blank, rounds = 3).count() === 0L)
+  }
 }
