@@ -155,6 +155,27 @@ object Tokenizer {
       .withColumn("tok_id",
         (row_number().over(Window.orderBy(col("sym"))) - 1).cast("long"))
 
+  /** The INGEST-side encoder: apply FROZEN artifacts (the ordered merge
+    * list + the sym→id map — exactly what [[bpeMerges]]/[[bpeVocab]]
+    * train offline) to a text column as ONE narrow expression — per
+    * word, the char encoding folds through each merge in training
+    * order, then symbols map to ids through a literal map. No join, no
+    * window, no shuffle: safe inside a streaming projection, the same
+    * offline-trained/online-applied pattern as the PQ code assignment
+    * (C61). Returns array<long> ids in document order; unknown symbols
+    * (impossible when artifacts come from this corpus's training, the
+    * OOV story of a real deployment) map to null. */
+  def encodeWith(text: Column, merges: Seq[(String, String)],
+      ids: Map[String, Long]): Column = {
+    val idMap = typedLit(ids)
+    def wordEnc(w: Column): Column =
+      merges.foldLeft(array_join(Portable.chars(w), Sep)) {
+        case (enc, (l, r)) => mergePair(enc, l, r)
+      }
+    flatten(transform(Portable.tokens(text),
+      w => transform(split(wordEnc(w), Sep), s => element_at(idMap, s))))
+  }
+
   /** Decode-side of [[bpeEncode]]: reassemble each document from its
     * token stream (syms concatenated in pos order). Composing
     * encode→decode must reproduce the whitespace-stripped text exactly —

@@ -114,6 +114,47 @@ class TokenizerSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("encodeWith (frozen artifacts, narrow) == bpeEncode, batch and streaming") {
+    val docs = sourcesDocs.cache()
+    // train offline, freeze the artifacts
+    val merges = Tokenizer.bpeMerges(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = Tokenizer.bpeVocab(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // batch parity: the narrow expression reproduces the full
+    // join+window encode's id sequences exactly
+    val narrow = docs.select(col("doc_id"),
+        Tokenizer.encodeWith(col("text"), merges, ids).as("ids"))
+      .filter(size(col("ids")) > 0)
+    val grouped = Tokenizer.bpeEncode(docs, rounds = 3)
+      .groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok_id")))),
+        x => x.getField("tok_id")).as("ids"))
+    val j = narrow.as("n").join(grouped.as("g"), "doc_id").cache()
+    assert(j.count() === grouped.count())
+    assert(j.filter(col("n.ids") =!= col("g.ids")).count() === 0)
+    // no unknown-symbol nulls when artifacts come from this corpus
+    assert(narrow.filter(exists(col("ids"), x => x.isNull)).count() === 0)
+
+    // streaming: the same expression in a streaming projection (file
+    // source → narrow select → memory sink) lands the identical ids
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tok-stream").toString
+    docs.select(col("doc_id"), col("text")).write.parquet(s"$tmp/src")
+    val q = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(s"$tmp/src")
+      .select(col("doc_id"),
+        Tokenizer.encodeWith(col("text"), merges, ids).as("ids"))
+      .writeStream.format("memory").queryName("tok_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tok_stream").filter(size(col("ids")) > 0)
+    val sj = streamed.as("s").join(narrow.as("n"), "doc_id")
+    assert(streamed.count() === narrow.count())
+    assert(sj.filter(col("s.ids") =!= col("n.ids")).count() === 0)
+  }
+
   private def sourcesDocs =
     graft.sources.Tables.documents(spark, sf()).limit(100)
 }
