@@ -104,6 +104,10 @@ object ScaleProbe {
     val line = s"""{"replicas":$replicas,"queries":{${rows.mkString(",")}}}"""
     Files.writeString(Paths.get("SCALE.json"), line + "\n")
     println(line)
+    // the scaled copy is ~10× sf0.1 on disk — drop it
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(scaledDir),
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(scaledDir), true)
     spark.stop()
   }
 }
