@@ -569,12 +569,25 @@ object Curation {
       minMatch: Int = 2, srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
     require(minMatch >= 1 && minMatch <= k, "minMatch must be in [1, k]")
-    val flagged = Dedup.sourceMinhashOverlap(docs, k,
+    // the sketch pass feeds FOUR consumers (both side filters, the pair
+    // filter, the final left join) — materialized once so the corpus
+    // scan behind it runs once (the dedup_ngram_jaccard lesson); it is
+    // #sources²-bounded model state
+    val flagged = Materialize(Dedup.sourceMinhashOverlap(docs, k,
         srcCol = srcCol, textCol = textCol)
       .filter(col("n_match") >= minMatch)
-      .select(col("source_a"), col("source_b"), col("est_jaccard"))
+      .select(col("source_a"), col("source_b"), col("est_jaccard")))
+    val flaggedSrcs = flagged
+      .select(explode(array(col("source_a"), col("source_b"))).as("src"))
+      .distinct()
+    // restrict the gram table to FLAGGED sources BEFORE the distinct's
+    // shuffle (sizes are only read for flagged sources, so nothing
+    // downstream needs the others) — with zero flagged pairs the
+    // corpus-chars shuffle never happens, which is the operator's whole
+    // contract
     val exploded = docs.select(col(srcCol).as("src"),
-      explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+        explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .join(broadcast(flaggedSrcs), Seq("src"), "left_semi")
     val grams = Materialize(exploded.distinct())
     val sizes = grams.groupBy(col("src")).agg(count(lit(1)).as("n_grams"))
     val aSrc = flagged.select(col("source_a").as("src")).distinct()

@@ -105,6 +105,32 @@ object IndexedParquetSink {
     def metricsDf(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toIndexedSeq, 1), metricsSchema)
+    // index/app are payload-derived strings and may legally contain tab
+    // or newline (the regex app extractor admits them) — escape so a
+    // hostile value can never corrupt the marker's line/field framing
+    // (an unparseable marker on a COMMITTED batch would be a permanent
+    // poison pill: the replay path would throw forever)
+    def esc(v: String): String = v.flatMap {
+      case '\\' => "\\\\"
+      case '\t' => "\\t"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case c => c.toString
+    }
+    def unesc(v: String): String = {
+      val b = new StringBuilder
+      var i = 0
+      while (i < v.length) {
+        if (v(i) == '\\' && i + 1 < v.length) {
+          b += (v(i + 1) match {
+            case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'
+            case c => c
+          })
+          i += 2
+        } else { b += v(i); i += 1 }
+      }
+      b.result()
+    }
     if (fs.exists(marker)) {
       // replay AFTER commit: the batch is already in the store — return
       // the metrics recorded in the marker, write nothing
@@ -112,7 +138,7 @@ object IndexedParquetSink {
       val content = try scala.io.Source.fromInputStream(in).mkString
         finally in.close()
       metricsDf(content.linesIterator.filter(_.nonEmpty).map { l =>
-        val f = l.split("\t", -1)
+        val f = l.split("\t", -1).map(unesc)
         if (isFailed.isDefined)
           org.apache.spark.sql.Row(f(0), f(1), f(2).toLong, f(3).toLong)
         else org.apache.spark.sql.Row(f(0), f(1), f(2).toLong)
@@ -164,7 +190,10 @@ object IndexedParquetSink {
         val tmp = new Path(s"$path/_commits/.tmp-$batchId")
         fs.mkdirs(new Path(s"$path/_commits"))
         val outS = fs.create(tmp, true)
-        try outS.write(rows.map(r => r.toSeq.mkString("\t"))
+        try outS.write(rows.map(r => r.toSeq.map {
+            case s: String => esc(s)
+            case v => String.valueOf(v)
+          }.mkString("\t"))
           .mkString("", "\n", "\n").getBytes("UTF-8"))
         finally outS.close()
         if (!fs.rename(tmp, marker))

@@ -27,6 +27,35 @@ object StreamedBatch {
 
   private val seq = new AtomicInteger(0)
 
+  /** Run `build`'s streaming query to completion against a one-file
+    * parquet copy of `input`, then PIN the memory-sink relation as a
+    * local DataFrame and clean up — the memory table is dropped and the
+    * temp dir deleted, so repeated invocations (Bench runs every query
+    * twice) leak neither driver memory nor disk. A timed-out query is
+    * an ERROR, never a silently partial relation. */
+  private def throughStream(s: SparkSession, input: DataFrame, name: String)
+      (build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    input.coalesce(1).write.parquet(s"$tmp/src")
+    val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    val q = build(s"$tmp/src")
+      .format("memory").queryName(qn).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    if (!q.awaitTermination(300000)) {
+      q.stop()
+      throw new IllegalStateException(s"$qn did not drain within 300 s")
+    }
+    val sink = s.table(qn)
+    val pinned = s.createDataFrame(
+      s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1), sink.schema)
+    s.catalog.dropTempView(qn)
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+    pinned
+  }
+
   /** [[StreamingSessionize]] fed `events(user_id, ts)` plus one
     * far-future sentinel event per user: every REAL session closes by
     * successor inside the batch (the sentinel's own singleton session
@@ -36,23 +65,22 @@ object StreamedBatch {
   def sessionCounts(s: SparkSession, events: DataFrame,
       gapMinutes: Int): DataFrame = {
     import s.implicits._
-    val evs = events.select(col("user_id").cast("long").as("user_id"),
-      col("ts").cast("timestamp").as("ts"))
-    val maxUs = evs.agg(max(unix_micros(col("ts")))).head.getLong(0)
-    val sentinel = evs.select(col("user_id")).distinct()
-      .withColumn("ts", timestamp_micros(lit(maxUs + 864000000000L)))
-    val tmp = Files.createTempDirectory("graft-sess-twin").toString
-    evs.unionByName(sentinel).coalesce(1).write.parquet(s"$tmp/src")
-    val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP")
-      .parquet(s"$tmp/src").as[StreamingSessionize.Event]
-    val qn = s"sess_twin_${seq.incrementAndGet()}"
-    val q = StreamingSessionize.sessions(stream, gapMinutes)(s)
-      .writeStream.format("memory").queryName(qn).outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    s.table(qn).groupBy(col("user_id"))
+    def agg(df: DataFrame): DataFrame = df.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         sum(col("n_events").cast("long")).as("n_events"))
+    val evs = events.select(col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"))
+    val maxRow = evs.agg(max(unix_micros(col("ts")))).head
+    if (maxRow.isNullAt(0)) // empty relation: empty result, right schema
+      return agg(evs.limit(0).withColumn("n_events", lit(0)))
+    val maxUs = maxRow.getLong(0)
+    val sentinel = evs.select(col("user_id")).distinct()
+      .withColumn("ts", timestamp_micros(lit(maxUs + 864000000000L)))
+    agg(throughStream(s, evs.unionByName(sentinel), "sess") { src =>
+      val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .parquet(src).as[StreamingSessionize.Event]
+      StreamingSessionize.sessions(stream, gapMinutes)(s).writeStream
+    })
   }
 
   /** [[StreamingRateLimit]] fed the enriched message stream: with one
@@ -64,17 +92,12 @@ object StreamedBatch {
       cfg: SyncConfig): DataFrame = {
     import s.implicits._
     val enc = implicitly[org.apache.spark.sql.Encoder[StreamingRateLimit.RlMsg]]
-    val tmp = Files.createTempDirectory("graft-rl-twin").toString
-    msgs.select(col("msg_id").cast("long"), col("topic"),
-        col("publish_time").cast("timestamp"), col("data"), col("app"))
-      .coalesce(1).write.parquet(s"$tmp/src")
-    val stream = s.readStream.schema(enc.schema).parquet(s"$tmp/src")
-      .as[StreamingRateLimit.RlMsg]
-    val qn = s"rl_twin_${seq.incrementAndGet()}"
-    val q = StreamingRateLimit(cfg)(stream)
-      .writeStream.format("memory").queryName(qn).outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    s.table(qn).select(col("msg_id"), col("app"))
+    val input = msgs.select(col("msg_id").cast("long"), col("topic"),
+      col("publish_time").cast("timestamp"), col("data"), col("app"))
+    throughStream(s, input, "rl") { src =>
+      val stream = s.readStream.schema(enc.schema).parquet(src)
+        .as[StreamingRateLimit.RlMsg]
+      StreamingRateLimit(cfg)(stream).writeStream
+    }.select(col("msg_id"), col("app"))
   }
 }

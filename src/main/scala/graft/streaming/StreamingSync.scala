@@ -93,10 +93,16 @@ object StreamingSync {
             failedDocPattern.map(_ => s"$sinkPath/_failed"),
             batchId = Some(batchId))
         }
+        // prometheus-style counters are observability: at-least-once
+        // under a post-marker-crash replay is acceptable (and matches
+        // the reference's counter semantics). The metrics STORE is not:
+        // it feeds written==stored audits, so each batch OVERWRITES its
+        // own batch_id=<id> partition dir — a replay rewrites the same
+        // rows instead of appending duplicates (idempotent like the
+        // sink itself; the dir name supplies the batch_id column).
         SyncMetrics.recordBulk(metrics)
-        metrics.withColumn("batch_id",
-            org.apache.spark.sql.functions.lit(batchId))
-          .write.mode("append").parquet(metricsPath)
+        metrics.write.mode("overwrite")
+          .parquet(s"$metricsPath/batch_id=$batchId")
         ()
       }
       .option("checkpointLocation", s"$sinkPath/_checkpoint")

@@ -55,11 +55,19 @@ object ScaleProbe {
     // events: unique event_id, µs-jittered ts (same schema → the
     // Tables.events seam normalizes the copy exactly like the source)
     locally {
-      val (e, r) = rep(spark.read.parquet(s"$baseDir/events.parquet"))
-      e.withColumn("event_id", col("event_id") * replicas + r)
-        // timestampadd preserves the source's timestamp flavor (NTZ or
-        // LTZ), so the scaled copy keeps the driver layout
-        .withColumn("ts", expr("timestampadd(MICROSECOND, __rep, ts)"))
+      val raw = spark.read.parquet(s"$baseDir/events.parquet")
+      val (e, r) = rep(raw)
+      // the ts physical layout has FLIPPED across driver rounds
+      // (BIGINT nanos ≤ r4, timestamp ≥ r5 — the Tables.events seam);
+      // jitter under whichever layout is present so the scaled copy
+      // keeps the source layout and the seam normalizes it identically
+      val jittered = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          e.withColumn("ts", col("ts") + r * 1000L) // nanos
+        case _ =>
+          e.withColumn("ts", expr("timestampadd(MICROSECOND, __rep, ts)"))
+      }
+      jittered.withColumn("event_id", col("event_id") * replicas + r)
         .drop("__rep")
         .write.parquet(s"$scaledDir/events.parquet")
     }
