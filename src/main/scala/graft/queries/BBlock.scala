@@ -1077,6 +1077,34 @@ object BBlock {
         .orderBy(col("user_id"))
     }),
 
+    "q_late_events" -> ((s, dir) => {
+      // late-data audit (the operability readout behind A19's
+      // watermarked dedup horizon): with msg_id order standing in for
+      // arrival order (the stream's offset), an event is LATE at
+      // horizon h when its event time is older than the running max
+      // seen so far minus h — exactly the rows a watermark of h would
+      // drop. The synthetic corpus arrives perfectly in order, so every
+      // 17th event is deterministically REDELIVERED 5000 offsets later
+      // (≈ hours of stream — the broker-redelivery shape A19 dedups);
+      // those are the rows the watermark sees as late. Per-topic
+      // windows (parallel, never a global sort); the share tells you
+      // whether a 1 h watermark is safe BEFORE you deploy it.
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      eventsUs(s, dir)
+        .withColumn("arrival", col("event_id") +
+          when(pmod(col("event_id"), lit(17)) === 0, 5000L).otherwise(0L))
+        .withColumn("wm",
+          max(unix_micros(col("ts"))).over(w) - 3600L * 1000000)
+        .withColumn("late", when(col("wm").isNotNull &&
+          unix_micros(col("ts")) < col("wm"), 1L).otherwise(0L))
+        .groupBy(col("event_type").as("topic"))
+        .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+          round(sum(col("late")) / count(lit(1)), 6).as("late_share"))
+        .orderBy(col("topic"))
+    }),
+
     "q_sessionize_stream" -> ((s, dir) => {
       // B12's stateful flatMapGroupsWithState sessionizer promoted to an
       // oracle row: the REAL streaming operator runs over the events
@@ -1909,6 +1937,25 @@ object BBlock {
         |)
         |SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_late_events" ->
+      """WITH a AS (
+        |  SELECT event_type, event_id, ts,
+        |    event_id + CASE WHEN event_id % 17 = 0 THEN 5000 ELSE 0 END
+        |      AS arrival
+        |  FROM events
+        |), l AS (
+        |  SELECT event_type AS topic,
+        |    CASE WHEN max(epoch_us(ts)) OVER w - 3600000000 > epoch_us(ts)
+        |         THEN 1 ELSE 0 END AS late
+        |  FROM a
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY arrival, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT topic, count(*) AS n_events,
+        |  CAST(SUM(late) AS BIGINT) AS n_late,
+        |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
+        |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
 
     // IDENTICAL SQL to q_sessionize — the point of the row: the
     // streaming path must reproduce the batch relation bit-for-bit
