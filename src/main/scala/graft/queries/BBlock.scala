@@ -1094,7 +1094,13 @@ object BBlock {
         .rowsBetween(Window.unboundedPreceding, -1)
       eventsUs(s, dir)
         .withColumn("arrival", col("event_id") +
-          when(pmod(col("event_id"), lit(17)) === 0, 5000L).otherwise(0L))
+          when(pmod(col("event_id"), lit(17)) === 0,
+            // redelivery delay classes ≈ 9 min / 65 min / 3.6 h / 8.6 h
+            // of event time (≈259 s per offset), so the horizon sweep
+            // crosses the delay distribution instead of sitting on one
+            // side of it
+            expr("CASE (event_id div 17) % 4 WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END").cast("long"))
+          .otherwise(0L))
         .withColumn("wm",
           max(unix_micros(col("ts"))).over(w) - 3600L * 1000000)
         .withColumn("late", when(col("wm").isNotNull &&
@@ -1103,6 +1109,36 @@ object BBlock {
         .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
           round(sum(col("late")) / count(lit(1)), 6).as("late_share"))
         .orderBy(col("topic"))
+    }),
+
+    "q_late_horizon_sweep" -> ((s, dir) => {
+      // the watermark POLICY curve over B61's planted disorder: late
+      // share at horizon ∈ {10 min, 1 h, 6 h} — the trade a deployment
+      // reads off before fixing the dedup/session watermark (state cost
+      // grows with horizon, dropped-data share shrinks); each point
+      // reuses the same arrival window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("arrival"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val base = eventsUs(s, dir)
+        .withColumn("arrival", col("event_id") +
+          when(pmod(col("event_id"), lit(17)) === 0,
+            // redelivery delay classes ≈ 9 min / 65 min / 3.6 h / 8.6 h
+            // of event time (≈259 s per offset), so the horizon sweep
+            // crosses the delay distribution instead of sitting on one
+            // side of it
+            expr("CASE (event_id div 17) % 4 WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END").cast("long"))
+          .otherwise(0L))
+        .withColumn("mx", max(unix_micros(col("ts"))).over(w))
+      Seq(600L, 3600L, 21600L).map { h =>
+        base
+          .withColumn("late", when(col("mx").isNotNull &&
+            unix_micros(col("ts")) < col("mx") - h * 1000000, 1L)
+            .otherwise(0L))
+          .groupBy(lit(h).as("horizon_sec"))
+          .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
+            round(sum(col("late")) / count(lit(1)), 6).as("late_share"))
+      }.reduce(_.unionByName(_)).orderBy(col("horizon_sec"))
     }),
 
     "q_sessionize_stream" -> ((s, dir) => {
@@ -1941,7 +1977,10 @@ object BBlock {
     "q_late_events" ->
       """WITH a AS (
         |  SELECT event_type, event_id, ts,
-        |    event_id + CASE WHEN event_id % 17 = 0 THEN 5000 ELSE 0 END
+        |    event_id + CASE WHEN event_id % 17 = 0
+        |      THEN CASE (event_id // 17) % 4
+        |           WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END
+        |      ELSE 0 END
         |      AS arrival
         |  FROM events
         |), l AS (
@@ -1956,6 +1995,31 @@ object BBlock {
         |  CAST(SUM(late) AS BIGINT) AS n_late,
         |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
         |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "q_late_horizon_sweep" ->
+      Seq(600L, 3600L, 21600L).map { h =>
+        s"""SELECT * FROM (
+           |WITH a AS (
+           |  SELECT event_type, event_id, ts,
+           |    event_id + CASE WHEN event_id % 17 = 0
+        |      THEN CASE (event_id // 17) % 4
+        |           WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END
+        |      ELSE 0 END
+           |      AS arrival
+           |  FROM events
+           |), l AS (
+           |  SELECT CASE WHEN max(epoch_us(ts)) OVER w - ${h * 1000000}
+           |                   > epoch_us(ts)
+           |         THEN 1 ELSE 0 END AS late
+           |  FROM a
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY arrival, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           |)
+           |SELECT CAST($h AS BIGINT) AS horizon_sec, count(*) AS n_events,
+           |  CAST(SUM(late) AS BIGINT) AS n_late,
+           |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
+           |FROM l)""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY horizon_sec"),
 
     // IDENTICAL SQL to q_sessionize — the point of the row: the
     // streaming path must reproduce the batch relation bit-for-bit
