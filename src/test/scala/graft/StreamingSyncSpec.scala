@@ -229,9 +229,10 @@ class StreamingSyncSpec extends SparkSpec {
       }
     }
 
+    val poison = "\"k\": 5[0-9]\\}"
     val q1 = StreamingSync.start(spark, cfg2, s"$tmp/src", s"$tmp/sink",
       s"$tmp/metrics", availableNow = true, batchFiles = Some(1),
-      maxRetries = 0, sink = CrashOnce)
+      maxRetries = 0, sink = CrashOnce, failedDocPattern = Some(poison))
     val died = try { q1.awaitTermination(120000); false } catch {
       case _: org.apache.spark.sql.streaming.StreamingQueryException => true
     }
@@ -245,10 +246,19 @@ class StreamingSyncSpec extends SparkSpec {
     // batch 2 runs fresh
     StreamingSync.start(spark, cfg2, s"$tmp/src", s"$tmp/sink",
       s"$tmp/metrics", availableNow = true, batchFiles = Some(1),
-      maxRetries = 0, sink = CrashOnce).awaitTermination(120000)
+      maxRetries = 0, sink = CrashOnce,
+      failedDocPattern = Some(poison)).awaitTermination(120000)
 
+    val all = SyncPipeline(cfg2)(msgs)
+    val batch = all.filter(!col("data").rlike(poison))
+    // the FAILED-docs store rides the same commit protocol: exactly the
+    // batch poison set, no dup, even through the crash window
+    val failedStore = spark.read.parquet(s"$tmp/sink/_failed")
+    assert(failedStore.count() ==
+      all.filter(col("data").rlike(poison)).count(), "failed-store no loss")
+    assert(failedStore.select("msg_id").distinct().count()
+      == failedStore.count(), "failed-store no dup")
     val store = spark.read.parquet(s"$tmp/sink")
-    val batch = SyncPipeline(cfg2)(msgs)
     assert(store.count() == batch.count(), "no loss")
     assert(store.select("msg_id").distinct().count() == store.count(), "no dup")
     assert(store.select("msg_id", "index", "app").orderBy("msg_id")
