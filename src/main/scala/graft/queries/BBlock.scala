@@ -1084,23 +1084,17 @@ object BBlock {
       // horizon h when its event time is older than the running max
       // seen so far minus h — exactly the rows a watermark of h would
       // drop. The synthetic corpus arrives perfectly in order, so every
-      // 17th event is deterministically REDELIVERED 5000 offsets later
-      // (≈ hours of stream — the broker-redelivery shape A19 dedups);
-      // those are the rows the watermark sees as late. Per-topic
-      // windows (parallel, never a global sort); the share tells you
-      // whether a 1 h watermark is safe BEFORE you deploy it.
+      // 17th event is deterministically REDELIVERED by a delay-class
+      // mix (see lateArrival: ≈9 min/65 min/3.6 h/8.6 h of event time —
+      // the broker-redelivery shape A19 dedups); those are the rows the
+      // watermark sees as late. Per-topic windows (parallel, never a
+      // global sort); the share tells you whether a 1 h watermark is
+      // safe BEFORE you deploy it.
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("arrival"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       eventsUs(s, dir)
-        .withColumn("arrival", col("event_id") +
-          when(pmod(col("event_id"), lit(17)) === 0,
-            // redelivery delay classes ≈ 9 min / 65 min / 3.6 h / 8.6 h
-            // of event time (≈259 s per offset), so the horizon sweep
-            // crosses the delay distribution instead of sitting on one
-            // side of it
-            expr("CASE (event_id div 17) % 4 WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END").cast("long"))
-          .otherwise(0L))
+        .withColumn("arrival", lateArrival)
         .withColumn("wm",
           max(unix_micros(col("ts"))).over(w) - 3600L * 1000000)
         .withColumn("late", when(col("wm").isNotNull &&
@@ -1115,30 +1109,32 @@ object BBlock {
       // the watermark POLICY curve over B61's planted disorder: late
       // share at horizon ∈ {10 min, 1 h, 6 h} — the trade a deployment
       // reads off before fixing the dedup/session watermark (state cost
-      // grows with horizon, dropped-data share shrinks); each point
-      // reuses the same arrival window
+      // grows with horizon, dropped-data share shrinks). ONE window
+      // evaluation serves all three points: the per-event running max
+      // is horizon-independent, so the sweep is three conditional sums
+      // in a single global aggregate, exploded to one row per horizon
+      // (a global agg also matches the oracle's one-row-per-arm shape
+      // on an empty relation, where a groupBy would emit zero rows).
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("arrival"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val base = eventsUs(s, dir)
-        .withColumn("arrival", col("event_id") +
-          when(pmod(col("event_id"), lit(17)) === 0,
-            // redelivery delay classes ≈ 9 min / 65 min / 3.6 h / 8.6 h
-            // of event time (≈259 s per offset), so the horizon sweep
-            // crosses the delay distribution instead of sitting on one
-            // side of it
-            expr("CASE (event_id div 17) % 4 WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END").cast("long"))
-          .otherwise(0L))
+      def lateAt(h: Long) = sum(when(col("mx").isNotNull &&
+        unix_micros(col("ts")) < col("mx") - h * 1000000, 1L).otherwise(0L))
+      eventsUs(s, dir)
+        .withColumn("arrival", lateArrival)
         .withColumn("mx", max(unix_micros(col("ts"))).over(w))
-      Seq(600L, 3600L, 21600L).map { h =>
-        base
-          .withColumn("late", when(col("mx").isNotNull &&
-            unix_micros(col("ts")) < col("mx") - h * 1000000, 1L)
-            .otherwise(0L))
-          .groupBy(lit(h).as("horizon_sec"))
-          .agg(count(lit(1)).as("n_events"), sum(col("late")).as("n_late"),
-            round(sum(col("late")) / count(lit(1)), 6).as("late_share"))
-      }.reduce(_.unionByName(_)).orderBy(col("horizon_sec"))
+        .agg(count(lit(1)).as("n_events"),
+          lateAt(600L).as("l600"), lateAt(3600L).as("l3600"),
+          lateAt(21600L).as("l21600"))
+        .select(col("n_events"), explode(array(
+          struct(lit(600L).as("horizon_sec"), col("l600").as("n_late")),
+          struct(lit(3600L).as("horizon_sec"), col("l3600").as("n_late")),
+          struct(lit(21600L).as("horizon_sec"), col("l21600").as("n_late"))))
+          .as("p"))
+        .select(col("p.horizon_sec").as("horizon_sec"), col("n_events"),
+          col("p.n_late").as("n_late"),
+          round(col("p.n_late") / col("n_events"), 6).as("late_share"))
+        .orderBy(col("horizon_sec"))
     }),
 
     "q_sessionize_stream" -> ((s, dir) => {
@@ -1154,6 +1150,27 @@ object BBlock {
         .orderBy(col("user_id"))
     }),
   )
+
+  /** B61/B62's planted redelivery: every 17th event arrives
+    * `delay-class` offsets late (classes 2/15/50/120 ≈ 9 min/65 min/
+    * 3.6 h/8.6 h of event time at ≈259 s per offset — straddling the
+    * sweep's horizons). ONE definition; the SQL twin is
+    * [[lateArrivalSql]] and the two must stay in lockstep. */
+  private def lateArrival: org.apache.spark.sql.Column =
+    col("event_id") + when(pmod(col("event_id"), lit(17)) === 0,
+      expr("CASE (event_id div 17) % 4 WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END")
+        .cast("long")).otherwise(0L)
+
+  /** SQL twin of [[lateArrival]] (a CTE named `a` over events). */
+  private val lateArrivalSql: String =
+    """a AS (
+      |  SELECT event_type, event_id, ts,
+      |    event_id + CASE WHEN event_id % 17 = 0
+      |      THEN CASE (event_id // 17) % 4
+      |           WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END
+      |      ELSE 0 END AS arrival
+      |  FROM events
+      |)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q10_returned" ->
@@ -1975,39 +1992,23 @@ object BBlock {
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_late_events" ->
-      """WITH a AS (
-        |  SELECT event_type, event_id, ts,
-        |    event_id + CASE WHEN event_id % 17 = 0
-        |      THEN CASE (event_id // 17) % 4
-        |           WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END
-        |      ELSE 0 END
-        |      AS arrival
-        |  FROM events
-        |), l AS (
-        |  SELECT event_type AS topic,
-        |    CASE WHEN max(epoch_us(ts)) OVER w - 3600000000 > epoch_us(ts)
-        |         THEN 1 ELSE 0 END AS late
-        |  FROM a
-        |  WINDOW w AS (PARTITION BY event_type ORDER BY arrival, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-        |)
-        |SELECT topic, count(*) AS n_events,
-        |  CAST(SUM(late) AS BIGINT) AS n_late,
-        |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
-        |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
+      s"""WITH $lateArrivalSql, l AS (
+         |  SELECT event_type AS topic,
+         |    CASE WHEN max(epoch_us(ts)) OVER w - 3600000000 > epoch_us(ts)
+         |         THEN 1 ELSE 0 END AS late
+         |  FROM a
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY arrival, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT topic, count(*) AS n_events,
+         |  CAST(SUM(late) AS BIGINT) AS n_late,
+         |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
+         |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
 
     "q_late_horizon_sweep" ->
       Seq(600L, 3600L, 21600L).map { h =>
         s"""SELECT * FROM (
-           |WITH a AS (
-           |  SELECT event_type, event_id, ts,
-           |    event_id + CASE WHEN event_id % 17 = 0
-        |      THEN CASE (event_id // 17) % 4
-        |           WHEN 0 THEN 2 WHEN 1 THEN 15 WHEN 2 THEN 50 ELSE 120 END
-        |      ELSE 0 END
-           |      AS arrival
-           |  FROM events
-           |), l AS (
+           |WITH $lateArrivalSql, l AS (
            |  SELECT CASE WHEN max(epoch_us(ts)) OVER w - ${h * 1000000}
            |                   > epoch_us(ts)
            |         THEN 1 ELSE 0 END AS late

@@ -81,7 +81,11 @@ object IndexedParquetSink {
     * A crash at ANY point replays into case 2 and converges: the store
     * after restart equals the batch relation exactly — no loss (the
     * checkpoint replays uncommitted batches), no dup (committed batches
-    * skip, partial attempts are scrubbed by name). Underscore-prefixed
+    * skip, partial attempts are scrubbed by name). Marker payloads are
+    * escaped TSV (tab/newline/backslash in index/app values cannot
+    * break framing); markers written by a pre-escaping build are not
+    * readable by this one — drain a store's in-flight checkpoint before
+    * upgrading across the marker format. Underscore-prefixed
     * dirs (`_commits`, `_staging`) are invisible to parquet readers, so
     * the store layout stays `index=`-partitioned for pruning, retention
     * and compaction. Metadata cost is O(#files in the batch) renames —

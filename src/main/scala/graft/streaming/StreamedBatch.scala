@@ -37,23 +37,27 @@ object StreamedBatch {
       (build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
-    input.coalesce(1).write.parquet(s"$tmp/src")
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
-    val q = build(s"$tmp/src")
-      .format("memory").queryName(qn).outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    if (!q.awaitTermination(300000)) {
-      q.stop()
-      throw new IllegalStateException(s"$qn did not drain within 300 s")
+    try {
+      input.coalesce(1).write.parquet(s"$tmp/src")
+      val q = build(s"$tmp/src")
+        .format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = s.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally { // failure paths must not leak the sink table or the copy
+      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
     }
-    val sink = s.table(qn)
-    val pinned = s.createDataFrame(
-      s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1), sink.schema)
-    s.catalog.dropTempView(qn)
-    org.apache.hadoop.fs.FileSystem
-      .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(tmp), true)
-    pinned
   }
 
   /** [[StreamingSessionize]] fed `events(user_id, ts)` plus one

@@ -97,12 +97,17 @@ object StreamingSync {
         // under a post-marker-crash replay is acceptable (and matches
         // the reference's counter semantics). The metrics STORE is not:
         // it feeds written==stored audits, so each batch OVERWRITES its
-        // own batch_id=<id> partition dir — a replay rewrites the same
-        // rows instead of appending duplicates (idempotent like the
-        // sink itself; the dir name supplies the batch_id column).
+        // own bid=<id> directory — a replay rewrites the same rows
+        // instead of appending duplicates (idempotent like the sink
+        // itself). batch_id stays a LongType DATA column so readers
+        // keep the schema they always had (`bid` is only the partition
+        // key the overwrite scopes to); a store from the old
+        // append-at-root layout must be drained before pointing the
+        // sync at it (mixed layouts fail partition discovery).
         SyncMetrics.recordBulk(metrics)
-        metrics.write.mode("overwrite")
-          .parquet(s"$metricsPath/batch_id=$batchId")
+        metrics.withColumn("batch_id",
+            org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite").parquet(s"$metricsPath/bid=$batchId")
         ()
       }
       .option("checkpointLocation", s"$sinkPath/_checkpoint")
