@@ -796,6 +796,24 @@ object BBlock {
         .orderBy(col("imp_id"), col("conv_id"))
     }),
 
+    "q_attribution_stream" -> ((s, dir) => {
+      // B33 promoted to a REAL stream-stream oracle row: impressions
+      // and conversions arrive on separate file sources, the interval
+      // join buffers keyed state on BOTH sides, and the single
+      // AvailableNow micro-batch must emit exactly the batch range
+      // join — the IDENTICAL DuckDB SQL as q_attribution anchors both
+      val ev = eventsUs(s, dir)
+      val impressions = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"))
+      val conversions = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      graft.streaming.StreamedBatch
+        .attributed(s, impressions, conversions, windowSec = 3600)
+        .orderBy(col("imp_id"), col("conv_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // clicks within ±30 min of each purchase by the same user — the
       // bounded range join via time-bucket equi-join (Temporal)
@@ -1768,6 +1786,23 @@ object BBlock {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_attribution" ->
+      """WITH i AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS imp_ts, event_id AS imp_id
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS conv_ts, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT i.user_id, imp_id, conv_id, imp_ts, conv_ts
+        |FROM i JOIN c
+        |  ON i.user_id = c.user_id
+        | AND conv_ts >= imp_ts
+        | AND conv_ts <= imp_ts + INTERVAL 3600 SECOND
+        |ORDER BY imp_id, conv_id""".stripMargin,
+
+    // IDENTICAL SQL to q_attribution — the stream-stream interval join
+    // must emit the batch range join's exact match set
+    "q_attribution_stream" ->
       """WITH i AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS imp_ts, event_id AS imp_id
         |  FROM events WHERE event_type = 'view'

@@ -608,6 +608,49 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "decontaminate_eval" -> ((s, dir) => {
+      // planted-truth audit of the decontamination gate (the dedup_eval
+      // pattern applied to C26): every 13th corpus doc gets a twin with
+      // a verbatim benchmark excerpt of length L ∈ {12,23,24,64}
+      // appended — the arms straddle the char-24-gram threshold, so the
+      // sweep shows the gate's contract edge (≥ n verbatim chars is
+      // ALWAYS caught, < n escapes); level 0 is the unplanted corpus,
+      // the natural-collision baseline a reader subtracts (n = 24 is
+      // the smallest measured gram size where that baseline is
+      // discriminative on this corpus — at the production default n = 8
+      // the shared word pool makes EVERY doc collide, so the eval pins
+      // n to the regime where the answer carries information). The
+      // production decontaminate plan runs unchanged over the union:
+      // one corpus scan, one broadcast gram join.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val bench = docs.filter(isBench)
+      val corp = docs.filter(!isBench)
+      // shared excerpt source: the first benchmark doc, broadcast 1-row
+      val exc = bench.orderBy(col("doc_id")).limit(1)
+        .select(col("text").as("__exc"))
+      val planted = Seq(12, 23, 24, 64).map { l =>
+        corp.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .crossJoin(broadcast(exc))
+          .select((col("doc_id") + lit(20000000L + l * 1000000L)).as("doc_id"),
+            concat(col("text"), lit(" "),
+              substring(col("__exc"), 10, l)).as("text"))
+      }.reduce(_ unionByName _)
+      val union = corp.unionByName(planted)
+      val flagged = Dedup.decontaminate(union, bench, n = 24)
+        .select(col("doc_id"), lit(1L).as("hit"))
+      union
+        .withColumn("level", expr("CASE WHEN doc_id < 20000000 THEN 0 " +
+          "ELSE (doc_id - 20000000) div 1000000 END").cast("long"))
+        .join(flagged, Seq("doc_id"), "left")
+        .groupBy(col("level"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_flagged"),
+          round(sum(coalesce(col("hit"), lit(0L))) * lit(1.0) / count(lit(1)), 6)
+            .as("catch_rate"))
+        .orderBy(col("level"))
+    }),
+
     "sketch_hll_merge" -> ((s, dir) => {
       // distributed HLL the way a 1000-executor rollup actually runs:
       // registers built per SHARD (event_id mod 4 — disjoint batches),
@@ -1282,6 +1325,31 @@ object CBlock {
           Tables.documents(s, dir)
             .select(col("doc_id"), col("source").as("domain")), cap = 20)
         .orderBy(col("domain"), col("slot"))
+    }),
+
+    "quota_gate_stream" -> ((s, dir) => {
+      // C96's stateful streaming gate promoted to an oracle row (the
+      // r6-verdict #8 pattern): the REAL FlatMapGroupsWithState quota
+      // (file source → per-domain admission state → memory sink, one
+      // micro-batch) must admit exactly the batch window relation —
+      // the IDENTICAL DuckDB SQL as quota_gate anchors both
+      graft.streaming.StreamedBatch.quotaAdmitted(s,
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("source").as("domain")), cap = 20)
+        .select(col("doc_id"), col("domain"), col("slot"))
+        .orderBy(col("domain"), col("slot"))
+    }),
+
+    "dedup_gate_stream" -> ((s, dir) => {
+      // C45's streaming near-dup gate promoted to an oracle row: the
+      // REAL first-seen bucket registry (FlatMapGroupsWithState on the
+      // band-bucket key) flags, in one micro-batch, exactly the batch
+      // banding relation — one (doc_id, bucket, first_doc) row per
+      // shared bucket; the oracle recomputes the portable minhash
+      // banding and the per-bucket first in SQL
+      graft.streaming.StreamedBatch.nearDupCollisions(s,
+          Tables.documents(s, dir).select(col("doc_id"), col("text")))
+        .orderBy(col("doc_id"), col("bucket"))
     }),
 
     "sample_exact_k" -> ((s, dir) => {
@@ -2870,6 +2938,46 @@ object CBlock {
          |FROM cg JOIN bg USING (gram)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    "decontaminate_eval" -> {
+      val gramSel = "unnest(list_distinct(CASE WHEN len(text) >= 24 " +
+        s"""THEN list_transform(range(1, len(text) - 22), i -> ${ph("text[i:i+23]")}) """ +
+        s"""ELSE [${ph("text")}] END)) AS gram"""
+      val arms = Seq(12, 23, 24, 64).map { l =>
+        s"""  SELECT c.doc_id + ${20000000L + l * 1000000L} AS doc_id,
+           |    c.text || ' ' || substr(e.text, 10, $l) AS text
+           |  FROM corp c, exc e WHERE c.doc_id % 13 = 0""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH bench AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+         |), corp AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+         |), exc AS (
+         |  SELECT text FROM bench ORDER BY doc_id LIMIT 1
+         |), planted AS (
+         |$arms
+         |), u AS (
+         |  SELECT doc_id, text FROM corp
+         |  UNION ALL SELECT doc_id, text FROM planted
+         |), g AS (
+         |  SELECT doc_id, $gramSel FROM u
+         |), bgr AS (
+         |  SELECT $gramSel FROM bench
+         |), bg AS (SELECT DISTINCT gram FROM bgr),
+         |fl AS (SELECT DISTINCT g.doc_id FROM g JOIN bg USING (gram)),
+         |lv AS (
+         |  SELECT doc_id, CASE WHEN doc_id < 20000000 THEN 0
+         |    ELSE (doc_id - 20000000) // 1000000 END AS level
+         |  FROM u
+         |)
+         |SELECT CAST(level AS BIGINT) AS level, count(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_flagged,
+         |  ROUND(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+         |    / count(*), 6) AS catch_rate
+         |FROM lv LEFT JOIN fl f USING (doc_id)
+         |GROUP BY level ORDER BY level""".stripMargin
+    },
+
     "sketch_kmv_overlap" ->
       s"""WITH h AS (
          |  SELECT DISTINCT event_type,
@@ -4150,6 +4258,32 @@ object CBlock {
         |      ORDER BY doc_id) AS BIGINT) AS slot
         |  FROM documents
         |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
+
+    // IDENTICAL SQL to quota_gate — the streaming gate must admit the
+    // batch window's exact (doc, slot) relation
+    "quota_gate_stream" ->
+      """SELECT doc_id, domain, slot FROM (
+        |  SELECT doc_id, source AS domain,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY doc_id) AS BIGINT) AS slot
+        |  FROM documents
+        |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
+
+    // the streaming registry's collision relation: portable minhash
+    // banding (same CTE chain as dedup_minhash), bucket = band·M + bh,
+    // first = per-bucket min doc id, one row per later (doc, bucket)
+    "dedup_gate_stream" ->
+      s"""WITH ${minhashPairsCte()},
+         |bk AS (
+         |  SELECT doc_id, CAST(band AS BIGINT) * 2147483647 + bh AS bucket
+         |  FROM bands
+         |), fs AS (
+         |  SELECT bucket, min(doc_id) AS first_doc FROM bk GROUP BY 1
+         |)
+         |SELECT b.doc_id, b.bucket, f.first_doc
+         |FROM bk b JOIN fs f USING (bucket)
+         |WHERE b.doc_id <> f.first_doc
+         |ORDER BY doc_id, bucket""".stripMargin,
 
     "curate_daily" ->
       s"""WITH nm AS (

@@ -87,6 +87,38 @@ object StreamedBatch {
     })
   }
 
+  /** Two-source variant of [[throughStream]] for stream-STREAM
+    * operators (each side its own file source; both drain in the same
+    * AvailableNow run). Same pin-and-clean contract. */
+  private def throughStream2(s: SparkSession, left: DataFrame,
+      right: DataFrame, name: String)
+      (build: (String, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    try {
+      left.coalesce(1).write.parquet(s"$tmp/left")
+      right.coalesce(1).write.parquet(s"$tmp/right")
+      val q = build(s"$tmp/left", s"$tmp/right")
+        .format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = s.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingRateLimit]] fed the enriched message stream: with one
     * micro-batch and empty initial state the stateful limiter admits
     * exactly the batch window's first-`limit` per (app, window) in
@@ -103,5 +135,62 @@ object StreamedBatch {
         .as[StreamingRateLimit.RlMsg]
       StreamingRateLimit(cfg)(stream).writeStream
     }.select(col("msg_id"), col("app"))
+  }
+
+  /** [[StreamingQuota]] fed `(doc_id, domain)`: one micro-batch + empty
+    * state admits the first-`cap` per domain in doc-id arrival order
+    * with 1-based slots — exactly [[StreamingQuota.batchQuota]]'s
+    * window relation, so the batch twin's oracle SQL anchors the REAL
+    * stateful gate. */
+  def quotaAdmitted(s: SparkSession, docs: DataFrame, cap: Int): DataFrame = {
+    import s.implicits._
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("domain").cast("string").as("domain"))
+    throughStream(s, input, "quota") { src =>
+      val stream = s.readStream.schema("doc_id LONG, domain STRING")
+        .parquet(src).as[StreamingQuota.Arrival]
+      StreamingQuota.quotaGate(stream, cap).toDF().writeStream
+    }
+  }
+
+  /** [[StreamingIntervalJoin.attribute]] as a REAL stream-STREAM join:
+    * impressions and conversions each arrive on their own file source,
+    * both watermarked, and the interval join buffers keyed state on
+    * both sides. Inner-join semantics emit every match inside the
+    * single AvailableNow micro-batch (the watermark only governs later
+    * state eviction), so the emitted relation is exactly the batch
+    * range join — the batch twin's oracle SQL anchors it. */
+  def attributed(s: SparkSession, impressions: DataFrame,
+      conversions: DataFrame, windowSec: Int): DataFrame = {
+    val imps = impressions.select(col("user_id").cast("long").as("user_id"),
+      col("imp_ts").cast("timestamp").as("imp_ts"),
+      col("imp_id").cast("long").as("imp_id"))
+    val convs = conversions.select(col("c_user_id").cast("long").as("c_user_id"),
+      col("conv_ts").cast("timestamp").as("conv_ts"),
+      col("conv_id").cast("long").as("conv_id"))
+    throughStream2(s, imps, convs, "attr") { (l, r) =>
+      val impStream = s.readStream
+        .schema("user_id LONG, imp_ts TIMESTAMP, imp_id LONG").parquet(l)
+      val convStream = s.readStream
+        .schema("c_user_id LONG, conv_ts TIMESTAMP, conv_id LONG").parquet(r)
+      StreamingIntervalJoin.attribute(impStream, convStream,
+        windowSec = windowSec).writeStream
+    }
+  }
+
+  /** [[StreamingDedup.nearDupGate]] fed `(doc_id, text)`: one
+    * micro-batch + empty registry flags exactly the batch relation —
+    * for every band bucket, each doc sharing it with an earlier
+    * (smaller-id) doc emits one (doc_id, bucket, first_doc) collision
+    * row. The oracle recomputes the portable minhash banding in SQL. */
+  def nearDupCollisions(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    throughStream(s, input, "ndg") { src =>
+      val stream = s.readStream.schema("doc_id LONG, text STRING")
+        .parquet(src).as[StreamingDedup.Doc]
+      StreamingDedup.nearDupGate(stream).toDF().writeStream
+    }
   }
 }
