@@ -1010,4 +1010,62 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"),
         round(col("cos"), 6).as("cosine"))
   }
+
+  /** Top principal direction of the embedding corpus by INTEGER power
+    * iteration — uncentered PCA (the dominant eigenvector of the
+    * second-moment/Gram matrix Σ x·xᵀ), the whitening / projection-axis
+    * audit a pipeline reads before picking [[randomProject]] dims or an
+    * SQ quantization range.
+    *
+    * Exactness: float matrix-vector products are order-dependent, so the
+    * whole computation runs on the [[graft.operators.Dedup.clusterMedoids]]
+    * integer lattice — q = floor(x·10⁶) per (vec, dim); Gram entries are
+    * BIGINT sums Σ q_i·q_j rescaled by an integer div; each iteration is
+    * v' = sign(u)·(|u| div (max|u| div 10⁶)) with u = G·v — every step
+    * order-free integer arithmetic, so the 64 output components are
+    * bit-identical in any engine. Bounds at scale=10⁶, |x| ≤ 1, corpus
+    * ≤ 10⁷ vectors: |q| ≤ 10⁶, |Gram| ≤ 10⁷·10¹² = 10¹⁹… div 10⁷ keeps
+    * every product inside long range (|g|·10⁶·64 ≤ 10¹⁸ at |g| ≤ 10¹⁰).
+    *
+    * Scale: ONE wide edge — the (i, j) Gram aggregation (the vec_id
+    * equi-join fans each vector to its D² dim pairs, map-side combined);
+    * the D×D Gram table is MODEL STATE (4096 rows at D = 64, like the
+    * IVF centroids) so the power iteration itself runs on the collected
+    * matrix — O(iters·D²) driver work, independent of corpus size. */
+  def pcaPower(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      gramDiv: Long = 10000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    val q = emb.select(col(idCol).as("__id"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("__id"), col("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+    val a = q.select(col("__id"), col("dim").as("i"), col("q").as("qi"))
+    val b = q.select(col("__id"), col("dim").as("j"), col("q").as("qj"))
+    val gram = a.join(b, "__id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("qi") * col("qj")).as("gsum"))
+      .select(col("i"), col("j"),
+        expr(s"(CASE WHEN gsum < 0 THEN -1 ELSE 1 END) * (abs(gsum) div $gramDiv)")
+          .as("g"))
+    val gRows = gram.collect() // D² rows — bounded model state
+    val d = gRows.iterator.map(_.getInt(0)).max + 1
+    val gm = Array.ofDim[Long](d, d)
+    gRows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.fill(d)(scale)
+    for (_ <- 1 to iters) {
+      val u = Array.tabulate(d) { i =>
+        var acc = 0L; var j = 0
+        while (j < d) { acc += gm(i)(j) * v(j); j += 1 }; acc
+      }
+      val m = u.iterator.map(math.abs).max
+      val divisor = math.max(m / scale, 1L)
+      v = u.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / divisor))
+    }
+    val out = v.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    s.createDataFrame(s.sparkContext.parallelize(out, 1))
+      .toDF("dim", "comp")
+      .select(col("dim"), col("comp"),
+        round(col("comp") / lit(scale.toDouble), 6).as("loading"))
+  }
 }

@@ -1275,6 +1275,18 @@ object CBlock {
         .orderBy(col("vec_id"), col("dim"))
     }),
 
+    "emb_pca" -> ((s, dir) => {
+      // top principal direction (uncentered PCA) by 3-step INTEGER
+      // power iteration on the medoid lattice (q = floor(x·10⁶)): the
+      // Gram matrix is ONE (i,j)-aggregated wide edge, model-state
+      // sized (64×64), and the iteration runs on the collected matrix —
+      // every step order-free integer arithmetic, so the components are
+      // bit-identical in any engine; the oracle unrolls the same three
+      // iterations as CTEs
+      Similarity.pcaPower(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("dim"))
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain quota: keep each source's top-5 docs by chars
       Curation.domainCap(Tables.documents(s, dir), cap = 5)
@@ -4209,6 +4221,40 @@ object CBlock {
         |    (a, v) -> a + v), 6) AS val
         |FROM embeddings, (SELECT unnest(range(0, 16)) AS j)
         |ORDER BY vec_id, dim""".stripMargin,
+
+    "emb_pca" -> {
+      val iterCtes = (1 to 3).map { k =>
+        s"""u$k AS (
+           |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+           |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1
+           |), m$k AS (
+           |  SELECT greatest(max(abs(u)) // 1000000, 1) AS md FROM u$k
+           |), v$k AS (
+           |  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+           |    * (abs(u) // md) AS v
+           |  FROM u$k, m$k
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id, d.d AS dim,
+         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) d
+         |), gm AS (
+         |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gsum
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+         |), g AS (
+         |  SELECT i, j, (CASE WHEN gsum < 0 THEN -1 ELSE 1 END)
+         |    * (abs(gsum) // 10000000) AS g
+         |  FROM gm
+         |), v0 AS (
+         |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
+         |),
+         |$iterCtes
+         |SELECT CAST(i AS BIGINT) AS dim, v AS comp,
+         |  ROUND(v / 1000000.0, 6) AS loading
+         |FROM v3 ORDER BY dim""".stripMargin
+    },
 
     "curate_domain_cap" ->
       """SELECT doc_id, source, n_chars, rk FROM (

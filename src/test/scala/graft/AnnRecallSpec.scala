@@ -324,4 +324,38 @@ class AnnRecallSpec extends SparkSpec {
     // bucketing regressions (broken hash ≈ 0.0x), not marketing recall
     assert(rm >= 0.25, s"multi-probe LSH recall collapsed: $rm")
   }
+
+  test("pcaPower: integer-lattice direction tracks double-precision power iteration") {
+    val emb = Tables.embeddings(spark, sf())
+    val lattice = Similarity.pcaPower(emb, iters = 3)
+      .orderBy(col("dim")).select("loading").collect().map(_.getDouble(0))
+    // double-precision reference: same uncentered Gram, same 3 steps,
+    // max-norm normalization — the quantization/integer-div drift must
+    // not bend the direction
+    val rows = emb.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val d = rows.head.length
+    val g = Array.ofDim[Double](d, d)
+    rows.foreach { x =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { g(i)(j) += x(i) * x(j); j += 1 }
+        i += 1
+      }
+    }
+    var v = Array.fill(d)(1.0)
+    for (_ <- 1 to 3) {
+      val u = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val m = u.map(math.abs).max
+      v = u.map(_ / m)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val c = cos(lattice, v)
+    info(f"lattice-vs-double cosine after 3 iterations: $c%.6f")
+    assert(c >= 0.999, s"integer lattice bent the principal direction: cos=$c")
+  }
 }
