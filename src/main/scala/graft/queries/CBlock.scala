@@ -1287,6 +1287,17 @@ object CBlock {
         .orderBy(col("dim"))
     }),
 
+    "emb_pca_planted" -> ((s, dir) => {
+      // the planted-cluster twin: on clustered data the top direction
+      // is dominated by the spread of the 7 hash-seeded centers, so the
+      // operator must recover planted structure — where the near-
+      // uniform corpus's direction is noise-flat, this one concentrates
+      // loading mass (the honest-signal pattern of r6 verdict #3)
+      Similarity.pcaPower(
+          Similarity.plantedEmbeddings(Tables.embeddings(s, dir)), iters = 3)
+        .orderBy(col("dim"))
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain quota: keep each source's top-5 docs by chars
       Curation.domainCap(Tables.documents(s, dir), cap = 5)
@@ -1687,6 +1698,45 @@ object CBlock {
       |               % 2147483647 % 4097 - 2048) / 2048.0) AS DOUBLE)) AS embedding
       |  FROM embeddings
       |)""".stripMargin
+
+  /** emb_pca's oracle: the 3-step integer power iteration unrolled as
+    * CTEs over a `(vec_id, embedding)` relation (shared with the
+    * planted-cluster twin — `prefix` carries the WITH head so the
+    * planted relation's CTE can be prepended). */
+  private def pcaOracleBody(from: String, prefix: String): String = {
+    val iterCtes = (1 to 3).map { k =>
+      s"""u$k AS (
+         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+         |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1
+         |), m$k AS (
+         |  SELECT greatest(max(abs(u)) // 1000000, 1) AS md FROM u$k
+         |), v$k AS (
+         |  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+         |    * (abs(u) // md) AS v
+         |  FROM u$k, m$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    prefix +
+      s"""q AS (
+         |  SELECT vec_id, d.d AS dim,
+         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+         |      AS q
+         |  FROM $from, (SELECT unnest(range(0, 64)) AS d) d
+         |), gm AS (
+         |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gsum
+         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+         |), g AS (
+         |  SELECT i, j, (CASE WHEN gsum < 0 THEN -1 ELSE 1 END)
+         |    * (abs(gsum) // 10000000) AS g
+         |  FROM gm
+         |), v0 AS (
+         |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
+         |),
+         |$iterCtes
+         |SELECT CAST(i AS BIGINT) AS dim, v AS comp,
+         |  ROUND(v / 1000000.0, 6) AS loading
+         |FROM v3 ORDER BY dim""".stripMargin
+  }
 
   /** sim_probe_sweep's oracle body (shared with the planted twin). */
   private val probeSweepOracle: String =
@@ -4222,39 +4272,11 @@ object CBlock {
         |FROM embeddings, (SELECT unnest(range(0, 16)) AS j)
         |ORDER BY vec_id, dim""".stripMargin,
 
-    "emb_pca" -> {
-      val iterCtes = (1 to 3).map { k =>
-        s"""u$k AS (
-           |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
-           |  FROM g JOIN v${k - 1} v ON g.j = v.i GROUP BY 1
-           |), m$k AS (
-           |  SELECT greatest(max(abs(u)) // 1000000, 1) AS md FROM u$k
-           |), v$k AS (
-           |  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
-           |    * (abs(u) // md) AS v
-           |  FROM u$k, m$k
-           |)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH q AS (
-         |  SELECT vec_id, d.d AS dim,
-         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
-         |      AS q
-         |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) d
-         |), gm AS (
-         |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gsum
-         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
-         |), g AS (
-         |  SELECT i, j, (CASE WHEN gsum < 0 THEN -1 ELSE 1 END)
-         |    * (abs(gsum) // 10000000) AS g
-         |  FROM gm
-         |), v0 AS (
-         |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
-         |),
-         |$iterCtes
-         |SELECT CAST(i AS BIGINT) AS dim, v AS comp,
-         |  ROUND(v / 1000000.0, 6) AS loading
-         |FROM v3 ORDER BY dim""".stripMargin
-    },
+    "emb_pca" -> pcaOracleBody("embeddings", "WITH "),
+
+    // same iteration chain over the planted-cluster relation
+    "emb_pca_planted" ->
+      pcaOracleBody("pemb", "WITH " + plantedCte + ",\n"),
 
     "curate_domain_cap" ->
       """SELECT doc_id, source, n_chars, rk FROM (
