@@ -696,6 +696,25 @@ object CBlock {
         .orderBy(col("event_type"))
     }),
 
+    "sketch_hll_stream" -> ((s, dir) => {
+      // C110's register table maintained by the REAL streaming
+      // aggregation (complete-mode max(rho) per (key, bucket) — the
+      // ingest-side sketch store): the drained registers must equal the
+      // batch registers exactly, so the estimate computed from them
+      // lands on sketch_hll's own oracle SQL — streaming maintenance
+      // under the oracle, not just the spec
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      val regs = graft.streaming.StreamedBatch.hllRegistersStreamed(
+        s, ev.select(col("event_type"), col("user_id")),
+        "event_type", "user_id")
+      graft.operators.Sketches.hllEstimate(regs, Seq("event_type"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("exact"), col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_hll_daily" -> ((s, dir) => {
       // time-bucketed HLL: distinct users per (event_type, day) — the
       // rollup dimension where MERGEABLE registers earn their keep (day
@@ -1698,6 +1717,48 @@ object CBlock {
       |               % 2147483647 % 4097 - 2048) / 2048.0) AS DOUBLE)) AS embedding
       |  FROM embeddings
       |)""".stripMargin
+
+  /** sketch_hll's oracle (shared verbatim with the streaming-maintained
+    * register twin). */
+  private lazy val hllOracleSql: String = {
+    val rhoCase = (0 until 25)
+      .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+      .mkString(" ")
+    val termCase = (1 to 26)
+      .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+      .mkString(" ")
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+       |      * ((1 * 2654435761) % 2147483647)
+       |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+       |  FROM events
+       |), b AS (
+       |  SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h
+       |), r AS (
+       |  SELECT event_type, bucket,
+       |    max(CASE $rhoCase ELSE 26 END) AS m_j
+       |  FROM b GROUP BY 1, 2
+       |), agg AS (
+       |  SELECT event_type, count(*) AS occupied,
+       |    SUM(CASE m_j $termCase END) AS s_present
+       |  FROM r GROUP BY 1
+       |), est AS (
+       |  SELECT event_type, occupied,
+       |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+       |      / (s_present + (64 - occupied) * 67108864) AS e_raw
+       |  FROM agg
+       |), ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT est.event_type, ex.exact, CAST(occupied AS BIGINT) AS occupied,
+       |  CASE WHEN e_raw <= 160 AND occupied < 64
+       |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
+       |       ELSE ROUND(e_raw, 4) END AS hll_est
+       |FROM est JOIN ex ON est.event_type = ex.event_type
+       |ORDER BY est.event_type""".stripMargin
+  }
 
   /** emb_pca's oracle: the 3-step integer power iteration unrolled as
     * CTEs over a `(vec_id, embedding)` relation (shared with the
@@ -3087,45 +3148,11 @@ object CBlock {
          |FROM pairs p JOIN ue USING (key_a, key_b)
          |ORDER BY key_a, key_b""".stripMargin,
 
-    "sketch_hll" -> {
-      val rhoCase = (0 until 25)
-        .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
-        .mkString(" ")
-      val termCase = (1 to 26)
-        .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
-        .mkString(" ")
-      s"""WITH h AS (
-         |  SELECT event_type,
-         |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
-         |      * ((1 * 2654435761) % 2147483647)
-         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
-         |  FROM events
-         |), b AS (
-         |  SELECT event_type, h % 64 AS bucket, h // 64 AS w FROM h
-         |), r AS (
-         |  SELECT event_type, bucket,
-         |    max(CASE $rhoCase ELSE 26 END) AS m_j
-         |  FROM b GROUP BY 1, 2
-         |), agg AS (
-         |  SELECT event_type, count(*) AS occupied,
-         |    SUM(CASE m_j $termCase END) AS s_present
-         |  FROM r GROUP BY 1
-         |), est AS (
-         |  SELECT event_type, occupied,
-         |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
-         |      / (s_present + (64 - occupied) * 67108864) AS e_raw
-         |  FROM agg
-         |), ex AS (
-         |  SELECT event_type, count(DISTINCT user_id) AS exact
-         |  FROM events GROUP BY 1
-         |)
-         |SELECT est.event_type, ex.exact, CAST(occupied AS BIGINT) AS occupied,
-         |  CASE WHEN e_raw <= 160 AND occupied < 64
-         |       THEN ROUND(64.0 * ln(64.0 / (64 - occupied)), 4)
-         |       ELSE ROUND(e_raw, 4) END AS hll_est
-         |FROM est JOIN ex ON est.event_type = ex.event_type
-         |ORDER BY est.event_type""".stripMargin
-    },
+    "sketch_hll" -> hllOracleSql,
+
+    // IDENTICAL SQL to sketch_hll — the streaming register table must
+    // estimate exactly what the batch registers do
+    "sketch_hll_stream" -> hllOracleSql,
 
     // direct WEEKLY estimate over events — the Spark side rolls day
     // registers into weeks, so the hash match proves merge ≡ direct

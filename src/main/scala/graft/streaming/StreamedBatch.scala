@@ -87,6 +87,39 @@ object StreamedBatch {
     })
   }
 
+  /** Complete-mode variant of [[throughStream]] for streaming
+    * AGGREGATIONS (append mode would demand a watermark and emit
+    * nothing for an unwindowed agg): the memory sink holds the final
+    * aggregate table after the AvailableNow drain. Same pin-and-clean
+    * contract. */
+  private def throughStreamComplete(s: SparkSession, input: DataFrame,
+      name: String)
+      (build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    try {
+      input.coalesce(1).write.parquet(s"$tmp/src")
+      val q = build(s"$tmp/src")
+        .format("memory").queryName(qn).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = s.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** Two-source variant of [[throughStream]] for stream-STREAM
     * operators (each side its own file source; both drain in the same
     * AvailableNow run). Same pin-and-clean contract. */
@@ -175,6 +208,23 @@ object StreamedBatch {
         .schema("c_user_id LONG, conv_ts TIMESTAMP, conv_id LONG").parquet(r)
       StreamingIntervalJoin.attribute(impStream, convStream,
         windowSec = windowSec).writeStream
+    }
+  }
+
+  /** [[graft.operators.Sketches.hllRegisters]] maintained by a REAL
+    * streaming aggregation (complete mode): max(rho) per (key, bucket)
+    * is the streaming-aggregable state, so the drained register table
+    * must equal the batch registers exactly — the estimate computed
+    * from it lands on sketch_hll's own oracle SQL. */
+  def hllRegistersStreamed(s: SparkSession, rows: DataFrame,
+      key: String, valueCol: String): DataFrame = {
+    val input = rows.select(col(key).cast("string").as(key),
+      col(valueCol).cast("long").as(valueCol))
+    throughStreamComplete(s, input, "hll") { src =>
+      val stream = s.readStream.schema(s"$key STRING, $valueCol LONG")
+        .parquet(src)
+      graft.operators.Sketches.hllRegisters(stream, Seq(key), col(valueCol))
+        .writeStream
     }
   }
 
