@@ -195,14 +195,20 @@ object Sketches {
       struct(lit(k).as("k"), (Portable.rehash(hc, k) % width).as("cell"))): _*)
 
   def countMinFreq(items: DataFrame, itemCol: Column, probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsEstimate(cmsCells(items, itemCol, depth, width), probes, depth, width)
+
+  /** Probe-side estimate over an already-built (possibly
+    * streaming-maintained or merged) cell grid: min over the probe's
+    * depth cells — split out of [[countMinFreq]] so a stored/streamed
+    * grid estimates through the identical join. */
+  def cmsEstimate(cells: DataFrame, probes: Seq[String],
       depth: Int = 4, width: Int = 1024): DataFrame = {
-    def cellsOf(hc: Column): Column = cmsCellsOf(hc, depth, width)
-    val cells = cmsCells(items, itemCol, depth, width)
-    val spark = items.sparkSession
+    val spark = cells.sparkSession
     import spark.implicits._
     val probeCells = probes.toDF("word")
       .select(col("word"),
-        explode(cellsOf(native.poly_hash(col("word")))).as("kc"))
+        explode(cmsCellsOf(native.poly_hash(col("word")), depth, width)).as("kc"))
       .select(col("word"), col("kc.k").as("k"), col("kc.cell").as("cell"))
     probeCells.join(cells, Seq("k", "cell"), "left")
       .groupBy(col("word"))

@@ -865,6 +865,26 @@ object CBlock {
         .orderBy(col("word"))
     }),
 
+    "sketch_freq_cms_stream" -> ((s, dir) => {
+      // C33's grid maintained by the REAL streaming aggregation
+      // (complete-mode plain-sum cells, O(depth·width) state at any
+      // corpus size): the drained grid must equal the batch grid, so
+      // probe estimates from it land on sketch_freq_cms's own oracle
+      val docs = Tables.documents(s, dir)
+      val cells = graft.streaming.StreamedBatch.cmsCellsStreamed(s, docs)
+      val probes = Seq("spark", "table", "join", "merge", "the",
+        "window", "data", "query")
+      val exact = docs
+        .select(explode(graft.functions.Portable.tokens(col("text")))
+          .as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("exact"))
+      graft.operators.Sketches.cmsEstimate(cells, probes)
+        .join(exact, Seq("word"), "left")
+        .select(col("word"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"))
+        .orderBy(col("word"))
+    }),
+
     "sketch_quantile" -> ((s, dir) => {
       // mergeable histogram quantile sketch (commutative bin counts →
       // oracle-exact estimates); events.value spans [0, 512)
@@ -1232,6 +1252,29 @@ object CBlock {
       // deterministic doc subset to keep the oracle row count sane)
       graft.operators.Tokenizer.bpeEncode(Tables.documents(s, dir), rounds = 5)
         .filter(pmod(col("doc_id"), lit(7)) === 0)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    "tokenizer_encode_stream" -> ((s, dir) => {
+      // C137's frozen-artifact narrow encoder run through a REAL stream
+      // and promoted to an oracle row: merges + vocab ids train offline
+      // on the full corpus (driver-collected model state, the IVF-
+      // centroid pattern), the doc subset streams through the narrow
+      // projection, and the exploded (doc, pos, tok_id) relation must
+      // land on tokenizer_encode's own CTE chain — offline-trained /
+      // online-applied tokenization under the oracle; sym joins back
+      // from the vocab artifact so the relation matches C126 exactly
+      val docs = Tables.documents(s, dir)
+      val merges = graft.operators.Tokenizer.bpeMerges(docs, rounds = 5)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val vocab = graft.operators.Tokenizer.bpeVocab(docs, rounds = 5)
+      val ids = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.streaming.StreamedBatch.encodedStream(s,
+          docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+            .select(col("doc_id"), col("text")), merges, ids)
+        .join(broadcast(vocab.select(col("tok_id"), col("sym"))), "tok_id")
+        .select(col("doc_id"), col("pos"), col("tok_id"), col("sym"))
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -1717,6 +1760,34 @@ object CBlock {
       |               % 2147483647 % 4097 - 2048) / 2048.0) AS DOUBLE)) AS embedding
       |  FROM embeddings
       |)""".stripMargin
+
+  /** sketch_freq_cms's oracle (shared verbatim with the
+    * streaming-maintained grid twin). */
+  private lazy val cmsOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT unnest($toksSql) AS word FROM documents
+       |), ks AS (
+       |  SELECT unnest(range(0, 4)) AS k
+       |), cells AS (
+       |  SELECT k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+       |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
+       |    count(*) AS n
+       |  FROM w, ks GROUP BY 1, 2
+       |), probes AS (
+       |  SELECT unnest(['spark','table','join','merge','the','window',
+       |                 'data','query']) AS word
+       |), pc AS (
+       |  SELECT word, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+       |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell
+       |  FROM probes, ks
+       |), ex AS (
+       |  SELECT word, count(*) AS exact FROM w GROUP BY 1
+       |)
+       |SELECT p.word, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est,
+       |  CAST(COALESCE(min(e.exact), 0) AS BIGINT) AS exact
+       |FROM pc p LEFT JOIN cells c ON p.k = c.k AND p.cell = c.cell
+       |LEFT JOIN ex e ON p.word = e.word
+       |GROUP BY p.word ORDER BY p.word""".stripMargin
 
   /** sketch_hll's oracle (shared verbatim with the streaming-maintained
     * register twin). */
@@ -3411,31 +3482,11 @@ object CBlock {
          |FROM dims d LEFT JOIN agg a ON d.doc_id = a.doc_id
          |ORDER BY d.doc_id""".stripMargin,
 
-    "sketch_freq_cms" ->
-      s"""WITH w AS (
-         |  SELECT unnest($toksSql) AS word FROM documents
-         |), ks AS (
-         |  SELECT unnest(range(0, 4)) AS k
-         |), cells AS (
-         |  SELECT k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
-         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
-         |    count(*) AS n
-         |  FROM w, ks GROUP BY 1, 2
-         |), probes AS (
-         |  SELECT unnest(['spark','table','join','merge','the','window',
-         |                 'data','query']) AS word
-         |), pc AS (
-         |  SELECT word, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
-         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell
-         |  FROM probes, ks
-         |), ex AS (
-         |  SELECT word, count(*) AS exact FROM w GROUP BY 1
-         |)
-         |SELECT p.word, CAST(min(COALESCE(c.n, 0)) AS BIGINT) AS est,
-         |  CAST(COALESCE(min(e.exact), 0) AS BIGINT) AS exact
-         |FROM pc p LEFT JOIN cells c ON p.k = c.k AND p.cell = c.cell
-         |LEFT JOIN ex e ON p.word = e.word
-         |GROUP BY p.word ORDER BY p.word""".stripMargin,
+    "sketch_freq_cms" -> cmsOracleSql,
+
+    // IDENTICAL SQL to sketch_freq_cms — the streaming grid must
+    // estimate exactly what the batch grid does
+    "sketch_freq_cms_stream" -> cmsOracleSql,
 
     "sketch_quantile" ->
       """WITH b AS (
@@ -4200,6 +4251,14 @@ object CBlock {
          |ORDER BY round""".stripMargin,
 
     "tokenizer_encode" ->
+      s"""WITH ${bpeEncodeCtes(5)}
+         |SELECT doc_id, pos, tok_id, sym FROM enc
+         |WHERE doc_id % 7 = 0
+         |ORDER BY doc_id, pos""".stripMargin,
+
+    // IDENTICAL chain to tokenizer_encode — the streamed narrow encoder
+    // must emit the batch join+window encode's exact id relation
+    "tokenizer_encode_stream" ->
       s"""WITH ${bpeEncodeCtes(5)}
          |SELECT doc_id, pos, tok_id, sym FROM enc
          |WHERE doc_id % 7 = 0

@@ -228,6 +228,41 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.operators.Sketches.cmsCells]] maintained by a REAL
+    * streaming aggregation (complete mode): plain-sum cells are the
+    * streaming-aggregable state, so the drained grid must equal the
+    * batch grid — probes estimated from it land on sketch_freq_cms's
+    * own oracle SQL. */
+  def cmsCellsStreamed(s: SparkSession, docs: DataFrame): DataFrame = {
+    val input = docs.select(col("text").cast("string").as("text"))
+    throughStreamComplete(s, input, "cms") { src =>
+      val stream = s.readStream.schema("text STRING").parquet(src)
+      graft.operators.Sketches.cmsCells(
+        stream.select(explode(
+          graft.functions.Portable.tokens(col("text"))).as("word")),
+        col("word")).writeStream
+    }
+  }
+
+  /** [[graft.operators.Tokenizer.encodeWith]] (the frozen-artifact
+    * narrow encoder) run through a REAL stream — file source → narrow
+    * projection → memory sink — then exploded back to the
+    * (doc_id, pos, tok_id) relation of the batch join+window encode:
+    * the offline-trained/online-applied tokenizer under the oracle. */
+  def encodedStream(s: SparkSession, docs: DataFrame,
+      merges: Seq[(String, String)], ids: Map[String, Long]): DataFrame = {
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    throughStream(s, input, "tokenc") { src =>
+      s.readStream.schema("doc_id LONG, text STRING").parquet(src)
+        .select(col("doc_id"),
+          graft.operators.Tokenizer.encodeWith(col("text"), merges, ids)
+            .as("ids"))
+        .writeStream
+    }.select(col("doc_id"), posexplode(col("ids")).as(Seq("pos", "tok_id")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok_id"))
+  }
+
   /** [[StreamingDedup.nearDupGate]] fed `(doc_id, text)`: one
     * micro-batch + empty registry flags exactly the batch relation —
     * for every band bucket, each doc sharing it with an earlier
