@@ -30,7 +30,12 @@ object ScaleProbe {
     // the distinct-word table, so BPE training cost is
     // replication-invariant and encode/pack scale with total tokens —
     // linear by design, now measured
-    "tokenizer_encode", "pack_ids", "lm_unigram_score")
+    "tokenizer_encode", "pack_ids", "lm_unigram_score",
+    // the PCA path's one wide edge: the Gram aggregation is linear in
+    // vectors (D² fan-out per row, map-side combined into a fixed 64×64
+    // table; the power iteration is corpus-size-independent driver
+    // work) — now measured, not just argued
+    "emb_pca")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
