@@ -937,6 +937,64 @@ object CBlock {
         .orderBy(col("source"))
     }),
 
+    "pack_seqlen_sweep" -> ((s, dir) => {
+      // the seqLen POLICY curve (C121's audit parameterized over the
+      // candidate lengths): per source, sequence counts, fill rate and
+      // split-doc exposure at seqLen ∈ {32,64,128,256} — the tradeoff
+      // that picks the training sequence length. ONE stream-partitioned
+      // running-sum window; the four arms are conditional arithmetic
+      // over a 4-row broadcast, never a per-arm rescan
+      val ss = s; import ss.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val t = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          graft.plans.native.token_count(col("text")).as("n_tok"))
+        .filter(col("n_tok") > 0)
+        .withColumn("tok_end", sum(col("n_tok")).over(w).cast("long"))
+      val arms = Seq(32L, 64L, 128L, 256L).toDF("seq_len")
+      t.crossJoin(broadcast(arms))
+        .withColumn("first_seq", expr("(tok_end - n_tok) div seq_len"))
+        .withColumn("last_seq", expr("(tok_end - 1) div seq_len"))
+        .groupBy(col("source"), col("seq_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("tok_end")).as("total_tokens"),
+          sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+            .as("n_split_docs"))
+        .withColumn("n_seqs", expr("(total_tokens - 1) div seq_len + 1"))
+        .withColumn("fill_rate", round(col("total_tokens") * lit(1.0)
+          / (col("n_seqs") * col("seq_len")), 6))
+        .select(col("source"), col("seq_len"), col("n_docs"),
+          col("total_tokens"), col("n_seqs"), col("n_split_docs"),
+          col("fill_rate"))
+        .orderBy(col("source"), col("seq_len"))
+    }),
+
+    "quality_sweep" -> ((s, dir) => {
+      // the quality-bar POLICY curve (the C135 sweep idea applied to the
+      // C8 gate): docs and token mass surviving at threshold τ ∈
+      // {0.5, 0.62, 0.7, 0.8} — curate_corpus pins 0.62; this publishes
+      // what that choice costs. ONE quality scan, four conditional
+      // aggregates off a broadcast arm table, totals broadcast back
+      val ss = s; import ss.implicits._
+      val q = TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .select(col("n_tokens"), col("quality"))
+      val taus = Seq(0.5, 0.62, 0.7, 0.8).toDF("tau")
+      val tot = q.agg(count(lit(1)).as("all_docs"),
+        sum(col("n_tokens")).as("all_toks"))
+      q.crossJoin(broadcast(taus))
+        .groupBy(col("tau"))
+        .agg(sum(when(col("quality") >= col("tau"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("quality") >= col("tau"), col("n_tokens"))
+            .otherwise(0L)).as("tok_kept"))
+        .crossJoin(broadcast(tot))
+        .select(col("tau"), col("n_kept"), col("tok_kept"),
+          round(col("n_kept") * lit(1.0) / col("all_docs"), 6).as("keep_frac"),
+          round(col("tok_kept") * lit(1.0) / col("all_toks"), 6).as("tok_frac"))
+        .orderBy(col("tau"))
+    }),
+
     "lm_unigram_score" -> ((s, dir) => {
       // unigram-LM quality proxy: avg corpus frequency + rare-token count
       Curation.lmUnigramScore(Tables.documents(s, dir))
@@ -3577,6 +3635,59 @@ object CBlock {
          |SELECT source, n_docs, total_tokens, n_seqs, n_split_docs,
          |  ROUND(total_tokens / (n_seqs * 256.0), 6) AS fill_rate
          |FROM a ORDER BY source""".stripMargin,
+
+    "pack_seqlen_sweep" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, len($toksSql) AS n_tok FROM documents
+         |), s AS (
+         |  SELECT source, doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id)
+         |      AS BIGINT) AS tok_end
+         |  FROM t WHERE n_tok > 0
+         |), arms AS (
+         |  SELECT CAST(unnest([32, 64, 128, 256]) AS BIGINT) AS seq_len
+         |), d AS (
+         |  SELECT source, seq_len, tok_end, n_tok,
+         |    (tok_end - n_tok) // seq_len AS first_seq,
+         |    (tok_end - 1) // seq_len AS last_seq
+         |  FROM s, arms
+         |), a AS (
+         |  SELECT source, seq_len, count(*) AS n_docs,
+         |    CAST(max(tok_end) AS BIGINT) AS total_tokens,
+         |    CAST((max(tok_end) - 1) // seq_len + 1 AS BIGINT) AS n_seqs,
+         |    CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_split_docs
+         |  FROM d GROUP BY 1, 2
+         |)
+         |SELECT source, seq_len, n_docs, total_tokens, n_seqs, n_split_docs,
+         |  ROUND(total_tokens * 1.0 / (n_seqs * seq_len), 6) AS fill_rate
+         |FROM a ORDER BY source, seq_len""".stripMargin,
+
+    "quality_sweep" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |      + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |      + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM t
+         |), tot AS (
+         |  SELECT count(*) AS all_docs, CAST(SUM(n_tokens) AS BIGINT) AS all_toks
+         |  FROM q
+         |), taus AS (
+         |  SELECT CAST(unnest([0.5, 0.62, 0.7, 0.8]) AS DOUBLE) AS tau
+         |)
+         |SELECT tau,
+         |  CAST(SUM(CASE WHEN quality >= tau THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  CAST(SUM(CASE WHEN quality >= tau THEN n_tokens ELSE 0 END) AS BIGINT)
+         |    AS tok_kept,
+         |  ROUND(SUM(CASE WHEN quality >= tau THEN 1 ELSE 0 END) * 1.0
+         |    / max(all_docs), 6) AS keep_frac,
+         |  ROUND(SUM(CASE WHEN quality >= tau THEN n_tokens ELSE 0 END) * 1.0
+         |    / max(all_toks), 6) AS tok_frac
+         |FROM q, taus, tot
+         |GROUP BY tau ORDER BY tau""".stripMargin,
 
     "lm_unigram_score" ->
       s"""WITH w AS (
