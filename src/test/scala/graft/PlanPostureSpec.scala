@@ -250,4 +250,22 @@ class PlanPostureSpec extends SparkSpec {
         s"$q lost its partitioned corpus window")
     }
   }
+
+  test("policy sweeps: arms broadcast, windows partitioned, no cartesian") {
+    Seq("pack_seqlen_sweep", "quality_sweep").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf("0.01")).queryExecution.sparkPlan
+      val p = plan.toString
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      // the arm fan-out must be a broadcast of the 4-row table, and
+      // every window keyed — a shuffled arm join or a global window
+      // means the sweep stopped being one-scan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$q has an unpartitioned window")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+        s"$q arm table must broadcast:\n$p")
+    }
+  }
 }
