@@ -1049,6 +1049,10 @@ object Similarity {
         expr(s"(CASE WHEN gsum < 0 THEN -1 ELSE 1 END) * (abs(gsum) div $gramDiv)")
           .as("g"))
     val gRows = gram.collect() // D² rows — bounded model state
+    if (gRows.isEmpty) // empty corpus: empty result, right schema
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "dim BIGINT, comp BIGINT, loading DOUBLE"))
     val d = gRows.iterator.map(_.getInt(0)).max + 1
     val gm = Array.ofDim[Long](d, d)
     gRows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2))

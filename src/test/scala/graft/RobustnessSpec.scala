@@ -179,4 +179,27 @@ class RobustnessSpec extends SparkSpec {
     val blank = docs.filter(col("doc_id") === 3L)
     assert(Tokenizer.bpeEncode(blank, rounds = 3).count() === 0L)
   }
+
+  test("pcaPower survives degenerate corpora") {
+    import graft.operators.Similarity
+    // empty corpus: empty result with the contract schema, no throw
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val r0 = Similarity.pcaPower(empty)
+    assert(r0.columns.toSeq === Seq("dim", "comp", "loading"))
+    assert(r0.count() === 0L)
+    // all-zero vectors: Gram is zero, every iterate normalizes through
+    // the max(…, 1) divisor floor — finite output, no divide-by-zero
+    val zeros = Seq((0L, Seq.fill(4)(0.0f)), (1L, Seq.fill(4)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val rz = Similarity.pcaPower(zeros).collect()
+    assert(rz.length === 4 && rz.forall(!_.isNullAt(1)))
+    // a single vector: the direction is the vector itself (up to the
+    // lattice): loading maximal on the dominant dim
+    val one = Seq((0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.pcaPower(one).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(math.abs(r1(0L)) === r1.values.map(math.abs).max,
+      "single-vector direction must align with the vector")
+  }
 }
