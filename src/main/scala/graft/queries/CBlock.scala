@@ -232,6 +232,27 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_registry_compact" -> ((s, dir) => {
+      // the production loop C45's scaladoc promises, closed under the
+      // oracle: the streaming gate's first-seen registry (per-bucket
+      // min doc — the O(distinct buckets) state, spec-proven ≡ this
+      // batch derivation) COMPACTS into the stored-index seam, and the
+      // daily incremental check against the compacted registry must
+      // equal the check against the FULL history index: min over
+      // matched buckets of bucket-minima ≡ min over all matched
+      // (bucket, doc) pairs, and the matched-bucket set is identical
+      // because the registry keeps every seen bucket. The IDENTICAL
+      // DuckDB SQL as dedup_incremental anchors both (merge ≡ direct) —
+      // while the registry is bands× smaller than the full index
+      val docs = Tables.documents(s, dir)
+      val history = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
+      val registry = Dedup.minhashBuckets(history)
+        .groupBy(col("bucket")).agg(min(col("doc_id")).as("doc_id"))
+      Dedup.incrementalDedupIndex(registry, incoming)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_index_stored" -> ((s, dir) => {
       // the dedup-index LIFECYCLE (the sim_pq_stored twin for LSH): the
       // historical corpus's bucket table is the stored artifact a daily
@@ -2582,6 +2603,16 @@ object CBlock {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_incremental" ->
+      s"""WITH ${minhashPairsCte()}
+         |SELECT i.doc_id, min(h.doc_id) AS first_hist_doc,
+         |  CAST(count(DISTINCT i.band * 2147483647 + i.bh) AS BIGINT) AS n_buckets
+         |FROM bands h JOIN bands i ON h.band = i.band AND h.bh = i.bh
+         |WHERE h.doc_id % 10 < 8 AND i.doc_id % 10 >= 8
+         |GROUP BY 1 ORDER BY i.doc_id""".stripMargin,
+
+    // IDENTICAL SQL to dedup_incremental — the compacted registry must
+    // flag exactly what the full history index flags
+    "dedup_registry_compact" ->
       s"""WITH ${minhashPairsCte()}
          |SELECT i.doc_id, min(h.doc_id) AS first_hist_doc,
          |  CAST(count(DISTINCT i.band * 2147483647 + i.bh) AS BIGINT) AS n_buckets
