@@ -27,6 +27,20 @@ object StreamedBatch {
 
   private val seq = new AtomicInteger(0)
 
+  /** Isolated-conf session for the twin's streaming run with the state
+    * store right-sized to the bounded oracle input: the session default
+    * (32) spreads a few thousand state rows over 32 store partitions ×
+    * per-batch task overhead — measured 6.6 s → 2.9 s on the
+    * stream-stream twin at 8. The PRODUCTION operators keep the
+    * caller's partitioning (this clone only governs the runner);
+    * results are partition-layout-independent (spec-proven for every
+    * stateful operator, and the driver compare sorts). */
+  private def streamSession(s: SparkSession): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
   /** Run `build`'s streaming query to completion against a one-file
     * parquet copy of `input`, then PIN the memory-sink relation as a
     * local DataFrame and clean up — the memory table is dropped and the
@@ -34,25 +48,26 @@ object StreamedBatch {
     * twice) leak neither driver memory nor disk. A timed-out query is
     * an ERROR, never a silently partial relation. */
   private def throughStream(s: SparkSession, input: DataFrame, name: String)
-      (build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      (build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
     try {
       input.coalesce(1).write.parquet(s"$tmp/src")
-      val q = build(s"$tmp/src")
+      val q = build(ss, s"$tmp/src")
         .format("memory").queryName(qn).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
         throw new IllegalStateException(s"$qn did not drain within 300 s")
       }
-      val sink = s.table(qn)
+      val sink = ss.table(qn)
       s.createDataFrame(
         s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
         sink.schema)
     } finally { // failure paths must not leak the sink table or the copy
-      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
       org.apache.hadoop.fs.FileSystem
         .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -80,10 +95,10 @@ object StreamedBatch {
     val maxUs = maxRow.getLong(0)
     val sentinel = evs.select(col("user_id")).distinct()
       .withColumn("ts", timestamp_micros(lit(maxUs + 864000000000L)))
-    agg(throughStream(s, evs.unionByName(sentinel), "sess") { src =>
-      val stream = s.readStream.schema("user_id LONG, ts TIMESTAMP")
+    agg(throughStream(s, evs.unionByName(sentinel), "sess") { (ss, src) =>
+      val stream = ss.readStream.schema("user_id LONG, ts TIMESTAMP")
         .parquet(src).as[StreamingSessionize.Event]
-      StreamingSessionize.sessions(stream, gapMinutes)(s).writeStream
+      StreamingSessionize.sessions(stream, gapMinutes)(ss).writeStream
     })
   }
 
@@ -94,25 +109,26 @@ object StreamedBatch {
     * contract. */
   private def throughStreamComplete(s: SparkSession, input: DataFrame,
       name: String)
-      (build: String => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      (build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
     try {
       input.coalesce(1).write.parquet(s"$tmp/src")
-      val q = build(s"$tmp/src")
+      val q = build(ss, s"$tmp/src")
         .format("memory").queryName(qn).outputMode("complete")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
         throw new IllegalStateException(s"$qn did not drain within 300 s")
       }
-      val sink = s.table(qn)
+      val sink = ss.table(qn)
       s.createDataFrame(
         s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
         sink.schema)
     } finally {
-      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
       org.apache.hadoop.fs.FileSystem
         .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -125,26 +141,27 @@ object StreamedBatch {
     * AvailableNow run). Same pin-and-clean contract. */
   private def throughStream2(s: SparkSession, left: DataFrame,
       right: DataFrame, name: String)
-      (build: (String, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      (build: (SparkSession, String, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
     try {
       left.coalesce(1).write.parquet(s"$tmp/left")
       right.coalesce(1).write.parquet(s"$tmp/right")
-      val q = build(s"$tmp/left", s"$tmp/right")
+      val q = build(ss, s"$tmp/left", s"$tmp/right")
         .format("memory").queryName(qn).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
         throw new IllegalStateException(s"$qn did not drain within 300 s")
       }
-      val sink = s.table(qn)
+      val sink = ss.table(qn)
       s.createDataFrame(
         s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
         sink.schema)
     } finally {
-      try s.catalog.dropTempView(qn) catch { case _: Exception => () }
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
       org.apache.hadoop.fs.FileSystem
         .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -163,8 +180,8 @@ object StreamedBatch {
     val enc = implicitly[org.apache.spark.sql.Encoder[StreamingRateLimit.RlMsg]]
     val input = msgs.select(col("msg_id").cast("long"), col("topic"),
       col("publish_time").cast("timestamp"), col("data"), col("app"))
-    throughStream(s, input, "rl") { src =>
-      val stream = s.readStream.schema(enc.schema).parquet(src)
+    throughStream(s, input, "rl") { (ss, src) =>
+      val stream = ss.readStream.schema(enc.schema).parquet(src)
         .as[StreamingRateLimit.RlMsg]
       StreamingRateLimit(cfg)(stream).writeStream
     }.select(col("msg_id"), col("app"))
@@ -179,8 +196,8 @@ object StreamedBatch {
     import s.implicits._
     val input = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("domain").cast("string").as("domain"))
-    throughStream(s, input, "quota") { src =>
-      val stream = s.readStream.schema("doc_id LONG, domain STRING")
+    throughStream(s, input, "quota") { (ss, src) =>
+      val stream = ss.readStream.schema("doc_id LONG, domain STRING")
         .parquet(src).as[StreamingQuota.Arrival]
       StreamingQuota.quotaGate(stream, cap).toDF().writeStream
     }
@@ -201,10 +218,10 @@ object StreamedBatch {
     val convs = conversions.select(col("c_user_id").cast("long").as("c_user_id"),
       col("conv_ts").cast("timestamp").as("conv_ts"),
       col("conv_id").cast("long").as("conv_id"))
-    throughStream2(s, imps, convs, "attr") { (l, r) =>
-      val impStream = s.readStream
+    throughStream2(s, imps, convs, "attr") { (ss, l, r) =>
+      val impStream = ss.readStream
         .schema("user_id LONG, imp_ts TIMESTAMP, imp_id LONG").parquet(l)
-      val convStream = s.readStream
+      val convStream = ss.readStream
         .schema("c_user_id LONG, conv_ts TIMESTAMP, conv_id LONG").parquet(r)
       StreamingIntervalJoin.attribute(impStream, convStream,
         windowSec = windowSec).writeStream
@@ -220,8 +237,8 @@ object StreamedBatch {
       key: String, valueCol: String): DataFrame = {
     val input = rows.select(col(key).cast("string").as(key),
       col(valueCol).cast("long").as(valueCol))
-    throughStreamComplete(s, input, "hll") { src =>
-      val stream = s.readStream.schema(s"$key STRING, $valueCol LONG")
+    throughStreamComplete(s, input, "hll") { (ss, src) =>
+      val stream = ss.readStream.schema(s"$key STRING, $valueCol LONG")
         .parquet(src)
       graft.operators.Sketches.hllRegisters(stream, Seq(key), col(valueCol))
         .writeStream
@@ -235,8 +252,8 @@ object StreamedBatch {
     * own oracle SQL. */
   def cmsCellsStreamed(s: SparkSession, docs: DataFrame): DataFrame = {
     val input = docs.select(col("text").cast("string").as("text"))
-    throughStreamComplete(s, input, "cms") { src =>
-      val stream = s.readStream.schema("text STRING").parquet(src)
+    throughStreamComplete(s, input, "cms") { (ss, src) =>
+      val stream = ss.readStream.schema("text STRING").parquet(src)
       graft.operators.Sketches.cmsCells(
         stream.select(explode(
           graft.functions.Portable.tokens(col("text"))).as("word")),
@@ -253,8 +270,8 @@ object StreamedBatch {
       merges: Seq[(String, String)], ids: Map[String, Long]): DataFrame = {
     val input = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text").cast("string").as("text"))
-    throughStream(s, input, "tokenc") { src =>
-      s.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    throughStream(s, input, "tokenc") { (ss, src) =>
+      ss.readStream.schema("doc_id LONG, text STRING").parquet(src)
         .select(col("doc_id"),
           graft.operators.Tokenizer.encodeWith(col("text"), merges, ids)
             .as("ids"))
@@ -272,8 +289,8 @@ object StreamedBatch {
     import s.implicits._
     val input = docs.select(col("doc_id").cast("long").as("doc_id"),
       col("text").cast("string").as("text"))
-    throughStream(s, input, "ndg") { src =>
-      val stream = s.readStream.schema("doc_id LONG, text STRING")
+    throughStream(s, input, "ndg") { (ss, src) =>
+      val stream = ss.readStream.schema("doc_id LONG, text STRING")
         .parquet(src).as[StreamingDedup.Doc]
       StreamingDedup.nearDupGate(stream).toDF().writeStream
     }
