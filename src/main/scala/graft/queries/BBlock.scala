@@ -1123,6 +1123,32 @@ object BBlock {
         .orderBy(col("topic"))
     }),
 
+    "q_watermark_drops_stream" -> ((s, dir) => {
+      // B61 PREDICTED which rows a 1 h watermark drops; this EXECUTES
+      // the drop: the planted-disorder arrival stream replays through a
+      // REAL watermarked tumbling-hour aggregation (one micro-batch per
+      // arrival-chunk file, 10 chunks), and the emitted window counts
+      // must land on a DuckDB model of Spark's exact semantics — late
+      // rows drop by WINDOW EVICTION (window end ≤ filter watermark),
+      // the filter watermark derives from data through batch b−2, and
+      // the AvailableNow final empty batch flushes every window closed
+      // by the terminal watermark (global max − 1 h). Verified
+      // row-for-row against the live stream at both SFs before the
+      // oracle was written down.
+      val ranked = eventsUs(s, dir)
+        .select(col("event_type").as("topic"), col("ts"), col("event_id"))
+        .withColumn("arrival", lateArrival)
+      val n = ranked.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 9) / 10)
+      val batched = ranked
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("event_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .watermarkedWindowCounts(s, batched, nBatches = 10)
+        .orderBy(col("win_start"), col("topic"))
+    }),
+
     "q_late_horizon_sweep" -> ((s, dir) => {
       // the watermark POLICY curve over B61's planted disorder: late
       // share at horizon ∈ {10 min, 1 h, 6 h} — the trade a deployment
@@ -2039,6 +2065,41 @@ object BBlock {
          |  CAST(SUM(late) AS BIGINT) AS n_late,
          |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
          |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    // the DuckDB model of Spark's executed watermark semantics (see the
+    // query comment): chunk into 10 arrival batches, filter watermark =
+    // max event time through batch b−2 minus 1 h, drop by window
+    // eviction, emit windows closed by the terminal watermark
+    "q_watermark_drops_stream" ->
+      s"""WITH $lateArrivalSql,
+         |r AS (
+         |  SELECT event_type AS topic, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    row_number() OVER (ORDER BY arrival, event_id) - 1 AS rk,
+         |    count(*) OVER () AS n
+         |  FROM a
+         |), b AS (
+         |  SELECT topic, us, rk // greatest((n + 9) // 10, 1) AS batch FROM r
+         |), bm AS (
+         |  SELECT batch, max(us) AS bmax FROM b GROUP BY 1
+         |), wmt AS (
+         |  SELECT batch, max(bmax) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+         |    - 3600000000 AS wm
+         |  FROM bm
+         |), fin AS (
+         |  SELECT max(us) - 3600000000 AS fwm FROM b
+         |), kept AS (
+         |  SELECT topic,
+         |    (us // 3600000000) * 3600000000 AS wstart,
+         |    (us // 3600000000 + 1) * 3600000000 AS wend
+         |  FROM b JOIN wmt USING (batch)
+         |  WHERE wm IS NULL OR (us // 3600000000 + 1) * 3600000000 > wm
+         |)
+         |SELECT make_timestamp(wstart) AS win_start, topic,
+         |  count(*) AS cnt
+         |FROM kept, fin
+         |WHERE wend <= fwm
+         |GROUP BY 1, 2 ORDER BY win_start, topic""".stripMargin,
 
     "q_late_horizon_sweep" ->
       Seq(600L, 3600L, 21600L).map { h =>

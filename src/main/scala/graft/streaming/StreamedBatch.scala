@@ -280,6 +280,61 @@ object StreamedBatch {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok_id"))
   }
 
+
+  /** A REAL watermark-drop replay: `batches` (topic, ts, batch) is
+    * written as ONE FILE PER MICRO-BATCH in batch order (distinct
+    * mod-times keep the file-source order deterministic), streamed with
+    * `maxFilesPerTrigger = 1` through a watermarked tumbling-window
+    * count, and the memory sink holds exactly the windows the terminal
+    * watermark closed — late rows REALLY dropped by state eviction,
+    * not predicted. The oracle models Spark's observed semantics: the
+    * late filter evicts on window end ≤ the filter watermark, the
+    * filter watermark derives from data through batch b−2 (the b−1
+    * update lands one batch later), and the AvailableNow final empty
+    * batch flushes every window with end ≤ global max − horizon. */
+  def watermarkedWindowCounts(s: SparkSession, batches: DataFrame,
+      nBatches: Int, horizon: String = "1 hour"): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-wm-twin").toString
+    val qn = s"wm_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = s"$tmp/src"
+      new java.io.File(src).mkdirs()
+      (0 until nBatches).foreach { b =>
+        val d = s"$tmp/stage/b$b"
+        batches.filter(col("batch") === b).select(col("topic"), col("ts"))
+          .coalesce(1).write.parquet(d)
+        val part = new java.io.File(d).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head.toPath
+        Files.move(part, java.nio.file.Paths.get(f"$src/f$b%03d.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Thread.sleep(30)
+      }
+      val q = ss.readStream.schema("topic STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withWatermark("ts", horizon)
+        .groupBy(window(col("ts"), horizon).as("w"), col("topic"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("win_start"), col("topic"), col("cnt"))
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingDedup.nearDupGate]] fed `(doc_id, text)`: one
     * micro-batch + empty registry flags exactly the batch relation —
     * for every band bucket, each doc sharing it with an earlier
