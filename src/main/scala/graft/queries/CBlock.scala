@@ -232,6 +232,34 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_gate_multibatch" -> ((s, dir) => {
+      // C45's registry proven ACROSS micro-batches under the oracle
+      // (dedup_gate_stream's single batch can't show cross-batch
+      // ownership): every 7th doc is redelivered AFTER the whole rest
+      // of the corpus (delay = n arrival positions — the re-crawl
+      // shape), the corpus replays as 5 one-file micro-batches in
+      // arrival order, and per-bucket first-seen ownership is decided
+      // by ARRIVAL — first = min doc id within the bucket's EARLIEST
+      // batch, which the redelivery hands to a LARGER doc id for every
+      // bucket whose id-minimal member is planted (16 of 97 collision
+      // rows at sf0.001 flip vs the doc-id relation); the registry
+      // carries that ownership forward and every later (doc, bucket)
+      // pair collides. The oracle recomputes exactly that relation.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("arrival", col("doc_id") +
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .nearDupCollisionsMulti(s, batched, nBatches = 5)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "dedup_registry_compact" -> ((s, dir) => {
       // the production loop C45's scaladoc promises, closed under the
       // oracle: the streaming gate's first-seen registry (per-bucket
@@ -4564,6 +4592,41 @@ object CBlock {
         |      ORDER BY doc_id) AS BIGINT) AS slot
         |  FROM documents
         |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
+
+    // the cross-batch registry relation: batch = arrival-rank chunk
+    // (planted one-chunk redelivery for every 7th doc), first = min doc
+    // id within the bucket's EARLIEST batch, later (doc, bucket) pairs
+    // collide
+    "dedup_gate_multibatch" ->
+      s"""WITH ${minhashPairsCte()},
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |ar AS (
+         |  SELECT d.doc_id,
+         |    d.doc_id + CASE WHEN d.doc_id % 7 = 0
+         |      THEN nn.n ELSE 0 END AS arrival
+         |  FROM documents d, nn
+         |), rk AS (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY arrival, doc_id) - 1 AS rk
+         |  FROM ar
+         |), bt AS (
+         |  SELECT doc_id, rk // greatest((nn.n + 4) // 5, 1) AS batch
+         |  FROM rk, nn
+         |), bk AS (
+         |  SELECT b.doc_id,
+         |    CAST(b.band AS BIGINT) * 2147483647 + b.bh AS bucket, bt.batch
+         |  FROM bands b JOIN bt ON b.doc_id = bt.doc_id
+         |), fb AS (
+         |  SELECT bucket, min(batch) AS fbatch FROM bk GROUP BY 1
+         |), fs AS (
+         |  SELECT bk.bucket, min(bk.doc_id) AS first_doc
+         |  FROM bk JOIN fb ON bk.bucket = fb.bucket AND bk.batch = fb.fbatch
+         |  GROUP BY 1
+         |)
+         |SELECT b.doc_id, b.bucket, f.first_doc
+         |FROM bk b JOIN fs f USING (bucket)
+         |WHERE b.doc_id <> f.first_doc
+         |ORDER BY doc_id, bucket""".stripMargin,
 
     // the streaming registry's collision relation: portable minhash
     // banding (same CTE chain as dedup_minhash), bucket = band·M + bh,

@@ -281,6 +281,28 @@ object StreamedBatch {
   }
 
 
+
+  /** Write `batches` as ONE parquet FILE per `batch` value, in batch
+    * order with distinct mod-times, so a file source with
+    * `maxFilesPerTrigger = 1` replays them as deterministic
+    * micro-batches. Returns the source directory. */
+  private def writeChunkedFiles(batches: DataFrame, cols: Seq[String],
+      nBatches: Int, tmp: String): String = {
+    val src = s"$tmp/src"
+    new java.io.File(src).mkdirs()
+    (0 until nBatches).foreach { b =>
+      val d = s"$tmp/stage/b$b"
+      batches.filter(col("batch") === b).select(cols.map(col): _*)
+        .coalesce(1).write.parquet(d)
+      val part = new java.io.File(d).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      Files.move(part, java.nio.file.Paths.get(f"$src/f$b%03d.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(30) // distinct mod-times pin the file order
+    }
+    src
+  }
+
   /** A REAL watermark-drop replay: `batches` (topic, ts, batch) is
     * written as ONE FILE PER MICRO-BATCH in batch order (distinct
     * mod-times keep the file-source order deterministic), streamed with
@@ -298,18 +320,7 @@ object StreamedBatch {
     val qn = s"wm_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
-      val src = s"$tmp/src"
-      new java.io.File(src).mkdirs()
-      (0 until nBatches).foreach { b =>
-        val d = s"$tmp/stage/b$b"
-        batches.filter(col("batch") === b).select(col("topic"), col("ts"))
-          .coalesce(1).write.parquet(d)
-        val part = new java.io.File(d).listFiles()
-          .filter(_.getName.endsWith(".parquet")).head.toPath
-        Files.move(part, java.nio.file.Paths.get(f"$src/f$b%03d.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        Thread.sleep(30)
-      }
+      val src = writeChunkedFiles(batches, Seq("topic", "ts"), nBatches, tmp)
       val q = ss.readStream.schema("topic STRING, ts TIMESTAMP")
         .option("maxFilesPerTrigger", "1").parquet(src)
         .withWatermark("ts", horizon)
@@ -317,6 +328,44 @@ object StreamedBatch {
         .agg(count(lit(1)).as("cnt"))
         .select(col("w.start").as("win_start"), col("topic"), col("cnt"))
         .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
+
+  /** [[StreamingDedup.nearDupGate]] across REAL micro-batches: the
+    * planted-arrival `batched` relation (doc_id, text, batch) replays
+    * one file per micro-batch, so per-bucket first-seen OWNERSHIP is
+    * decided by arrival order — first = min doc id within the bucket's
+    * EARLIEST batch, carried forward by the registry; every later
+    * (doc, bucket) pair collides. The oracle recomputes exactly that. */
+  def nearDupCollisionsMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-ndgm-twin").toString
+    val qn = s"ndgm_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched, Seq("doc_id", "text"), nBatches, tmp)
+      val stream = ss.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .as[StreamingDedup.Doc]
+      val q = StreamingDedup.nearDupGate(stream).toDF().writeStream
+        .format("memory").queryName(qn).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
