@@ -1532,6 +1532,30 @@ object CBlock {
         .orderBy(col("domain"), col("slot"))
     }),
 
+    "quota_gate_multibatch" -> ((s, dir) => {
+      // C96's budget proven GLOBAL across micro-batches under the
+      // oracle: every 7th doc is redelivered after the rest of the
+      // corpus (5 one-file micro-batches in arrival order), so a
+      // redelivered doc burns a LATER admission slot — or none, when
+      // its domain's budget filled in an earlier batch; the oracle
+      // recomputes first-cap per domain in (batch, doc id) order
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("domain"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("arrival", col("doc_id") +
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .quotaAdmittedMulti(s, batched, nBatches = 5, cap = 20)
+        .select(col("doc_id"), col("domain"), col("slot"))
+        .orderBy(col("domain"), col("slot"))
+    }),
+
     "dedup_gate_stream" -> ((s, dir) => {
       // C45's streaming near-dup gate promoted to an oracle row: the
       // REAL first-seen bucket registry (FlatMapGroupsWithState on the
@@ -4592,6 +4616,30 @@ object CBlock {
         |      ORDER BY doc_id) AS BIGINT) AS slot
         |  FROM documents
         |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
+
+    // the cross-batch quota relation: admission in (batch, doc id)
+    // order, first-20 per domain with 1-based slots
+    "quota_gate_multibatch" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |ar AS (
+         |  SELECT d.doc_id, d.source AS domain,
+         |    d.doc_id + CASE WHEN d.doc_id % 7 = 0
+         |      THEN nn.n ELSE 0 END AS arrival
+         |  FROM documents d, nn
+         |), rk AS (
+         |  SELECT doc_id, domain,
+         |    row_number() OVER (ORDER BY arrival, doc_id) - 1 AS rk
+         |  FROM ar
+         |), bt AS (
+         |  SELECT doc_id, domain, rk // greatest((nn.n + 4) // 5, 1) AS batch
+         |  FROM rk, nn
+         |)
+         |SELECT doc_id, domain, slot FROM (
+         |  SELECT doc_id, domain,
+         |    CAST(row_number() OVER (PARTITION BY domain
+         |      ORDER BY batch, doc_id) AS BIGINT) AS slot
+         |  FROM bt
+         |) WHERE slot <= 20 ORDER BY domain, slot""".stripMargin,
 
     // the cross-batch registry relation: batch = arrival-rank chunk
     // (planted one-chunk redelivery for every 7th doc), first = min doc

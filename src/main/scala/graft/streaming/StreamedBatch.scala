@@ -347,6 +347,45 @@ object StreamedBatch {
   }
 
 
+
+  /** [[StreamingQuota.quotaGate]] across REAL micro-batches: the
+    * planted-arrival `batched` relation (doc_id, domain, batch) replays
+    * one file per micro-batch, so per-domain admission order is
+    * (batch, doc id) — a redelivered doc burns a later slot or is
+    * rejected outright when its domain's budget filled in an earlier
+    * batch. The oracle recomputes first-`cap` per domain in
+    * (batch, doc id) order with the same 1-based slots. */
+  def quotaAdmittedMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int, cap: Int): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-quotam-twin").toString
+    val qn = s"quotam_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched, Seq("doc_id", "domain"), nBatches, tmp)
+      val stream = ss.readStream.schema("doc_id LONG, domain STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .as[StreamingQuota.Arrival]
+      val q = StreamingQuota.quotaGate(stream, cap).toDF().writeStream
+        .format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingDedup.nearDupGate]] across REAL micro-batches: the
     * planted-arrival `batched` relation (doc_id, text, batch) replays
     * one file per micro-batch, so per-bucket first-seen OWNERSHIP is
