@@ -261,6 +261,33 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_rate_limit_multibatch" -> ((s, dir) => {
+      // A29's counters proven to hold ACROSS micro-batches under the
+      // oracle (the single-batch twin resets nothing; this one must
+      // not): every 17th message is redelivered after the whole rest of
+      // the stream (worst-case broker replay), 5 one-file micro-batches
+      // in arrival order — a redelivered message is admitted only if
+      // its EVENT-time window still has budget when it finally arrives;
+      // the oracle admits first-limit per (app, hour) in
+      // (batch, publish_time, msg_id) order
+      val cfg = SyncConfig(
+        rateLimits = Map("purchase" -> 2, "click" -> 1),
+        rateLimitWindow = "hour")
+      val m = msgs(s, dir).withColumn("app", col("topic"))
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = m
+        .withColumn("arrival", col("msg_id") +
+          when(pmod(col("msg_id"), lit(17)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .rateLimitedMulti(s, batched, nBatches = 5, cfg)
+        .select(col("msg_id"), col("app"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_bulk_batch" -> ((s, dir) => {
       val cfg = SyncConfig(bufferSize = 50)
       SyncPipeline.bulkBatches(cfg)(msgs(s, dir)
@@ -444,6 +471,34 @@ object ABlock {
         |QUALIFY row_number() OVER (
         |    PARTITION BY event_type, date_trunc('hour', ts)
         |    ORDER BY ts, event_id)
+        |  <= CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
+        |          ELSE 2147483647 END
+        |ORDER BY msg_id""".stripMargin,
+
+    // the cross-batch admission relation: first-limit per (app, hour)
+    // in (batch, publish_time, msg_id) order under the after-everything
+    // redelivery plant
+    "sync_rate_limit_multibatch" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events),
+        |ar AS (
+        |  SELECT e.event_id, e.event_type, e.ts,
+        |    e.event_id + CASE WHEN e.event_id % 17 = 0
+        |      THEN nn.n ELSE 0 END AS arrival
+        |  FROM events e, nn
+        |), rk AS (
+        |  SELECT event_id, event_type, ts,
+        |    row_number() OVER (ORDER BY arrival, event_id) - 1 AS rk
+        |  FROM ar
+        |), bt AS (
+        |  SELECT event_id, event_type, ts,
+        |    rk // greatest((nn.n + 4) // 5, 1) AS batch
+        |  FROM rk, nn
+        |)
+        |SELECT event_id AS msg_id, event_type AS app
+        |FROM bt
+        |QUALIFY row_number() OVER (
+        |    PARTITION BY event_type, date_trunc('hour', CAST(ts AS TIMESTAMP))
+        |    ORDER BY batch, ts, event_id)
         |  <= CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
         |          ELSE 2147483647 END
         |ORDER BY msg_id""".stripMargin,

@@ -348,6 +348,46 @@ object StreamedBatch {
 
 
 
+
+  /** [[StreamingRateLimit]] across REAL micro-batches: the
+    * planted-arrival `batched` message relation replays one file per
+    * micro-batch, so per-(app, window) admission order is
+    * (batch, publish_time µs, msg_id) with counters carried in state —
+    * a redelivered message is admitted only if its EVENT-time window
+    * still has budget when it finally arrives. */
+  def rateLimitedMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int, cfg: SyncConfig): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-rlm-twin").toString
+    val qn = s"rlm_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched,
+        Seq("msg_id", "topic", "publish_time", "data", "app"), nBatches, tmp)
+      val stream = ss.readStream
+        .schema("msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING, app STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .as[StreamingRateLimit.RlMsg]
+      val q = StreamingRateLimit(cfg)(stream).toDF().writeStream
+        .format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingQuota.quotaGate]] across REAL micro-batches: the
     * planted-arrival `batched` relation (doc_id, domain, batch) replays
     * one file per micro-batch, so per-domain admission order is
