@@ -814,6 +814,42 @@ object BBlock {
         .orderBy(col("imp_id"), col("conv_id"))
     }),
 
+    "q_attribution_multibatch" -> ((s, dir) => {
+      // B33's state EVICTION executed under the oracle (the watermark
+      // "IS the memory bound" claim, exercised): every 5th event is
+      // redelivered after the whole rest of the stream, views and
+      // purchases replay as 5 lockstep file micro-batches, and the
+      // 1 h-horizon join must drop late inputs and refuse matches whose
+      // buffered partner was already evicted — 34 of the batch join's
+      // 40 pairs survive at sf0.01. The oracle models the pinned
+      // semantics (filter watermark = both-sides max through batch b−2
+      // minus 1 h; row drops below it; a cross-batch pair needs
+      // imp_ts + window and conv_ts at-or-above the watermark of the
+      // later arrival batch). Verified pair-for-pair against the live
+      // stream at both SFs before the oracle was written down.
+      val ev = eventsUs(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_type"), col("ts"), col("event_id"), col("user_id"))
+      val n = ev.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val ranked = ev
+        .withColumn("arrival", col("event_id") +
+          when(pmod(col("event_id"), lit(5)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("event_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val imps = ranked.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("imp_ts"),
+          col("event_id").as("imp_id"), col("batch"))
+      val convs = ranked.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("c_user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"), col("batch"))
+      graft.streaming.StreamedBatch
+        .attributedMulti(s, imps, convs, nBatches = 5,
+          windowSec = 3600, horizon = "1 hour")
+        .orderBy(col("imp_id"), col("conv_id"))
+    }),
+
     "q_range_join" -> ((s, dir) => {
       // clicks within ±30 min of each purchase by the same user — the
       // bounded range join via time-bucket equi-join (Temporal)
@@ -1824,6 +1860,58 @@ object BBlock {
         |  ON i.user_id = c.user_id
         | AND conv_ts >= imp_ts
         | AND conv_ts <= imp_ts + INTERVAL 3600 SECOND
+        |ORDER BY imp_id, conv_id""".stripMargin,
+
+    // the executed-eviction relation: input rows below the lag-2
+    // both-sides watermark drop; a cross-batch pair survives only if
+    // the earlier side's state lived to the later arrival batch
+    "q_attribution_multibatch" ->
+      """WITH ev AS (
+        |  SELECT event_type, event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |), nn AS (SELECT count(*) AS n FROM ev),
+        |ar AS (
+        |  SELECT e.*, e.event_id + CASE WHEN e.event_id % 5 = 0
+        |    THEN nn.n ELSE 0 END AS arrival
+        |  FROM ev e, nn
+        |), rk AS (
+        |  SELECT event_type, event_id, user_id, ts,
+        |    row_number() OVER (ORDER BY arrival, event_id) - 1 AS rk
+        |  FROM ar
+        |), bt AS (
+        |  SELECT event_type, event_id, user_id, ts, epoch_us(ts) AS us,
+        |    rk // greatest((nn.n + 4) // 5, 1) AS batch
+        |  FROM rk, nn
+        |), bm AS (
+        |  SELECT batch, max(us) AS bmax FROM bt GROUP BY 1
+        |), wmt AS (
+        |  SELECT batch, max(bmax) OVER (ORDER BY batch
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |    - 3600000000 AS wm
+        |  FROM bm
+        |), imps AS (
+        |  SELECT b.user_id, b.us AS imp_us, b.ts AS imp_ts,
+        |    b.event_id AS imp_id, b.batch AS ib
+        |  FROM bt b JOIN wmt w USING (batch)
+        |  WHERE b.event_type = 'view' AND (w.wm IS NULL OR b.us >= w.wm)
+        |), convs AS (
+        |  SELECT b.user_id AS c_user_id, b.us AS conv_us, b.ts AS conv_ts,
+        |    b.event_id AS conv_id, b.batch AS cb
+        |  FROM bt b JOIN wmt w USING (batch)
+        |  WHERE b.event_type = 'purchase' AND (w.wm IS NULL OR b.us >= w.wm)
+        |), j AS (
+        |  SELECT i.user_id, i.imp_id, i.imp_ts, i.imp_us, i.ib,
+        |    c.conv_id, c.conv_ts, c.conv_us, c.cb,
+        |    greatest(i.ib, c.cb) AS lb
+        |  FROM imps i JOIN convs c
+        |    ON i.user_id = c.c_user_id
+        |   AND c.conv_us >= i.imp_us
+        |   AND c.conv_us <= i.imp_us + 3600000000
+        |)
+        |SELECT user_id, imp_id, conv_id, imp_ts, conv_ts
+        |FROM j JOIN wmt w ON j.lb = w.batch
+        |WHERE (w.wm IS NULL OR imp_us + 3600000000 >= w.wm OR ib = lb)
+        |  AND (w.wm IS NULL OR conv_us >= w.wm OR cb = lb)
         |ORDER BY imp_id, conv_id""".stripMargin,
 
     // IDENTICAL SQL to q_attribution — the stream-stream interval join

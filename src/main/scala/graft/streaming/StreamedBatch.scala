@@ -349,6 +349,56 @@ object StreamedBatch {
 
 
 
+
+  /** [[StreamingIntervalJoin.attribute]] across REAL micro-batches with
+    * the watermark's state eviction EXECUTED: both sides replay one
+    * file per micro-batch in lockstep (each trigger takes one file from
+    * EACH source), late input rows drop below the join watermark, and a
+    * redelivered row only matches partners whose buffered state
+    * survived to its arrival batch. The oracle models the pinned
+    * semantics: the filter watermark derives from data through batch
+    * b−2 over BOTH sides; an input row drops iff its event time is
+    * below it; a cross-batch pair survives iff, at the later arrival
+    * batch, the impression's match horizon (imp_ts + window) and the
+    * conversion's event time are still at-or-above the watermark. */
+  def attributedMulti(s: SparkSession, impsBatched: DataFrame,
+      convsBatched: DataFrame, nBatches: Int, windowSec: Int,
+      horizon: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-attrm-twin").toString
+    val qn = s"attrm_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val lsrc = writeChunkedFiles(impsBatched,
+        Seq("user_id", "imp_ts", "imp_id"), nBatches, s"$tmp/l")
+      val rsrc = writeChunkedFiles(convsBatched,
+        Seq("c_user_id", "conv_ts", "conv_id"), nBatches, s"$tmp/r")
+      val imps = ss.readStream
+        .schema("user_id LONG, imp_ts TIMESTAMP, imp_id LONG")
+        .option("maxFilesPerTrigger", "1").parquet(lsrc)
+      val convs = ss.readStream
+        .schema("c_user_id LONG, conv_ts TIMESTAMP, conv_id LONG")
+        .option("maxFilesPerTrigger", "1").parquet(rsrc)
+      val q = StreamingIntervalJoin
+        .attribute(imps, convs, horizon = horizon, windowSec = windowSec)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingRateLimit]] across REAL micro-batches: the
     * planted-arrival `batched` message relation replays one file per
     * micro-batch, so per-(app, window) admission order is
