@@ -1159,6 +1159,31 @@ object BBlock {
         .orderBy(col("topic"))
     }),
 
+    "q_sessionize_multibatch" -> ((s, dir) => {
+      // B12's EVENT-TIME TIMEOUT path live under the oracle (the
+      // single-batch twin needed a sentinel to close sessions; this one
+      // must not): the in-order stream replays as 5 one-file
+      // micro-batches, sessions merge across batch boundaries in
+      // state, close mid-stream by successor OR by timeout as the
+      // watermark advances, and each user's TAIL session emits only if
+      // the terminal watermark (global max − 30 min) passed its
+      // ms-truncated timeout — the one boundary the oracle must model,
+      // since in-order arrival keeps session structure batch-identical.
+      // Verified session-for-session against the live stream at both
+      // SFs before the oracle was written down.
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val n = ev.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = ev
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("event_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .sessionsMulti(s, batched, nBatches = 5, gapMinutes = 30)
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     "q_watermark_drops_stream" -> ((s, dir) => {
       // B61 PREDICTED which rows a 1 h watermark drops; this EXECUTES
       // the drop: the planted-disorder arrival stream replays through a
@@ -2153,6 +2178,44 @@ object BBlock {
          |  CAST(SUM(late) AS BIGINT) AS n_late,
          |  ROUND(SUM(late) * 1.0 / count(*), 6) AS late_share
          |FROM l GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    // session structure is the batch sessionization (in-order arrival);
+    // emission: any session with a successor, plus tail sessions whose
+    // ms-truncated timeout is below the terminal watermark
+    "q_sessionize_multibatch" ->
+      """WITH s AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+        |  FROM events
+        |), lg AS (
+        |  SELECT user_id, us, event_id,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) IS NULL
+        |           OR us - lag(us) OVER (PARTITION BY user_id
+        |             ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM s
+        |), sd AS (
+        |  SELECT user_id, us,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM lg
+        |), sess AS (
+        |  SELECT user_id, sid, min(us) AS start_us, max(us) AS last_us,
+        |    count(*) AS n_events
+        |  FROM sd GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT user_id, max(sid) AS max_sid FROM sess GROUP BY 1
+        |), wmf AS (
+        |  SELECT (max(us) - 1800000000) // 1000 AS wm_ms FROM s
+        |)
+        |SELECT se.user_id,
+        |  make_timestamp((start_us // 1000) * 1000) AS session_start,
+        |  CAST(n_events AS INT) AS n_events,
+        |  (last_us - start_us) // 1000000 AS duration_sec
+        |FROM sess se JOIN mx USING (user_id), wmf
+        |WHERE se.sid < mx.max_sid
+        |   OR (last_us + 1800000000) // 1000 < wmf.wm_ms
+        |ORDER BY user_id, session_start""".stripMargin,
 
     // the DuckDB model of Spark's executed watermark semantics (see the
     // query comment): chunk into 10 arrival batches, filter watermark =

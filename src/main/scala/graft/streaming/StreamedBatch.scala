@@ -350,6 +350,47 @@ object StreamedBatch {
 
 
 
+
+  /** [[StreamingSessionize]] across REAL micro-batches with the
+    * EVENT-TIME TIMEOUT path live (no sentinel): the in-order stream
+    * replays one file per micro-batch, sessions merge across batch
+    * boundaries in state, mid-stream sessions close by successor OR by
+    * timeout as the watermark advances, and the per-user tail session
+    * emits only if the TERMINAL watermark (global max − gap) passed its
+    * timeout — the emission boundary the oracle models (in-order
+    * arrival keeps the session STRUCTURE identical to batch, so only
+    * emission needs modeling). */
+  def sessionsMulti(s: SparkSession, batched: DataFrame, nBatches: Int,
+      gapMinutes: Int): DataFrame = {
+    import s.implicits._
+    val tmp = Files.createTempDirectory("graft-sessm-twin").toString
+    val qn = s"sessm_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched, Seq("user_id", "ts"), nBatches, tmp)
+      val stream = ss.readStream.schema("user_id LONG, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .as[StreamingSessionize.Event]
+      val q = StreamingSessionize.sessions(stream, gapMinutes)(ss)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingIntervalJoin.attribute]] across REAL micro-batches with
     * the watermark's state eviction EXECUTED: both sides replay one
     * file per micro-batch in lockstep (each trigger takes one file from
