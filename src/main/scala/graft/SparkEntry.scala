@@ -67,6 +67,28 @@ object SparkEntry {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_pipeline_stream" -> ((s, dir) => {
+      // THE flagship under the oracle: the reference's entire
+      // consume→sink loop (A15/A16) runs as a REAL stream — 5 one-file
+      // micro-batches through the full transform chain, the
+      // foreachBatch admission, and the commit-marker indexed sink —
+      // and the STORE read back must hold exactly sync_pipeline's
+      // relation; the IDENTICAL DuckDB SQL anchors both
+      import org.apache.spark.sql.expressions.Window
+      val m = messages(s, dir)
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = m
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .syncedStore(s, batched, demoCfg, nBatches = 5)
+        .select(col("msg_id"), col("index").as("es_index"), col("app"),
+          col("is_debug"), col("field_count"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_parse" -> ((s, dir) => {
       messages(s, dir)
         .transform(SyncPipeline.parseable)
@@ -108,6 +130,32 @@ object SparkEntry {
 
   private def coreOracle: Map[String, String] = Map(
     "sync_pipeline" ->
+      """WITH msgs AS (
+        |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data
+        |  FROM events
+        |), kept AS (
+        |  SELECT * FROM msgs
+        |  WHERE data IS NOT NULL AND data <> ''
+        |    AND NOT regexp_matches(data, '"k": 13\}')
+        |    AND json_valid(data) AND regexp_matches(data, '^\s*\{')
+        |    AND NOT (topic = 'error' AND regexp_matches(data, '"k": 9[0-9]\}'))
+        |)
+        |SELECT msg_id,
+        |  (CASE WHEN regexp_matches(topic, '^click') THEN 'web'
+        |        WHEN regexp_matches(topic, '^view') THEN 'web'
+        |        WHEN regexp_matches(topic, '^purchase') THEN 'commerce'
+        |        ELSE topic END) || '-' || strftime(publish_time, '%Y.%m.%d') AS es_index,
+        |  CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
+        |       THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
+        |       ELSE '__DEFAULT_APP__' END AS app,
+        |  (COALESCE(json_extract_string(data, '$.level') = 'debug', FALSE)
+        |     OR regexp_matches(data, '"k": 4[0-9]\}')) AS is_debug,
+        |  len(json_keys(data)) AS field_count
+        |FROM kept ORDER BY msg_id""".stripMargin,
+
+    // IDENTICAL SQL to sync_pipeline — the streamed store must hold the
+    // batch pipeline's exact relation
+    "sync_pipeline_stream" ->
       """WITH msgs AS (
         |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data
         |  FROM events

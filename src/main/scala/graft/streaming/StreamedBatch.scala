@@ -351,6 +351,39 @@ object StreamedBatch {
 
 
 
+
+  /** THE flagship twin: [[StreamingSync.start]] run for REAL — the
+    * chunked message relation replays one file per micro-batch through
+    * the full transform chain, the foreachBatch admission, and the
+    * commit-marker indexed sink — then the STORE is read back as the
+    * result relation. The batch pipeline's own oracle SQL anchors it:
+    * the store a real streaming deployment accumulates must hold
+    * exactly the batch relation. */
+  def syncedStore(s: SparkSession, batched: DataFrame, cfg: SyncConfig,
+      nBatches: Int): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-sync-twin").toString
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched,
+        Seq("msg_id", "topic", "publish_time", "data"), nBatches, tmp)
+      val q = StreamingSync.start(ss, cfg, src, s"$tmp/sink",
+        s"$tmp/metrics", availableNow = true, batchFiles = Some(1))
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException("sync twin did not drain within 300 s")
+      }
+      val store = ss.read.parquet(s"$tmp/sink")
+      s.createDataFrame(
+        s.sparkContext.parallelize(store.collect().toIndexedSeq, 1),
+        store.schema)
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** [[StreamingSessionize]] across REAL micro-batches with the
     * EVENT-TIME TIMEOUT path live (no sentinel): the in-order stream
     * replays one file per micro-batch, sessions merge across batch
