@@ -261,6 +261,36 @@ object ABlock {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_dedup_stream" -> ((s, dir) => {
+      // A19's redelivery dedup promoted to an oracle row: every 17th
+      // message is DUPLICATED — one copy redelivered 3 positions later
+      // (same micro-batch or the next: state-hit drop) and one after
+      // the whole stream (beyond the horizon: late-filter drop) — the
+      // planted stream replays as 5 one-file micro-batches through the
+      // REAL watermarked dropDuplicates, and the emitted relation must
+      // equal the DISTINCT message set: exactly-once holds for ANY
+      // redelivery delay, because a duplicate either hits retained
+      // state or arrives below the watermark that evicted it
+      val m = msgs(s, dir)
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val isDup = pmod(col("msg_id"), lit(17)) === 0
+      val planted = m.withColumn("arrival", col("msg_id"))
+        .unionByName(m.filter(isDup)
+          .withColumn("arrival", col("msg_id") + lit(3L)))
+        .unionByName(m.filter(isDup)
+          .withColumn("arrival", col("msg_id") + lit(2 * n)))
+      val total = n + 2 * ((n + 16) / 17)
+      val chunk = math.max(1L, (total + 4) / 5)
+      val batched = planted
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .dedupedMessages(s, batched, nBatches = 5, horizon = "1 hour")
+        .select(col("msg_id"), col("topic"), col("publish_time"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_rate_limit_multibatch" -> ((s, dir) => {
       // A29's counters proven to hold ACROSS micro-batches under the
       // oracle (the single-batch twin resets nothing; this one must
@@ -474,6 +504,13 @@ object ABlock {
         |  <= CASE event_type WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
         |          ELSE 2147483647 END
         |ORDER BY msg_id""".stripMargin,
+
+    // exactly-once under planted duplicate redelivery: the emitted
+    // relation is the DISTINCT message set — duplicates either hit
+    // retained state or fall below the watermark that evicted it
+    "sync_dedup_stream" ->
+      """SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time
+        |FROM events ORDER BY msg_id""".stripMargin,
 
     // the cross-batch admission relation: first-limit per (app, hour)
     // in (batch, publish_time, msg_id) order under the after-everything

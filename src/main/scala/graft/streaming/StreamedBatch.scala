@@ -352,6 +352,45 @@ object StreamedBatch {
 
 
 
+
+  /** [[StreamingSync.dedupMessages]] across REAL micro-batches with
+    * planted DUPLICATE redelivery: the twin proves exactly-once holds
+    * for ANY redelivery delay — a duplicate inside the watermark
+    * horizon hits retained state and drops; one beyond it is dropped
+    * by the late-input filter before it can re-emit (its event time
+    * sits below the watermark that evicted the original's state). The
+    * emitted relation must therefore equal the DISTINCT message set. */
+  def dedupedMessages(s: SparkSession, batched: DataFrame,
+      nBatches: Int, horizon: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-mdedup-twin").toString
+    val qn = s"mdedup_twin_${seq.incrementAndGet()}"
+    val ss = streamSession(s)
+    try {
+      val src = writeChunkedFiles(batched,
+        Seq("msg_id", "topic", "publish_time", "data"), nBatches, tmp)
+      val stream = ss.readStream
+        .schema("msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = StreamingSync.dedupMessages(horizon)(stream)
+        .writeStream.format("memory").queryName(qn).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000)) {
+        q.stop()
+        throw new IllegalStateException(s"$qn did not drain within 300 s")
+      }
+      val sink = ss.table(qn)
+      s.createDataFrame(
+        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
+        sink.schema)
+    } finally {
+      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(tmp), true)
+      ()
+    }
+  }
+
   /** THE flagship twin: [[StreamingSync.start]] run for REAL — the
     * chunked message relation replays one file per micro-batch through
     * the full transform chain, the foreachBatch admission, and the
