@@ -1023,9 +1023,18 @@ object Similarity {
     * BIGINT sums Σ q_i·q_j rescaled by an integer div; each iteration is
     * v' = sign(u)·(|u| div (max|u| div 10⁶)) with u = G·v — every step
     * order-free integer arithmetic, so the 64 output components are
-    * bit-identical in any engine. Bounds at scale=10⁶, |x| ≤ 1, corpus
-    * ≤ 10⁷ vectors: |q| ≤ 10⁶, |Gram| ≤ 10⁷·10¹² = 10¹⁹… div 10⁷ keeps
-    * every product inside long range (|g|·10⁶·64 ≤ 10¹⁸ at |g| ≤ 10¹⁰).
+    * bit-identical in any engine. Bounds at the defaults (scale=10⁶,
+    * |x| ≤ 1, gramDiv=10⁷): |q| ≤ 10⁶ so each Gram sum grows ≤ 10¹²
+    * per vector — the BIGINT sum stays inside long range only up to
+    * ~9·10⁶ vectors, and the driver product Σⱼ g·vⱼ (|v| ≤ scale,
+    * D = 64 terms) needs |g| ≤ Long.Max/(2·scale·D) ≈ 7·10¹⁰, i.e.
+    * corpus ≲ 10⁶ vectors AT THE DEFAULT gramDiv. Larger corpora must
+    * raise `gramDiv` proportionally (it only rescales the eigenvector's
+    * fixed-point resolution, not its direction); both bounds are
+    * ENFORCED — the corpus count rides the Gram aggregation for free
+    * (rows per (i,j) group = n) and the collected matrix is checked
+    * before iterating, so an out-of-range corpus fails loudly instead
+    * of wrapping silently.
     *
     * Scale: ONE wide edge — the (i, j) Gram aggregation (the vec_id
     * equi-join fans each vector to its D² dim pairs, map-side combined);
@@ -1044,8 +1053,9 @@ object Similarity {
     val b = q.select(col("__id"), col("dim").as("j"), col("q").as("qj"))
     val gram = a.join(b, "__id")
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("gsum"))
-      .select(col("i"), col("j"),
+      .agg(sum(col("qi") * col("qj")).as("gsum"),
+        count(lit(1)).as("n")) // rows per (i,j) group = corpus size
+      .select(col("i"), col("j"), col("n"),
         expr(s"(CASE WHEN gsum < 0 THEN -1 ELSE 1 END) * (abs(gsum) div $gramDiv)")
           .as("g"))
     val gRows = gram.collect() // D² rows — bounded model state
@@ -1053,9 +1063,21 @@ object Similarity {
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           "dim BIGINT, comp BIGINT, loading DOUBLE"))
+    // Overflow guards (scaladoc bounds made executable): the BIGINT
+    // Gram sum wraps silently past Long.Max in non-ANSI mode, and the
+    // driver product Σⱼ g·vⱼ wraps past Long.Max/(2·scale·D) — both
+    // fail loudly here instead.
+    val nVec = gRows.iterator.map(_.getLong(2)).max
+    require(BigInt(nVec) * BigInt(scale) * BigInt(scale) <= Long.MaxValue,
+      s"pcaPower: $nVec vectors at scale=$scale can overflow the Gram " +
+        "sum — lower `scale`")
     val d = gRows.iterator.map(_.getInt(0)).max + 1
     val gm = Array.ofDim[Long](d, d)
-    gRows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    gRows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(3))
+    val maxAbsG = gm.iterator.flatMap(_.iterator).map(math.abs).max
+    require(BigInt(maxAbsG) * BigInt(2L * scale) * BigInt(d) <= Long.MaxValue,
+      s"pcaPower: |gram| up to $maxAbsG overflows the power iteration " +
+        s"at D=$d, scale=$scale — raise `gramDiv` (∝ corpus size)")
     var v = Array.fill(d)(scale)
     for (_ <- 1 to iters) {
       val u = Array.tabulate(d) { i =>

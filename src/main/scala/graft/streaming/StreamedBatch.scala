@@ -290,44 +290,46 @@ object StreamedBatch {
       nBatches: Int, tmp: String): String = {
     val src = s"$tmp/src"
     new java.io.File(src).mkdirs()
+    // Mod-times are set EXPLICITLY, 1 s apart (some filesystems have
+    // 1-second mtime granularity, so sleeping between writes would not
+    // guarantee distinct stamps): file b gets base + b s, pinning the
+    // file source's mod-time ordering deterministically.
+    val base = (System.currentTimeMillis() / 1000L) * 1000L
     (0 until nBatches).foreach { b =>
       val d = s"$tmp/stage/b$b"
       batches.filter(col("batch") === b).select(cols.map(col): _*)
         .coalesce(1).write.parquet(d)
       val part = new java.io.File(d).listFiles()
         .filter(_.getName.endsWith(".parquet")).head.toPath
-      Files.move(part, java.nio.file.Paths.get(f"$src/f$b%03d.parquet"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      Thread.sleep(30) // distinct mod-times pin the file order
+      val dest = java.nio.file.Paths.get(f"$src/f$b%03d.parquet")
+      Files.move(part, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      if (!dest.toFile.setLastModified(base + b * 1000L))
+        throw new IllegalStateException(s"cannot set mod-time on $dest")
     }
     src
   }
 
-  /** A REAL watermark-drop replay: `batches` (topic, ts, batch) is
-    * written as ONE FILE PER MICRO-BATCH in batch order (distinct
-    * mod-times keep the file-source order deterministic), streamed with
-    * `maxFilesPerTrigger = 1` through a watermarked tumbling-window
-    * count, and the memory sink holds exactly the windows the terminal
-    * watermark closed — late rows REALLY dropped by state eviction,
-    * not predicted. The oracle models Spark's observed semantics: the
-    * late filter evicts on window end ≤ the filter watermark, the
-    * filter watermark derives from data through batch b−2 (the b−1
-    * update lands one batch later), and the AvailableNow final empty
-    * batch flushes every window with end ≤ global max − horizon. */
-  def watermarkedWindowCounts(s: SparkSession, batches: DataFrame,
-      nBatches: Int, horizon: String = "1 hour"): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-wm-twin").toString
-    val qn = s"wm_twin_${seq.incrementAndGet()}"
+  /** Chunked-source variant of [[throughStream]]: each `sources` entry
+    * `(batchedDf, cols)` is written as one file per `batch` value (see
+    * [[writeChunkedFiles]]) into its own directory, `build` receives
+    * the source directories (readers should set
+    * `maxFilesPerTrigger = 1` so each file is one micro-batch), and the
+    * drain-timeout / memory-sink pin / cleanup contract is the same as
+    * the single-batch runner's. */
+  private def throughChunkedStream(s: SparkSession, name: String,
+      nBatches: Int, sources: (DataFrame, Seq[String])*)
+      (build: (SparkSession, Seq[String]) => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : DataFrame = {
+    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val qn = s"${name}_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
-      val src = writeChunkedFiles(batches, Seq("topic", "ts"), nBatches, tmp)
-      val q = ss.readStream.schema("topic STRING, ts TIMESTAMP")
-        .option("maxFilesPerTrigger", "1").parquet(src)
-        .withWatermark("ts", horizon)
-        .groupBy(window(col("ts"), horizon).as("w"), col("topic"))
-        .agg(count(lit(1)).as("cnt"))
-        .select(col("w.start").as("win_start"), col("topic"), col("cnt"))
-        .writeStream.format("memory").queryName(qn).outputMode("append")
+      val srcs = sources.zipWithIndex.map { case ((df, cols), i) =>
+        val dir = if (sources.size == 1) tmp else s"$tmp/s$i"
+        writeChunkedFiles(df, cols, nBatches, dir)
+      }
+      val q = build(ss, srcs)
+        .format("memory").queryName(qn).outputMode("append")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -345,6 +347,31 @@ object StreamedBatch {
       ()
     }
   }
+
+  /** A REAL watermark-drop replay: `batches` (topic, ts, batch) is
+    * written as ONE FILE PER MICRO-BATCH in batch order (distinct
+    * mod-times keep the file-source order deterministic), streamed with
+    * `maxFilesPerTrigger = 1` through a watermarked tumbling-window
+    * count, and the memory sink holds exactly the windows the terminal
+    * watermark closed — late rows REALLY dropped by state eviction,
+    * not predicted. The oracle models Spark's observed semantics: the
+    * late filter evicts on window end ≤ the filter watermark, the
+    * filter watermark derives from data through batch b−2 (the b−1
+    * update lands one batch later), and the AvailableNow final empty
+    * batch flushes every window with end ≤ global max − horizon. */
+  def watermarkedWindowCounts(s: SparkSession, batches: DataFrame,
+      nBatches: Int, horizon: String = "1 hour",
+      windowDur: String = "1 hour"): DataFrame =
+    throughChunkedStream(s, "wm", nBatches,
+      (batches, Seq("topic", "ts"))) { (ss, srcs) =>
+      ss.readStream.schema("topic STRING, ts TIMESTAMP")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .withWatermark("ts", horizon)
+        .groupBy(window(col("ts"), windowDur).as("w"), col("topic"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("win_start"), col("topic"), col("cnt"))
+        .writeStream
+    }
 
 
 
@@ -361,35 +388,14 @@ object StreamedBatch {
     * sits below the watermark that evicted the original's state). The
     * emitted relation must therefore equal the DISTINCT message set. */
   def dedupedMessages(s: SparkSession, batched: DataFrame,
-      nBatches: Int, horizon: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-mdedup-twin").toString
-    val qn = s"mdedup_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val src = writeChunkedFiles(batched,
-        Seq("msg_id", "topic", "publish_time", "data"), nBatches, tmp)
+      nBatches: Int, horizon: String): DataFrame =
+    throughChunkedStream(s, "mdedup", nBatches,
+      (batched, Seq("msg_id", "topic", "publish_time", "data"))) { (ss, srcs) =>
       val stream = ss.readStream
         .schema("msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING")
-        .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = StreamingSync.dedupMessages(horizon)(stream)
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+      StreamingSync.dedupMessages(horizon)(stream).writeStream
     }
-  }
 
   /** THE flagship twin: [[StreamingSync.start]] run for REAL — the
     * chunked message relation replays one file per micro-batch through
@@ -435,31 +441,12 @@ object StreamedBatch {
   def sessionsMulti(s: SparkSession, batched: DataFrame, nBatches: Int,
       gapMinutes: Int): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-sessm-twin").toString
-    val qn = s"sessm_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val src = writeChunkedFiles(batched, Seq("user_id", "ts"), nBatches, tmp)
+    throughChunkedStream(s, "sessm", nBatches,
+      (batched, Seq("user_id", "ts"))) { (ss, srcs) =>
       val stream = ss.readStream.schema("user_id LONG, ts TIMESTAMP")
-        .option("maxFilesPerTrigger", "1").parquet(src)
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
         .as[StreamingSessionize.Event]
-      val q = StreamingSessionize.sessions(stream, gapMinutes)(ss)
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+      StreamingSessionize.sessions(stream, gapMinutes)(ss).writeStream
     }
   }
 
@@ -476,41 +463,20 @@ object StreamedBatch {
     * conversion's event time are still at-or-above the watermark. */
   def attributedMulti(s: SparkSession, impsBatched: DataFrame,
       convsBatched: DataFrame, nBatches: Int, windowSec: Int,
-      horizon: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-attrm-twin").toString
-    val qn = s"attrm_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val lsrc = writeChunkedFiles(impsBatched,
-        Seq("user_id", "imp_ts", "imp_id"), nBatches, s"$tmp/l")
-      val rsrc = writeChunkedFiles(convsBatched,
-        Seq("c_user_id", "conv_ts", "conv_id"), nBatches, s"$tmp/r")
+      horizon: String): DataFrame =
+    throughChunkedStream(s, "attrm", nBatches,
+      (impsBatched, Seq("user_id", "imp_ts", "imp_id")),
+      (convsBatched, Seq("c_user_id", "conv_ts", "conv_id"))) { (ss, srcs) =>
       val imps = ss.readStream
         .schema("user_id LONG, imp_ts TIMESTAMP, imp_id LONG")
-        .option("maxFilesPerTrigger", "1").parquet(lsrc)
+        .option("maxFilesPerTrigger", "1").parquet(srcs(0))
       val convs = ss.readStream
         .schema("c_user_id LONG, conv_ts TIMESTAMP, conv_id LONG")
-        .option("maxFilesPerTrigger", "1").parquet(rsrc)
-      val q = StreamingIntervalJoin
+        .option("maxFilesPerTrigger", "1").parquet(srcs(1))
+      StreamingIntervalJoin
         .attribute(imps, convs, horizon = horizon, windowSec = windowSec)
-        .writeStream.format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+        .writeStream
     }
-  }
 
   /** [[StreamingRateLimit]] across REAL micro-batches: the
     * planted-arrival `batched` message relation replays one file per
@@ -521,33 +487,13 @@ object StreamedBatch {
   def rateLimitedMulti(s: SparkSession, batched: DataFrame,
       nBatches: Int, cfg: SyncConfig): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-rlm-twin").toString
-    val qn = s"rlm_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val src = writeChunkedFiles(batched,
-        Seq("msg_id", "topic", "publish_time", "data", "app"), nBatches, tmp)
+    throughChunkedStream(s, "rlm", nBatches,
+      (batched, Seq("msg_id", "topic", "publish_time", "data", "app"))) { (ss, srcs) =>
       val stream = ss.readStream
         .schema("msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING, app STRING")
-        .option("maxFilesPerTrigger", "1").parquet(src)
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
         .as[StreamingRateLimit.RlMsg]
-      val q = StreamingRateLimit(cfg)(stream).toDF().writeStream
-        .format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+      StreamingRateLimit(cfg)(stream).toDF().writeStream
     }
   }
 
@@ -561,31 +507,12 @@ object StreamedBatch {
   def quotaAdmittedMulti(s: SparkSession, batched: DataFrame,
       nBatches: Int, cap: Int): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-quotam-twin").toString
-    val qn = s"quotam_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val src = writeChunkedFiles(batched, Seq("doc_id", "domain"), nBatches, tmp)
+    throughChunkedStream(s, "quotam", nBatches,
+      (batched, Seq("doc_id", "domain"))) { (ss, srcs) =>
       val stream = ss.readStream.schema("doc_id LONG, domain STRING")
-        .option("maxFilesPerTrigger", "1").parquet(src)
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
         .as[StreamingQuota.Arrival]
-      val q = StreamingQuota.quotaGate(stream, cap).toDF().writeStream
-        .format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+      StreamingQuota.quotaGate(stream, cap).toDF().writeStream
     }
   }
 
@@ -598,31 +525,12 @@ object StreamedBatch {
   def nearDupCollisionsMulti(s: SparkSession, batched: DataFrame,
       nBatches: Int): DataFrame = {
     import s.implicits._
-    val tmp = Files.createTempDirectory("graft-ndgm-twin").toString
-    val qn = s"ndgm_twin_${seq.incrementAndGet()}"
-    val ss = streamSession(s)
-    try {
-      val src = writeChunkedFiles(batched, Seq("doc_id", "text"), nBatches, tmp)
+    throughChunkedStream(s, "ndgm", nBatches,
+      (batched, Seq("doc_id", "text"))) { (ss, srcs) =>
       val stream = ss.readStream.schema("doc_id LONG, text STRING")
-        .option("maxFilesPerTrigger", "1").parquet(src)
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
         .as[StreamingDedup.Doc]
-      val q = StreamingDedup.nearDupGate(stream).toDF().writeStream
-        .format("memory").queryName(qn).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000)) {
-        q.stop()
-        throw new IllegalStateException(s"$qn did not drain within 300 s")
-      }
-      val sink = ss.table(qn)
-      s.createDataFrame(
-        s.sparkContext.parallelize(sink.collect().toIndexedSeq, 1),
-        sink.schema)
-    } finally {
-      try ss.catalog.dropTempView(qn) catch { case _: Exception => () }
-      org.apache.hadoop.fs.FileSystem
-        .get(new java.net.URI(tmp), s.sparkContext.hadoopConfiguration)
-        .delete(new org.apache.hadoop.fs.Path(tmp), true)
-      ()
+      StreamingDedup.nearDupGate(stream).toDF().writeStream
     }
   }
 
