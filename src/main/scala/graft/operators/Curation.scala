@@ -877,6 +877,45 @@ object Curation {
       .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(k)
 
+  /** [[knTable]] one smoothing order up: the absolute-discounted trigram
+    * probability P(w3 | w1 w2) with a continuation-count backoff —
+    * p = (c123 − 0.75)/c12 + 0.75·N1+(w1 w2 •)/c12 · N1+(• • w3)/T.
+    * Same exactness argument as the bigram table: every factor is one
+    * exact-integer-to-double conversion and one IEEE op, so the 6-dp
+    * round agrees bit-for-bit across engines.
+    *
+    * Scale: one corpus scan → trigram type counts (map-side combined);
+    * the context/continuation marginals are projections of the O(types)
+    * count table joined back on their keys; T broadcasts. */
+  def knTable3(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val tri = Materialize(docs
+      .select(explode(native.word_trigrams(col(textCol))).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("c123"))
+      .select(split(col("trigram"), " ").getItem(0).as("w1"),
+        split(col("trigram"), " ").getItem(1).as("w2"),
+        split(col("trigram"), " ").getItem(2).as("w3"), col("c123")))
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"), count(lit(1)).as("n1p_fwd"))
+    val cont = tri.groupBy(col("w3")).agg(count(lit(1)).as("n1p_bwd"))
+    val types = tri.agg(count(lit(1)).as("t_types"))
+    tri.join(ctx, Seq("w1", "w2")).join(cont, "w3")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("w3"), col("c123"), col("c12"),
+        col("n1p_fwd"), col("n1p_bwd"), col("t_types"),
+        round((col("c123").cast("double") - lit(0.75d))
+            / col("c12").cast("double")
+          + lit(0.75d) * col("n1p_fwd").cast("double")
+            / col("c12").cast("double")
+            * (col("n1p_bwd").cast("double") / col("t_types").cast("double")),
+          6).as("p_kn"))
+  }
+
+  def knModel3(docs: DataFrame, k: Int = 200,
+      textCol: String = "text"): DataFrame =
+    knTable3(docs, textCol)
+      .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
+      .limit(k)
+
   /** Score documents against the KN model (the KenLM-filter gate one
     * smoothing order up from [[lmBigramScore]]): per doc, the bigram
     * count, how many of its bigrams fall below probability `tau`

@@ -85,6 +85,23 @@ object HashOps {
     }
   }
 
+  /** Adjacent word trigrams ("a b c") in one pass — [[wordBigrams]] one
+    * order up (same rationale: the `transform(sequence(...))` spelling
+    * re-tokenizes per element). Empty for docs with < 3 tokens. */
+  def wordTrigrams(s: UTF8String): ArrayData = {
+    val w = tokensOf(s.toString)
+    if (w.length < 3) new GenericArrayData(new Array[Any](0))
+    else {
+      val out = new Array[Any](w.length - 2)
+      var i = 0
+      while (i < w.length - 2) {
+        out(i) = UTF8String.fromString(w(i) + " " + w(i + 1) + " " + w(i + 2))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   /** Hashes of word-n-shingles; the whole text is the lone shingle when
     * there are fewer than n tokens. */
   def shingleHashes(s: String, n: Int): Array[Long] = {

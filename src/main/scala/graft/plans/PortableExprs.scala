@@ -59,6 +59,17 @@ case class WordBigramsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class WordTrigramsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.wordTrigrams(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.wordTrigrams($c)")
+  override protected def withNewChildInternal(newChild: Expression): WordTrigramsExpr =
+    copy(child = newChild)
+}
+
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -253,6 +264,7 @@ object native {
   def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))
   def simhash64(c: Column): Column = asCol(SimHash64Expr(exprOf(c)))
   def word_bigrams(c: Column): Column = asCol(WordBigramsExpr(exprOf(c)))
+  def word_trigrams(c: Column): Column = asCol(WordTrigramsExpr(exprOf(c)))
   def min_char_ngram_hash(c: Column, n: Int): Column =
     asCol(MinCharNgramHashExpr(exprOf(c), n))
   def ngram_hash_set(c: Column, n: Int): Column =

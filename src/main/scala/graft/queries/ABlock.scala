@@ -372,6 +372,74 @@ object ABlock {
           sum(when(col("is_debug"), 1L).otherwise(0L)).as("debug_consumed"))
         .orderBy(col("topic"), col("date_str"))
     }),
+
+    "sync_dlq" -> ((s, dir) => {
+      // dead-letter routing for the two failure classes the reference
+      // only COUNTS (parse drops es.rs:124-127, bulk item failures
+      // es.rs:133-191): planted non-JSON (msg_id % 23 = 0) lands in the
+      // parse DLQ on its single attempt; poison docs (k in 50..59, the
+      // mapper-rejection stand-in of sync_bulk_failures) burn
+      // maxRetries = 3 attempts then land in the mapper DLQ; the rest
+      // write cleanly. One narrow projection — no shuffle at all.
+      val df = msgs(s, dir).withColumn("data",
+        when(pmod(col("msg_id"), lit(23)) === 0,
+          concat(lit("not-json:"), col("msg_id").cast("string")))
+          .otherwise(col("data")))
+      df.select(col("msg_id"), col("topic"),
+          when(pmod(col("msg_id"), lit(23)) === 0, lit("parse"))
+            .when(matchesAny(col("data"), Seq("\"k\": 5[0-9]\\}")),
+              lit("mapper"))
+            .otherwise(lit("ok")).as("outcome"))
+        .withColumn("attempts",
+          when(col("outcome") === "mapper", lit(3L)).otherwise(lit(1L)))
+        .withColumn("dlq_index",
+          when(col("outcome") === "ok", lit(null).cast("string"))
+            .otherwise(concat(col("topic"), lit("-dlq"))))
+        .orderBy(col("msg_id"))
+    }),
+
+    "sync_backlog_eta" -> ((s, dir) => {
+      // per-app drain ETA under the rate limits (ratelimiter.rs +
+      // es.rs:360-373 as capacity planning): backlog n per app, limit
+      // per hour from the demo config, eta_hours = ceil(n / limit) in
+      // integer arithmetic (unlimited apps flush in the current hour —
+      // eta 0). One map-side-combined agg; the limit map is a literal.
+      val limit = when(col("app") === "purchase", lit(2L))
+        .when(col("app") === "click", lit(1L))
+        .otherwise(lit(0L)) // 0 = unlimited
+      msgs(s, dir).select(col("topic").as("app"))
+        .groupBy(col("app")).agg(count(lit(1)).as("backlog"))
+        .withColumn("rate_limit", limit)
+        .withColumn("eta_hours",
+          when(col("rate_limit") === 0L, lit(0L))
+            .otherwise(expr("(backlog + rate_limit - 1) div rate_limit")))
+        .orderBy(col("app"))
+    }),
+
+    "compaction_plan" -> ((s, dir) => {
+      // small-file compaction planning for the indexed sink (A30's
+      // Compaction.compact, made oracle-visible as a PLAN relation):
+      // each (es_index, hour) chunk is one file with its byte size; in
+      // per-index hour order, files pack into compaction groups by
+      // cumulative size div 16 KiB — the rolloverGens cumsum-bin
+      // topology one level down, window PARTITIONED by index (parallel,
+      // no global sort).
+      val w = Window.partitionBy(col("es_index")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      msgs(s, dir)
+        .withColumn("es_index", esIndex(col("topic"), col("publish_time")))
+        .withColumn("hr", hour(col("publish_time")).cast("long"))
+        .groupBy(col("es_index"), col("hr"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(coalesce(length(col("data")).cast("long"), lit(0L)))
+            .as("bytes"))
+        .withColumn("cum", sum(col("bytes")).over(w))
+        .withColumn("compact_group",
+          expr("(greatest(cum, 1) - 1) div 16384"))
+        .select(col("es_index"), col("hr"), col("n_msgs"), col("bytes"),
+          col("compact_group"))
+        .orderBy(col("es_index"), col("hr"))
+    }),
   )
 
   val oracle: Map[String, String] = Map(
@@ -668,5 +736,57 @@ object ABlock {
         |  count(*) AS consumed,
         |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 4[0-9]\}') THEN 1 ELSE 0 END) AS BIGINT) AS debug_consumed
         |FROM events GROUP BY 1, 2 ORDER BY topic, date_str""".stripMargin,
+
+    "sync_dlq" ->
+      """WITH m AS (
+        |  SELECT event_id AS msg_id, event_type AS topic,
+        |    CASE WHEN event_id % 23 = 0
+        |         THEN 'not-json:' || CAST(event_id AS VARCHAR)
+        |         ELSE props END AS data
+        |  FROM events
+        |), c AS (
+        |  SELECT msg_id, topic,
+        |    CASE WHEN msg_id % 23 = 0 THEN 'parse'
+        |         WHEN regexp_matches(data, '"k": 5[0-9]\}') THEN 'mapper'
+        |         ELSE 'ok' END AS outcome
+        |  FROM m
+        |)
+        |SELECT msg_id, topic, outcome,
+        |  CASE WHEN outcome = 'mapper' THEN 3 ELSE 1 END AS attempts,
+        |  CASE WHEN outcome = 'ok' THEN NULL
+        |       ELSE topic || '-dlq' END AS dlq_index
+        |FROM c ORDER BY msg_id""".stripMargin,
+
+    "sync_backlog_eta" ->
+      """WITH b AS (
+        |  SELECT event_type AS app, count(*) AS backlog FROM events
+        |  GROUP BY 1
+        |), l AS (
+        |  SELECT app, backlog,
+        |    CASE app WHEN 'purchase' THEN 2 WHEN 'click' THEN 1
+        |         ELSE 0 END AS rate_limit
+        |  FROM b
+        |)
+        |SELECT app, backlog, CAST(rate_limit AS BIGINT) AS rate_limit,
+        |  CAST(CASE WHEN rate_limit = 0 THEN 0
+        |       ELSE (backlog + rate_limit - 1) // rate_limit END AS BIGINT)
+        |    AS eta_hours
+        |FROM l ORDER BY app""".stripMargin,
+
+    "compaction_plan" ->
+      """WITH f AS (
+        |  SELECT event_type || '-' || strftime(ts, '%Y.%m.%d') AS es_index,
+        |    CAST(hour(ts) AS BIGINT) AS hr, count(*) AS n_msgs,
+        |    CAST(SUM(COALESCE(len(props), 0)) AS BIGINT) AS bytes
+        |  FROM events GROUP BY 1, 2
+        |), c AS (
+        |  SELECT es_index, hr, n_msgs, bytes,
+        |    SUM(bytes) OVER (PARTITION BY es_index ORDER BY hr
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM f
+        |)
+        |SELECT es_index, hr, n_msgs, bytes,
+        |  CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS compact_group
+        |FROM c ORDER BY es_index, hr""".stripMargin,
   )
 }

@@ -1626,6 +1626,11 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "lm_kn_trigram" -> ((s, dir) => {
+      // the KN table one smoothing order up: trigram model artifact
+      Curation.knModel3(Tables.documents(s, dir), k = 200)
+    }),
+
     "text_normalize" -> ((s, dir) => {
       // CCNet-style normalization with deterministic case/punct noise
       // planted on doc_id % 7 ∈ {0, 1} (the text_pii planting pattern)
@@ -4764,6 +4769,32 @@ object CBlock {
       s"""WITH ${knCtesOver("documents")}
          |SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, b_types, p_kn
          |FROM kn ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
+
+    "lm_kn_trigram" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), t0 AS (
+         |  SELECT unnest(list_transform(range(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+         |  FROM w WHERE len(t) >= 3
+         |), tri AS (
+         |  SELECT string_split(trigram, ' ')[1] AS w1,
+         |    string_split(trigram, ' ')[2] AS w2,
+         |    string_split(trigram, ' ')[3] AS w3, count(*) AS c123
+         |  FROM t0 GROUP BY 1, 2, 3
+         |), ctx AS (
+         |  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |    count(*) AS n1p_fwd
+         |  FROM tri GROUP BY 1, 2
+         |), cont AS (
+         |  SELECT w3, count(*) AS n1p_bwd FROM tri GROUP BY 1
+         |), ty AS (SELECT count(*) AS t_types FROM tri)
+         |SELECT w1, w2, w3, c123, c12, n1p_fwd, n1p_bwd, t_types,
+         |  round((CAST(c123 AS DOUBLE) - 0.75) / CAST(c12 AS DOUBLE)
+         |    + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c12 AS DOUBLE)
+         |      * (CAST(n1p_bwd AS DOUBLE) / CAST(t_types AS DOUBLE)), 6) AS p_kn
+         |FROM tri JOIN ctx USING (w1, w2) JOIN cont USING (w3) CROSS JOIN ty
+         |ORDER BY c123 DESC, w1, w2, w3 LIMIT 200""".stripMargin,
 
     "lm_kn_score" ->
       s"""WITH ${knCtesOver("documents")},
