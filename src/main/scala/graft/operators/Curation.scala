@@ -653,6 +653,114 @@ object Curation {
         min(col(idCol)).as("min_id"),
         max(col(idCol)).as("max_id"))
 
+  /** Shard REBALANCING move plan — water-filling between over- and
+    * under-full shards without any sequential greedy state: per-shard
+    * sizes aggregate once; exact integer targets spread the remainder
+    * over the lowest shard ids (Σ surplus = Σ deficit identically);
+    * donors and receivers each get a cumulative interval in
+    * (excess desc, shard) order, and a move is every (donor, receiver)
+    * pair whose intervals OVERLAP — moved bytes = the overlap length.
+    * The interval join is bounded (each donor meets O(1 + its moves)
+    * receivers), and both cumsums are tiny O(#shards) windows — at
+    * cluster scale #shards is thousands, still model-state sized, and
+    * nothing here scans the corpus twice. */
+  def shardRebalance(sharded: DataFrame,
+      sizeCol: String = "n_chars"): DataFrame = {
+    val sizes = sharded.groupBy(col("shard"))
+      .agg(sum(col(sizeCol)).as("size"))
+    val tot = sizes.agg(sum(col("size")).as("total"),
+      count(lit(1)).as("n_shards"))
+    val t = sizes.crossJoin(broadcast(tot))
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("shard"))).cast("long") - 1)
+      .withColumn("target",
+        expr("total div n_shards") +
+          when(col("rk") < expr("total % n_shards"), 1L).otherwise(0L))
+      .withColumn("excess", col("size") - col("target"))
+    val dw = Window.orderBy(col("excess").desc, col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val donors = t.filter(col("excess") > 0)
+      .withColumn("d_end", sum(col("excess")).over(dw))
+      .select(col("shard").as("from_shard"),
+        (col("d_end") - col("excess")).as("d_start"), col("d_end"))
+    val rw = Window.orderBy((-col("excess")).desc, col("shard"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val receivers = t.filter(col("excess") < 0)
+      .withColumn("r_end", sum(-col("excess")).over(rw))
+      .select(col("shard").as("to_shard"),
+        (col("r_end") + col("excess")).as("r_start"), col("r_end"))
+    donors.join(receivers,
+        col("d_start") < col("r_end") && col("r_start") < col("d_end"))
+      .select(col("from_shard"), col("to_shard"),
+        (least(col("d_end"), col("r_end"))
+          - greatest(col("d_start"), col("r_start"))).as("moved"))
+      .filter(col("moved") > 0)
+  }
+
+  /** No-split sequence packing by HARMONIC size classes (Lee & Lee's
+    * bin-packing family, the parallel-friendly member): a doc of
+    * `fill` tokens (truncated at seqLen) joins class
+    * k = seqLen div fill — exactly k class-k docs fit one sequence
+    * (fill·k ≤ seqLen by the division), so bin assignment is just
+    * per-class rank div k. No sequential first-fit state: one
+    * (stream, class)-partitioned rank window, embarrassingly parallel
+    * across classes, deterministic in (fill desc, id) order. The
+    * fill_rate readout quantifies the harmonic loss the splitting
+    * packer ([[packSequences]]) avoids by cutting docs. */
+  def packNoSplit(docs: DataFrame, seqLen: Int,
+      streamCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col(streamCol), col("k"))
+      .orderBy(col("fill").desc, col(idCol))
+    docs
+      .withColumn("fill",
+        least(native.token_count(col(textCol)), lit(seqLen.toLong)))
+      .filter(col("fill") > 0)
+      .withColumn("k", expr(s"$seqLen div fill"))
+      .withColumn("rk", row_number().over(w).cast("long") - 1)
+      .withColumn("bin", expr("rk div k"))
+      .groupBy(col(streamCol), col("k"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("fill")).as("n_tokens"))
+      .withColumn("fill_rate",
+        round(col("n_tokens") / lit(seqLen.toDouble), 6))
+  }
+
+  /** Deterministic k-fold assignment (cross-validation folds over the
+    * corpus): fold = affine-rehashed doc-id hash mod k — the
+    * [[splitAssign]] draw machinery with a modulus instead of
+    * thresholds, so folds are uniform and any engine reproduces them.
+    * Narrow projection; the per-(fold, source) audit is one agg. */
+  def kfoldAssign(docs: DataFrame, k: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    val h = native.poly_hash(concat(lit("fold:"), col(idCol).cast("string")))
+    val u = (h * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+      graft.plans.HashOps.M
+    docs.withColumn("fold", pmod(u, lit(k.toLong)))
+  }
+
+  /** Per-source exact-duplicate-rate audit (the dup-pressure readout a
+    * mixture designer checks per source before weighting): the
+    * [[graft.operators.Dedup.exactGroups]] key (sorted distinct
+    * tokens) marks each doc's group; a doc is a dup iff an
+    * earlier-id doc shares its key. The keeper comes from a window
+    * PARTITIONED by the hash-spread key (parallel, skew-free); the
+    * rate agg is map-side combined on source. */
+  def dupRateBySource(docs: DataFrame, srcCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val key = concat_ws(" ",
+      array_sort(array_distinct(Portable.tokens(col(textCol)))))
+    val w = Window.partitionBy(col("key_hash"))
+    docs.select(col(idCol), col(srcCol),
+        native.poly_hash(key).as("key_hash"))
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col(idCol) =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_dups"))
+      .withColumn("dup_rate",
+        round(col("n_dups") / col("n_docs"), 6))
+  }
+
   /** Prefix-containment duplicate pairs: (shorter, longer) where the
     * shorter doc is a strict prefix of the longer (truncation/re-crawl
     * duplicates that exact dedup misses). Blocked self-join on (hash of

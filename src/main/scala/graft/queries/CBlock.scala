@@ -986,6 +986,38 @@ object CBlock {
         .orderBy(col("source"))
     }),
 
+    "pack_nosplit" -> ((s, dir) => {
+      // NO-SPLIT packing by harmonic size classes: whole docs only,
+      // bin = per-class rank div k — the attention-mask-free
+      // alternative whose fill loss pack_efficiency's split packer
+      // avoids; fully parallel across (source, class)
+      Curation.packNoSplit(Tables.documents(s, dir), seqLen = 256)
+        .orderBy(col("source"), col("k"), col("bin"))
+    }),
+
+    "split_kfold" -> ((s, dir) => {
+      // deterministic 5-fold assignment balance audit per (fold, source)
+      Curation.kfoldAssign(Tables.documents(s, dir), k = 5)
+        .groupBy(col("fold"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.plans.native.token_count(col("text"))).as("tok_sum"),
+          min(col("doc_id")).as("min_id"))
+        .orderBy(col("fold"), col("source"))
+    }),
+
+    "curate_dup_rate" -> ((s, dir) => {
+      // per-source exact-dup pressure: the mixture designer's readout
+      Curation.dupRateBySource(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
+    "shard_rebalance" -> ((s, dir) => {
+      // water-filling move plan between over- and under-full shards
+      Curation.shardRebalance(
+          Curation.shardAssign(Tables.documents(s, dir), 32))
+        .orderBy(col("from_shard"), col("to_shard"))
+    }),
+
     "pack_seqlen_sweep" -> ((s, dir) => {
       // the seqLen POLICY curve (C121's audit parameterized over the
       // candidate lengths): per source, sequence counts, fill rate and
@@ -3698,6 +3730,94 @@ object CBlock {
          |  CAST(sum(least(tok_end, (seq_id + 1) * 256)
          |    - greatest(tok_start, seq_id * 256)) AS BIGINT) AS n_tokens
          |FROM e GROUP BY 1, 2 ORDER BY source, seq_id""".stripMargin,
+
+    "pack_nosplit" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, least(len($toksSql), 256) AS fill
+         |  FROM documents WHERE len($toksSql) > 0
+         |), c AS (
+         |  SELECT source, doc_id, fill, 256 // fill AS k,
+         |    row_number() OVER (PARTITION BY source, 256 // fill
+         |      ORDER BY fill DESC, doc_id) - 1 AS rk
+         |  FROM t
+         |)
+         |SELECT source, CAST(k AS BIGINT) AS k,
+         |  CAST(rk // k AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(sum(fill) AS BIGINT) AS n_tokens,
+         |  round(CAST(sum(fill) AS DOUBLE) / 256, 6) AS fill_rate
+         |FROM c GROUP BY 1, 2, 3 ORDER BY source, k, bin""".stripMargin,
+
+    "split_kfold" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source, len($toksSql) AS n_tok,
+         |    (${ph("'fold:' || CAST(doc_id AS VARCHAR)")}
+         |        * ((1 * 2654435761) % 2147483647) + (1 * 40503) % 2147483647)
+         |      % 2147483647 % 5 AS fold
+         |  FROM documents
+         |)
+         |SELECT CAST(fold AS BIGINT) AS fold, source,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+         |  min(doc_id) AS min_id
+         |FROM k GROUP BY 1, 2 ORDER BY fold, source""".stripMargin,
+
+    "curate_dup_rate" ->
+      s"""WITH k AS (
+         |  SELECT doc_id, source,
+         |    array_to_string(list_sort(list_distinct($toksSql)), ' ') AS key
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, source, ${ph("key")} AS key_hash FROM k
+         |), m AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY key_hash) AS keeper
+         |  FROM h
+         |), a AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dups
+         |  FROM m GROUP BY 1
+         |)
+         |SELECT source, n_docs, n_dups,
+         |  round(CAST(n_dups AS DOUBLE) / n_docs, 6) AS dup_rate
+         |FROM a ORDER BY source""".stripMargin,
+
+    "shard_rebalance" ->
+      s"""WITH s AS (
+         |  SELECT ${ph("CAST(doc_id AS VARCHAR)")} % 32 AS shard, n_chars
+         |  FROM documents
+         |), z AS (
+         |  SELECT shard, CAST(sum(n_chars) AS BIGINT) AS size
+         |  FROM s GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(size) AS BIGINT) AS total,
+         |    count(*) AS n_shards FROM z
+         |), t AS (
+         |  SELECT shard, size, total, n_shards,
+         |    row_number() OVER (ORDER BY shard) - 1 AS rk
+         |  FROM z, tt
+         |), e AS (
+         |  SELECT shard, size - (total // n_shards
+         |    + CASE WHEN rk < total % n_shards THEN 1 ELSE 0 END) AS excess
+         |  FROM t
+         |), d AS (
+         |  SELECT shard AS from_shard, excess,
+         |    CAST(sum(excess) OVER (ORDER BY excess DESC, shard
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS d_end
+         |  FROM e WHERE excess > 0
+         |), r AS (
+         |  SELECT shard AS to_shard, -excess AS deficit,
+         |    CAST(sum(-excess) OVER (ORDER BY -excess DESC, shard
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS r_end
+         |  FROM e WHERE excess < 0
+         |)
+         |SELECT from_shard, to_shard,
+         |  CAST(least(d_end, r_end)
+         |    - greatest(d_end - excess, r_end - deficit) AS BIGINT) AS moved
+         |FROM d JOIN r
+         |  ON (d_end - excess) < r_end AND (r_end - deficit) < d_end
+         |WHERE least(d_end, r_end)
+         |    - greatest(d_end - excess, r_end - deficit) > 0
+         |ORDER BY from_shard, to_shard""".stripMargin,
 
     "pack_efficiency" ->
       s"""WITH t AS (
