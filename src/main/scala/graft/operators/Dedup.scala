@@ -426,6 +426,53 @@ object Dedup {
       .agg(count(lit(1)).as("n_maybe_shared"))
   }
 
+  /** Bloom-filter FALSE-POSITIVE-RATE audit — the operational readout
+    * that validates the (mBits, kHashes) choice of
+    * [[decontaminateBloom]] before trusting its gate at scale: build
+    * the filter from the benchmark's gram set, then test every DISTINCT
+    * corpus gram; a non-benchmark gram that still hits all k positions
+    * is a measured false positive. Deterministic hashing makes even the
+    * FP set engine-exact. Scale: benchmark grams are small (broadcast
+    * membership join); the corpus gram distinct is the one wide edge;
+    * the filter itself is a single broadcast row. */
+  def bloomFpr(corpus: DataFrame, benchmark: DataFrame, n: Int = 8,
+      mBits: Int = 4096, kHashes: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def positions(g: Column): Seq[Column] =
+      (0 until kHashes).map(j => Portable.rehash(g, j) % mBits)
+    val bgrams = Materialize(benchmark
+      .select(explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .distinct())
+    val bpos = Materialize(bgrams
+      .select(explode(array(positions(col("gram")): _*)).as("pos"))
+      .distinct())
+    val bloom = bpos.agg(collect_list(col("pos")).as("ps"))
+      .select(native.positions_to_bitset(col("ps"), mBits / 64).as("bloom"))
+    val bitsSet = bpos.agg(count(lit(1)).as("bits_set"))
+    val cgrams = corpus
+      .select(explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .distinct()
+      .join(bgrams.withColumn("in_bench", lit(true)), Seq("gram"), "left")
+      .withColumn("in_bench", coalesce(col("in_bench"), lit(false)))
+      .crossJoin(broadcast(bloom))
+    val tested = positions(col("gram")).zipWithIndex
+      .foldLeft(cgrams) { case (df, (p, j)) => df.withColumn(s"__p$j", p) }
+    val allSet = (0 until kHashes)
+      .map(j => expr(s"(element_at(bloom, cast(__p$j div 64 as int) + 1) & " +
+        s"shiftleft(1L, cast(__p$j % 64 as int))) != 0"))
+      .reduce(_ && _)
+    tested.withColumn("pos_hit", allSet)
+      .agg(sum(when(!col("in_bench"), 1L).otherwise(0L)).as("n_tested"),
+        sum(when(!col("in_bench") && col("pos_hit"), 1L).otherwise(0L))
+          .as("n_false_pos"),
+        sum(when(col("in_bench"), 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("fp_rate",
+        round(col("n_false_pos") / col("n_tested"), 6))
+      .crossJoin(broadcast(bitsSet))
+      .withColumn("m_bits", lit(mBits.toLong))
+  }
+
   /** Rare-gram decontamination (the scale-robust gate): a doc is
     * contaminated when it shares a LOW-document-frequency char-n-gram
     * (df ≤ maxDf over the whole table) with a benchmark doc. Boilerplate

@@ -87,6 +87,31 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Maximum-inner-product top-k (MIPS — the retrieval mode of dual-
+    * encoder rankers whose scores are unnormalized dot products; cosine
+    * would re-rank by direction only and lose the magnitude signal).
+    * Same broadcast-probe single-scan + bounded-heap shape as
+    * [[cosineTopKAgg]]; the score is the native sequential-fold dot
+    * product, so both engines fold in index order. */
+  def mipsTopKAgg(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("probe_vec"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(probes), col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        graft.plans.native.dot_product(col("probe_vec"), col("cand_vec"))
+          .as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "cand_id", "ip")
+      .select(col("probe_id"), col("cand_id"), round(col("ip"), 6).as("dot"))
+  }
+
   /** RADIUS (range) search — the other query mode next to top-k: ALL
     * vectors within cosine ≥ τ of each probe (dedup-audit "find every
     * thing like this" rather than "the 5 most alike"). Same broadcast-
@@ -1093,5 +1118,30 @@ object Similarity {
       .toDF("dim", "comp")
       .select(col("dim"), col("comp"),
         round(col("comp") / lit(scale.toDouble), 6).as("loading"))
+  }
+
+  /** Project every vector onto [[pcaPower]]'s top principal direction —
+    * the 1-d feature a pipeline reads for PCA-based ordering, outlier
+    * screens, or SQ range selection. Exact: the projection is the
+    * integer dot product Σ q_d·v_d of the lattice quantization against
+    * the lattice eigenvector (|q|·|v|·D ≤ 10⁶·10⁶·64 — inside long
+    * range), bucketed by a sign/abs integer division. Scale: the
+    * 64-row direction broadcasts; one corpus scan, one map-side
+    * per-vector sum — no wide edge beyond pcaPower's own Gram agg. */
+  def pcaProject(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      gramDiv: Long = 10000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = pcaPower(emb, iters, scale, gramDiv, idCol, vecCol)
+      .select(col("dim"), col("comp"))
+    val q = emb.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+    q.join(broadcast(v), "dim")
+      .groupBy(col(idCol))
+      .agg(sum(col("q") * col("comp")).as("proj"))
+      .withColumn("proj_bucket",
+        expr("(CASE WHEN proj < 0 THEN -1 ELSE 1 END) " +
+          "* (abs(proj) div 1000000000000)"))
   }
 }

@@ -412,4 +412,37 @@ object TextAnalysis {
         / (col("c_a").cast("double") * col("c_b")), 6))
       .select(col("tok_a"), col("tok_b"), col("c_xy"), col("lift"))
   }
+
+  /** RAKE keyword scores (Rose et al.'s Rapid Automatic Keyword
+    * Extraction, word level): candidate phrases are the maximal token
+    * runs between stopwords; each content word scores
+    * degree/frequency, where degree sums the lengths of the phrases it
+    * appears in (words living in longer collocations outrank equally
+    * frequent isolated words). Top-k by (score desc, word).
+    *
+    * Scale: the phrase segmentation is a per-doc running stopword
+    * count (window PARTITIONED by doc — bounded by doc length), and
+    * the phrase-length window re-uses the same hash distribution
+    * (subset partition key, no second exchange); the final agg is
+    * map-side combined on the word key; top-k is a TakeOrdered. */
+  def rakeScores(docs: DataFrame, stopwords: Seq[String], k: Int = 200,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPhrase = Window.partitionBy(col(idCol), col("phrase_id"))
+    val isStop = stopwords.map(col("word") === _).reduce(_ || _)
+    docs
+      .select(col(idCol),
+        posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "word")))
+      .withColumn("is_stop", isStop)
+      .withColumn("phrase_id",
+        sum(when(col("is_stop"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("is_stop"))
+      .withColumn("plen", count(lit(1)).over(wPhrase))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("degree"))
+      .withColumn("score", round(col("degree") / col("freq"), 6))
+      .orderBy(col("score").desc, col("word"))
+      .limit(k)
+  }
 }

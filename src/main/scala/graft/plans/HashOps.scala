@@ -273,6 +273,19 @@ object HashOps {
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Inner product with the oracle's sequential-fold order (the MIPS
+    * score — [[cosine]] without the norm division). */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += elemAsDouble(a, i, aFloat) * elemAsDouble(b, i, bFloat)
+      i += 1
+    }
+    acc
+  }
+
   /** Squared L2 distance with the oracle's sequential-fold order. */
   def l2sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())

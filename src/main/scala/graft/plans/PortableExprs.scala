@@ -175,6 +175,25 @@ case class CosineSimExpr(left: Expression, right: Expression)
       newRight: Expression): CosineSimExpr = copy(left = newLeft, right = newRight)
 }
 
+case class DotProductExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.plans.HashOps.dot($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotProductExpr = copy(left = newLeft, right = newRight)
+}
+
 case class L2SqExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -277,6 +296,8 @@ object native {
     asCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def l2sq(a: Column, b: Column): Column =
     asCol(L2SqExpr(exprOf(a), exprOf(b)))
+  def dot_product(a: Column, b: Column): Column =
+    asCol(DotProductExpr(exprOf(a), exprOf(b)))
   def lsh_bucket(c: Column, nPlanes: Int): Column =
     asCol(LshBucketExpr(exprOf(c), nPlanes))
   def winnow_set(c: Column, n: Int, w: Int): Column =

@@ -778,6 +778,31 @@ object BBlock {
         .orderBy(col("event_type"))
     }),
 
+    "q_interarrival" -> ((s, dir) => {
+      // per-topic inter-arrival-gap profile (burst/lull diagnosis for
+      // the sync's rate limits): lag over a topic-PARTITIONED window —
+      // parallel across topics, never a global sort; exact µs integers
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      eventsUs(s, dir)
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("gap_sum"),
+          sum(when(col("gap_us") > 3600000000L, 1L).otherwise(0L))
+            .as("n_lulls_1h"))
+        // integer mean: at 10¹⁰ µs magnitudes a 6-dp double round sits
+        // BELOW one ulp and the engines disagree in the last digit —
+        // the exact `div` is the portable spelling
+        .withColumn("avg_gap_us", expr("gap_sum div n_gaps"))
+        .drop("gap_sum")
+        .orderBy(col("event_type"))
+    }),
+
     "q_attribution" -> ((s, dir) => {
       // the BATCH twin of StreamingIntervalJoin.attribute, run through
       // the SAME code path (EliminateEventTimeWatermark drops the
@@ -1871,6 +1896,23 @@ object BBlock {
         |WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
         |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(CAST(ts AS TIMESTAMP))
+        |      - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+        |        PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  min(gap_us) AS min_gap_us, max(gap_us) AS max_gap_us,
+        |  CAST(CAST(sum(gap_us) AS BIGINT) // count(*) AS BIGINT)
+        |    AS avg_gap_us,
+        |  CAST(sum(CASE WHEN gap_us > 3600000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_lulls_1h
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "q_attribution" ->
       """WITH i AS (

@@ -1499,6 +1499,36 @@ object CBlock {
         .orderBy(col("dim"))
     }),
 
+    "emb_pca_project" -> ((s, dir) => {
+      // every vector projected onto the top principal direction: the
+      // integer dot product of the lattice quantization against the
+      // lattice eigenvector — exact, one scan, 64-row broadcast
+      Similarity.pcaProject(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("vec_id"))
+    }),
+
+    "sim_mips" -> ((s, dir) => {
+      // maximum-inner-product top-k (the dual-encoder retrieval mode):
+      // cosine's broadcast-scan-heap shape, unnormalized score
+      Similarity.mipsTopKAgg(Tables.embeddings(s, dir),
+          col("vec_id") < 20, k = 5)
+        .orderBy(col("probe_id"), col("dot").desc, col("cand_id"))
+    }),
+
+    "sketch_bloom_fpr" -> ((s, dir) => {
+      // the Bloom gate's measured false-positive rate — the audit that
+      // validates decontaminate_bloom's (m, k) sizing, FP set exact
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      Dedup.bloomFpr(docs.filter(!isBench), docs.filter(isBench), n = 8)
+    }),
+
+    "text_rake" -> ((s, dir) => {
+      // RAKE keyword extraction: degree/frequency over stopword-split
+      // phrase runs, top-200 content words
+      TextAnalysis.rakeScores(Tables.documents(s, dir), stopwords, k = 200)
+    }),
+
     "curate_domain_cap" -> ((s, dir) => {
       // per-domain quota: keep each source's top-5 docs by chars
       Curation.domainCap(Tables.documents(s, dir), cap = 5)
@@ -2003,7 +2033,10 @@ object CBlock {
     * CTEs over a `(vec_id, embedding)` relation (shared with the
     * planted-cluster twin — `prefix` carries the WITH head so the
     * planted relation's CTE can be prepended). */
-  private def pcaOracleBody(from: String, prefix: String): String = {
+  /** The pcaPower CTE chain through `v3(i, v)` plus the lattice table
+    * `q(vec_id, dim, q)` (shared by emb_pca, its planted twin, and the
+    * emb_pca_project readout). */
+  private def pcaChainCtes(from: String): String = {
     val iterCtes = (1 to 3).map { k =>
       s"""u$k AS (
          |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
@@ -2016,27 +2049,30 @@ object CBlock {
          |  FROM u$k, m$k
          |)""".stripMargin
     }.mkString(",\n")
-    prefix +
-      s"""q AS (
-         |  SELECT vec_id, d.d AS dim,
-         |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
-         |      AS q
-         |  FROM $from, (SELECT unnest(range(0, 64)) AS d) d
-         |), gm AS (
-         |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gsum
-         |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
-         |), g AS (
-         |  SELECT i, j, (CASE WHEN gsum < 0 THEN -1 ELSE 1 END)
-         |    * (abs(gsum) // 10000000) AS g
-         |  FROM gm
-         |), v0 AS (
-         |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
-         |),
-         |$iterCtes
+    s"""q AS (
+       |  SELECT vec_id, d.d AS dim,
+       |    CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 1000000) AS BIGINT)
+       |      AS q
+       |  FROM $from, (SELECT unnest(range(0, 64)) AS d) d
+       |), gm AS (
+       |  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gsum
+       |  FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2
+       |), g AS (
+       |  SELECT i, j, (CASE WHEN gsum < 0 THEN -1 ELSE 1 END)
+       |    * (abs(gsum) // 10000000) AS g
+       |  FROM gm
+       |), v0 AS (
+       |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
+       |),
+       |$iterCtes""".stripMargin
+  }
+
+  private def pcaOracleBody(from: String, prefix: String): String =
+    prefix + pcaChainCtes(from) +
+      s"""
          |SELECT CAST(i AS BIGINT) AS dim, v AS comp,
          |  ROUND(v / 1000000.0, 6) AS loading
          |FROM v3 ORDER BY dim""".stripMargin
-  }
 
   /** sim_probe_sweep's oracle body (shared with the planted twin). */
   private val probeSweepOracle: String =
@@ -4682,6 +4718,94 @@ object CBlock {
     // same iteration chain over the planted-cluster relation
     "emb_pca_planted" ->
       pcaOracleBody("pemb", "WITH " + plantedCte + ",\n"),
+
+    "emb_pca_project" ->
+      s"""WITH ${pcaChainCtes("embeddings")},
+         |p AS (
+         |  SELECT q.vec_id, CAST(SUM(q.q * v.v) AS BIGINT) AS proj
+         |  FROM q JOIN v3 v ON q.dim = v.i GROUP BY 1
+         |)
+         |SELECT vec_id, proj,
+         |  CAST((CASE WHEN proj < 0 THEN -1 ELSE 1 END)
+         |    * (abs(proj) // 1000000000000) AS BIGINT) AS proj_bucket
+         |FROM p ORDER BY vec_id""".stripMargin,
+
+    "sim_mips" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |ips AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x) AS ip
+        |  FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(ip, 6) AS dot
+        |FROM ips
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY ip DESC, cand_id) <= 5
+        |ORDER BY probe_id, dot DESC, cand_id""".stripMargin,
+
+    "sketch_bloom_fpr" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+         |cg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 <> 0),
+         |bpos AS (
+         |  SELECT DISTINCT unnest(list_transform(range(0, 3), j ->
+         |    (gram * (((j+1) * 2654435761) % 2147483647)
+         |      + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM bg
+         |), cpos AS (
+         |  SELECT gram, unnest(list_transform(range(0, 3), j ->
+         |    (gram * (((j+1) * 2654435761) % 2147483647)
+         |      + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM cg
+         |), hit AS (
+         |  SELECT gram, count(*) AS c FROM cpos JOIN bpos USING (pos)
+         |  GROUP BY 1
+         |), t AS (
+         |  SELECT cg.gram, cg.gram IN (SELECT gram FROM bg) AS in_bench,
+         |    COALESCE(h.c, 0) = 3 AS pos_hit
+         |  FROM cg LEFT JOIN hit h USING (gram)
+         |), agg AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN NOT in_bench THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tested,
+         |    CAST(SUM(CASE WHEN NOT in_bench AND pos_hit THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_false_pos,
+         |    CAST(SUM(CASE WHEN in_bench THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_shared
+         |  FROM t
+         |)
+         |SELECT n_tested, n_false_pos,
+         |  round(CAST(n_false_pos AS DOUBLE) / n_tested, 6) AS fp_rate,
+         |  n_shared, (SELECT count(*) FROM bpos) AS bits_set,
+         |  CAST(4096 AS BIGINT) AS m_bits
+         |FROM agg""".stripMargin,
+
+    "text_rake" ->
+      s"""WITH w0 AS (
+         |  SELECT doc_id, p.pos AS pos, p.w AS word
+         |  FROM (SELECT doc_id,
+         |      unnest(list_transform(range(1, len(t) + 1),
+         |        i -> struct_pack(pos := i, w := t[i]))) AS p
+         |    FROM (SELECT doc_id, $toksSql AS t FROM documents))
+         |), f AS (
+         |  SELECT doc_id, pos, word, word IN ('the', 'a') AS is_stop,
+         |    CAST(SUM(CASE WHEN word IN ('the', 'a') THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos
+         |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS phrase_id
+         |  FROM w0
+         |), pl AS (
+         |  SELECT doc_id, phrase_id, word,
+         |    count(*) OVER (PARTITION BY doc_id, phrase_id) AS plen
+         |  FROM f WHERE NOT is_stop
+         |)
+         |SELECT word, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS degree,
+         |  round(CAST(sum(plen) AS DOUBLE) / count(*), 6) AS score
+         |FROM pl GROUP BY 1 ORDER BY score DESC, word LIMIT 200""".stripMargin,
 
     "curate_domain_cap" ->
       """SELECT doc_id, source, n_chars, rk FROM (
