@@ -89,6 +89,27 @@ object SparkEntry {
         .orderBy(col("msg_id"))
     }),
 
+    "sync_compacted_store" -> ((s, dir) => {
+      // the store-level row ONE maintenance pass later: the same
+      // 5-micro-batch replay through the full chain and the
+      // commit-marker sink, then Compaction.compact rewrites the store
+      // (salted buckets, atomic swap) BEFORE the read-back — the
+      // flagship oracle SQL must still hold row for row
+      import org.apache.spark.sql.expressions.Window
+      val m = messages(s, dir)
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = m
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .syncedCompactedStore(s, batched, demoCfg, nBatches = 5)
+        .select(col("msg_id"), col("index").as("es_index"), col("app"),
+          col("is_debug"), col("field_count"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_parse" -> ((s, dir) => {
       messages(s, dir)
         .transform(SyncPipeline.parseable)
@@ -128,56 +149,38 @@ object SparkEntry {
     graft.queries.ABlock.oracle ++ graft.queries.BBlock.oracle ++
     graft.queries.CBlock.oracle
 
-  private def coreOracle: Map[String, String] = Map(
-    "sync_pipeline" ->
-      """WITH msgs AS (
-        |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data
-        |  FROM events
-        |), kept AS (
-        |  SELECT * FROM msgs
-        |  WHERE data IS NOT NULL AND data <> ''
-        |    AND NOT regexp_matches(data, '"k": 13\}')
-        |    AND json_valid(data) AND regexp_matches(data, '^\s*\{')
-        |    AND NOT (topic = 'error' AND regexp_matches(data, '"k": 9[0-9]\}'))
-        |)
-        |SELECT msg_id,
-        |  (CASE WHEN regexp_matches(topic, '^click') THEN 'web'
-        |        WHEN regexp_matches(topic, '^view') THEN 'web'
-        |        WHEN regexp_matches(topic, '^purchase') THEN 'commerce'
-        |        ELSE topic END) || '-' || strftime(publish_time, '%Y.%m.%d') AS es_index,
-        |  CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
-        |       THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
-        |       ELSE '__DEFAULT_APP__' END AS app,
-        |  (COALESCE(json_extract_string(data, '$.level') = 'debug', FALSE)
-        |     OR regexp_matches(data, '"k": 4[0-9]\}')) AS is_debug,
-        |  len(json_keys(data)) AS field_count
-        |FROM kept ORDER BY msg_id""".stripMargin,
+  /** The flagship pipeline's oracle SQL — shared verbatim by
+    * sync_pipeline, sync_pipeline_stream (the streamed store must hold
+    * the batch relation), and sync_compacted_store (the OPTIMIZE pass
+    * must not change it by a row). */
+  private val pipelineOracleSql: String =
+    """WITH msgs AS (
+      |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data
+      |  FROM events
+      |), kept AS (
+      |  SELECT * FROM msgs
+      |  WHERE data IS NOT NULL AND data <> ''
+      |    AND NOT regexp_matches(data, '"k": 13\}')
+      |    AND json_valid(data) AND regexp_matches(data, '^\s*\{')
+      |    AND NOT (topic = 'error' AND regexp_matches(data, '"k": 9[0-9]\}'))
+      |)
+      |SELECT msg_id,
+      |  (CASE WHEN regexp_matches(topic, '^click') THEN 'web'
+      |        WHEN regexp_matches(topic, '^view') THEN 'web'
+      |        WHEN regexp_matches(topic, '^purchase') THEN 'commerce'
+      |        ELSE topic END) || '-' || strftime(publish_time, '%Y.%m.%d') AS es_index,
+      |  CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
+      |       THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
+      |       ELSE '__DEFAULT_APP__' END AS app,
+      |  (COALESCE(json_extract_string(data, '$.level') = 'debug', FALSE)
+      |     OR regexp_matches(data, '"k": 4[0-9]\}')) AS is_debug,
+      |  len(json_keys(data)) AS field_count
+      |FROM kept ORDER BY msg_id""".stripMargin
 
-    // IDENTICAL SQL to sync_pipeline — the streamed store must hold the
-    // batch pipeline's exact relation
-    "sync_pipeline_stream" ->
-      """WITH msgs AS (
-        |  SELECT event_id AS msg_id, event_type AS topic, ts AS publish_time, props AS data
-        |  FROM events
-        |), kept AS (
-        |  SELECT * FROM msgs
-        |  WHERE data IS NOT NULL AND data <> ''
-        |    AND NOT regexp_matches(data, '"k": 13\}')
-        |    AND json_valid(data) AND regexp_matches(data, '^\s*\{')
-        |    AND NOT (topic = 'error' AND regexp_matches(data, '"k": 9[0-9]\}'))
-        |)
-        |SELECT msg_id,
-        |  (CASE WHEN regexp_matches(topic, '^click') THEN 'web'
-        |        WHEN regexp_matches(topic, '^view') THEN 'web'
-        |        WHEN regexp_matches(topic, '^purchase') THEN 'commerce'
-        |        ELSE topic END) || '-' || strftime(publish_time, '%Y.%m.%d') AS es_index,
-        |  CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
-        |       THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
-        |       ELSE '__DEFAULT_APP__' END AS app,
-        |  (COALESCE(json_extract_string(data, '$.level') = 'debug', FALSE)
-        |     OR regexp_matches(data, '"k": 4[0-9]\}')) AS is_debug,
-        |  len(json_keys(data)) AS field_count
-        |FROM kept ORDER BY msg_id""".stripMargin,
+  private def coreOracle: Map[String, String] = Map(
+    "sync_pipeline" -> pipelineOracleSql,
+    "sync_pipeline_stream" -> pipelineOracleSql,
+    "sync_compacted_store" -> pipelineOracleSql,
 
     "sync_parse" ->
       """SELECT event_id AS msg_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k

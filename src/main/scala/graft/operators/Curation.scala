@@ -1024,6 +1024,28 @@ object Curation {
       .orderBy(col("c123").desc, col("w1"), col("w2"), col("w3"))
       .limit(k)
 
+  /** [[knScore]] one smoothing order up: per-doc improbable-TRANSITION
+    * density against the trigram KN table — the longer-context
+    * gibberish gate (a doc can pass every bigram check while its
+    * trigrams are improbable, e.g. shuffled clauses). Docs with < 3
+    * tokens have no trigrams and drop. Same scale posture as the
+    * bigram scorer: O(types) model (materialized inside [[knTable3]]),
+    * Zipf-keyed score join. */
+  def knScore3(docs: DataFrame, tau: Double = 0.02,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val model = knTable3(docs, textCol)
+      .select(concat_ws(" ", col("w1"), col("w2"), col("w3")).as("trigram"),
+        col("p_kn"))
+    docs
+      .select(col(idCol),
+        explode(native.word_trigrams(col(textCol))).as("trigram"))
+      .join(model, "trigram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("p_kn") < tau, 1L).otherwise(0L)).as("n_improbable"),
+        round(min(col("p_kn")), 6).as("min_p"))
+  }
+
   /** Score documents against the KN model (the KenLM-filter gate one
     * smoothing order up from [[lmBigramScore]]): per doc, the bigram
     * count, how many of its bigrams fall below probability `tau`

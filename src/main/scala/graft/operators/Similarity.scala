@@ -112,6 +112,32 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("ip"), 6).as("dot"))
   }
 
+  /** Euclidean nearest-k — completes the metric trio beside
+    * [[cosineTopKAgg]] and [[mipsTopKAgg]]: the heap maximizes
+    * −‖p−c‖² (so ties fall to the smaller id, matching the window
+    * spelling `ORDER BY dist, cand_id`), scored by the native
+    * sequential-fold squared distance. Same broadcast-probe
+    * single-scan + bounded-heap shape. */
+  def l2TopKAgg(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val probes = emb.filter(probePred)
+      .select(col(idCol).as("key"), col(vecCol).as("probe_vec"))
+    val scored = emb.select(col(idCol).as("id"), col(vecCol).as("cand_vec"))
+      .join(broadcast(probes), col("key") =!= col("id"))
+      .select(col("key"), col("id"),
+        (-graft.plans.native.l2sq(col("probe_vec"), col("cand_vec")))
+          .as("score"))
+      .as[graft.plans.Scored]
+    scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, sc) => (key, id, sc) } }
+      .toDF("probe_id", "cand_id", "nd")
+      .select(col("probe_id"), col("cand_id"),
+        round(-col("nd"), 6).as("l2sq"))
+  }
+
   /** RADIUS (range) search — the other query mode next to top-k: ALL
     * vectors within cosine ≥ τ of each probe (dedup-audit "find every
     * thing like this" rather than "the 5 most alike"). Same broadcast-

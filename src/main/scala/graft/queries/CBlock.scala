@@ -1693,6 +1693,19 @@ object CBlock {
       Curation.knModel3(Tables.documents(s, dir), k = 200)
     }),
 
+    "lm_kn3_score" -> ((s, dir) => {
+      // longer-context gibberish gate: per-doc improbable trigrams
+      Curation.knScore3(Tables.documents(s, dir), tau = 0.02)
+        .orderBy(col("doc_id"))
+    }),
+
+    "sim_l2_topk" -> ((s, dir) => {
+      // Euclidean nearest-k — the metric trio's third member
+      Similarity.l2TopKAgg(Tables.embeddings(s, dir),
+          col("vec_id") < 20, k = 5)
+        .orderBy(col("probe_id"), col("l2sq"), col("cand_id"))
+    }),
+
     "text_normalize" -> ((s, dir) => {
       // CCNet-style normalization with deterministic case/punct noise
       // planted on doc_id % 7 ∈ {0, 1} (the text_pii planting pattern)
@@ -2033,6 +2046,38 @@ object CBlock {
     * CTEs over a `(vec_id, embedding)` relation (shared with the
     * planted-cluster twin — `prefix` carries the WITH head so the
     * planted relation's CTE can be prepended). */
+  /** Trigram Kneser–Ney CTE chain ending in `kn3(w1, w2, w3, c123,
+    * c12, n1p_fwd, n1p_bwd, t_types, p_kn)` plus the tokenized corpus
+    * `w(doc_id, t)` (shared by lm_kn_trigram and lm_kn3_score). */
+  private def kn3CtesOver(from: String): String =
+    s"""w AS (
+       |  SELECT doc_id, $toksSql AS t FROM $from
+       |), t0 AS (
+       |  SELECT unnest(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
+       |  FROM w WHERE len(t) >= 3
+       |), tri AS (
+       |  SELECT string_split(trigram, ' ')[1] AS w1,
+       |    string_split(trigram, ' ')[2] AS w2,
+       |    string_split(trigram, ' ')[3] AS w3, count(*) AS c123
+       |  FROM t0 GROUP BY 1, 2, 3
+       |), ctx AS (
+       |  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+       |    count(*) AS n1p_fwd
+       |  FROM tri GROUP BY 1, 2
+       |), cont AS (
+       |  SELECT w3, count(*) AS n1p_bwd FROM tri GROUP BY 1
+       |), ty AS (SELECT count(*) AS t_types FROM tri),
+       |kn3 AS (
+       |  SELECT w1, w2, w3, c123, c12, n1p_fwd, n1p_bwd, t_types,
+       |    round((CAST(c123 AS DOUBLE) - 0.75) / CAST(c12 AS DOUBLE)
+       |      + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c12 AS DOUBLE)
+       |        * (CAST(n1p_bwd AS DOUBLE) / CAST(t_types AS DOUBLE)), 6)
+       |      AS p_kn
+       |  FROM tri JOIN ctx USING (w1, w2) JOIN cont USING (w3)
+       |    CROSS JOIN ty
+       |)""".stripMargin
+
   /** The pcaPower CTE chain through `v3(i, v)` plus the lattice table
     * `q(vec_id, dim, q)` (shared by emb_pca, its planted twin, and the
     * emb_pca_project readout). */
@@ -4730,6 +4775,21 @@ object CBlock {
          |    * (abs(proj) // 1000000000000) AS BIGINT) AS proj_bucket
          |FROM p ORDER BY vec_id""".stripMargin,
 
+    "sim_l2_topk" ->
+      """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |ds AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> (CAST(p.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE))
+        |         * (CAST(p.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)))),
+        |      (a,x) -> a + x) AS d
+        |  FROM probes p JOIN embeddings c ON p.vec_id <> c.vec_id
+        |)
+        |SELECT probe_id, cand_id, ROUND(d, 6) AS l2sq
+        |FROM ds
+        |QUALIFY row_number() OVER (PARTITION BY probe_id ORDER BY d, cand_id) <= 5
+        |ORDER BY probe_id, l2sq, cand_id""".stripMargin,
+
     "sim_mips" ->
       """WITH probes AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
         |ips AS (
@@ -5015,30 +5075,25 @@ object CBlock {
          |FROM kn ORDER BY c12 DESC, w1, w2 LIMIT 200""".stripMargin,
 
     "lm_kn_trigram" ->
-      s"""WITH w AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents
-         |), t0 AS (
-         |  SELECT unnest(list_transform(range(1, len(t) - 1),
+      s"""WITH ${kn3CtesOver("documents")}
+         |SELECT w1, w2, w3, c123, c12, n1p_fwd, n1p_bwd, t_types, p_kn
+         |FROM kn3 ORDER BY c123 DESC, w1, w2, w3 LIMIT 200""".stripMargin,
+
+    "lm_kn3_score" ->
+      s"""WITH ${kn3CtesOver("documents")},
+         |db AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
          |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS trigram
          |  FROM w WHERE len(t) >= 3
-         |), tri AS (
-         |  SELECT string_split(trigram, ' ')[1] AS w1,
-         |    string_split(trigram, ' ')[2] AS w2,
-         |    string_split(trigram, ' ')[3] AS w3, count(*) AS c123
-         |  FROM t0 GROUP BY 1, 2, 3
-         |), ctx AS (
-         |  SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
-         |    count(*) AS n1p_fwd
-         |  FROM tri GROUP BY 1, 2
-         |), cont AS (
-         |  SELECT w3, count(*) AS n1p_bwd FROM tri GROUP BY 1
-         |), ty AS (SELECT count(*) AS t_types FROM tri)
-         |SELECT w1, w2, w3, c123, c12, n1p_fwd, n1p_bwd, t_types,
-         |  round((CAST(c123 AS DOUBLE) - 0.75) / CAST(c12 AS DOUBLE)
-         |    + 0.75 * CAST(n1p_fwd AS DOUBLE) / CAST(c12 AS DOUBLE)
-         |      * (CAST(n1p_bwd AS DOUBLE) / CAST(t_types AS DOUBLE)), 6) AS p_kn
-         |FROM tri JOIN ctx USING (w1, w2) JOIN cont USING (w3) CROSS JOIN ty
-         |ORDER BY c123 DESC, w1, w2, w3 LIMIT 200""".stripMargin,
+         |), kt AS (
+         |  SELECT w1 || ' ' || w2 || ' ' || w3 AS trigram, p_kn FROM kn3
+         |)
+         |SELECT doc_id, count(*) AS n_trigrams,
+         |  CAST(sum(CASE WHEN p_kn < 0.02 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_improbable,
+         |  round(min(p_kn), 6) AS min_p
+         |FROM db JOIN kt USING (trigram)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "lm_kn_score" ->
       s"""WITH ${knCtesOver("documents")},

@@ -405,7 +405,22 @@ object StreamedBatch {
     * the store a real streaming deployment accumulates must hold
     * exactly the batch relation. */
   def syncedStore(s: SparkSession, batched: DataFrame, cfg: SyncConfig,
-      nBatches: Int): DataFrame = {
+      nBatches: Int): DataFrame =
+    runSyncedStore(s, batched, cfg, nBatches, compactFirst = false)
+
+  /** [[syncedStore]] plus the OPTIMIZE pass: after the stream drains,
+    * the accumulated store is COMPACTED in place
+    * ([[graft.sinks.Compaction.compact]] — salted rewrite, atomic
+    * swap) and only THEN read back. The same oracle SQL anchors it:
+    * the maintenance pass must be content-preserving end to end (file
+    * counts shrink, the relation doesn't change by a row). The tiny
+    * targetBytes forces a real multi-file rewrite at test scale. */
+  def syncedCompactedStore(s: SparkSession, batched: DataFrame,
+      cfg: SyncConfig, nBatches: Int): DataFrame =
+    runSyncedStore(s, batched, cfg, nBatches, compactFirst = true)
+
+  private def runSyncedStore(s: SparkSession, batched: DataFrame,
+      cfg: SyncConfig, nBatches: Int, compactFirst: Boolean): DataFrame = {
     val tmp = Files.createTempDirectory("graft-sync-twin").toString
     val ss = streamSession(s)
     try {
@@ -416,6 +431,12 @@ object StreamedBatch {
       if (!q.awaitTermination(300000)) {
         q.stop()
         throw new IllegalStateException("sync twin did not drain within 300 s")
+      }
+      if (compactFirst) {
+        val report = graft.sinks.Compaction.compact(ss, s"$tmp/sink",
+          targetBytes = 64L << 10)
+        require(report.filesAfter <= report.filesBefore,
+          s"compaction grew the store: $report")
       }
       val store = ss.read.parquet(s"$tmp/sink")
       s.createDataFrame(
