@@ -1235,6 +1235,28 @@ object BBlock {
         .orderBy(col("win_start"), col("topic"))
     }),
 
+    "q_watermark_decoupled_stream" -> ((s, dir) => {
+      // the drops row with the watermark HORIZON decoupled from the
+      // window width (2 h delay, 1 h tumbling windows): a 90-minute-
+      // late row survives here but dropped in q_watermark_drops_stream
+      // — the row that makes the horizon/window parameter split
+      // observable under the oracle; same pinned engine model with
+      // wm = lag-2 running max − 2 h and the 1 h window arithmetic
+      val ranked = eventsUs(s, dir)
+        .select(col("event_type").as("topic"), col("ts"), col("event_id"))
+        .withColumn("arrival", lateArrival)
+      val n = ranked.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 9) / 10)
+      val batched = ranked
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("event_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .watermarkedWindowCounts(s, batched, nBatches = 10,
+          horizon = "2 hours", windowDur = "1 hour")
+        .orderBy(col("win_start"), col("topic"))
+    }),
+
     "q_late_horizon_sweep" -> ((s, dir) => {
       // the watermark POLICY curve over B61's planted disorder: late
       // share at horizon ∈ {10 min, 1 h, 6 h} — the trade a deployment
@@ -2281,6 +2303,40 @@ object BBlock {
          |  FROM bm
          |), fin AS (
          |  SELECT max(us) - 3600000000 AS fwm FROM b
+         |), kept AS (
+         |  SELECT topic,
+         |    (us // 3600000000) * 3600000000 AS wstart,
+         |    (us // 3600000000 + 1) * 3600000000 AS wend
+         |  FROM b JOIN wmt USING (batch)
+         |  WHERE wm IS NULL OR (us // 3600000000 + 1) * 3600000000 > wm
+         |)
+         |SELECT make_timestamp(wstart) AS win_start, topic,
+         |  count(*) AS cnt
+         |FROM kept, fin
+         |WHERE wend <= fwm
+         |GROUP BY 1, 2 ORDER BY win_start, topic""".stripMargin,
+
+    // the drops model with horizon (2 h) decoupled from window width
+    // (1 h): only the two watermark constants change vs
+    // q_watermark_drops_stream — the window arithmetic stays hourly
+    "q_watermark_decoupled_stream" ->
+      s"""WITH $lateArrivalSql,
+         |r AS (
+         |  SELECT event_type AS topic, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         |    row_number() OVER (ORDER BY arrival, event_id) - 1 AS rk,
+         |    count(*) OVER () AS n
+         |  FROM a
+         |), b AS (
+         |  SELECT topic, us, rk // greatest((n + 9) // 10, 1) AS batch FROM r
+         |), bm AS (
+         |  SELECT batch, max(us) AS bmax FROM b GROUP BY 1
+         |), wmt AS (
+         |  SELECT batch, max(bmax) OVER (ORDER BY batch
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+         |    - 7200000000 AS wm
+         |  FROM bm
+         |), fin AS (
+         |  SELECT max(us) - 7200000000 AS fwm FROM b
          |), kept AS (
          |  SELECT topic,
          |    (us // 3600000000) * 3600000000 AS wstart,
