@@ -1267,6 +1267,54 @@ object CBlock {
         .orderBy(col("file_id"))
     }),
 
+    "shard_zorder_prune" -> ((s, dir) => {
+      // the pruning BENEFIT of a z-ordered layout as data: for point
+      // probes on either dimension, how many of the 32 files' [min,max]
+      // footer ranges a scan must touch — z-order vs single-dim-sorted
+      // vs natural arrival layout. Dims are COMPARABLE-cardinality
+      // (pk_bucket = l_partkey % 100 vs l_suppkey — interleaving only
+      // balances when bit widths match; shard_zorder documents the
+      // asymmetric 20:1 case where the wide key's high bits dominate).
+      // Three two-phase ranks (no single-partition sort); the 96-row
+      // stats relation joins a 6-row broadcast probe table
+      val ss = s; import ss.implicits._
+      val base = Tables.lineitem(s, dir)
+        .select(pmod(col("l_partkey"), lit(100L)).as("pk_bucket"),
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+        .withColumn("z", graft.functions.Portable
+          .zValue(col("pk_bucket"), col("l_suppkey"), 16))
+      def fileStats(name: String,
+          order: Seq[org.apache.spark.sql.Column]) = {
+        val ranked = Curation.globalRank(base, order, "rk")
+        ranked
+          .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+          .withColumn("file_id", expr("(rk * 32) div n"))
+          .groupBy(col("file_id"))
+          .agg(min(col("pk_bucket")).as("pk_min"),
+            max(col("pk_bucket")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"))
+          .withColumn("layout", lit(name))
+      }
+      val stats = fileStats("zorder",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber")))
+        .unionByName(fileStats("pk_sorted",
+          Seq(col("pk_bucket"), col("l_orderkey"), col("l_linenumber"))))
+        .unionByName(fileStats("natural",
+          Seq(col("l_orderkey"), col("l_linenumber"))))
+      val probes = Seq(("pk_bucket", 3L), ("pk_bucket", 47L),
+        ("pk_bucket", 91L), ("suppkey", 2L), ("suppkey", 5L),
+        ("suppkey", 9L)).toDF("dim", "probe_val")
+      stats.join(broadcast(probes),
+          (col("dim") === "pk_bucket" && col("pk_min") <= col("probe_val")
+            && col("probe_val") <= col("pk_max")) ||
+          (col("dim") === "suppkey" && col("sk_min") <= col("probe_val")
+            && col("probe_val") <= col("sk_max")))
+        .groupBy(col("layout"), col("dim"), col("probe_val"))
+        .agg(count(lit(1)).as("files_hit"))
+        .orderBy(col("layout"), col("dim"), col("probe_val"))
+    }),
+
     "dedup_contained" -> ((s, dir) => {
       // prefix-containment dups (truncation/re-crawl pairs), blocked join
       Curation.containedPairs(Tables.documents(s, dir), prefixLen = 16)
@@ -4397,6 +4445,44 @@ object CBlock {
          |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
          |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
          |FROM r, n GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+
+    "shard_zorder_prune" -> {
+      val zTerms = (0 until 16).map { i =>
+        s"((pk_bucket // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+          s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      def layoutCte(name: String, order: String): String =
+        s"""SELECT '$name' AS layout, (rk * 32) // n AS file_id,
+           |    min(pk_bucket) AS pk_min, max(pk_bucket) AS pk_max,
+           |    min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+           |  FROM (SELECT z2.*,
+           |      row_number() OVER (ORDER BY $order) - 1 AS rk FROM z2), n
+           |  GROUP BY 1, 2""".stripMargin
+      s"""WITH z0 AS (
+         |  SELECT l_partkey % 100 AS pk_bucket, l_suppkey, l_orderkey,
+         |    l_linenumber
+         |  FROM lineitem
+         |), z2 AS (
+         |  SELECT z0.*, ($zTerms) AS z FROM z0
+         |), n AS (SELECT count(*) AS n FROM lineitem),
+         |f AS (
+         |  ${layoutCte("zorder", "z, l_orderkey, l_linenumber")}
+         |  UNION ALL
+         |  ${layoutCte("pk_sorted", "pk_bucket, l_orderkey, l_linenumber")}
+         |  UNION ALL
+         |  ${layoutCte("natural", "l_orderkey, l_linenumber")}
+         |), p AS (
+         |  SELECT * FROM (VALUES ('pk_bucket', 3), ('pk_bucket', 47),
+         |    ('pk_bucket', 91), ('suppkey', 2), ('suppkey', 5),
+         |    ('suppkey', 9)) AS t(dim, pv)
+         |)
+         |SELECT layout, dim, CAST(pv AS BIGINT) AS probe_val,
+         |  count(*) AS files_hit
+         |FROM f JOIN p
+         |  ON (dim = 'pk_bucket' AND pk_min <= pv AND pv <= pk_max)
+         |  OR (dim = 'suppkey' AND sk_min <= pv AND pv <= sk_max)
+         |GROUP BY 1, 2, 3 ORDER BY layout, dim, probe_val""".stripMargin
     },
 
     "dedup_contained" ->
