@@ -35,7 +35,12 @@ object ScaleProbe {
     // vectors (D² fan-out per row, map-side combined into a fixed 64×64
     // table; the power iteration is corpus-size-independent driver
     // work) — now measured, not just argued
-    "emb_pca")
+    "emb_pca",
+    // r8 additions, each linear by design: the trigram KN table (one
+    // corpus scan + O(types) marginals), harmonic no-split packing
+    // (per-class rank windows), and the three-layout prune audit
+    // (three two-phase ranks over the replicated lineitem)
+    "lm_kn_trigram", "pack_nosplit", "shard_zorder_prune")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
