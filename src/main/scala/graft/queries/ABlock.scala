@@ -373,6 +373,42 @@ object ABlock {
         .orderBy(col("topic"), col("date_str"))
     }),
 
+    "sync_schema_drift" -> ((s, dir) => {
+      // ES mapping-drift monitor (the ops readout behind es.rs's
+      // field_count metric — a new JSON key in a log stream means a
+      // mapping update on the next bulk write): per (topic, day), how
+      // many distinct key-SETS (schema variants) arrived and how many
+      // keys appeared for the FIRST time on that topic. Drift planted:
+      // every 7th message carries a day-named field, so each day
+      // introduces one genuinely new key per topic. Two map-side-
+      // combined aggs on (topic, day|key); no window, no self-join.
+      val df = msgs(s, dir).withColumn("data",
+        when(pmod(col("msg_id"), lit(7)) === 0,
+          concat(lit("{\"k\": 1, \"f"),
+            dayofmonth(col("publish_time")).cast("string"), lit("\": 1}")))
+          .otherwise(col("data")))
+      val keyed = df
+        .select(col("topic"), dateStr(col("publish_time")).as("date_str"),
+          array_sort(json_object_keys(col("data"))).as("keys"))
+        .filter(col("keys").isNotNull)
+      val variants = keyed.groupBy(col("topic"), col("date_str"))
+        .agg(count(lit(1)).as("n_msgs"),
+          countDistinct(array_join(col("keys"), ",")).as("n_variants"))
+      val dayKeys = keyed
+        .select(col("topic"), col("date_str"),
+          explode(col("keys")).as("key"))
+        .distinct()
+      val firstDay = dayKeys.groupBy(col("topic"), col("key"))
+        .agg(min(col("date_str")).as("first_day"))
+      val newKeys = dayKeys.join(firstDay, Seq("topic", "key"))
+        .filter(col("date_str") === col("first_day"))
+        .groupBy(col("topic"), col("date_str"))
+        .agg(count(lit(1)).as("n_new_keys"))
+      variants.join(newKeys, Seq("topic", "date_str"), "left")
+        .withColumn("n_new_keys", coalesce(col("n_new_keys"), lit(0L)))
+        .orderBy(col("topic"), col("date_str"))
+    }),
+
     "sync_dlq" -> ((s, dir) => {
       // dead-letter routing for the two failure classes the reference
       // only COUNTS (parse drops es.rs:124-127, bulk item failures
@@ -736,6 +772,39 @@ object ABlock {
         |  count(*) AS consumed,
         |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 4[0-9]\}') THEN 1 ELSE 0 END) AS BIGINT) AS debug_consumed
         |FROM events GROUP BY 1, 2 ORDER BY topic, date_str""".stripMargin,
+
+    "sync_schema_drift" ->
+      """WITH m AS (
+        |  SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,
+        |    CASE WHEN event_id % 7 = 0
+        |         THEN '{"k": 1, "f' || CAST(day(ts) AS VARCHAR) || '": 1}'
+        |         ELSE props END AS data
+        |  FROM events
+        |), k AS (
+        |  SELECT topic, date_str, list_sort(json_keys(data)) AS keys
+        |  FROM m
+        |  WHERE data IS NOT NULL AND json_valid(data)
+        |    AND regexp_matches(data, '^\s*\{')
+        |), v AS (
+        |  SELECT topic, date_str, count(*) AS n_msgs,
+        |    CAST(count(DISTINCT array_to_string(keys, ',')) AS BIGINT)
+        |      AS n_variants
+        |  FROM k GROUP BY 1, 2
+        |), ke AS (
+        |  SELECT DISTINCT topic, date_str, unnest(keys) AS key FROM k
+        |), fd AS (
+        |  SELECT topic, key, min(date_str) AS first_day FROM ke GROUP BY 1, 2
+        |), nk AS (
+        |  SELECT ke.topic, ke.date_str, count(*) AS n_new_keys
+        |  FROM ke JOIN fd ON ke.topic = fd.topic AND ke.key = fd.key
+        |  WHERE ke.date_str = fd.first_day
+        |  GROUP BY 1, 2
+        |)
+        |SELECT v.topic, v.date_str, v.n_msgs, v.n_variants,
+        |  COALESCE(nk.n_new_keys, 0) AS n_new_keys
+        |FROM v LEFT JOIN nk
+        |  ON v.topic = nk.topic AND v.date_str = nk.date_str
+        |ORDER BY v.topic, v.date_str""".stripMargin,
 
     "sync_dlq" ->
       """WITH m AS (
