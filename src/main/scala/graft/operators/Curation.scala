@@ -725,6 +725,56 @@ object Curation {
         round(col("n_tokens") / lit(seqLen.toDouble), 6))
   }
 
+  /** Token-BUDGET allocation across sources by water-filling (the "fill
+    * B tokens at these weights without oversampling small sources"
+    * problem a mixture designer solves before sampling): sources whose
+    * availability can't cover their weight-proportional share SATURATE
+    * (take everything they have) and the freed budget redistributes
+    * over the rest — resolved in ONE pass, no iterative loop: in
+    * avail/weight order (integer key avail·10⁶ div w — both engines
+    * sort the same key, no float ratio), the saturated set is a prefix,
+    * each row's local test uses only prev-cumsums, and the first
+    * unsaturated row pins the (rem, w_rem) the survivors share.
+    * Integer everywhere; `require(budgetNum < budgetDen)` guarantees
+    * the cut row exists. All windows are O(#sources) model state. */
+  def mixFillBudget(docs: DataFrame, budgetNum: Long = 3,
+      budgetDen: Long = 5, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    require(budgetNum > 0 && budgetNum < budgetDen,
+      "budget must be a proper fraction of the corpus")
+    val avail = docs.groupBy(col(srcCol))
+      .agg(sum(native.token_count(col(textCol))).as("avail"))
+      .withColumn("w",
+        lit(1L) + pmod(length(col(srcCol)).cast("long"), lit(5L)))
+    val tot = avail.agg(sum(col("avail")).as("total_avail"),
+      sum(col("w")).as("w_total"))
+    val wOrd = Window.orderBy(col("ord"), col(srcCol))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = Materialize(avail.crossJoin(broadcast(tot))
+      .withColumn("budget", expr(s"(total_avail * $budgetNum) div $budgetDen"))
+      .withColumn("ord", expr("(avail * 1000000) div w"))
+      .withColumn("pos", row_number().over(wOrd).cast("long"))
+      .withColumn("rem_prev",
+        col("budget") - (sum(col("avail")).over(wCum) - col("avail")))
+      .withColumn("w_rem_prev",
+        col("w_total") - (sum(col("w")).over(wCum) - col("w")))
+      .withColumn("sat_local",
+        col("avail") * col("w_rem_prev") < col("rem_prev") * col("w")))
+    val cutRow = c.filter(!col("sat_local"))
+      .orderBy(col("pos")).limit(1)
+      .select(col("pos").as("cut"), col("rem_prev").as("rem_cut"),
+        col("w_rem_prev").as("w_rem_cut"))
+    c.crossJoin(broadcast(cutRow))
+      .withColumn("saturated", col("pos") < col("cut"))
+      .withColumn("alloc",
+        when(col("saturated"), col("avail"))
+          .otherwise(expr("(rem_cut * w) div w_rem_cut")))
+      .withColumn("alloc_share",
+        round(col("alloc") / col("budget"), 6))
+      .select(col(srcCol), col("w"), col("avail"), col("saturated"),
+        col("alloc"), col("alloc_share"))
+  }
+
   /** Deterministic k-fold assignment (cross-validation folds over the
     * corpus): fold = affine-rehashed doc-id hash mod k — the
     * [[splitAssign]] draw machinery with a modulus instead of

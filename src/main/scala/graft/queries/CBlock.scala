@@ -995,6 +995,13 @@ object CBlock {
         .orderBy(col("source"), col("k"), col("bin"))
     }),
 
+    "mix_fill_budget" -> ((s, dir) => {
+      // water-filling token-budget allocation: small sources saturate,
+      // freed budget redistributes — one pass, integer-exact
+      Curation.mixFillBudget(Tables.documents(s, dir))
+        .orderBy(col("source"))
+    }),
+
     "split_kfold" -> ((s, dir) => {
       // deterministic 5-fold assignment balance audit per (fold, source)
       Curation.kfoldAssign(Tables.documents(s, dir), k = 5)
@@ -3875,6 +3882,45 @@ object CBlock {
          |  count(*) AS n_docs, CAST(sum(fill) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(fill) AS DOUBLE) / 256, 6) AS fill_rate
          |FROM c GROUP BY 1, 2, 3 ORDER BY source, k, bin""".stripMargin,
+
+    "mix_fill_budget" ->
+      s"""WITH a AS (
+         |  SELECT source, CAST(SUM(len($toksSql)) AS BIGINT) AS avail,
+         |    1 + CAST(length(source) % 5 AS BIGINT) AS w
+         |  FROM documents GROUP BY 1
+         |), tt AS (
+         |  SELECT CAST(sum(avail) AS BIGINT) AS total_avail,
+         |    CAST(sum(w) AS BIGINT) AS w_total
+         |  FROM a
+         |), c AS (
+         |  SELECT source, avail, w, w_total,
+         |    (total_avail * 3) // 5 AS budget,
+         |    (avail * 1000000) // w AS ord
+         |  FROM a, tt
+         |), r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY ord, source) AS pos,
+         |    budget - (SUM(avail) OVER (ORDER BY ord, source
+         |      ROWS UNBOUNDED PRECEDING) - avail) AS rem_prev,
+         |    w_total - (SUM(w) OVER (ORDER BY ord, source
+         |      ROWS UNBOUNDED PRECEDING) - w) AS w_rem_prev
+         |  FROM c
+         |), s AS (
+         |  SELECT *, avail * w_rem_prev < rem_prev * w AS sat_local FROM r
+         |), cut AS (
+         |  SELECT pos AS cutpos, rem_prev AS rem_cut,
+         |    w_rem_prev AS w_rem_cut
+         |  FROM s WHERE NOT sat_local ORDER BY pos LIMIT 1
+         |), f AS (
+         |  SELECT source, w, avail, budget, s.pos < cut.cutpos AS saturated,
+         |    CAST(CASE WHEN s.pos < cut.cutpos THEN avail
+         |         ELSE (cut.rem_cut * w) // cut.w_rem_cut END AS BIGINT)
+         |      AS alloc
+         |  FROM s, cut
+         |)
+         |SELECT source, w, avail, saturated, alloc,
+         |  round(CAST(alloc AS DOUBLE) / budget, 6) AS alloc_share
+         |FROM f ORDER BY source""".stripMargin,
 
     "split_kfold" ->
       s"""WITH k AS (
