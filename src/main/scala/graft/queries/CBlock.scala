@@ -469,6 +469,24 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "text_langid_eval" -> ((s, dir) => {
+      // the langid heuristic scored against the table's ground-truth
+      // lang column: confusion matrix + per-actual-language share —
+      // the planted-truth eval pattern with the truth already in the
+      // data; one join (pred side is a projection of the same scan)
+      // and one agg, the share via a lang-partitioned window
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.langId(docs, langMarkers)
+        .select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "text_langid_profile" -> ((s, dir) => {
       TextAnalysis.langIdProfile(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
@@ -1966,6 +1984,30 @@ object CBlock {
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** The langid predictor's SELECT (per-doc pred + marker scores) —
+    * shared by text_langid and its ground-truth eval. */
+  private lazy val langidSelectSql: String =
+    s"""WITH sc AS (
+       |  SELECT doc_id,
+       |    len(list_filter($toksSql, t -> list_contains(['table','row','scan'], t))) AS score_de,
+       |    len(list_filter($toksSql, t -> list_contains(['the','a'], t))) AS score_en,
+       |    len(list_filter($toksSql, t -> list_contains(['data','value','key'], t))) AS score_es,
+       |    len(list_filter($toksSql, t -> list_contains(['join','merge','filter'], t))) AS score_fr,
+       |    len(list_filter($toksSql, t -> list_contains(['spark','query','batch'], t))) AS score_zh
+       |  FROM documents
+       |)
+       |SELECT doc_id,
+       |  CASE
+       |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+       |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+       |    WHEN score_es >= score_de AND score_es >= score_en AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+       |    WHEN score_fr >= score_de AND score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+       |    ELSE 'zh' END AS pred_lang,
+       |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
+       |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
+       |  CAST(score_zh AS INT) AS score_zh
+       |FROM sc""".stripMargin
+
   /** recall@5-vs-brute sweep over nprobe ∈ {1,2,4} for an embeddings
     * relation (shared by sim_probe_sweep and its planted-cluster twin). */
   private def probeSweep(emb: DataFrame): DataFrame = {
@@ -3067,27 +3109,20 @@ object CBlock {
         |SELECT bucket, count(*) AS n_vectors, min(vec_id) AS min_vec
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
-    "text_langid" ->
-      s"""WITH sc AS (
-         |  SELECT doc_id,
-         |    len(list_filter($toksSql, t -> list_contains(['table','row','scan'], t))) AS score_de,
-         |    len(list_filter($toksSql, t -> list_contains(['the','a'], t))) AS score_en,
-         |    len(list_filter($toksSql, t -> list_contains(['data','value','key'], t))) AS score_es,
-         |    len(list_filter($toksSql, t -> list_contains(['join','merge','filter'], t))) AS score_fr,
-         |    len(list_filter($toksSql, t -> list_contains(['spark','query','batch'], t))) AS score_zh
-         |  FROM documents
+    "text_langid" -> s"$langidSelectSql ORDER BY doc_id",
+
+    "text_langid_eval" ->
+      s"""WITH p AS ($langidSelectSql),
+         |j AS (
+         |  SELECT d.lang, p.pred_lang FROM p
+         |  JOIN documents d ON p.doc_id = d.doc_id
+         |), c AS (
+         |  SELECT lang, pred_lang, count(*) AS n FROM j GROUP BY 1, 2
          |)
-         |SELECT doc_id,
-         |  CASE
-         |    WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
-         |    WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
-         |    WHEN score_es >= score_de AND score_es >= score_en AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
-         |    WHEN score_fr >= score_de AND score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
-         |    ELSE 'zh' END AS pred_lang,
-         |  CAST(score_de AS INT) AS score_de, CAST(score_en AS INT) AS score_en,
-         |  CAST(score_es AS INT) AS score_es, CAST(score_fr AS INT) AS score_fr,
-         |  CAST(score_zh AS INT) AS score_zh
-         |FROM sc ORDER BY doc_id""".stripMargin,
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / (SUM(n) OVER (PARTITION BY lang)), 6) AS share
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     "text_langid_profile" ->
       s"""WITH g AS (
