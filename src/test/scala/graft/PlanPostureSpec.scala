@@ -251,6 +251,40 @@ class PlanPostureSpec extends SparkSpec {
     }
   }
 
+  test("r8 metric trio + PCA projection: probes/direction broadcast, no cartesian") {
+    Seq("sim_mips", "sim_l2_topk", "emb_pca_project").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q must broadcast its small side:\n$p")
+    }
+  }
+
+  test("r8 packing/rebalance/drift: corpus windows partitioned, model-state globals bounded") {
+    // pack_nosplit's rank window must stay (stream, class)-partitioned
+    val packWins = SparkEntry.queries("pack_nosplit")(spark, sf("0.01"))
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(packWins.nonEmpty && packWins.forall(_.partitionSpec.nonEmpty),
+      "pack_nosplit must keep its partitioned per-class rank window")
+    // curate_dup_rate's keeper window is keyed by the hash-spread key
+    val dupWins = SparkEntry.queries("curate_dup_rate")(spark, sf("0.01"))
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    assert(dupWins.nonEmpty && dupWins.forall(_.partitionSpec.nonEmpty),
+      "curate_dup_rate's keeper window must stay key-partitioned")
+    // shard_rebalance / mix_fill_budget run global windows ONLY over
+    // the O(#shards|#sources) model-state relations — permitted, but a
+    // cartesian anywhere is not
+    Seq("shard_rebalance", "mix_fill_budget", "sync_schema_drift",
+        "shard_zorder_prune").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+  }
+
   test("policy sweeps: arms broadcast, windows partitioned, no cartesian") {
     Seq("pack_seqlen_sweep", "quality_sweep").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf("0.01")).queryExecution.sparkPlan
