@@ -320,4 +320,21 @@ object Sketches {
           .otherwise(round(col("e_raw"), 4)))
       .drop("s_present", "e_raw")
   }
+
+  /** Mergeable MOMENT sketch: per key, (n, Σq, Σq²) over the integer
+    * lattice q = floor(value·scale) — the three sums a distributed
+    * mean/variance rollup ships per shard and ADDS to merge (the
+    * HLL-merge theorem's trivial cousin, but the one every metrics
+    * pipeline actually runs). Integer-exact, so merge ≡ direct is a
+    * hash-level fact, not an approximation. Bounds at scale = 10³ and
+    * values ≤ ~10³: q ≤ 10⁶, Σq² grows ≤ 10¹² per row → safe to ~10⁶
+    * rows per key; larger corpora lower `scale` (the sketch's
+    * resolution knob). Values are assumed non-negative (the regime
+    * where Spark's `div` and DuckDB's `//` agree). */
+  def moments(rows: DataFrame, keys: Seq[String], value: Column,
+      scale: Long = 1000L): DataFrame =
+    rows.withColumn("__q", floor(value * scale).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__q")).as("s1"),
+        sum(col("__q") * col("__q")).as("s2"))
 }

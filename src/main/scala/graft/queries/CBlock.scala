@@ -718,6 +718,26 @@ object CBlock {
         .orderBy(col("level"))
     }),
 
+    "sketch_moments" -> ((s, dir) => {
+      // mergeable moment sketch through the SHARD route: (n, Σq, Σq²)
+      // per (shard, type) sum-merge into per-type moments, then
+      // integer mean/variance; the oracle computes DIRECTLY over the
+      // table — the hash match proves merge ≡ direct, exactly the
+      // sketch_hll_merge pattern for the metrics-pipeline case
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      graft.operators.Sketches.moments(
+          ev.withColumn("shard", pmod(col("event_id"), lit(8L))),
+          Seq("shard", "event_type"), col("value"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("s1")).as("s1"),
+          sum(col("s2")).as("s2"))
+        .withColumn("mean_milli", expr("s1 div n"))
+        .withColumn("var_milli2",
+          expr("s2 div n - (s1 div n) * (s1 div n)"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_hll_merge" -> ((s, dir) => {
       // distributed HLL the way a 1000-executor rollup actually runs:
       // registers built per SHARD (event_id mod 4 — disjoint batches),
@@ -3661,6 +3681,21 @@ object CBlock {
          |FROM est JOIN ex ON est.event_type = ex.event_type AND est.day = ex.day
          |ORDER BY est.event_type, est.day""".stripMargin
     },
+
+    // direct (no shards) — the hash match IS the merge ≡ direct proof
+    "sketch_moments" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS q
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, CAST(SUM(q) AS BIGINT) AS s1,
+        |    CAST(SUM(q * q) AS BIGINT) AS s2
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT event_type, n, s1, s2,
+        |  CAST(s1 // n AS BIGINT) AS mean_milli,
+        |  CAST(s2 // n - (s1 // n) * (s1 // n) AS BIGINT) AS var_milli2
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "sketch_hll_merge" -> {
       val rhoCase = (0 until 25)
