@@ -738,6 +738,19 @@ object CBlock {
         .orderBy(col("event_type"))
     }),
 
+    "sketch_moments_stream" -> ((s, dir) => {
+      // the moment sums maintained by a REAL complete-mode streaming
+      // aggregation: the drained state table must equal the batch
+      // moments, landing on sketch_moments' own direct oracle
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.StreamedBatch
+        .momentsStreamed(s, Tables.events(s, dir))
+        .withColumn("mean_milli", expr("s1 div n"))
+        .withColumn("var_milli2",
+          expr("s2 div n - (s1 div n) * (s1 div n)"))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_hll_merge" -> ((s, dir) => {
       // distributed HLL the way a 1000-executor rollup actually runs:
       // registers built per SHARD (event_id mod 4 — disjoint batches),
@@ -3681,6 +3694,22 @@ object CBlock {
          |FROM est JOIN ex ON est.event_type = ex.event_type AND est.day = ex.day
          |ORDER BY est.event_type, est.day""".stripMargin
     },
+
+    // IDENTICAL direct SQL for both the shard-merged and the streamed
+    // moments — the hash match IS the proof in each case
+    "sketch_moments_stream" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS q
+        |  FROM events
+        |), a AS (
+        |  SELECT event_type, count(*) AS n, CAST(SUM(q) AS BIGINT) AS s1,
+        |    CAST(SUM(q * q) AS BIGINT) AS s2
+        |  FROM q GROUP BY 1
+        |)
+        |SELECT event_type, n, s1, s2,
+        |  CAST(s1 // n AS BIGINT) AS mean_milli,
+        |  CAST(s2 // n - (s1 // n) * (s1 // n) AS BIGINT) AS var_milli2
+        |FROM a ORDER BY event_type""".stripMargin,
 
     // direct (no shards) — the hash match IS the merge ≡ direct proof
     "sketch_moments" ->

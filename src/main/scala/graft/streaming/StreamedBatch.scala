@@ -261,6 +261,22 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.operators.Sketches.moments]] maintained by a REAL
+    * streaming aggregation (complete mode): the three integer sums are
+    * the streaming-aggregable state, so the drained per-key (n, s1, s2)
+    * table must equal the batch moments — the integer mean/variance
+    * computed from it lands on sketch_moments' own direct oracle. */
+  def momentsStreamed(s: SparkSession, rows: DataFrame): DataFrame = {
+    val input = rows.select(col("event_type").cast("string").as("event_type"),
+      col("value").cast("double").as("value"))
+    throughStreamComplete(s, input, "mom") { (ss, src) =>
+      val stream = ss.readStream.schema("event_type STRING, value DOUBLE")
+        .parquet(src)
+      graft.operators.Sketches.moments(stream, Seq("event_type"),
+        col("value")).writeStream
+    }
+  }
+
   /** [[graft.operators.Tokenizer.encodeWith]] (the frozen-artifact
     * narrow encoder) run through a REAL stream — file source → narrow
     * projection → memory sink — then exploded back to the
