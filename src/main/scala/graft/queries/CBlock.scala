@@ -1046,6 +1046,33 @@ object CBlock {
         .orderBy(col("source"), col("k"), col("bin"))
     }),
 
+    "cdc_apply" -> ((s, dir) => {
+      // changelog-merge (the Delta/Iceberg MERGE semantics a mutable
+      // 100 TB table needs): base snapshot + planted updates (every
+      // 5th doc, version 1) + planted deletes (every 7th, version 2)
+      // resolve LAST-WRITER-WINS per key — one key-partitioned rank
+      // window over the unioned changelog, deletes drop, the merge
+      // shuffles once on the key; output pins the surviving version
+      // and the final text hash
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), lit(0L).as("version"),
+        lit("I").as("op"), col("text"))
+      val upd = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" updated")).as("text"))
+      val del = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("D").as("op"),
+          lit(null).cast("string").as("text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("version").desc)
+      base.unionByName(upd).unionByName(del)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1 && col("op") =!= "D")
+        .select(col("doc_id"), col("version"),
+          graft.plans.native.poly_hash(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mix_fill_budget" -> ((s, dir) => {
       // water-filling token-budget allocation: small sources saturate,
       // freed budget redistributes — one pass, integer-exact
@@ -3981,6 +4008,25 @@ object CBlock {
          |  count(*) AS n_docs, CAST(sum(fill) AS BIGINT) AS n_tokens,
          |  round(CAST(sum(fill) AS DOUBLE) / 256, 6) AS fill_rate
          |FROM c GROUP BY 1, 2, 3 ORDER BY source, k, bin""".stripMargin,
+
+    "cdc_apply" ->
+      s"""WITH log AS (
+         |  SELECT doc_id, 0 AS version, 'I' AS op, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 1, 'U', text || ' updated' FROM documents
+         |  WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 7 = 0
+         |), latest AS (
+         |  SELECT doc_id, version, op, text,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
+         |      AS rk
+         |  FROM log
+         |)
+         |SELECT doc_id, CAST(version AS BIGINT) AS version,
+         |  ${ph("text")} AS text_hash
+         |FROM latest WHERE rk = 1 AND op <> 'D'
+         |ORDER BY doc_id""".stripMargin,
 
     "mix_fill_budget" ->
       s"""WITH a AS (
