@@ -1363,11 +1363,13 @@ object CBlock {
       // Three two-phase ranks (no single-partition sort); the 96-row
       // stats relation joins a 6-row broadcast probe table
       val ss = s; import ss.implicits._
-      val base = Tables.lineitem(s, dir)
+      // materialized ONCE: the three layout ranks otherwise re-scan
+      // lineitem and re-evaluate the 16-step interleave fold each
+      val base = graft.operators.Materialize(Tables.lineitem(s, dir)
         .select(pmod(col("l_partkey"), lit(100L)).as("pk_bucket"),
           col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
         .withColumn("z", graft.functions.Portable
-          .zValue(col("pk_bucket"), col("l_suppkey"), 16))
+          .zValue(col("pk_bucket"), col("l_suppkey"), 16)))
       def fileStats(name: String,
           order: Seq[org.apache.spark.sql.Column]) = {
         val ranked = Curation.globalRank(base, order, "rk")
