@@ -130,6 +130,43 @@ object Multimodal {
   /** Decoded-image features: real dimensions + channel-weighted pixel sum
     * when a registered codec decoded the payload; the stub's header hash
     * (and zero dims) when none did. */
+  final case class AudioFingerprint(doc_id: Long, n_windows: Long, fp: Long)
+
+  /** Energy-derivative-sign audio fingerprint (the Shazam-lite shape:
+    * the CONTOUR of the energy envelope, not its level, so gain
+    * changes don't move the print): bit w−1 is set iff window w's
+    * energy exceeds window w−1's, packed over the first 62 windows
+    * (staying clear of the sign bit in both engines). Same
+    * partition-local single pass over opaque bytes as
+    * [[audioFeatures]]; near-dup clips collide on (n_windows, fp). */
+  def audioFingerprint(ds: Dataset[MediaRecord], window: Int = 64)
+      (implicit s: SparkSession): Dataset[AudioFingerprint] = {
+    import s.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { r =>
+        val len = r.media.length
+        val n = (len + window - 1) / window
+        if (n == 0) Iterator.empty
+        else {
+          val e = Array.ofDim[Long](n)
+          var i = 0
+          while (i < len) {
+            val d = (r.media(i) & 0xff).toLong - 96L
+            e(i / window) += d * d
+            i += 1
+          }
+          var fp = 0L
+          var w = 1
+          while (w < n && w <= 62) {
+            if (e(w) > e(w - 1)) fp |= 1L << (w - 1)
+            w += 1
+          }
+          Iterator.single(AudioFingerprint(r.doc_id, n.toLong, fp))
+        }
+      }
+    }
+  }
+
   final case class DecodedImage(doc_id: Long, width: Long, height: Long,
       px_sum: Long, decoded: Boolean)
 

@@ -905,6 +905,30 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      // energy-derivative-sign fingerprint: the envelope's CONTOUR
+      // packed into 62 bits — gain-invariant, partition-local
+      implicit val ss: SparkSession = s
+      Multimodal.audioFingerprint(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
+    "mm_audio_dups" -> ((s, dir) => {
+      // near-dup clips collide on (n_windows, fingerprint): one agg on
+      // the fingerprint key — the dedup_exact shape for the audio
+      // modality
+      implicit val ss: SparkSession = s
+      Multimodal.audioFingerprint(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)))
+        .toDF()
+        .groupBy(col("n_windows"), col("fp"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_clips"))
+        .filter(col("n_clips") > 1)
+        .orderBy(col("keeper"))
+    }),
+
     "mm_features" -> ((s, dir) => {
       implicit val ss: SparkSession = s
       Multimodal.extractFeatures(
@@ -2045,6 +2069,23 @@ object CBlock {
       s"(acc, cd) -> (acc * 31 + cd) % 2147483647)"
 
   private val toksSql = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+  /** 64-byte-window audio energies `e(doc_id, w_idx, energy)` over the
+    * text-as-PCM payload (shared by mm_audio, mm_audio_fingerprint,
+    * mm_audio_dups). */
+  private val audioEnergyCtes: String =
+    """w AS (
+      |  SELECT doc_id,
+      |    unnest(range(0, (len(text) + 63) // 64)) AS w_idx, text
+      |  FROM documents WHERE len(text) > 0
+      |), e AS (
+      |  SELECT doc_id, w_idx,
+      |    CAST(list_sum(list_prepend(0, list_transform(
+      |      string_split(substr(text, CAST(w_idx * 64 + 1 AS INT), 64), ''),
+      |      ch -> (unicode(ch) - 96) * (unicode(ch) - 96)))) AS BIGINT)
+      |      AS energy
+      |  FROM w
+      |)""".stripMargin
 
   /** The langid predictor's SELECT (per-doc pred + marker scores) —
     * shared by text_langid and its ground-truth eval. */
@@ -3839,18 +3880,7 @@ object CBlock {
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     "mm_audio" ->
-      """WITH w AS (
-        |  SELECT doc_id,
-        |    unnest(range(0, (len(text) + 63) // 64)) AS w_idx, text
-        |  FROM documents WHERE len(text) > 0
-        |), e AS (
-        |  SELECT doc_id, w_idx,
-        |    CAST(list_sum(list_prepend(0, list_transform(
-        |      string_split(substr(text, CAST(w_idx * 64 + 1 AS INT), 64), ''),
-        |      ch -> (unicode(ch) - 96) * (unicode(ch) - 96)))) AS BIGINT)
-        |      AS energy
-        |  FROM w
-        |), agg AS (
+      s"""WITH $audioEnergyCtes, agg AS (
         |  SELECT doc_id, count(*) AS n_windows, sum(energy) AS total,
         |    max(energy) AS peak_energy
         |  FROM e GROUP BY 1
@@ -3864,6 +3894,34 @@ object CBlock {
         |FROM e JOIN agg a ON e.doc_id = a.doc_id
         |GROUP BY e.doc_id, a.n_windows, a.peak_energy
         |ORDER BY e.doc_id""".stripMargin,
+
+    "mm_audio_fingerprint" ->
+      s"""WITH $audioEnergyCtes, d AS (
+         |  SELECT doc_id, w_idx, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY w_idx) AS prev
+         |  FROM e
+         |)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(COALESCE(SUM(CASE WHEN w_idx <= 62 AND energy > prev
+         |    THEN CAST(1 AS BIGINT) << CAST(w_idx - 1 AS INT)
+         |    ELSE 0 END), 0) AS BIGINT) AS fp
+         |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "mm_audio_dups" ->
+      s"""WITH $audioEnergyCtes, d AS (
+         |  SELECT doc_id, w_idx, energy,
+         |    lag(energy) OVER (PARTITION BY doc_id ORDER BY w_idx) AS prev
+         |  FROM e
+         |), f AS (
+         |  SELECT doc_id, count(*) AS n_windows,
+         |    CAST(COALESCE(SUM(CASE WHEN w_idx <= 62 AND energy > prev
+         |      THEN CAST(1 AS BIGINT) << CAST(w_idx - 1 AS INT)
+         |      ELSE 0 END), 0) AS BIGINT) AS fp
+         |  FROM d GROUP BY 1
+         |)
+         |SELECT n_windows, fp, min(doc_id) AS keeper, count(*) AS n_clips
+         |FROM f GROUP BY 1, 2 HAVING count(*) > 1
+         |ORDER BY keeper""".stripMargin,
 
     "mm_frames" ->
       s"""WITH f AS (
