@@ -894,6 +894,28 @@ object CBlock {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    "mm_scene_cuts" -> ((s, dir) => {
+      // scene-cut detection over the sampled frame hashes: a cut is a
+      // frame whose content hash differs from its predecessor's (the
+      // hash is an exact-content fingerprint here, so any change IS a
+      // cut); one doc-partitioned lag window over the frame relation —
+      // the video-pipeline segmentation readout
+      implicit val ss: SparkSession = s
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      Multimodal.sampleFrames(
+          Multimodal.toMediaRecords(Tables.documents(s, dir)),
+          frameBytes = 64, stride = 2)
+        .toDF()
+        .withColumn("prev", lag(col("frame_hash"), 1).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("prev").isNotNull &&
+            col("frame_hash") =!= col("prev"), 1L).otherwise(0L))
+            .as("n_cuts"))
+        .orderBy(col("doc_id"))
+    }),
+
     "mm_audio" -> ((s, dir) => {
       // audio-modality plumbing: payload as 8-bit PCM, 64-sample window
       // energies, per-clip-normalized silence count + peak window — the
@@ -3932,6 +3954,27 @@ object CBlock {
          |SELECT doc_id, frame_idx,
          |  ${ph("substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)")} AS frame_hash
          |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_scene_cuts" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(0, (len(text) + 63) // 64, 2)) AS frame_idx
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, frame_idx,
+         |    ${ph("substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)")}
+         |      AS frame_hash
+         |  FROM f
+         |), d AS (
+         |  SELECT doc_id, frame_hash,
+         |    lag(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+         |      AS prev
+         |  FROM h
+         |)
+         |SELECT doc_id, count(*) AS n_frames,
+         |  CAST(SUM(CASE WHEN prev IS NOT NULL AND frame_hash <> prev
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+         |FROM d GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
       s"""SELECT doc_id, CAST(len(text) AS BIGINT) AS byte_len,
