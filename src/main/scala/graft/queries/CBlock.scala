@@ -1339,6 +1339,17 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_classifier_stream" -> ((s, dir) => {
+      // C32's score-as-you-ingest promoted to an oracle row: the
+      // classifier + shard assignment run as STREAMING projections
+      // (file source → narrow exprs → memory sink) and the emitted
+      // relation must land on the batch classifier's SQL extended with
+      // the shard key — scoring and routing at consume time, exact
+      graft.streaming.StreamedBatch
+        .classifiedStream(s, Tables.documents(s, dir), nShards = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     "train_export" -> ((s, dir) => {
       // the end-to-end export capstone, composed from the operator
       // library as ONE declarative plan: quality gate → near-dup removal
@@ -4654,6 +4665,22 @@ object CBlock {
          |  FROM d
          |)
          |SELECT doc_id, lang, n_tok, score, score > 0 AS pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // the batch classifier's SQL + the shard key — the streamed
+    // projection must land on it exactly
+    "quality_classifier_stream" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t -> (${ph("t")} % 2001) - 1000)),
+         |      (a, x) -> a + x) AS score
+         |  FROM d
+         |)
+         |SELECT doc_id, lang, n_tok, score, score > 0 AS pred,
+         |  ${ph("CAST(doc_id AS VARCHAR)")} % 16 AS shard
          |FROM sc ORDER BY doc_id""".stripMargin,
 
     "train_export" ->

@@ -261,6 +261,27 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.operators.Curation.hashedLinearScore]] + shard assignment
+    * run as STREAMING projections (the score-as-you-ingest seam of
+    * StreamingCurationSpec promoted to an oracle row): stateless narrow
+    * expressions, so the emitted relation is exactly the batch
+    * classifier's extended with the shard key. */
+  def classifiedStream(s: SparkSession, docs: DataFrame,
+      nShards: Int): DataFrame = {
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang").cast("string").as("lang"),
+      col("text").cast("string").as("text"))
+    throughStream(s, input, "clf") { (ss, src) =>
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING").parquet(src)
+      graft.operators.Curation.shardAssign(
+          graft.operators.Curation.hashedLinearScore(stream), nShards)
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score"),
+          col("pred"), col("shard"))
+        .writeStream
+    }
+  }
+
   /** [[graft.operators.Sketches.moments]] maintained by a REAL
     * streaming aggregation (complete mode): the three integer sums are
     * the streaming-aggregable state, so the drained per-key (n, s1, s2)
