@@ -1828,6 +1828,24 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "sample_exact_k_merge" -> ((s, dir) => {
+      // the sampler's MERGEABILITY through the shard route (the
+      // distributed bottom-k theorem behind every reservoir rollup):
+      // per-(shard, stratum) bottom-7 by the same priority, unioned,
+      // then global bottom-7 — must equal the direct draw exactly, so
+      // sample_exact_k's own oracle anchors it; the shard pass is what
+      // a 1000-executor sampler actually ships (k rows per shard)
+      val docs = Tables.documents(s, dir)
+        .withColumn("shard8",
+          concat(col("source"), lit("|"), pmod(col("doc_id"), lit(8L))))
+      val perShard = Curation.sampleExactK(docs, k = 7,
+          strataCol = "shard8")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"))
+      Curation.sampleExactK(perShard, k = 7)
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "curate_daily" -> ((s, dir) => {
       // the session capstone — ONE declarative plan composing this
       // round's operators into the daily-curation shape: normalize →
@@ -5462,6 +5480,23 @@ object CBlock {
          |GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
 
     "sample_exact_k" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, sample_rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY pu, doc_id) AS BIGINT) AS sample_rank
+         |  FROM u
+         |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
+
+    // IDENTICAL SQL to sample_exact_k — the shard-merged draw must
+    // equal the direct draw row for row (the bottom-k merge theorem)
+    "sample_exact_k_merge" ->
       s"""WITH u AS (
          |  SELECT doc_id, source,
          |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
