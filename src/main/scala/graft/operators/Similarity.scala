@@ -1092,10 +1092,14 @@ object Similarity {
     * the D×D Gram table is MODEL STATE (4096 rows at D = 64, like the
     * IVF centroids) so the power iteration itself runs on the collected
     * matrix — O(iters·D²) driver work, independent of corpus size. */
-  def pcaPower(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
-      gramDiv: Long = 10000000L, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val s = emb.sparkSession
+  /** Collect the rescaled integer Gram matrix (None for an empty
+    * corpus), enforcing the long-range bounds the scaladoc documents —
+    * the BIGINT Gram sum wraps silently past Long.Max in non-ANSI
+    * mode, and the driver product Σⱼ g·vⱼ wraps past
+    * Long.Max/(2·scale·D); both fail loudly here instead (the corpus
+    * count rides the aggregation for free: rows per (i,j) group = n). */
+  private def collectGram(emb: DataFrame, scale: Long, gramDiv: Long,
+      idCol: String, vecCol: String): Option[Array[Array[Long]]] = {
     val q = emb.select(col(idCol).as("__id"),
         posexplode(col(vecCol)).as(Seq("dim", "x")))
       .select(col("__id"), col("dim"),
@@ -1110,14 +1114,7 @@ object Similarity {
         expr(s"(CASE WHEN gsum < 0 THEN -1 ELSE 1 END) * (abs(gsum) div $gramDiv)")
           .as("g"))
     val gRows = gram.collect() // D² rows — bounded model state
-    if (gRows.isEmpty) // empty corpus: empty result, right schema
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "dim BIGINT, comp BIGINT, loading DOUBLE"))
-    // Overflow guards (scaladoc bounds made executable): the BIGINT
-    // Gram sum wraps silently past Long.Max in non-ANSI mode, and the
-    // driver product Σⱼ g·vⱼ wraps past Long.Max/(2·scale·D) — both
-    // fail loudly here instead.
+    if (gRows.isEmpty) return None
     val nVec = gRows.iterator.map(_.getLong(2)).max
     require(BigInt(nVec) * BigInt(scale) * BigInt(scale) <= Long.MaxValue,
       s"pcaPower: $nVec vectors at scale=$scale can overflow the Gram " +
@@ -1129,21 +1126,111 @@ object Similarity {
     require(BigInt(maxAbsG) * BigInt(2L * scale) * BigInt(d) <= Long.MaxValue,
       s"pcaPower: |gram| up to $maxAbsG overflows the power iteration " +
         s"at D=$d, scale=$scale — raise `gramDiv` (∝ corpus size)")
+    Some(gm)
+  }
+
+  /** The order-free integer power loop: v' = sign(u)·(|u| div
+    * (max|u| div scale)), u = G·v, from v₀ = (scale, …, scale). */
+  private def powerIterate(gm: Array[Array[Long]], iters: Int,
+      scale: Long): Array[Long] = {
+    val d = gm.length
     var v = Array.fill(d)(scale)
     for (_ <- 1 to iters) {
-      val u = Array.tabulate(d) { i =>
-        var acc = 0L; var j = 0
-        while (j < d) { acc += gm(i)(j) * v(j); j += 1 }; acc
-      }
+      val u = matvec(gm, v)
       val m = u.iterator.map(math.abs).max
       val divisor = math.max(m / scale, 1L)
       v = u.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / divisor))
     }
-    val out = v.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
-    s.createDataFrame(s.sparkContext.parallelize(out, 1))
-      .toDF("dim", "comp")
-      .select(col("dim"), col("comp"),
-        round(col("comp") / lit(scale.toDouble), 6).as("loading"))
+    v
+  }
+
+  private def matvec(gm: Array[Array[Long]], v: Array[Long]): Array[Long] =
+    Array.tabulate(gm.length) { i =>
+      var acc = 0L; var j = 0
+      while (j < gm.length) { acc += gm(i)(j) * v(j); j += 1 }; acc
+    }
+
+  private def emptyPcaResult(s: org.apache.spark.sql.SparkSession,
+      ddl: String): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
+  def pcaPower(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      gramDiv: Long = 10000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    collectGram(emb, scale, gramDiv, idCol, vecCol) match {
+      case None => // empty corpus: empty result, right schema
+        emptyPcaResult(s, "dim BIGINT, comp BIGINT, loading DOUBLE")
+      case Some(gm) =>
+        val v = powerIterate(gm, iters, scale)
+        val out = v.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        s.createDataFrame(s.sparkContext.parallelize(out, 1))
+          .toDF("dim", "comp")
+          .select(col("dim"), col("comp"),
+            round(col("comp") / lit(scale.toDouble), 6).as("loading"))
+    }
+  }
+
+  /** TOP-2 principal directions by integer-lattice DEFLATION: after
+    * [[pcaPower]]'s v₁, the rank-1 projector P ≈ λ·v₁v₁ᵀ/(v₁ᵀv₁) is
+    * subtracted from G and the same power loop runs on G − P. Every
+    * deflation step stays in long range by construction:
+    * w = sign(u)·(|u| div scale) with u = G·v₁ (≤ the iteration bound);
+    * S = Σ v·w and vv = Σ v² (≤ D·scale·|w|, guarded);
+    * a = sign(S)·(|S| div vv) ≈ λ/scale; and
+    * P_ij = sign(t)·(|t| div (vv div scale)) with t = a·vᵢ·vⱼ
+    * (|t| ≤ |a|·scale² — guarded). Every div operand is non-negative —
+    * the regime where Spark's `div` and DuckDB's `//` agree — so the
+    * oracle unrolls the identical deflation as CTEs. Output: both
+    * directions as (comp_id, dim, comp, loading). */
+  def pcaTop2(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      gramDiv: Long = 10000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = emb.sparkSession
+    collectGram(emb, scale, gramDiv, idCol, vecCol) match {
+      case None =>
+        emptyPcaResult(s,
+          "comp_id BIGINT, dim BIGINT, comp BIGINT, loading DOUBLE")
+      case Some(gm) =>
+        val d = gm.length
+        val v1 = powerIterate(gm, iters, scale)
+        val u = matvec(gm, v1)
+        val w = u.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / scale))
+        var sAcc = BigInt(0); var vvAcc = 0L
+        var i = 0
+        while (i < d) {
+          sAcc += BigInt(v1(i)) * BigInt(w(i)); vvAcc += v1(i) * v1(i)
+          i += 1
+        }
+        require(sAcc.abs <= Long.MaxValue,
+          s"pcaTop2: Σ v·w = $sAcc overflows — raise `gramDiv`")
+        val sL = sAcc.toLong
+        val vv = math.max(vvAcc, 1L)
+        val aC = (if (sL < 0) -1L else 1L) * (math.abs(sL) / vv)
+        require(BigInt(math.abs(aC)) * BigInt(scale) * BigInt(scale)
+            <= Long.MaxValue,
+          s"pcaTop2: projector term |a|=$aC overflows at scale=$scale")
+        val div = math.max(vv / scale, 1L)
+        val g2 = Array.tabulate(d, d) { (i2, j2) =>
+          val t = aC * v1(i2) * v1(j2)
+          gm(i2)(j2) - (if (t < 0) -1L else 1L) * (math.abs(t) / div)
+        }
+        val maxAbsG2 = g2.iterator.flatMap(_.iterator).map(math.abs).max
+        require(BigInt(maxAbsG2) * BigInt(2L * scale) * BigInt(d)
+            <= Long.MaxValue,
+          s"pcaTop2: deflated |gram| up to $maxAbsG2 overflows the " +
+            s"second power iteration — raise `gramDiv`")
+        val v2 = powerIterate(g2, iters, scale)
+        val out = v1.toIndexedSeq.zipWithIndex.map { case (c, i2) =>
+            (1L, i2.toLong, c) } ++
+          v2.toIndexedSeq.zipWithIndex.map { case (c, i2) =>
+            (2L, i2.toLong, c) }
+        s.createDataFrame(s.sparkContext.parallelize(out, 1))
+          .toDF("comp_id", "dim", "comp")
+          .select(col("comp_id"), col("dim"), col("comp"),
+            round(col("comp") / lit(scale.toDouble), 6).as("loading"))
+    }
   }
 
   /** Project every vector onto [[pcaPower]]'s top principal direction —

@@ -1691,6 +1691,15 @@ object CBlock {
         .orderBy(col("dim"))
     }),
 
+    "emb_pca2" -> ((s, dir) => {
+      // top-2 principal directions by integer-lattice DEFLATION: the
+      // rank-1 projector subtracts from the collected Gram and the
+      // same power loop runs again — all driver-side model-state work,
+      // no second corpus pass beyond the one Gram aggregation
+      Similarity.pcaTop2(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("comp_id"), col("dim"))
+    }),
+
     "emb_pca_project" -> ((s, dir) => {
       // every vector projected onto the top principal direction: the
       // integer dot product of the lattice quantization against the
@@ -2361,6 +2370,58 @@ object CBlock {
        |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
        |),
        |$iterCtes""".stripMargin
+  }
+
+  /** Deflation + second power loop over [[pcaChainCtes]]'s g/v3 —
+    * mirrors Similarity.pcaTop2's integer arithmetic step for step
+    * (every div operand non-negative via the sign/abs spelling). */
+  private def pca2OracleBody(from: String, prefix: String): String = {
+    val iter2 = (1 to 3).map { k =>
+      s"""p$k AS (
+         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+         |  FROM g2 g JOIN pv${k - 1} v ON g.j = v.i GROUP BY 1
+         |), pm$k AS (
+         |  SELECT greatest(max(abs(u)) // 1000000, 1) AS md FROM p$k
+         |), pv$k AS (
+         |  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+         |    * (abs(u) // md) AS v
+         |  FROM p$k, pm$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    prefix + pcaChainCtes(from) +
+      s""",
+         |u4 AS (
+         |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
+         |  FROM g JOIN v3 v ON g.j = v.i GROUP BY 1
+         |), wq AS (
+         |  SELECT i, (CASE WHEN u < 0 THEN -1 ELSE 1 END)
+         |    * (abs(u) // 1000000) AS w
+         |  FROM u4
+         |), sv AS (
+         |  SELECT CAST(SUM(v.v * w.w) AS BIGINT) AS s,
+         |    greatest(CAST(SUM(v.v * v.v) AS BIGINT), 1) AS vv
+         |  FROM v3 v JOIN wq w ON v.i = w.i
+         |), ac AS (
+         |  SELECT (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+         |      * (abs(s) // vv) AS a,
+         |    greatest(vv // 1000000, 1) AS dv
+         |  FROM sv
+         |), g2 AS (
+         |  SELECT g.i, g.j,
+         |    g.g - (CASE WHEN a * vi.v * vj.v < 0 THEN -1 ELSE 1 END)
+         |        * (abs(a * vi.v * vj.v) // dv) AS g
+         |  FROM g JOIN v3 vi ON g.i = vi.i JOIN v3 vj ON g.j = vj.i
+         |    CROSS JOIN ac
+         |), pv0 AS (
+         |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
+         |),
+         |$iter2
+         |SELECT CAST(1 AS BIGINT) AS comp_id, CAST(i AS BIGINT) AS dim,
+         |  v AS comp, ROUND(v / 1000000.0, 6) AS loading FROM v3
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), CAST(i AS BIGINT), v,
+         |  ROUND(v / 1000000.0, 6) FROM pv3
+         |ORDER BY comp_id, dim""".stripMargin
   }
 
   private def pcaOracleBody(from: String, prefix: String): String =
@@ -5188,6 +5249,8 @@ object CBlock {
     // same iteration chain over the planted-cluster relation
     "emb_pca_planted" ->
       pcaOracleBody("pemb", "WITH " + plantedCte + ",\n"),
+
+    "emb_pca2" -> pca2OracleBody("embeddings", "WITH "),
 
     "emb_pca_project" ->
       s"""WITH ${pcaChainCtes("embeddings")},

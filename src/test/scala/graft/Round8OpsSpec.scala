@@ -86,6 +86,32 @@ class Round8OpsSpec extends SparkSpec {
     assert(got == brute)
   }
 
+  test("pcaTop2: first direction equals pcaPower's; second is near-orthogonal") {
+    val emb = (0 until 200).map { i =>
+      // two planted directions: strong on dims 0-1, weaker on dims 2-3
+      val v = Array.fill(64)(0.0f)
+      if (i % 2 == 0) { v(0) = 1.0f; v(1) = 0.5f }
+      else { v(2) = 0.8f; v(3) = -0.4f }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val both = Similarity.pcaTop2(emb).collect()
+      .groupBy(_.getAs[Long]("comp_id"))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("comp"))
+      }
+    val v1 = both(1L); val v2 = both(2L)
+    val first = Similarity.pcaPower(emb).collect()
+      .sortBy(_.getAs[Long]("dim")).map(_.getAs[Long]("comp"))
+    assert(v1.toSeq == first.toSeq,
+      "comp_id 1 must be exactly the pcaPower direction")
+    def dot(a: Array[Long], b: Array[Long]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val cos = dot(v1, v2) /
+      (math.sqrt(dot(v1, v1)) * math.sqrt(dot(v2, v2)))
+    assert(math.abs(cos) < 0.15,
+      s"deflated direction must be near-orthogonal, cos=$cos")
+  }
+
   test("bloomFpr: shared grams are all positive and rates are consistent") {
     val r = Dedup.bloomFpr(docs.filter(col("doc_id") > 2),
       docs.filter(col("doc_id") <= 2), n = 3).collect().head
