@@ -53,6 +53,32 @@ object ABlock {
       rolloverGens(msgs, s, dir).orderBy(col("topic"), col("gen"))
     }),
 
+    "sync_rollover_stream" -> ((s, dir) => {
+      // A31's generation assignment AT INGEST, across REAL
+      // micro-batches: the per-topic cumulative-bytes counter carries
+      // in flatMapGroupsWithState state (one long per topic — the
+      // smallest state here), the in-order replay reproduces the batch
+      // cumsum exactly, and the aggregated generations land on
+      // sync_rollover's own oracle
+      import org.apache.spark.sql.expressions.Window
+      val m = msgs(s, dir)
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = m
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .rolledGenerations(s, batched, nBatches = 5)
+        .groupBy(col("topic"), col("gen"))
+        .agg(count(lit(1)).as("n_msgs"), sum(col("bytes")).as("gen_bytes"))
+        .withColumn("index_name",
+          concat(col("topic"), lit("-g"), col("gen").cast("string")))
+        .select(col("topic"), col("gen"), col("index_name"),
+          col("n_msgs"), col("gen_bytes"))
+        .orderBy(col("topic"), col("gen"))
+    }),
+
     "sync_expire_plan" -> ((s, dir) => {
       // the ILM DELETE-phase plan over the rollover generations
       // (Retention.expireGenerations' decision relation, made
@@ -478,23 +504,28 @@ object ABlock {
     }),
   )
 
+  /** sync_rollover's SQL — shared verbatim by the streamed twin (the
+    * stateful counter must reproduce the batch cumsum exactly). */
+  private val rolloverOracleSql: String =
+    """WITH m AS (
+      |  SELECT event_id AS msg_id, event_type AS topic, props AS data
+      |  FROM events
+      |), c AS (
+      |  SELECT topic, msg_id, COALESCE(len(data), 0) AS bytes,
+      |    SUM(COALESCE(len(data), 0)) OVER (PARTITION BY topic
+      |      ORDER BY msg_id ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM m
+      |)
+      |SELECT topic, CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS gen,
+      |  topic || '-g' ||
+      |    CAST(CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS VARCHAR)
+      |      AS index_name,
+      |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
+      |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin
+
   val oracle: Map[String, String] = Map(
-    "sync_rollover" ->
-      """WITH m AS (
-        |  SELECT event_id AS msg_id, event_type AS topic, props AS data
-        |  FROM events
-        |), c AS (
-        |  SELECT topic, msg_id, COALESCE(len(data), 0) AS bytes,
-        |    SUM(COALESCE(len(data), 0)) OVER (PARTITION BY topic
-        |      ORDER BY msg_id ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM m
-        |)
-        |SELECT topic, CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS gen,
-        |  topic || '-g' ||
-        |    CAST(CAST((greatest(cum, 1) - 1) // 16384 AS BIGINT) AS VARCHAR)
-        |      AS index_name,
-        |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
-        |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin,
+    "sync_rollover" -> rolloverOracleSql,
+    "sync_rollover_stream" -> rolloverOracleSql,
 
     "sync_expire_plan" ->
       """WITH m AS (

@@ -261,6 +261,24 @@ object StreamedBatch {
     }
   }
 
+  /** [[StreamingRollover.assignGenerations]] across REAL micro-batches:
+    * the in-order message stream replays one file per micro-batch, the
+    * per-topic cumulative-bytes counter SURVIVES batch boundaries in
+    * state, and the per-message generation assignments — aggregated
+    * back to generations — must land on sync_rollover's own oracle. */
+  def rolledGenerations(s: SparkSession, batched: DataFrame,
+      nBatches: Int): DataFrame = {
+    import s.implicits._
+    throughChunkedStream(s, "roll", nBatches,
+      (batched, Seq("msg_id", "topic", "data"))) { (ss, srcs) =>
+      val stream = ss.readStream
+        .schema("msg_id LONG, topic STRING, data STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .as[StreamingRollover.Msg]
+      StreamingRollover.assignGenerations(stream).toDF().writeStream
+    }
+  }
+
   /** [[graft.operators.Curation.hashedLinearScore]] + shard assignment
     * run as STREAMING projections (the score-as-you-ingest seam of
     * StreamingCurationSpec promoted to an oracle row): stateless narrow
