@@ -79,6 +79,45 @@ object ABlock {
         .orderBy(col("topic"), col("gen"))
     }),
 
+    "sync_rollover_multibatch" -> ((s, dir) => {
+      // the rollover counter under REDELIVERY (the multi-batch replay
+      // family applied to cumulative state): every 17th message
+      // arrives after the whole rest of the stream, so its bytes land
+      // in a LATER generation than event order would give (cap 2 KiB here so
+      // each topic spans ~10 generations and the movement is visible at
+      // every SF). The result
+      // is MESSAGE-granular over the planted subset — per-generation
+      // aggregates would hide the reassignment (uniform payload sizes
+      // keep the byte boundaries put) — with the live stream's
+      // arrival-order gen next to the event-order gen
+      import org.apache.spark.sql.expressions.Window
+      val m = msgs(s, dir)
+      val n = m.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = m
+        .withColumn("arrival", col("msg_id") +
+          when(pmod(col("msg_id"), lit(17)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("msg_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val wEvent = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val eventGen = m
+        .withColumn("bytes",
+          coalesce(length(col("data")).cast("long"), lit(0L)))
+        .withColumn("cum", sum(col("bytes")).over(wEvent))
+        .select(col("msg_id"),
+          expr("(greatest(cum, 1) - 1) div 2048").as("gen_event"))
+      graft.streaming.StreamedBatch
+        .rolledGenerations(s, batched, nBatches = 5, capBytes = 2048L)
+        .filter(pmod(col("msg_id"), lit(17)) === 0)
+        .join(eventGen, "msg_id")
+        .select(col("msg_id"), col("topic"),
+          col("gen").as("gen_arrival"), col("gen_event"),
+          (col("gen") > col("gen_event")).as("moved"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_expire_plan" -> ((s, dir) => {
       // the ILM DELETE-phase plan over the rollover generations
       // (Retention.expireGenerations' decision relation, made
@@ -526,6 +565,44 @@ object ABlock {
   val oracle: Map[String, String] = Map(
     "sync_rollover" -> rolloverOracleSql,
     "sync_rollover_stream" -> rolloverOracleSql,
+
+    // the cumsum in (batch, msg_id) ARRIVAL order under the
+    // every-17th-redelivered plant, message-granular over the planted
+    // subset, next to the event-order assignment
+    "sync_rollover_multibatch" ->
+      """WITH nn AS (SELECT count(*) AS n FROM events),
+        |ar AS (
+        |  SELECT event_id, event_type, props,
+        |    event_id + CASE WHEN event_id % 17 = 0
+        |      THEN nn.n ELSE 0 END AS arrival
+        |  FROM events, nn
+        |), rk AS (
+        |  SELECT event_id, event_type, props,
+        |    row_number() OVER (ORDER BY arrival, event_id) - 1 AS rk
+        |  FROM ar
+        |), bt AS (
+        |  SELECT event_id AS msg_id, event_type AS topic, props AS data,
+        |    rk // greatest((nn.n + 4) // 5, 1) AS batch
+        |  FROM rk, nn
+        |), c AS (
+        |  SELECT msg_id, topic,
+        |    SUM(COALESCE(len(data), 0)) OVER (PARTITION BY topic
+        |      ORDER BY batch, msg_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM bt
+        |), e AS (
+        |  SELECT event_id AS msg_id,
+        |    SUM(COALESCE(len(props), 0)) OVER (PARTITION BY event_type
+        |      ORDER BY event_id ROWS UNBOUNDED PRECEDING) AS cume
+        |  FROM events
+        |)
+        |SELECT c.msg_id, c.topic,
+        |  CAST((greatest(c.cum, 1) - 1) // 2048 AS BIGINT) AS gen_arrival,
+        |  CAST((greatest(e.cume, 1) - 1) // 2048 AS BIGINT) AS gen_event,
+        |  (greatest(c.cum, 1) - 1) // 2048
+        |    > (greatest(e.cume, 1) - 1) // 2048 AS moved
+        |FROM c JOIN e ON c.msg_id = e.msg_id
+        |WHERE c.msg_id % 17 = 0
+        |ORDER BY c.msg_id""".stripMargin,
 
     "sync_expire_plan" ->
       """WITH m AS (

@@ -267,7 +267,7 @@ object StreamedBatch {
     * state, and the per-message generation assignments — aggregated
     * back to generations — must land on sync_rollover's own oracle. */
   def rolledGenerations(s: SparkSession, batched: DataFrame,
-      nBatches: Int): DataFrame = {
+      nBatches: Int, capBytes: Long = 16384L): DataFrame = {
     import s.implicits._
     throughChunkedStream(s, "roll", nBatches,
       (batched, Seq("msg_id", "topic", "data"))) { (ss, srcs) =>
@@ -275,7 +275,8 @@ object StreamedBatch {
         .schema("msg_id LONG, topic STRING, data STRING")
         .option("maxFilesPerTrigger", "1").parquet(srcs.head)
         .as[StreamingRollover.Msg]
-      StreamingRollover.assignGenerations(stream).toDF().writeStream
+      StreamingRollover.assignGenerations(stream, capBytes)
+        .toDF().writeStream
     }
   }
 
