@@ -1136,6 +1136,34 @@ object CBlock {
         .orderBy(col("fold"), col("source"))
     }),
 
+    "text_templates" -> ((s, dir) => {
+      // boilerplate TEMPLATE detection (the near-dup class exact dedup
+      // misses and minhash over-matches): texts identical after masking
+      // digit runs share a template key; a TRUE template group has > 1
+      // distinct raw text. The "same page, different session id" shape
+      // is planted as ground truth (the dedup_eval twin pattern): every
+      // 13th doc gets an id-offset twin, and every doc is stamped with
+      // its own id — twins' raws diverge, masked keys collide, so the
+      // detector must find exactly the planted groups. One agg on the
+      // masked-key hash.
+      val base = Tables.documents(s, dir)
+      val twins = base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val stamped = base.unionByName(twins)
+        .withColumn("text",
+          concat(col("text"), lit(" req "), col("doc_id").cast("string")))
+      val tmplKey = graft.plans.native.poly_hash(
+        regexp_replace(col("text"), "[0-9]+", "#"))
+      stamped
+        .select(col("doc_id"), tmplKey.as("tmpl_hash"),
+          graft.plans.native.poly_hash(col("text")).as("raw_hash"))
+        .groupBy(col("tmpl_hash"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_docs"),
+          countDistinct(col("raw_hash")).as("n_variants"))
+        .filter(col("n_docs") > 1 && col("n_variants") > 1)
+        .orderBy(col("keeper"))
+    }),
+
     "curate_dup_rate" -> ((s, dir) => {
       // per-source exact-dup pressure: the mixture designer's readout
       Curation.dupRateBySource(Tables.documents(s, dir))
@@ -4272,6 +4300,28 @@ object CBlock {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
          |  min(doc_id) AS min_id
          |FROM k GROUP BY 1, 2 ORDER BY fold, source""".stripMargin,
+
+    "text_templates" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 13 = 0
+         |), st AS (
+         |  SELECT doc_id,
+         |    text || ' req ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM corpus
+         |), k AS (
+         |  SELECT doc_id,
+         |    ${ph("regexp_replace(text, '[0-9]+', '#', 'g')")} AS tmpl_hash,
+         |    ${ph("text")} AS raw_hash
+         |  FROM st
+         |)
+         |SELECT tmpl_hash, min(doc_id) AS keeper, count(*) AS n_docs,
+         |  CAST(count(DISTINCT raw_hash) AS BIGINT) AS n_variants
+         |FROM k GROUP BY 1
+         |HAVING count(*) > 1 AND count(DISTINCT raw_hash) > 1
+         |ORDER BY keeper""".stripMargin,
 
     "curate_dup_rate" ->
       s"""WITH k AS (
