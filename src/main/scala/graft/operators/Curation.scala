@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.Portable
 import graft.plans.native
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1131,6 +1131,34 @@ object Curation {
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .select(col(idCol), col(strataCol), col("sample_rank"))
+  }
+
+  /** WEIGHTED deterministic exact-k per-stratum sample: like
+    * [[sampleExactK]] but each row's inclusion odds scale with an
+    * integer weight (length-proportional sampling is the canonical use —
+    * a 10× longer doc should be ~10× as likely in a token-budgeted
+    * draw). Priority = (u · 10⁶) div max(w, 1) with u the same affine-
+    * rehashed id hash ∈ [0, M): dividing the uniform key by the weight
+    * is the integer-lattice skeleton of the Efraimidis–Spirakis
+    * u^(1/w) scheme — monotone in w, exactly reproducible (no pow/log,
+    * both engines floor-divide non-negatives identically; u·10⁶ <
+    * 2.2·10¹⁵ cannot overflow). Keep the k smallest (priority, id) per
+    * stratum. Same bottom-k shape as sampleExactK, so the same
+    * WindowGroupLimit partial-top-k and the same shard-merge theorem
+    * apply (bottom-k under ANY fixed total order merges). */
+  def sampleWeightedK(docs: DataFrame, k: Int, weight: Column,
+      strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
+    val u = (native.poly_hash(concat(lit("sample:"), col(idCol).cast("string")))
+      * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+      graft.plans.HashOps.M
+    val prio = expr(s"(__u * 1000000) div greatest(CAST(__w AS BIGINT), 1)")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__p"), col(idCol))
+    docs.withColumn("__u", u).withColumn("__w", weight)
+      .withColumn("__p", prio)
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col(strataCol), col("__p").as("priority"),
+        col("sample_rank"))
   }
 
   def knScore(docs: DataFrame, tau: Double = 0.01,

@@ -50,6 +50,40 @@ object Temporal {
         round(col("mean7"), 6).as("mean7"), col("z"))
   }
 
+  /** One-sided upper CUSUM changepoint score over dense per-(topic, day)
+    * counts — the sustained-drift detector the z-score anomaly rows
+    * (volumeAnomaly) can't express: a level shift of +1σ/day never fires
+    * a z alarm but accumulates linearly in the CUSUM.
+    *
+    * Semantics: per topic, reference level k = sum(n) div days (integer),
+    * deviation x_t = n_t − k, and s_t = max(0, s_{t−1} + x_t). The
+    * recursion is NOT window-expressible directly, but has the exact
+    * closed form s_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum
+    * of x — two cumulative windows PARTITIONED by topic, all integer
+    * arithmetic (portable across engines bit-for-bit). Alarm when
+    * s_t > hMult·k. Days densified per topic (a drift INTO silence must
+    * keep accumulating), same calendar-explode shape as volumeAnomaly:
+    * #topics × span rows, never corpus-bounded.
+    * Input `daily`: (topic, day DATE, n LONG). */
+  def cusum(daily: DataFrame, hMult: Long = 4L): DataFrame = {
+    val dense = daily.groupBy(col("topic"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("topic"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("topic", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val k = dense.groupBy(col("topic"))
+      .agg(expr("CAST(sum(n) AS BIGINT) div count(*)").as("kk"))
+    val w = Window.partitionBy(col("topic")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dense.join(broadcast(k), Seq("topic"))
+      .withColumn("p", sum(col("n") - col("kk")).over(w))
+      .withColumn("cusum",
+        col("p") - least(lit(0L), min(col("p")).over(w)))
+      .select(col("topic"), col("day"), col("n"), col("cusum"),
+        (col("cusum") > lit(hMult) * col("kk")).cast("int").as("alarm"))
+  }
+
   /** As-of join: for each left row, the latest right row with
     * right.ts <= left.ts (inclusive) under the same key.
     *

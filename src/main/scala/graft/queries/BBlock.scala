@@ -762,6 +762,40 @@ object BBlock {
         .orderBy(col("topic"), col("day"))
     }),
 
+    "q_cusum" -> ((s, dir) => {
+      // sustained-drift changepoint score: one-sided upper CUSUM per
+      // topic over calendar-dense daily counts — the detector class the
+      // z-score rows can't express (a +1σ/day level shift never fires a
+      // z alarm but accumulates linearly here). The max(0, s+x) recursion
+      // runs as its exact prefix-sum closed form (two topic-partitioned
+      // cumulative windows, all-integer — see Temporal.cusum); the daily
+      // rollup is the only corpus-sized pass at 100 TB
+      graft.operators.Temporal.cusum(
+          eventsUs(s, dir)
+            .groupBy(col("event_type").as("topic"),
+              to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("n")),
+          hMult = 4L)
+        .orderBy(col("topic"), col("day"))
+    }),
+
+    "q_skyline" -> ((s, dir) => {
+      // Pareto front of orders on (totalprice, recency): the
+      // multi-objective "best trade-offs" operator, computed by the
+      // staircase decomposition in Pareto.skyline2d (groupBy-x max,
+      // two-level prefix max, broadcast join back) instead of the
+      // O(n²) NOT-EXISTS self-join the oracle spells — same integer
+      // comparisons, so the two derivations agree bit-for-bit
+      graft.operators.Pareto.skyline2d(
+          Tables.orders(s, dir).select(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"),
+            datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+              .cast("long").as("day_n")),
+          "price_c", "day_n")
+        .select(col("o_orderkey"), col("price_c"), col("day_n"))
+        .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
+    }),
+
     "q_time_window" -> ((s, dir) => {
       // THE canonical 100 TB event query: aggregate over a time window.
       // Rides the pushdown-friendly eventsUs shape, so the ts range
@@ -1908,6 +1942,54 @@ object BBlock {
         |  END AS z
         |FROM win WHERE w_n = 7
         |ORDER BY topic, day""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type AS topic, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT topic, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+        |), cal AS (
+        |  SELECT s.topic, CAST(u.d AS DATE) AS day
+        |  FROM spans s,
+        |    unnest(generate_series(CAST(s.d0 AS TIMESTAMP),
+        |      CAST(s.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+        |), dense AS (
+        |  SELECT c.topic, c.day, CAST(COALESCE(dy.n, 0) AS BIGINT) AS n
+        |  FROM cal c LEFT JOIN daily dy ON dy.topic = c.topic AND dy.day = c.day
+        |), k AS (
+        |  SELECT topic, CAST(sum(n) AS BIGINT) // count(*) AS kk
+        |  FROM dense GROUP BY 1
+        |), pre AS (
+        |  SELECT d.topic, d.day, d.n, k.kk,
+        |    CAST(sum(d.n - k.kk) OVER (PARTITION BY d.topic ORDER BY d.day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+        |  FROM dense d JOIN k USING (topic)
+        |), cur AS (
+        |  SELECT topic, day, n, kk, p,
+        |    p - least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY topic
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS cusum
+        |  FROM pre
+        |)
+        |SELECT topic, day, n, cusum,
+        |  CAST(cusum > 4 * kk AS INT) AS alarm
+        |FROM cur ORDER BY topic, day""".stripMargin,
+
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+        |  FROM orders
+        |)
+        |SELECT p.o_orderkey, p.price_c, p.day_n FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts a
+        |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
+        |    AND (a.price_c > p.price_c OR a.day_n > p.day_n))
+        |ORDER BY p.price_c DESC, p.day_n, p.o_orderkey""".stripMargin,
 
     "q_time_window" ->
       """SELECT event_type,

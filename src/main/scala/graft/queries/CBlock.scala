@@ -1865,6 +1865,17 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "sample_weighted_k" -> ((s, dir) => {
+      // length-weighted exact-k draw: a token-budgeted sample should
+      // pick long docs proportionally more often — priority divides the
+      // uniform key by the weight (the integer-lattice skeleton of
+      // Efraimidis–Spirakis u^(1/w)), bottom-7 per source; same
+      // WindowGroupLimit partial-top-k shape as sample_exact_k
+      Curation.sampleWeightedK(Tables.documents(s, dir), k = 7,
+          weight = length(col("text")))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "sample_exact_k_merge" -> ((s, dir) => {
       // the sampler's MERGEABILITY through the shard route (the
       // distributed bottom-k theorem behind every reservoir rollup):
@@ -5605,6 +5616,26 @@ object CBlock {
          |    CAST(row_number() OVER (PARTITION BY source
          |      ORDER BY pu, doc_id) AS BIGINT) AS sample_rank
          |  FROM u
+         |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
+
+    "sample_weighted_k" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu,
+         |    greatest(CAST(length(text) AS BIGINT), 1) AS w
+         |  FROM documents
+         |), p AS (
+         |  SELECT doc_id, source,
+         |    CAST((pu * 1000000) // w AS BIGINT) AS priority
+         |  FROM u
+         |)
+         |SELECT doc_id, source, priority, sample_rank FROM (
+         |  SELECT doc_id, source, priority,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+         |  FROM p
          |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
 
     // IDENTICAL SQL to sample_exact_k — the shard-merged draw must
