@@ -116,6 +116,37 @@ object Graph {
     * degree² — bounded for LSH graphs (k-bounded candidate lists), and
     * the standard mitigation for hubs (drop centers above a degree cap)
     * composes as a pre-filter on the adjacency table. */
+  /** Bounded-round k-core peel over the near-dup graph: `rounds`
+    * iterations of "drop every node whose CURRENT degree < k", then the
+    * surviving subgraph's degree table. The 2-core separates redundant
+    * clusters (every member ≥2 near-dup partners — safe to collapse
+    * aggressively) from pendant LSH edges that a single false positive
+    * explains; full convergence is a policy loop on top (the
+    * pageRankFixed convention — fixed rounds keep cost predictable and
+    * the oracle unrollable).
+    *
+    * Pure set logic on integer ids — no arithmetic at all, so any
+    * engine agrees exactly. Scale: each round is one degree agg + two
+    * semi-joins on the edge table (candidate-pair-bounded, never
+    * corpus-bounded); each round's edge set is materialized so plan
+    * depth stays constant across rounds. */
+  def kcorePeel(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    var e = Materialize(edges.select(col("a"), col("b")))
+    for (_ <- 1 to rounds) {
+      val keep = e.select(col("a").as("d")).unionAll(e.select(col("b").as("d")))
+        .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+        .filter(col("degree") >= k)
+        .select(col("d"))
+      e = Materialize(
+        e.join(keep.select(col("d").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("d").as("b")), Seq("b"), "left_semi")
+          .select(col("a"), col("b")))
+    }
+    e.select(col("a").as("d")).unionAll(e.select(col("b").as("d")))
+      .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+      .select(col("d").as("doc_id"), col("degree"))
+  }
+
   def commonNeighbors(edges: DataFrame, minCommon: Long = 2): DataFrame = {
     val e = Materialize(edges.select(col("a"), col("b")))
     val adj = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))

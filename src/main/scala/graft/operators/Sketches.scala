@@ -215,6 +215,40 @@ object Sketches {
       .agg(min(coalesce(col("n"), lit(0L))).as("est"))
   }
 
+  /** CMS INNER-PRODUCT estimate between per-key token streams — the
+    * sketch answer to "how much does source A's token distribution
+    * overlap source B's" without materializing either frequency vector:
+    * for grids sharing the hash functions, est = min over rows k of
+    * Σ_cell n_A[k][cell]·n_B[k][cell], which upper-bounds the true
+    * Σ_w f_A(w)·f_B(w) (collisions only inflate — the classic CMS dot
+    * guarantee). All-integer, so batch/merged/streamed grids give the
+    * IDENTICAL estimate and the oracle verifies it exactly.
+    *
+    * Scale: each per-key grid is ≤ depth·width counters regardless of
+    * corpus size (the same map-side-combined agg as [[cmsCells]]); the
+    * pairwise stage joins grid tables of O(#keys · depth · width) rows —
+    * model-state-sized, never corpus-sized. Overflow bound: cell counts
+    * up to ~3·10⁶ keep Σ_cell n·n inside int64 by ~10³×; corpora beyond
+    * that should sample or widen the grid. */
+  def cmsDot(items: DataFrame, keyCol: Column, itemCol: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val g = items
+      .select(keyCol.as("__src"),
+        explode(cmsCellsOf(native.poly_hash(itemCol), depth, width)).as("kc"))
+      .groupBy(col("__src"), col("kc.k").as("k"), col("kc.cell").as("cell"))
+      .agg(count(lit(1)).as("n"))
+    val a = g.select(col("__src").as("source_a"), col("k"), col("cell"),
+      col("n").as("na"))
+    val b = g.select(col("__src").as("source_b"), col("k"), col("cell"),
+      col("n").as("nb"))
+    a.join(b, Seq("k", "cell"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("k"))
+      .agg(sum(col("na") * col("nb")).as("dk"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(min(col("dk")).as("est_dot"))
+  }
+
   /** CMS-gated exact heavy hitters: items whose frequency is at least
     * `1/fracDenom` of the total item count, found in two passes —
     * (1) build the depth×width count-min grid (a map-side-combined agg

@@ -179,6 +179,20 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // 2-core of the near-dup graph after 3 peel rounds: members with
+      // ≥2 near-dup partners in the surviving subgraph (redundant
+      // clusters — safe to collapse) vs pendant edges a single LSH
+      // false positive explains; bounded rounds keep the oracle
+      // unrollable and the cost predictable
+      val edges = Dedup.minhashEstimates(Tables.documents(s, dir),
+          k = 16, bands = 4)
+        .filter(col("n_match") >= 8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      graft.operators.Graph.kcorePeel(edges, k = 2L, rounds = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_graph_suggest" -> ((s, dir) => {
       // link prediction over the near-dup graph: non-edge pairs sharing
       // >= 1 shared near-dup neighbor — the band-collision near-misses worth
@@ -1009,6 +1023,31 @@ object CBlock {
         .select(col("word"), col("est"),
           coalesce(col("exact"), lit(0L)).as("exact"))
         .orderBy(col("word"))
+    }),
+
+    "sketch_cms_dot" -> ((s, dir) => {
+      // CMS inner-product overlap between per-source token streams:
+      // est = min over grid rows of the cellwise product sum — upper-
+      // bounds the true frequency dot product (collisions only
+      // inflate), computed from model-state-sized grids instead of the
+      // corpus-sized word-count join the exact column runs beside it
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(graft.functions.Portable.tokens(col("text"))).as("word"))
+      val wc = toks.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val exact = wc.select(col("source").as("source_a"),
+          col("word"), col("n").as("na"))
+        .join(wc.select(col("source").as("source_b"), col("word"),
+          col("n").as("nb")), Seq("word"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("na") * col("nb")).as("exact_dot"))
+      graft.operators.Sketches.cmsDot(toks, col("source"), col("word"))
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_dot"),
+          coalesce(col("exact_dot"), lit(0L)).as("exact_dot"))
+        .orderBy(col("source_a"), col("source_b"))
     }),
 
     "sketch_freq_cms_stream" -> ((s, dir) => {
@@ -2984,6 +3023,38 @@ object CBlock {
          |FROM deg LEFT JOIN tpd ON deg.d = tpd.d
          |ORDER BY doc_id""".stripMargin,
 
+    "graph_kcore" ->
+      s"""WITH ${minhashPairsCte()},
+         |ed0 AS (
+         |  SELECT p.doc_a AS a, p.doc_b AS b
+         |  FROM pairs p
+         |  JOIN sig sa ON p.doc_a = sa.doc_id
+         |  JOIN sig sb ON p.doc_b = sb.doc_id
+         |  WHERE list_sum(list_transform(range(1, 17), i ->
+         |    CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) >= 8
+         |), keep1 AS (
+         |  SELECT d FROM (SELECT a AS d FROM ed0 UNION ALL SELECT b FROM ed0)
+         |  GROUP BY 1 HAVING count(*) >= 2
+         |), ed1 AS (
+         |  SELECT a, b FROM ed0
+         |  WHERE a IN (SELECT d FROM keep1) AND b IN (SELECT d FROM keep1)
+         |), keep2 AS (
+         |  SELECT d FROM (SELECT a AS d FROM ed1 UNION ALL SELECT b FROM ed1)
+         |  GROUP BY 1 HAVING count(*) >= 2
+         |), ed2 AS (
+         |  SELECT a, b FROM ed1
+         |  WHERE a IN (SELECT d FROM keep2) AND b IN (SELECT d FROM keep2)
+         |), keep3 AS (
+         |  SELECT d FROM (SELECT a AS d FROM ed2 UNION ALL SELECT b FROM ed2)
+         |  GROUP BY 1 HAVING count(*) >= 2
+         |), ed3 AS (
+         |  SELECT a, b FROM ed2
+         |  WHERE a IN (SELECT d FROM keep3) AND b IN (SELECT d FROM keep3)
+         |)
+         |SELECT d AS doc_id, count(*) AS degree
+         |FROM (SELECT a AS d FROM ed3 UNION ALL SELECT b FROM ed3)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "dedup_graph_suggest" ->
       s"""WITH ${minhashPairsCte()},
          |ed AS (
@@ -4155,6 +4226,38 @@ object CBlock {
          |ORDER BY d.doc_id""".stripMargin,
 
     "sketch_freq_cms" -> cmsOracleSql,
+
+    "sketch_cms_dot" ->
+      s"""WITH w AS (
+         |  SELECT source AS src, unnest($toksSql) AS word FROM documents
+         |), ks AS (
+         |  SELECT unnest(range(0, 4)) AS k
+         |), cells AS (
+         |  SELECT src, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
+         |    count(*) AS n
+         |  FROM w, ks GROUP BY 1, 2, 3
+         |), dk AS (
+         |  SELECT a.src AS source_a, b.src AS source_b, a.k,
+         |    CAST(sum(a.n * b.n) AS BIGINT) AS d
+         |  FROM cells a JOIN cells b
+         |    ON a.k = b.k AND a.cell = b.cell AND a.src < b.src
+         |  GROUP BY 1, 2, 3
+         |), est AS (
+         |  SELECT source_a, source_b, CAST(min(d) AS BIGINT) AS est_dot
+         |  FROM dk GROUP BY 1, 2
+         |), wc AS (
+         |  SELECT src, word, count(*) AS n FROM w GROUP BY 1, 2
+         |), ex AS (
+         |  SELECT a.src AS source_a, b.src AS source_b,
+         |    CAST(sum(a.n * b.n) AS BIGINT) AS exact_dot
+         |  FROM wc a JOIN wc b ON a.word = b.word AND a.src < b.src
+         |  GROUP BY 1, 2
+         |)
+         |SELECT e.source_a, e.source_b, e.est_dot,
+         |  COALESCE(x.exact_dot, 0) AS exact_dot
+         |FROM est e LEFT JOIN ex x USING (source_a, source_b)
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // IDENTICAL SQL to sketch_freq_cms — the streaming grid must
     // estimate exactly what the batch grid does
