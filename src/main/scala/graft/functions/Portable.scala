@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Portable deterministic text/hash arithmetic, expressible identically in
@@ -120,6 +120,46 @@ object Portable {
         pmod(shiftright(a.cast("long"), i), lit(2L)) * lit(1L << (2 * i + 1)) +
         pmod(shiftright(b.cast("long"), i), lit(2L)) * lit(1L << (2 * i))
     }
+
+  /** Hilbert-curve key of two non-negative integer columns (`bits` bits
+    * per dim), appended as column `out` — the space-filling order whose
+    * consecutive keys are always GRID-ADJACENT, unlike Morton's quadrant
+    * jumps, so equal-count key ranges get tighter per-dim bounding boxes
+    * (better file-stat pruning at the same file count).
+    *
+    * The classic xy2d bit descent (public-domain formulation): at each
+    * scale s = 2^i, quadrant q = (3·rx) XOR ry advances d by s²·q, then
+    * the frame reflects/transposes (ry=0: swap, rx=1: point-reflect) so
+    * the next bit is read in the rotated frame. The per-step state
+    * (x, y, d) is materialized as real columns — 3·bits narrow integer
+    * projections, one codegen stage, no UDF — and every operation is
+    * integer compare/add/shift, so the DuckDB oracle unrolls the same
+    * steps as chained CTEs and agrees exactly. */
+  def withHilbert(df: DataFrame, a: Column, b: Column, bits: Int,
+      out: String): DataFrame = {
+    val bigN = 1L << bits
+    var cur = df.withColumn("__hx", a.cast("long"))
+      .withColumn("__hy", b.cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val rx = pmod(shiftright(col("__hx"), i), lit(2L))
+      val ry = pmod(shiftright(col("__hy"), i), lit(2L))
+      val quad = when(rx === 0L && ry === 0L, 0L)
+        .when(rx === 0L, 1L).when(ry === 0L, 3L).otherwise(2L)
+      val nx = when(ry === 1L, col("__hx"))
+        .when(rx === 1L, lit(bigN - 1) - col("__hy"))
+        .otherwise(col("__hy"))
+      val ny = when(ry === 1L, col("__hy"))
+        .when(rx === 1L, lit(bigN - 1) - col("__hx"))
+        .otherwise(col("__hx"))
+      cur = cur.withColumn("__hd", col("__hd") + lit(s * s) * quad)
+        .withColumn("__tx", nx).withColumn("__ty", ny)
+        .drop("__hx", "__hy")
+        .withColumnRenamed("__tx", "__hx").withColumnRenamed("__ty", "__hy")
+    }
+    cur.withColumn(out, col("__hd")).drop("__hx", "__hy", "__hd")
+  }
 
   /** Jaccard similarity of two array columns treated as sets. */
   def jaccard(a: Column, b: Column): Column =

@@ -762,6 +762,37 @@ object BBlock {
         .orderBy(col("topic"), col("day"))
     }),
 
+    "q_bitemporal" -> ((s, dir) => {
+      // bitemporal as-of: the state believed AT transaction cutoff TX
+      // (only records ingested by then, TX = ¾ of the id range) vs the
+      // CURRENT belief about the same valid instant V — the two-axis
+      // read scd2_intervals (valid time) and cdc_apply (transaction
+      // time) each cover one half of. `revised` flags users whose
+      // pre-V history was retroactively rewritten by late arrivals.
+      // Both reads are user-partitioned rank windows over the SAME
+      // V-filtered base (one corpus pass, pushdown-friendly ts bound);
+      // TX is a broadcast 1-row scalar
+      val ev = eventsUs(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), col("ts"))
+      val v = lit("2024-01-20 00:00:00").cast("timestamp")
+      val txCut = ev.agg(expr("(max(event_id) * 3) div 4").as("tx"))
+      val base = ev.filter(col("ts") <= v).crossJoin(broadcast(txCut))
+      val wCur = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val cur = base.withColumn("rn", row_number().over(wCur))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("state_current"))
+      val atx = base.filter(col("event_id") <= col("tx"))
+        .withColumn("rn", row_number().over(wCur))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("state_asof_tx"))
+      cur.join(atx, Seq("user_id"), "left")
+        .select(col("user_id"), col("state_current"), col("state_asof_tx"),
+          (!(col("state_current") <=> col("state_asof_tx"))).cast("int")
+            .as("revised"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_cusum" -> ((s, dir) => {
       // sustained-drift changepoint score: one-sided upper CUSUM per
       // topic over calendar-dense daily counts — the detector class the
@@ -1942,6 +1973,31 @@ object BBlock {
         |  END AS z
         |FROM win WHERE w_n = 7
         |ORDER BY topic, day""".stripMargin,
+
+    "q_bitemporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events
+        |), tx AS (
+        |  SELECT CAST((max(event_id) * 3) // 4 AS BIGINT) AS tx FROM ev
+        |), base AS (
+        |  SELECT * FROM ev WHERE t <= TIMESTAMP '2024-01-20 00:00:00'
+        |), cur AS (
+        |  SELECT user_id, event_type AS state_current FROM (
+        |    SELECT user_id, event_type, row_number() OVER (
+        |      PARTITION BY user_id ORDER BY t DESC, event_id DESC) AS rn
+        |    FROM base) WHERE rn = 1
+        |), atx AS (
+        |  SELECT user_id, event_type AS state_asof_tx FROM (
+        |    SELECT b.user_id, b.event_type, row_number() OVER (
+        |      PARTITION BY b.user_id ORDER BY b.t DESC, b.event_id DESC) AS rn
+        |    FROM base b, tx WHERE b.event_id <= tx.tx) WHERE rn = 1
+        |)
+        |SELECT c.user_id, c.state_current, a.state_asof_tx,
+        |  CAST(c.state_current IS DISTINCT FROM a.state_asof_tx AS INT)
+        |    AS revised
+        |FROM cur c LEFT JOIN atx a USING (user_id)
+        |ORDER BY c.user_id""".stripMargin,
 
     "q_cusum" ->
       """WITH daily AS (

@@ -1476,6 +1476,31 @@ object CBlock {
         .orderBy(col("file_id"))
     }),
 
+    "shard_hilbert" -> ((s, dir) => {
+      // HILBERT-clustered layout audit — shard_zorder's sibling under
+      // the curve whose consecutive keys are always grid-adjacent
+      // (Morton jumps quadrants): same rank-into-32-files readout, so
+      // the per-file [min,max] footer bounds are directly comparable
+      // row-for-row with shard_zorder's. The xy2d bit descent runs as
+      // 16 narrow integer column steps (Portable.withHilbert — one
+      // codegen stage, no UDF); file assignment is the same two-phase
+      // global rank, (rank·32) div n exact
+      val withH = graft.functions.Portable.withHilbert(
+        Tables.lineitem(s, dir).select(col("l_partkey"), col("l_suppkey"),
+          col("l_orderkey"), col("l_linenumber")),
+        col("l_partkey"), col("l_suppkey"), 16, "h")
+      val ranked = Curation.globalRank(withH,
+        Seq(col("h"), col("l_orderkey"), col("l_linenumber")), "rk")
+      ranked
+        .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+        .withColumn("file_id", expr("(rk * 32) div n"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy(col("file_id"))
+    }),
+
     "shard_zorder_prune" -> ((s, dir) => {
       // the pruning BENEFIT of a z-ordered layout as data: for point
       // probes on either dimension, how many of the 32 files' [min,max]
@@ -5004,6 +5029,43 @@ object CBlock {
          |  SELECT *,
          |    row_number() OVER (ORDER BY z, l_orderkey, l_linenumber) - 1 AS rk
          |  FROM z
+         |), n AS (SELECT count(*) AS n FROM lineitem)
+         |SELECT (rk * 32) // n AS file_id, count(*) AS n_rows,
+         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+         |FROM r, n GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+
+    "shard_hilbert" -> {
+      // the same xy2d descent as Portable.withHilbert, unrolled as 16
+      // chained CTEs; p.-qualified references pin every x/y/d to the
+      // PREVIOUS step (no lateral-alias ambiguity)
+      val n1 = (1L << 16) - 1
+      val steps = ((15 to 0 by -1).zipWithIndex).map { case (i, idx) =>
+        val s = 1L << i
+        val rx = s"(p.x // $s) % 2"
+        val ry = s"(p.y // $s) % 2"
+        s"""h${idx + 1} AS (
+           |  SELECT p.l_orderkey, p.l_linenumber, p.l_partkey, p.l_suppkey,
+           |    CASE WHEN $ry = 1 THEN p.x
+           |         WHEN $rx = 1 THEN $n1 - p.y ELSE p.y END AS x,
+           |    CASE WHEN $ry = 1 THEN p.y
+           |         WHEN $rx = 1 THEN $n1 - p.x ELSE p.x END AS y,
+           |    p.d + ${s * s} * (CASE WHEN $rx = 0 AND $ry = 0 THEN 0
+           |      WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END) AS d
+           |  FROM h$idx p)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |    CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
+         |    CAST(0 AS BIGINT) AS d
+         |  FROM lineitem
+         |),
+         |$steps,
+         |r AS (
+         |  SELECT *,
+         |    row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) - 1 AS rk
+         |  FROM h16
          |), n AS (SELECT count(*) AS n FROM lineitem)
          |SELECT (rk * 32) // n AS file_id, count(*) AS n_rows,
          |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
