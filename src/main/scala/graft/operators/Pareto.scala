@@ -29,30 +29,39 @@ object Pareto {
     * both dims, strictly greater on none). All comparisons are integer,
     * so batch, oracle, and merge routes agree bit-for-bit. `xCol`/`yCol`
     * must be integral; `bucketWidth` only affects parallelism, not the
-    * result (the two-level prefix max is exact for any width). */
+    * result (the two-level prefix max is exact for any width).
+    *
+    * `groupCols` computes an INDEPENDENT skyline per group — the local
+    * phase of the shard-merge route (local prune only ever removes
+    * dominated points, dominance is transitive, so per-shard skyline →
+    * union → global skyline ≡ the direct skyline: the theorem that
+    * makes the operator shippable as k-rows-per-executor at 100 TB). */
   def skyline2d(pts: DataFrame, xCol: String, yCol: String,
-      bucketWidth: Long = 5000000L): DataFrame = {
-    val perX = pts.groupBy(col(xCol)).agg(max(col(yCol)).as("__ymax"))
+      bucketWidth: Long = 5000000L,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val g = groupCols.map(col)
+    val perX = pts.groupBy((g :+ col(xCol)): _*)
+      .agg(max(col(yCol)).as("__ymax"))
       .withColumn("__b", col(xCol).divide(bucketWidth).cast("long"))
-    val wLocal = Window.partitionBy(col("__b"))
+    val wLocal = Window.partitionBy((g :+ col("__b")): _*)
       .orderBy(col(xCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bucketMax = perX.groupBy(col("__b"))
+    val bucketMax = perX.groupBy((g :+ col("__b")): _*)
       .agg(max(col("__ymax")).as("__bmax"))
-    val wBuckets = Window.orderBy(col("__b").desc)
+    val wBuckets = Window.partitionBy(g: _*).orderBy(col("__b").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    // tiny table (one row per bucket): the single-partition window is fine
+    // tiny table (one row per bucket per group): single-partition OK
     val bucketPrefix = bucketMax
       .withColumn("__pmax", max(col("__bmax")).over(wBuckets))
-      .select(col("__b"), col("__pmax"))
+      .select((g :+ col("__b") :+ col("__pmax")): _*)
     val stair = perX
       .withColumn("__lmax", max(col("__ymax")).over(wLocal))
-      .join(broadcast(bucketPrefix), Seq("__b"))
+      .join(broadcast(bucketPrefix), groupCols :+ "__b")
       .withColumn("__prev",
         greatest(coalesce(col("__lmax"), lit(Long.MinValue)),
           coalesce(col("__pmax"), lit(Long.MinValue))))
       .filter(col("__ymax") > col("__prev"))
-      .select(col(xCol), col("__ymax").as(yCol))
-    pts.join(broadcast(stair), Seq(xCol, yCol))
+      .select((g :+ col(xCol) :+ col("__ymax").as(yCol)): _*)
+    pts.join(broadcast(stair), (groupCols :+ xCol) :+ yCol)
   }
 }

@@ -17,6 +17,23 @@ object BBlock {
     dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount")))
   private val toksSqlB = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** q_skyline's oracle — the independent NOT-EXISTS dominance
+    * spelling; shared verbatim with the shard-merge twin. */
+  private lazy val skylineOracleSql: String =
+    """WITH pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
+      |  FROM orders
+      |)
+      |SELECT p.o_orderkey, p.price_c, p.day_n FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts a
+      |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
+      |    AND (a.price_c > p.price_c OR a.day_n > p.day_n))
+      |ORDER BY p.price_c DESC, p.day_n, p.o_orderkey""".stripMargin
+
   def queries(eventsUs: (SparkSession, String) => DataFrame)
       : Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -823,6 +840,26 @@ object BBlock {
             datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
               .cast("long").as("day_n")),
           "price_c", "day_n")
+        .select(col("o_orderkey"), col("price_c"), col("day_n"))
+        .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
+    }),
+
+    "q_skyline_merge" -> ((s, dir) => {
+      // the skyline's SHARD-MERGE theorem as an oracle row: per-shard
+      // skyline → union → global skyline ≡ the direct front (local
+      // prune only removes dominated points; dominance is transitive) —
+      // what a 1000-executor skyline actually ships (each executor's
+      // tiny front, never its partition); anchored by q_skyline's
+      // IDENTICAL oracle SQL
+      val pts = Tables.orders(s, dir).select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("day_n"))
+      val local = graft.operators.Pareto.skyline2d(
+          pts.withColumn("__sh", pmod(col("o_orderkey"), lit(8L))),
+          "price_c", "day_n", groupCols = Seq("__sh"))
+        .drop("__sh")
+      graft.operators.Pareto.skyline2d(local, "price_c", "day_n")
         .select(col("o_orderkey"), col("price_c"), col("day_n"))
         .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
     }),
@@ -2032,20 +2069,11 @@ object BBlock {
         |  CAST(cusum > 4 * kk AS INT) AS alarm
         |FROM cur ORDER BY topic, day""".stripMargin,
 
-    "q_skyline" ->
-      """WITH pts AS (
-        |  SELECT o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
-        |    CAST(date_diff('day', DATE '1970-01-01',
-        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n
-        |  FROM orders
-        |)
-        |SELECT p.o_orderkey, p.price_c, p.day_n FROM pts p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM pts a
-        |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
-        |    AND (a.price_c > p.price_c OR a.day_n > p.day_n))
-        |ORDER BY p.price_c DESC, p.day_n, p.o_orderkey""".stripMargin,
+    "q_skyline" -> skylineOracleSql,
+
+    // IDENTICAL SQL to q_skyline — the shard-merged front must equal
+    // the direct front row for row (the skyline merge theorem)
+    "q_skyline_merge" -> skylineOracleSql,
 
     "q_time_window" ->
       """SELECT event_type,

@@ -1940,6 +1940,25 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "sample_weighted_k_merge" -> ((s, dir) => {
+      // the WEIGHTED draw's mergeability through the shard route:
+      // bottom-k under any fixed total order merges, and the weighted
+      // priority is such an order — per-(shard, stratum) bottom-7,
+      // re-drawn globally from the ≤ 8·7 survivors per stratum; lands
+      // on sample_weighted_k's IDENTICAL oracle
+      val docs = Tables.documents(s, dir)
+        .withColumn("shard8",
+          concat(col("source"), lit("|"), pmod(col("doc_id"), lit(8L))))
+      val perShard = Curation.sampleWeightedK(docs, k = 7,
+          weight = length(col("text")), strataCol = "shard8")
+        .join(docs.select(col("doc_id"), col("source"), col("text")),
+          "doc_id")
+        .select(col("doc_id"), col("source"), col("text"))
+      Curation.sampleWeightedK(perShard, k = 7,
+          weight = length(col("text")))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "sample_exact_k_merge" -> ((s, dir) => {
       // the sampler's MERGEABILITY through the shard route (the
       // distributed bottom-k theorem behind every reservoir rollup):
@@ -2334,6 +2353,28 @@ object CBlock {
       |               % 2147483647 % 4097 - 2048) / 2048.0) AS DOUBLE)) AS embedding
       |  FROM embeddings
       |)""".stripMargin
+
+  /** sample_weighted_k's oracle (shared verbatim with the shard-merge
+    * twin). */
+  private lazy val weightedKOracleSql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, source,
+       |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+       |      * ((1 * 2654435761) % 2147483647)
+       |      + (1 * 40503) % 2147483647) % 2147483647 AS pu,
+       |    greatest(CAST(length(text) AS BIGINT), 1) AS w
+       |  FROM documents
+       |), p AS (
+       |  SELECT doc_id, source,
+       |    CAST((pu * 1000000) // w AS BIGINT) AS priority
+       |  FROM u
+       |)
+       |SELECT doc_id, source, priority, sample_rank FROM (
+       |  SELECT doc_id, source, priority,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
+       |  FROM p
+       |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin
 
   /** sketch_freq_cms's oracle (shared verbatim with the
     * streaming-maintained grid twin). */
@@ -5783,25 +5824,12 @@ object CBlock {
          |  FROM u
          |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
 
-    "sample_weighted_k" ->
-      s"""WITH u AS (
-         |  SELECT doc_id, source,
-         |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
-         |      * ((1 * 2654435761) % 2147483647)
-         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu,
-         |    greatest(CAST(length(text) AS BIGINT), 1) AS w
-         |  FROM documents
-         |), p AS (
-         |  SELECT doc_id, source,
-         |    CAST((pu * 1000000) // w AS BIGINT) AS priority
-         |  FROM u
-         |)
-         |SELECT doc_id, source, priority, sample_rank FROM (
-         |  SELECT doc_id, source, priority,
-         |    CAST(row_number() OVER (PARTITION BY source
-         |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
-         |  FROM p
-         |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin,
+    "sample_weighted_k" -> weightedKOracleSql,
+
+    // IDENTICAL SQL to sample_weighted_k — the shard-merged weighted
+    // draw must equal the direct draw row for row (bottom-k under any
+    // fixed total order merges)
+    "sample_weighted_k_merge" -> weightedKOracleSql,
 
     // IDENTICAL SQL to sample_exact_k — the shard-merged draw must
     // equal the direct draw row for row (the bottom-k merge theorem)
