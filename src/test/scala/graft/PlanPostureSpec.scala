@@ -285,6 +285,33 @@ class PlanPostureSpec extends SparkSpec {
     }
   }
 
+  test("continuation ops: broadcasts present, windows partitioned, no cartesian") {
+    // q_skyline: the staircase join-back must broadcast (the front is
+    // tiny) and nothing may plan a cartesian/nested loop; the only
+    // permitted unpartitioned window is the one over the per-BUCKET
+    // summary (O(#buckets) rows, model-state)
+    Seq("q_skyline", "q_skyline_merge", "q_cusum", "q_bitemporal",
+        "sketch_cms_dot", "graph_kcore", "shard_hilbert",
+        "sample_weighted_k", "sample_weighted_k_merge").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+    }
+    Seq("q_skyline", "sketch_cms_dot").foreach { q =>
+      assert(planOf(q).contains("BroadcastHashJoin"),
+        s"$q must broadcast its model-state side")
+    }
+    // q_cusum / q_bitemporal / sample_weighted_k: every corpus-sized
+    // window keyed (topic / user / stratum)
+    Seq("q_cusum", "q_bitemporal", "sample_weighted_k").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf("0.01")).queryExecution.sparkPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+        s"$q has an unpartitioned window")
+    }
+  }
+
   test("policy sweeps: arms broadcast, windows partitioned, no cartesian") {
     Seq("pack_seqlen_sweep", "quality_sweep").foreach { q =>
       val plan = SparkEntry.queries(q)(spark, sf("0.01")).queryExecution.sparkPlan
