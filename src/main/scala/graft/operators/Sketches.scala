@@ -231,12 +231,25 @@ object Sketches {
     * up to ~3·10⁶ keep Σ_cell n·n inside int64 by ~10³×; corpora beyond
     * that should sample or widen the grid. */
   def cmsDot(items: DataFrame, keyCol: Column, itemCol: Column,
-      depth: Int = 4, width: Int = 1024): DataFrame = {
-    val g = items
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    cmsDotFromGrids(cmsGridsByKey(items, keyCol, itemCol, depth, width))
+
+  /** The per-key grid stage of [[cmsDot]] as (__src, k, cell, n) —
+    * plain-sum cells, so the SAME aggregation runs batch or as a
+    * complete-mode streaming aggregation across micro-batches (the
+    * [[cmsCells]] property, per key). */
+  def cmsGridsByKey(items: DataFrame, keyCol: Column, itemCol: Column,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    items
       .select(keyCol.as("__src"),
         explode(cmsCellsOf(native.poly_hash(itemCol), depth, width)).as("kc"))
       .groupBy(col("__src"), col("kc.k").as("k"), col("kc.cell").as("cell"))
       .agg(count(lit(1)).as("n"))
+
+  /** The pairwise stage of [[cmsDot]] over an already-built (possibly
+    * streaming-maintained or merged) per-key grid — split out so a
+    * stored/streamed grid estimates through the identical join. */
+  def cmsDotFromGrids(g: DataFrame): DataFrame = {
     val a = g.select(col("__src").as("source_a"), col("k"), col("cell"),
       col("n").as("na"))
     val b = g.select(col("__src").as("source_b"), col("k"), col("cell"),

@@ -219,6 +219,30 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_keeper_quality" -> ((s, dir) => {
+      // QUALITY-AWARE keeper election: when a near-dup cluster
+      // collapses, keep the highest-QUALITY member (argmax by the C8
+      // composite, ties to the smaller id) instead of C17's min-id
+      // convention — the curation-correct collapse (min-id can keep the
+      // boilerplate twin and drop the clean one). One cluster-keyed
+      // rank window over the CC labels ⋈ quality scores; quality
+      // doubles are engine-exact (text_quality's green oracle), so the
+      // argmax is too
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashCandidates(docs, k = 16, bands = 4))
+      val q = TextAnalysis.quality(docs, stopwords)
+        .select(col("doc_id"), col("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(col("quality").desc_nulls_last, col("doc_id"))
+      clusters.join(q, Seq("doc_id"))
+        .withColumn("rk", row_number().over(w))
+        .select(col("doc_id"), col("cluster"), col("quality"),
+          (col("rk") === 1).cast("int").as("is_keeper"))
+        .orderBy(col("doc_id"))
+    }),
+
     "dedup_apply" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val kept = Dedup.applyDedup(docs,
@@ -1050,6 +1074,32 @@ object CBlock {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    "sketch_cms_dot_stream" -> ((s, dir) => {
+      // C171's per-source grids maintained by the REAL streaming
+      // aggregation (complete-mode plain-sum cells per (source, k,
+      // cell), O(#sources·depth·width) state at any corpus size): the
+      // drained grids must equal the batch grids, so the pairwise dot
+      // derived from them lands on sketch_cms_dot's own oracle
+      val docs = Tables.documents(s, dir)
+      val grids = graft.streaming.StreamedBatch.cmsGridsByKeyStreamed(s, docs)
+      val toks = docs.select(col("source"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("word"))
+      val wc = toks.groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("n"))
+      val exact = wc.select(col("source").as("source_a"),
+          col("word"), col("n").as("na"))
+        .join(wc.select(col("source").as("source_b"), col("word"),
+          col("n").as("nb")), Seq("word"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("na") * col("nb")).as("exact_dot"))
+      graft.operators.Sketches.cmsDotFromGrids(grids)
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("est_dot"),
+          coalesce(col("exact_dot"), lit(0L)).as("exact_dot"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     "sketch_freq_cms_stream" -> ((s, dir) => {
       // C33's grid maintained by the REAL streaming aggregation
       // (complete-mode plain-sum cells, O(depth·width) state at any
@@ -1555,6 +1605,31 @@ object CBlock {
       // prefix-containment dups (truncation/re-crawl pairs), blocked join
       Curation.containedPairs(Tables.documents(s, dir), prefixLen = 16)
         .orderBy(col("doc_in"), col("doc_out"))
+    }),
+
+    "split_temporal" -> ((s, dir) => {
+      // TEMPORAL train/valid split with the leakage audit built in:
+      // cutoff at 80% of the global day span (integer day arithmetic,
+      // broadcast 1-row scalar), each user bucketed by which side their
+      // events fall — 'straddle' marks users whose history crosses the
+      // cutoff (user-level features trained on them leak future data;
+      // the hash split C58 can't see this). Rides the pushdown-friendly
+      // time shape; one groupBy(user) pass
+      val ev = Tables.eventsTime(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val cut = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(expr(
+          "date_add(d0, CAST((datediff(d1, d0) * 4) div 5 AS INT))")
+          .as("cut"))
+      ev.crossJoin(broadcast(cut))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("cut"), 1L).otherwise(0L))
+            .as("n_before"),
+          sum(when(col("day") >= col("cut"), 1L).otherwise(0L))
+            .as("n_after"))
+        .withColumn("bucket", when(col("n_after") === 0, "train")
+          .when(col("n_before") === 0, "valid").otherwise("straddle"))
+        .orderBy(col("user_id"))
     }),
 
     "split_assign" -> ((s, dir) => {
@@ -2375,6 +2450,40 @@ object CBlock {
        |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
        |  FROM p
        |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin
+
+  /** sketch_cms_dot's oracle (shared verbatim with the streamed-grids
+    * twin). */
+  private lazy val cmsDotOracleSql: String =
+    s"""WITH w AS (
+       |  SELECT source AS src, unnest($toksSql) AS word FROM documents
+       |), ks AS (
+       |  SELECT unnest(range(0, 4)) AS k
+       |), cells AS (
+       |  SELECT src, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
+       |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
+       |    count(*) AS n
+       |  FROM w, ks GROUP BY 1, 2, 3
+       |), dk AS (
+       |  SELECT a.src AS source_a, b.src AS source_b, a.k,
+       |    CAST(sum(a.n * b.n) AS BIGINT) AS d
+       |  FROM cells a JOIN cells b
+       |    ON a.k = b.k AND a.cell = b.cell AND a.src < b.src
+       |  GROUP BY 1, 2, 3
+       |), est AS (
+       |  SELECT source_a, source_b, CAST(min(d) AS BIGINT) AS est_dot
+       |  FROM dk GROUP BY 1, 2
+       |), wc AS (
+       |  SELECT src, word, count(*) AS n FROM w GROUP BY 1, 2
+       |), ex AS (
+       |  SELECT a.src AS source_a, b.src AS source_b,
+       |    CAST(sum(a.n * b.n) AS BIGINT) AS exact_dot
+       |  FROM wc a JOIN wc b ON a.word = b.word AND a.src < b.src
+       |  GROUP BY 1, 2
+       |)
+       |SELECT e.source_a, e.source_b, e.est_dot,
+       |  COALESCE(x.exact_dot, 0) AS exact_dot
+       |FROM est e LEFT JOIN ex x USING (source_a, source_b)
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** sketch_freq_cms's oracle (shared verbatim with the
     * streaming-maintained grid twin). */
@@ -3223,6 +3332,32 @@ object CBlock {
          |SELECT src AS doc_id, min(dst) AS cluster,
          |  src = min(dst) AS is_keeper
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+
+    "dedup_keeper_quality" ->
+      s"""WITH RECURSIVE ${minhashPairsCte()},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+         |), reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN e ON r.dst = e.a
+         |), labels AS (
+         |  SELECT src AS doc_id, min(dst) AS cluster FROM reach GROUP BY src
+         |), q AS (
+         |  SELECT doc_id,
+         |    ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |      + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |      + 0.2 * least(len(w) / 100.0, 1.0), 6) AS quality
+         |  FROM (SELECT doc_id, $toksSql AS w FROM documents)
+         |), j AS (
+         |  SELECT l.doc_id, l.cluster, q.quality,
+         |    row_number() OVER (PARTITION BY l.cluster
+         |      ORDER BY q.quality DESC NULLS LAST, l.doc_id) AS rk
+         |  FROM labels l JOIN q USING (doc_id)
+         |)
+         |SELECT doc_id, cluster, quality, CAST(rk = 1 AS INT) AS is_keeper
+         |FROM j ORDER BY doc_id""".stripMargin,
 
     "dedup_apply" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},
@@ -4293,37 +4428,11 @@ object CBlock {
 
     "sketch_freq_cms" -> cmsOracleSql,
 
-    "sketch_cms_dot" ->
-      s"""WITH w AS (
-         |  SELECT source AS src, unnest($toksSql) AS word FROM documents
-         |), ks AS (
-         |  SELECT unnest(range(0, 4)) AS k
-         |), cells AS (
-         |  SELECT src, k, (${ph("word")} * (((k+1) * 2654435761) % 2147483647)
-         |      + ((k+1) * 40503) % 2147483647) % 2147483647 % 1024 AS cell,
-         |    count(*) AS n
-         |  FROM w, ks GROUP BY 1, 2, 3
-         |), dk AS (
-         |  SELECT a.src AS source_a, b.src AS source_b, a.k,
-         |    CAST(sum(a.n * b.n) AS BIGINT) AS d
-         |  FROM cells a JOIN cells b
-         |    ON a.k = b.k AND a.cell = b.cell AND a.src < b.src
-         |  GROUP BY 1, 2, 3
-         |), est AS (
-         |  SELECT source_a, source_b, CAST(min(d) AS BIGINT) AS est_dot
-         |  FROM dk GROUP BY 1, 2
-         |), wc AS (
-         |  SELECT src, word, count(*) AS n FROM w GROUP BY 1, 2
-         |), ex AS (
-         |  SELECT a.src AS source_a, b.src AS source_b,
-         |    CAST(sum(a.n * b.n) AS BIGINT) AS exact_dot
-         |  FROM wc a JOIN wc b ON a.word = b.word AND a.src < b.src
-         |  GROUP BY 1, 2
-         |)
-         |SELECT e.source_a, e.source_b, e.est_dot,
-         |  COALESCE(x.exact_dot, 0) AS exact_dot
-         |FROM est e LEFT JOIN ex x USING (source_a, source_b)
-         |ORDER BY source_a, source_b""".stripMargin,
+    "sketch_cms_dot" -> cmsDotOracleSql,
+
+    // IDENTICAL SQL to sketch_cms_dot — the streamed per-source grids
+    // must equal the batch grids, so the derived dot matches exactly
+    "sketch_cms_dot_stream" -> cmsDotOracleSql,
 
     // IDENTICAL SQL to sketch_freq_cms — the streaming grid must
     // estimate exactly what the batch grid does
@@ -5164,6 +5273,28 @@ object CBlock {
     // cumulative thresholds written as the same double-arithmetic chain
     // the Spark side folds (0.9, 0.9 + 0.05) so both engines compare u
     // against bit-identical bounds
+    "split_temporal" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events
+        |), b AS (
+        |  SELECT min(day) AS d0, max(day) AS d1 FROM ev
+        |), c AS (
+        |  SELECT d0 + CAST((date_diff('day', d0, d1) * 4) // 5 AS INT) AS cut
+        |  FROM b
+        |), g AS (
+        |  SELECT user_id,
+        |    CAST(SUM(CASE WHEN day < cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_before,
+        |    CAST(SUM(CASE WHEN day >= cut THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_after
+        |  FROM ev, c GROUP BY 1
+        |)
+        |SELECT user_id, n_before, n_after,
+        |  CASE WHEN n_after = 0 THEN 'train'
+        |       WHEN n_before = 0 THEN 'valid' ELSE 'straddle' END AS bucket
+        |FROM g ORDER BY user_id""".stripMargin,
+
     "split_assign" ->
       s"""WITH k AS (
          |  SELECT doc_id,

@@ -261,6 +261,25 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.operators.Sketches.cmsGridsByKey]] maintained as a LIVE
+    * complete-mode streaming aggregation — the per-SOURCE grid sibling
+    * of [[cmsCellsStreamed]]: plain-sum cells per (source, k, cell)
+    * accumulate across micro-batches, so the drained grid equals the
+    * batch grid exactly and everything derived from it (the CMS dot in
+    * sketch_cms_dot_stream) lands on the batch oracle. */
+  def cmsGridsByKeyStreamed(s: SparkSession, docs: DataFrame): DataFrame = {
+    val input = docs.select(col("source").cast("string").as("source"),
+      col("text").cast("string").as("text"))
+    throughStreamComplete(s, input, "cmsk") { (ss, src) =>
+      val stream = ss.readStream.schema("source STRING, text STRING")
+        .parquet(src)
+      graft.operators.Sketches.cmsGridsByKey(
+        stream.select(col("source"), explode(
+          graft.functions.Portable.tokens(col("text"))).as("word")),
+        col("source"), col("word")).writeStream
+    }
+  }
+
   /** [[StreamingRollover.assignGenerations]] across REAL micro-batches:
     * the in-order message stream replays one file per micro-batch, the
     * per-topic cumulative-bytes counter SURVIVES batch boundaries in
