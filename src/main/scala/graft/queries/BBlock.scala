@@ -779,6 +779,36 @@ object BBlock {
         .orderBy(col("topic"), col("day"))
     }),
 
+    "q_funnel_steps" -> ((s, dir) => {
+      // TIME-CONSTRAINED 3-step funnel (view → click ≤ 1 h → purchase
+      // ≤ 1 h): the greedy per-step chain — first view, first click
+      // strictly after it within the window, first purchase after
+      // that — that q_funnel's unconstrained conversion can't express.
+      // Three user-keyed min-aggs chained by equi-joins on user_id
+      // (shuffle-bounded by the per-user firsts, no inequality join:
+      // the window bound is a post-join filter); stage = how far the
+      // user got
+      val ev = eventsUs(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val hour = expr("INTERVAL 1 HOUR")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts") > col("t_view") && col("ts") <= col("t_view") + hour)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts") > col("t_click") && col("ts") <= col("t_click") + hour)
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          (lit(1) + col("t_click").isNotNull.cast("int")
+            + col("t_purchase").isNotNull.cast("int")).as("stage"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_bitemporal" -> ((s, dir) => {
       // bitemporal as-of: the state believed AT transaction cutoff TX
       // (only records ingested by then, TX = ¾ of the id range) vs the
@@ -2010,6 +2040,33 @@ object BBlock {
         |  END AS z
         |FROM win WHERE w_n = 7
         |ORDER BY topic, day""".stripMargin,
+
+    "q_funnel_steps" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events
+        |), v AS (
+        |  SELECT user_id, min(t) AS t_view FROM ev
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.t) AS t_click
+        |  FROM ev e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.t > v.t_view
+        |    AND e.t <= v.t_view + INTERVAL 1 HOUR
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.t) AS t_purchase
+        |  FROM ev e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.t > c.t_click
+        |    AND e.t <= c.t_click + INTERVAL 1 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  1 + CASE WHEN c.t_click IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN p.t_purchase IS NULL THEN 0 ELSE 1 END AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "q_bitemporal" ->
       """WITH ev AS (

@@ -1551,6 +1551,54 @@ object CBlock {
         .orderBy(col("file_id"))
     }),
 
+    "shard_hilbert_prune" -> ((s, dir) => {
+      // Hilbert vs Morton PRUNING head-to-head on COMPARABLE-cardinality
+      // dims (pk_bucket = l_partkey % 100 vs l_suppkey — the square grid
+      // where curve locality, not bit-width imbalance, decides): for
+      // point probes on either dimension, how many of the 32 files'
+      // [min,max] footer ranges a scan must touch under each curve's
+      // layout. Two two-phase ranks over ONE materialized base (the
+      // 16-step interleave fold and the 16-step xy2d descent each
+      // evaluated once); 64-row stats ⋈ 6-row broadcast probes
+      val ss = s; import ss.implicits._
+      val base = graft.operators.Materialize(
+        graft.functions.Portable.withHilbert(
+          Tables.lineitem(s, dir)
+            .select(pmod(col("l_partkey"), lit(100L)).as("pk_bucket"),
+              col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+            .withColumn("z", graft.functions.Portable
+              .zValue(col("pk_bucket"), col("l_suppkey"), 16)),
+          col("pk_bucket"), col("l_suppkey"), 16, "h"))
+      def fileStats(name: String,
+          order: Seq[org.apache.spark.sql.Column]) = {
+        val ranked = Curation.globalRank(base, order, "rk")
+        ranked
+          .crossJoin(broadcast(ranked.agg(count(lit(1)).as("n"))))
+          .withColumn("file_id", expr("(rk * 32) div n"))
+          .groupBy(col("file_id"))
+          .agg(min(col("pk_bucket")).as("pk_min"),
+            max(col("pk_bucket")).as("pk_max"),
+            min(col("l_suppkey")).as("sk_min"),
+            max(col("l_suppkey")).as("sk_max"))
+          .withColumn("layout", lit(name))
+      }
+      val stats = fileStats("hilbert",
+          Seq(col("h"), col("l_orderkey"), col("l_linenumber")))
+        .unionByName(fileStats("zorder",
+          Seq(col("z"), col("l_orderkey"), col("l_linenumber"))))
+      val probes = Seq(("pk_bucket", 3L), ("pk_bucket", 47L),
+        ("pk_bucket", 91L), ("suppkey", 2L), ("suppkey", 5L),
+        ("suppkey", 9L)).toDF("dim", "probe_val")
+      stats.join(broadcast(probes),
+          (col("dim") === "pk_bucket" && col("pk_min") <= col("probe_val")
+            && col("probe_val") <= col("pk_max")) ||
+          (col("dim") === "suppkey" && col("sk_min") <= col("probe_val")
+            && col("probe_val") <= col("sk_max")))
+        .groupBy(col("layout"), col("dim"), col("probe_val"))
+        .agg(count(lit(1)).as("files_hit"))
+        .orderBy(col("layout"), col("dim"), col("probe_val"))
+    }),
+
     "shard_zorder_prune" -> ((s, dir) => {
       // the pruning BENEFIT of a z-ordered layout as data: for point
       // probes on either dimension, how many of the 32 files' [min,max]
@@ -2876,6 +2924,37 @@ object CBlock {
   /** The minhash-LSH candidate-pairs pipeline as a reusable CTE chain
     * ending in `pairs(doc_a, doc_b)` (shared by dedup_minhash and
     * dedup_clusters). */
+  /** The xy2d Hilbert descent of Portable.withHilbert, unrolled as 16
+    * chained CTEs h0..h16 (final key = h16.d); p.-qualified references
+    * pin every x/y/d to the PREVIOUS step (no lateral-alias
+    * ambiguity). `carry` columns ride along unchanged. */
+  private def hilbertCtes(carry: Seq[String], x0: String, y0: String,
+      from: String): String = {
+    val n1 = (1L << 16) - 1
+    val cols = carry.map(c => s"p.$c").mkString(", ")
+    val steps = ((15 to 0 by -1).zipWithIndex).map { case (i, idx) =>
+      val s = 1L << i
+      val rx = s"(p.x // $s) % 2"
+      val ry = s"(p.y // $s) % 2"
+      s"""h${idx + 1} AS (
+         |  SELECT $cols,
+         |    CASE WHEN $ry = 1 THEN p.x
+         |         WHEN $rx = 1 THEN $n1 - p.y ELSE p.y END AS x,
+         |    CASE WHEN $ry = 1 THEN p.y
+         |         WHEN $rx = 1 THEN $n1 - p.x ELSE p.x END AS y,
+         |    p.d + ${s * s} * (CASE WHEN $rx = 0 AND $ry = 0 THEN 0
+         |      WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END) AS d
+         |  FROM h$idx p)""".stripMargin
+    }.mkString(",\n")
+    s"""h0 AS (
+       |  SELECT ${carry.mkString(", ")},
+       |    CAST($x0 AS BIGINT) AS x, CAST($y0 AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM $from
+       |),
+       |$steps""".stripMargin
+  }
+
   private def minhashPairsCte(where: String = "",
       from: String = "documents", bands: Int = 4): String = {
     val rows = 16 / bands
@@ -5187,31 +5266,9 @@ object CBlock {
     },
 
     "shard_hilbert" -> {
-      // the same xy2d descent as Portable.withHilbert, unrolled as 16
-      // chained CTEs; p.-qualified references pin every x/y/d to the
-      // PREVIOUS step (no lateral-alias ambiguity)
-      val n1 = (1L << 16) - 1
-      val steps = ((15 to 0 by -1).zipWithIndex).map { case (i, idx) =>
-        val s = 1L << i
-        val rx = s"(p.x // $s) % 2"
-        val ry = s"(p.y // $s) % 2"
-        s"""h${idx + 1} AS (
-           |  SELECT p.l_orderkey, p.l_linenumber, p.l_partkey, p.l_suppkey,
-           |    CASE WHEN $ry = 1 THEN p.x
-           |         WHEN $rx = 1 THEN $n1 - p.y ELSE p.y END AS x,
-           |    CASE WHEN $ry = 1 THEN p.y
-           |         WHEN $rx = 1 THEN $n1 - p.x ELSE p.x END AS y,
-           |    p.d + ${s * s} * (CASE WHEN $rx = 0 AND $ry = 0 THEN 0
-           |      WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END) AS d
-           |  FROM h$idx p)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH h0 AS (
-         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |    CAST(l_partkey AS BIGINT) AS x, CAST(l_suppkey AS BIGINT) AS y,
-         |    CAST(0 AS BIGINT) AS d
-         |  FROM lineitem
-         |),
-         |$steps,
+      s"""WITH ${hilbertCtes(
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+            "l_partkey", "l_suppkey", "lineitem")},
          |r AS (
          |  SELECT *,
          |    row_number() OVER (ORDER BY d, l_orderkey, l_linenumber) - 1 AS rk
@@ -5221,6 +5278,49 @@ object CBlock {
          |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
          |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
          |FROM r, n GROUP BY 1 ORDER BY file_id""".stripMargin
+    },
+
+    "shard_hilbert_prune" -> {
+      val zTerms = (0 until 16).map { i =>
+        s"((pk_bucket // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
+          s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i)}"
+      }.mkString(" + ")
+      def layoutCte(name: String, order: String): String =
+        s"""SELECT '$name' AS layout, (rk * 32) // n AS file_id,
+           |    min(pk_bucket) AS pk_min, max(pk_bucket) AS pk_max,
+           |    min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+           |  FROM (SELECT hz.*,
+           |      row_number() OVER (ORDER BY $order) - 1 AS rk FROM hz), n
+           |  GROUP BY 1, 2""".stripMargin
+      s"""WITH z0 AS (
+         |  SELECT l_partkey % 100 AS pk_bucket, l_suppkey, l_orderkey,
+         |    l_linenumber
+         |  FROM lineitem
+         |),
+         |${hilbertCtes(
+            Seq("pk_bucket", "l_suppkey", "l_orderkey", "l_linenumber"),
+            "pk_bucket", "l_suppkey", "z0")},
+         |hz AS (
+         |  SELECT h16.*, ($zTerms) AS z FROM h16
+         |), n AS (SELECT count(*) AS n FROM lineitem),
+         |f AS (
+         |  ${layoutCte("hilbert", "d, l_orderkey, l_linenumber")}
+         |  UNION ALL
+         |  ${layoutCte("zorder", "z, l_orderkey, l_linenumber")}
+         |), p AS (
+         |  SELECT * FROM (VALUES ('pk_bucket', 3), ('pk_bucket', 47),
+         |    ('pk_bucket', 91), ('suppkey', 2), ('suppkey', 5),
+         |    ('suppkey', 9)) AS t(dim, probe_val)
+         |)
+         |SELECT f.layout, p.dim, CAST(p.probe_val AS BIGINT) AS probe_val,
+         |  count(*) AS files_hit
+         |FROM f JOIN p ON
+         |  (p.dim = 'pk_bucket' AND f.pk_min <= p.probe_val
+         |    AND p.probe_val <= f.pk_max) OR
+         |  (p.dim = 'suppkey' AND f.sk_min <= p.probe_val
+         |    AND p.probe_val <= f.sk_max)
+         |GROUP BY 1, 2, 3
+         |ORDER BY layout, dim, probe_val""".stripMargin
     },
 
     "shard_zorder_prune" -> {
