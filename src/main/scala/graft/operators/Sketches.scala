@@ -280,9 +280,19 @@ object Sketches {
     * grid itself (row 0 sums to it) — no extra pass. The gate compares
     * `est · fracDenom ≥ total` in exact int64 arithmetic. */
   def heavyHitters(items: DataFrame, itemCol: Column, fracDenom: Long = 50,
+      depth: Int = 4, width: Int = 1024): DataFrame =
+    heavyHittersFromGrid(items, itemCol,
+      cmsCells(items, itemCol, depth, width), fracDenom, depth, width)
+
+  /** [[heavyHitters]] pass 2 over an already-built (possibly
+    * streaming-maintained or merged) cell grid — split out so a
+    * stored/streamed grid gates the exact recount through the identical
+    * literal-array probe. */
+  def heavyHittersFromGrid(items: DataFrame, itemCol: Column,
+      cells: DataFrame, fracDenom: Long = 50,
       depth: Int = 4, width: Int = 1024): DataFrame = {
     val h = native.poly_hash(itemCol)
-    val gridRows = cmsCells(items, itemCol, depth, width).collect()
+    val gridRows = cells.collect()
     val grid = Array.fill(depth, width)(0L)
     gridRows.foreach(r => grid(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
     val total = grid(0).sum

@@ -1655,6 +1655,25 @@ object CBlock {
         .orderBy(col("doc_in"), col("doc_out"))
     }),
 
+    "curate_pareto" -> ((s, dir) => {
+      // the quality–length FRONTIER: docs where no other doc is both
+      // higher-quality and longer (the multi-objective shortlist a
+      // token-budgeted curator actually wants — any off-front doc has a
+      // strictly better substitute at no token cost). Same staircase
+      // decomposition as q_skyline on (q_micro, n_tokens); quality
+      // lifted to the integer lattice (round·10⁶, engine-exact) so the
+      // dominance compare is
+      val q = TextAnalysis.quality(Tables.documents(s, dir), stopwords)
+        .select(col("doc_id"),
+          round(col("quality") * 1000000).cast("long").as("q_micro"),
+          col("n_tokens"))
+        .filter(col("q_micro").isNotNull)
+      graft.operators.Pareto.skyline2d(q, "q_micro", "n_tokens",
+          bucketWidth = 100000L)
+        .select(col("doc_id"), col("q_micro"), col("n_tokens"))
+        .orderBy(col("q_micro").desc, col("n_tokens"), col("doc_id"))
+    }),
+
     "split_temporal" -> ((s, dir) => {
       // TEMPORAL train/valid split with the leakage audit built in:
       // cutoff at 80% of the global day span (integer day arithmetic,
@@ -1750,6 +1769,22 @@ object CBlock {
       Curation.globalRank(scored,
           Seq(col("quality").desc, col("doc_id")), "curriculum_rank")
         .orderBy(col("curriculum_rank"))
+    }),
+
+    "sketch_heavy_hitters_stream" -> ((s, dir) => {
+      // C68's sketch gate fed by the STREAMING-maintained grid (the
+      // production sequence: the CMS accumulates at consume time, the
+      // exact recount runs at curation time against the drained grid):
+      // same literal-array probe, same no-false-negative guarantee, so
+      // it lands on sketch_heavy_hitters' own oracle
+      val docs = Tables.documents(s, dir)
+      val cells = graft.streaming.StreamedBatch.cmsCellsStreamed(s, docs)
+      val words = docs
+        .select(explode(graft.functions.Portable.tokens(col("text")))
+          .as("word"))
+      graft.operators.Sketches
+        .heavyHittersFromGrid(words, col("word"), cells, fracDenom = 40)
+        .orderBy(col("item"))
     }),
 
     "sketch_heavy_hitters" -> ((s, dir) => {
@@ -2498,6 +2533,16 @@ object CBlock {
        |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
        |  FROM p
        |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin
+
+  /** sketch_heavy_hitters's oracle (shared verbatim with the
+    * streamed-grid twin). */
+  private lazy val heavyHittersOracleSql: String =
+    s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT word AS item, count(*) AS freq, (SELECT n FROM tot) AS total_items
+       |FROM tok GROUP BY 1
+       |HAVING count(*) * 40 >= (SELECT n FROM tot)
+       |ORDER BY item""".stripMargin
 
   /** sketch_cms_dot's oracle (shared verbatim with the streamed-grids
     * twin). */
@@ -5373,6 +5418,24 @@ object CBlock {
     // cumulative thresholds written as the same double-arithmetic chain
     // the Spark side folds (0.9, 0.9 + 0.05) so both engines compare u
     // against bit-identical bounds
+    "curate_pareto" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents),
+         |q AS (
+         |  SELECT doc_id,
+         |    CAST(round(ROUND(0.5 * (len(list_distinct(w)) * 1.0 / len(w))
+         |      + 0.3 * (1.0 - len(list_filter(w, t -> list_contains(['the','a'], t))) * 1.0 / len(w))
+         |      + 0.2 * least(len(w) / 100.0, 1.0), 6) * 1000000) AS BIGINT)
+         |      AS q_micro,
+         |    CAST(len(w) AS BIGINT) AS n_tokens
+         |  FROM t WHERE len(w) > 0
+         |)
+         |SELECT p.doc_id, p.q_micro, p.n_tokens FROM q p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM q a
+         |  WHERE a.q_micro >= p.q_micro AND a.n_tokens >= p.n_tokens
+         |    AND (a.q_micro > p.q_micro OR a.n_tokens > p.n_tokens))
+         |ORDER BY p.q_micro DESC, p.n_tokens, p.doc_id""".stripMargin,
+
     "split_temporal" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
@@ -5560,13 +5623,11 @@ object CBlock {
          |  row_number() OVER (ORDER BY quality DESC, doc_id) - 1 AS curriculum_rank
          |FROM q ORDER BY curriculum_rank""".stripMargin,
 
-    "sketch_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest($toksSql) AS word FROM documents),
-         |tot AS (SELECT count(*) AS n FROM tok)
-         |SELECT word AS item, count(*) AS freq, (SELECT n FROM tot) AS total_items
-         |FROM tok GROUP BY 1
-         |HAVING count(*) * 40 >= (SELECT n FROM tot)
-         |ORDER BY item""".stripMargin,
+    "sketch_heavy_hitters" -> heavyHittersOracleSql,
+
+    // IDENTICAL SQL to sketch_heavy_hitters — the streamed grid gates
+    // the same exact recount (no false negatives either way)
+    "sketch_heavy_hitters_stream" -> heavyHittersOracleSql,
 
     "emb_centroid" ->
       """WITH c0 AS (
