@@ -894,6 +894,26 @@ object BBlock {
         .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
     }),
 
+    "q_skyline_stream" -> ((s, dir) => {
+      // the skyline as a LIVE complete-mode streaming aggregation
+      // (SkylineAggregator — the front as a commutative monoid in
+      // aggregation state, O(front) not O(corpus)): three real
+      // micro-batches replay the points, and because dominance
+      // filtering is confluent the drained front must equal the batch
+      // front — q_skyline's own oracle anchors it
+      val pts = Tables.orders(s, dir).select(
+        col("o_orderkey").as("id"),
+        round(col("o_totalprice") * 100).cast("long").as("x"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+          .cast("long").as("y"),
+        pmod(col("o_orderkey"), lit(3L)).as("batch"))
+      graft.streaming.StreamedBatch.skylineStreamed(s, pts, nBatches = 3)
+        .select(explode(col("front")).as("p"))
+        .select(col("p.id").as("o_orderkey"), col("p.x").as("price_c"),
+          col("p.y").as("day_n"))
+        .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
+    }),
+
     "q_time_window" -> ((s, dir) => {
       // THE canonical 100 TB event query: aggregate over a time window.
       // Rides the pushdown-friendly eventsUs shape, so the ts range
@@ -2088,7 +2108,8 @@ object BBlock {
         |    FROM base b, tx WHERE b.event_id <= tx.tx) WHERE rn = 1
         |)
         |SELECT c.user_id, c.state_current, a.state_asof_tx,
-        |  CAST(c.state_current IS DISTINCT FROM a.state_asof_tx AS INT)
+        |  CAST(CASE WHEN a.state_asof_tx IS NULL
+        |    OR a.state_asof_tx <> c.state_current THEN 1 ELSE 0 END AS INT)
         |    AS revised
         |FROM cur c LEFT JOIN atx a USING (user_id)
         |ORDER BY c.user_id""".stripMargin,
@@ -2131,6 +2152,10 @@ object BBlock {
     // IDENTICAL SQL to q_skyline — the shard-merged front must equal
     // the direct front row for row (the skyline merge theorem)
     "q_skyline_merge" -> skylineOracleSql,
+
+    // IDENTICAL SQL to q_skyline — the streamed front must equal the
+    // batch front (dominance filtering is confluent)
+    "q_skyline_stream" -> skylineOracleSql,
 
     "q_time_window" ->
       """SELECT event_type,

@@ -280,6 +280,27 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.plans.SkylineAggregator]] as a LIVE complete-mode
+    * streaming aggregation across REAL micro-batches: the front
+    * accumulates in aggregation state file by file, and because
+    * dominance filtering is CONFLUENT (any insertion order yields the
+    * same final front — the monoid behind Pareto's shard-merge
+    * theorem), the drained front must equal the batch skyline exactly.
+    * Input `pts`: (id, x, y, batch). */
+  def skylineStreamed(s: SparkSession, pts: DataFrame,
+      nBatches: Int): DataFrame =
+    throughChunkedStreamMode(s, "sky", nBatches, "complete",
+      (pts, Seq("id", "x", "y"))) { (ss, srcs) =>
+      import ss.implicits._
+      ss.readStream.schema("id LONG, x LONG, y LONG")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .as[graft.plans.FrontPoint]
+        .groupByKey(_ => 0L)
+        .agg(new graft.plans.SkylineAggregator().toColumn.name("front"))
+        .toDF("k", "front")
+        .writeStream
+    }
+
   /** [[StreamingRollover.assignGenerations]] across REAL micro-batches:
     * the in-order message stream replays one file per micro-batch, the
     * per-topic cumulative-bytes counter SURVIVES batch boundaries in
@@ -394,6 +415,15 @@ object StreamedBatch {
   private def throughChunkedStream(s: SparkSession, name: String,
       nBatches: Int, sources: (DataFrame, Seq[String])*)
       (build: (SparkSession, Seq[String]) => org.apache.spark.sql.streaming.DataStreamWriter[_])
+      : DataFrame =
+    throughChunkedStreamMode(s, name, nBatches, "append", sources: _*)(build)
+
+  /** [[throughChunkedStream]] with an explicit sink output mode —
+    * "complete" for streaming AGGREGATIONS accumulated across the real
+    * micro-batches (the chunked sibling of [[throughStreamComplete]]). */
+  private def throughChunkedStreamMode(s: SparkSession, name: String,
+      nBatches: Int, outputMode: String, sources: (DataFrame, Seq[String])*)
+      (build: (SparkSession, Seq[String]) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
     val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
@@ -404,7 +434,7 @@ object StreamedBatch {
         writeChunkedFiles(df, cols, nBatches, dir)
       }
       val q = build(ss, srcs)
-        .format("memory").queryName(qn).outputMode("append")
+        .format("memory").queryName(qn).outputMode(outputMode)
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
