@@ -209,6 +209,39 @@ object Curation {
       .withColumn("avg_freq", col("freq_sum") / col("n_bigrams"))
   }
 
+  /** INTERPOLATED bigram⊕unigram LM score on the milli-probability
+    * lattice — the Jelinek–Mercer mixture (λ=0.7) that backs off where
+    * the bigram table is sparse, between [[lmBigramScore]] (no backoff)
+    * and the KN model (full discounting): per bigram,
+    * p = (7·((c(w1,w2)·1000) div c(w1)) + 3·((c(w2)·1000) div N)) div 10
+    * — all integer div on non-negatives, so both engines agree exactly.
+    * Per doc: bigram count, Σp (milli), and the count of improbable
+    * transitions (p < 1%). Docs with < 2 tokens drop (no bigrams).
+    *
+    * Scale: the same Zipf-keyed score joins as the other LM scorers
+    * (materialize + AQE skew-split caveat applies); totals broadcast. */
+  def lmInterpScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val words = docs.select(explode(Portable.tokens(col(textCol))).as("word"))
+    val uni = words.groupBy(col("word")).agg(count(lit(1)).as("ucnt"))
+    val tot = uni.agg(sum(col("ucnt")).as("n_total"))
+    val bigrams = docs.select(col(idCol),
+        explode(native.word_bigrams(col(textCol))).as("bigram"))
+      .withColumn("w1", split(col("bigram"), " ").getItem(0))
+      .withColumn("w2", split(col("bigram"), " ").getItem(1))
+    val bi = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("bcnt"))
+    bigrams.join(bi, "bigram")
+      .join(uni.select(col("word").as("w1"), col("ucnt").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("ucnt").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("p_milli", expr(
+        "(7 * ((bcnt * 1000) div c1) + 3 * ((c2 * 1000) div n_total)) div 10"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_milli")).as("interp_sum_milli"),
+        sum(when(col("p_milli") < 10, 1L).otherwise(0L)).as("n_improbable"))
+  }
+
   /** Cross-document repeated token spans — the chunk-hash approximation
     * of exact-substring dedup (the "dedup training data" span pass):
     * each doc is cut into NON-OVERLAPPING `w`-token chunks (full chunks

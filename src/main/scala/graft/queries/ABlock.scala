@@ -53,6 +53,34 @@ object ABlock {
       rolloverGens(msgs, s, dir).orderBy(col("topic"), col("gen"))
     }),
 
+    "sync_ack_ledger" -> ((s, dir) => {
+      // the consumer ACK LEDGER behind the reference's ack-after-bulk
+      // cycle (pulsar.rs acks each message only after its ES bulk
+      // succeeds): Pulsar's subscription state is a mark-delete
+      // position (the contiguous acked prefix) plus individually-acked
+      // HOLES above it that the broker must retain. Plant every 20th
+      // message unacked (a stuck bulk), seq = arrival rank per topic
+      // (msg_id monotone); mark_delete = first unacked seq − 1 (or
+      // n_msgs when fully acked), holes = acked messages stranded
+      // above it. One rank window + one agg + a #topics-row broadcast
+      val w = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
+      val base = msgs(s, dir)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("acked",
+          (pmod(col("msg_id"), lit(20L)) =!= 0L).cast("int"))
+      val mark = base.groupBy(col("topic"))
+        .agg(coalesce(min(when(col("acked") === 0, col("seq"))) - 1,
+          count(lit(1))).as("mark_delete"))
+      base.join(broadcast(mark), Seq("topic"))
+        .groupBy(col("topic"), col("mark_delete"))
+        .agg(count(lit(1)).as("n_msgs"),
+          sum(when(col("acked") === 1 && col("seq") > col("mark_delete"),
+            1L).otherwise(0L)).as("n_holes"))
+        .select(col("topic"), col("n_msgs"), col("mark_delete"),
+          col("n_holes"))
+        .orderBy(col("topic"))
+    }),
+
     "sync_rollover_stream" -> ((s, dir) => {
       // A31's generation assignment AT INGEST, across REAL
       // micro-batches: the per-topic cumulative-bytes counter carries
@@ -563,6 +591,27 @@ object ABlock {
       |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sync_ack_ledger" ->
+      """WITH m AS (
+        |  SELECT event_id AS msg_id, event_type AS topic FROM events
+        |), sq AS (
+        |  SELECT topic, msg_id,
+        |    row_number() OVER (PARTITION BY topic ORDER BY msg_id) AS seq,
+        |    CASE WHEN msg_id % 20 <> 0 THEN 1 ELSE 0 END AS acked
+        |  FROM m
+        |), mk AS (
+        |  SELECT topic,
+        |    COALESCE(CAST(min(CASE WHEN acked = 0 THEN seq END) AS BIGINT) - 1,
+        |      count(*)) AS mark_delete
+        |  FROM sq GROUP BY 1
+        |)
+        |SELECT s.topic, count(*) AS n_msgs,
+        |  CAST(mk.mark_delete AS BIGINT) AS mark_delete,
+        |  CAST(SUM(CASE WHEN s.acked = 1 AND s.seq > mk.mark_delete
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_holes
+        |FROM sq s JOIN mk ON s.topic = mk.topic
+        |GROUP BY 1, mk.mark_delete ORDER BY s.topic""".stripMargin,
+
     "sync_rollover" -> rolloverOracleSql,
     "sync_rollover_stream" -> rolloverOracleSql,
 

@@ -1330,6 +1330,14 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "lm_interp_score" -> ((s, dir) => {
+      // Jelinek–Mercer interpolated bigram⊕unigram score (λ=0.7) on
+      // the milli-probability lattice — backs off where the bigram
+      // table is sparse, between lm_bigram_score and the KN model
+      Curation.lmInterpScore(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     "lm_bigram_score" -> ((s, dir) => {
       // bigram-LM quality proxy (one order above lm_unigram_score)
       Curation.lmBigramScore(Tables.documents(s, dir))
@@ -4909,6 +4917,41 @@ object CBlock {
          |  CAST(sum(cnt) AS DOUBLE) / count(*) AS avg_freq
          |FROM w JOIN c USING (word) CROSS JOIN t
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "lm_interp_score" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, $toksSql AS t FROM documents
+         |), wu AS (
+         |  SELECT unnest(t) AS word FROM w
+         |), uni AS (
+         |  SELECT word, count(*) AS ucnt FROM wu GROUP BY 1
+         |), tot AS (
+         |  SELECT CAST(sum(ucnt) AS BIGINT) AS n_total FROM uni
+         |), b AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+         |  FROM w WHERE len(t) >= 2
+         |), bs AS (
+         |  SELECT doc_id, bigram,
+         |    string_split(bigram, ' ')[1] AS w1,
+         |    string_split(bigram, ' ')[2] AS w2
+         |  FROM b
+         |), bc AS (
+         |  SELECT bigram, count(*) AS bcnt FROM b GROUP BY 1
+         |), j AS (
+         |  SELECT bs.doc_id,
+         |    (7 * ((bc.bcnt * 1000) // u1.ucnt)
+         |      + 3 * ((u2.ucnt * 1000) // t.n_total)) // 10 AS p
+         |  FROM bs JOIN bc USING (bigram)
+         |  JOIN uni u1 ON bs.w1 = u1.word
+         |  JOIN uni u2 ON bs.w2 = u2.word
+         |  CROSS JOIN tot t
+         |)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p) AS BIGINT) AS interp_sum_milli,
+         |  CAST(sum(CASE WHEN p < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_improbable
+         |FROM j GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "lm_bigram_score" ->
       s"""WITH w AS (
