@@ -1241,6 +1241,56 @@ object Similarity {
     * range), bucketed by a sign/abs integer division. Scale: the
     * 64-row direction broadcasts; one corpus scan, one map-side
     * per-vector sum — no wide edge beyond pcaPower's own Gram agg. */
+  /** WHITENED top-2 projections — the decorrelate-and-equalize step a
+    * PCA embedding pipeline ships (projections divided by their own
+    * standard deviation, so both axes carry unit variance): per vector
+    * and component, pb = sign(proj)·(|proj| div 10⁷) (the bucketed
+    * projection, kept small enough that Σpb² stays in int64 to
+    * n ≈ 2·10⁵ vectors at the defaults), sd = isqrt(var(pb)) computed
+    * by a 24-step UNROLLED integer bit descent — column steps like the
+    * Hilbert fold, no sqrt() anywhere, so the whitened value
+    * w = sign(pb)·((|pb|·10³) div sd) is bit-exact on any engine. Every
+    * negative-operand division uses the sign/abs spelling (Spark div
+    * truncates, DuckDB // floors — they agree only on non-negatives).
+    *
+    * Scale: the component table and the 2-row stat/isqrt relation are
+    * broadcast model state; the corpus passes are the projection agg
+    * and the whiten projection — same shape as [[pcaProject]]. */
+  def pcaWhiten(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
+      gramDiv: Long = 10000000L, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val comps = pcaTop2(emb, iters, scale, gramDiv, idCol, vecCol)
+      .select(col("comp_id"), col("dim"), col("comp"))
+    val q = emb.select(col(idCol),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col(idCol), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+    val pb = q.join(broadcast(comps), "dim")
+      .groupBy(col(idCol), col("comp_id"))
+      .agg(sum(col("q") * col("comp")).as("proj"))
+      .withColumn("pb", expr(
+        "(CASE WHEN proj < 0 THEN -1 ELSE 1 END) * (abs(proj) div 10000000)"))
+    var stats = pb.groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("n"), sum(col("pb")).as("sp"),
+        sum(col("pb") * col("pb")).as("sp2"))
+      .withColumn("m", expr(
+        "(CASE WHEN sp < 0 THEN -1 ELSE 1 END) * (abs(sp) div n)"))
+      .withColumn("var_s", expr("greatest(sp2 div n - m * m, 1)"))
+      .withColumn("r", lit(0L))
+    // isqrt(var_s) by bit descent: var_s ≤ ~4·10¹³ < 2⁴⁶ → root < 2²⁴
+    for (b <- 23 to 0 by -1) {
+      val step = 1L << b
+      stats = stats.withColumn("r",
+        when((col("r") + step) * (col("r") + step) <= col("var_s"),
+          col("r") + step).otherwise(col("r")))
+    }
+    pb.join(broadcast(stats.select(col("comp_id"), col("r").as("sd"))),
+        "comp_id")
+      .select(col(idCol), col("comp_id"), col("pb"), expr(
+        "(CASE WHEN pb < 0 THEN -1 ELSE 1 END) " +
+          "* ((abs(pb) * 1000) div greatest(sd, 1))").as("w"))
+  }
+
   def pcaProject(emb: DataFrame, iters: Int = 3, scale: Long = 1000000L,
       gramDiv: Long = 10000000L, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {

@@ -1949,6 +1949,17 @@ object CBlock {
         .orderBy(col("dim"))
     }),
 
+    "emb_whiten" -> ((s, dir) => {
+      // whitened top-2 projections: each axis divided by its own
+      // standard deviation — sd = isqrt(var) by a 24-step unrolled
+      // integer bit descent (no sqrt() anywhere), so the decorrelate-
+      // and-equalize step stays bit-exact cross-engine; the corpus
+      // passes are the projection agg and the whiten projection, the
+      // stat/isqrt relation is 2-row broadcast model state
+      Similarity.pcaWhiten(Tables.embeddings(s, dir), iters = 3)
+        .orderBy(col("vec_id"), col("comp_id"))
+    }),
+
     "emb_pca2" -> ((s, dir) => {
       // top-2 principal directions by integer-lattice DEFLATION: the
       // rank-1 projector subtracts from the collected Gram and the
@@ -2729,7 +2740,10 @@ object CBlock {
   /** Deflation + second power loop over [[pcaChainCtes]]'s g/v3 —
     * mirrors Similarity.pcaTop2's integer arithmetic step for step
     * (every div operand non-negative via the sign/abs spelling). */
-  private def pca2OracleBody(from: String, prefix: String): String = {
+  /** The full deflation chain of pca2OracleBody (through comp 1 = v3
+    * and comp 2 = pv3), WITHOUT a final select — shared with the
+    * whitening oracle, which keeps deriving from both eigenvectors. */
+  private def pca2ChainAll(from: String): String = {
     val iter2 = (1 to 3).map { k =>
       s"""p$k AS (
          |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
@@ -2742,7 +2756,7 @@ object CBlock {
          |  FROM p$k, pm$k
          |)""".stripMargin
     }.mkString(",\n")
-    prefix + pcaChainCtes(from) +
+    pcaChainCtes(from) +
       s""",
          |u4 AS (
          |  SELECT g.i, CAST(SUM(g.g * v.v) AS BIGINT) AS u
@@ -2769,13 +2783,65 @@ object CBlock {
          |), pv0 AS (
          |  SELECT unnest(range(0, 64)) AS i, CAST(1000000 AS BIGINT) AS v
          |),
-         |$iter2
+         |$iter2""".stripMargin
+  }
+
+  private def pca2OracleBody(from: String, prefix: String): String =
+    prefix + pca2ChainAll(from) +
+      s"""
          |SELECT CAST(1 AS BIGINT) AS comp_id, CAST(i AS BIGINT) AS dim,
          |  v AS comp, ROUND(v / 1000000.0, 6) AS loading FROM v3
          |UNION ALL
          |SELECT CAST(2 AS BIGINT), CAST(i AS BIGINT), v,
          |  ROUND(v / 1000000.0, 6) FROM pv3
          |ORDER BY comp_id, dim""".stripMargin
+
+  /** emb_whiten's oracle: projections onto v3/pv3, bucketed, variance
+    * on the integer lattice, isqrt by the same 24-step bit descent the
+    * Scala side unrolls, then the whitened division — every
+    * negative-operand div in the sign/abs spelling. */
+  private def whitenOracleBody(from: String): String = {
+    val isqrtSteps = ((23 to 0 by -1).zipWithIndex).map { case (b, idx) =>
+      val step = 1L << b
+      s"""s${idx + 1} AS (
+         |  SELECT comp_id, var_s,
+         |    CASE WHEN (r + $step) * (r + $step) <= var_s
+         |      THEN r + $step ELSE r END AS r
+         |  FROM s$idx)""".stripMargin
+    }.mkString(",\n")
+    "WITH " + pca2ChainAll(from) +
+      s""",
+         |pj AS (
+         |  SELECT q.vec_id, CAST(1 AS BIGINT) AS comp_id,
+         |    CAST(SUM(q.q * v.v) AS BIGINT) AS proj
+         |  FROM q JOIN v3 v ON q.dim = v.i GROUP BY 1
+         |  UNION ALL
+         |  SELECT q.vec_id, CAST(2 AS BIGINT),
+         |    CAST(SUM(q.q * v.v) AS BIGINT)
+         |  FROM q JOIN pv3 v ON q.dim = v.i GROUP BY 1
+         |), pb AS (
+         |  SELECT vec_id, comp_id, (CASE WHEN proj < 0 THEN -1 ELSE 1 END)
+         |    * (abs(proj) // 10000000) AS pb
+         |  FROM pj
+         |), st AS (
+         |  SELECT comp_id, count(*) AS n, CAST(sum(pb) AS BIGINT) AS sp,
+         |    CAST(sum(pb * pb) AS BIGINT) AS sp2
+         |  FROM pb GROUP BY 1
+         |), s0 AS (
+         |  SELECT comp_id,
+         |    greatest(sp2 // n
+         |      - ((CASE WHEN sp < 0 THEN -1 ELSE 1 END) * (abs(sp) // n))
+         |      * ((CASE WHEN sp < 0 THEN -1 ELSE 1 END) * (abs(sp) // n)),
+         |      1) AS var_s,
+         |    CAST(0 AS BIGINT) AS r
+         |  FROM st
+         |),
+         |$isqrtSteps
+         |SELECT pb.vec_id, pb.comp_id, pb.pb,
+         |  (CASE WHEN pb.pb < 0 THEN -1 ELSE 1 END)
+         |    * ((abs(pb.pb) * 1000) // greatest(s24.r, 1)) AS w
+         |FROM pb JOIN s24 ON pb.comp_id = s24.comp_id
+         |ORDER BY pb.vec_id, pb.comp_id""".stripMargin
   }
 
   private def pcaOracleBody(from: String, prefix: String): String =
@@ -5853,6 +5919,8 @@ object CBlock {
       pcaOracleBody("pemb", "WITH " + plantedCte + ",\n"),
 
     "emb_pca2" -> pca2OracleBody("embeddings", "WITH "),
+
+    "emb_whiten" -> whitenOracleBody("embeddings"),
 
     "emb_pca_project" ->
       s"""WITH ${pcaChainCtes("embeddings")},

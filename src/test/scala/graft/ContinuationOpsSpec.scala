@@ -140,6 +140,46 @@ class ContinuationOpsSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L)) // chain peeled, cores stay
   }
 
+  test("SkylineAggregator: front is invariant to insertion order") {
+    val agg = new graft.plans.SkylineAggregator
+    val rng = new scala.util.Random(3)
+    val pts = Seq.fill(200)(graft.plans.FrontPoint(
+      rng.nextLong().abs % 1000, rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+    val f1 = agg.finish(pts.foldLeft(agg.zero)(agg.reduce))
+    val f2 = agg.finish(rng.shuffle(pts).foldLeft(agg.zero)(agg.reduce))
+    // split-merge route: two partials merged
+    val (a, b) = rng.shuffle(pts).splitAt(97)
+    val f3 = agg.finish(agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce)))
+    assert(f1.toSet == f2.toSet && f2.toSet == f3.toSet)
+  }
+
+  test("pcaWhiten: sd is the exact isqrt of the pb variance; w = pb*1000/sd") {
+    val emb = graft.sources.Tables.embeddings(spark, sf())
+    val rows = graft.operators.Similarity.pcaWhiten(emb, iters = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("comp_id"), r.getAs[Long]("pb"), r.getAs[Long]("w")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, comp) =>
+      val pbs = comp.map(_._2)
+      val n = pbs.length.toLong
+      val sp = pbs.sum; val sp2 = pbs.map(p => p * p).sum
+      val m = (if (sp < 0) -1L else 1L) * (math.abs(sp) / n)
+      val varS = math.max(sp2 / n - m * m, 1L)
+      var sd = 0L
+      for (b <- 23 to 0 by -1) {
+        val t = sd + (1L << b)
+        if (t * t <= varS) sd = t
+      }
+      assert(sd * sd <= varS && (sd + 1) * (sd + 1) > varS)
+      comp.foreach { case (_, pbv, w) =>
+        val want = (if (pbv < 0) -1L else 1L) *
+          (math.abs(pbv) * 1000 / math.max(sd, 1L))
+        assert(w == want, s"pb=$pbv sd=$sd: got $w want $want")
+      }
+    }
+  }
+
   test("cmsDot: estimate upper-bounds the exact dot and is exact without collisions") {
     val toks = Seq.tabulate(60)(i => (s"s${i % 2}", s"w${i % 5}"))
       .toDF("src", "word")
