@@ -53,6 +53,28 @@ object ABlock {
       rolloverGens(msgs, s, dir).orderBy(col("topic"), col("gen"))
     }),
 
+    "sync_ack_ledger_stream" -> ((s, dir) => {
+      // the ledger maintained as a LIVE streaming aggregation: the
+      // AckLedgerAggregator keeps the acked-seq set as DISJOINT
+      // INTERVALS in aggregation state (the Pulsar-cursor range
+      // compression — O(holes), never O(messages)) and interval-set
+      // union is a commutative monoid, so 3 real micro-batches in any
+      // arrival order drain to the batch ledger exactly —
+      // sync_ack_ledger's own oracle anchors it
+      val w = Window.partitionBy(col("topic")).orderBy(col("msg_id"))
+      val base = msgs(s, dir)
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .withColumn("acked",
+          (pmod(col("msg_id"), lit(20L)) =!= 0L).cast("int"))
+        .withColumn("batch", pmod(col("msg_id"), lit(3L)))
+        .select(col("topic"), col("seq"), col("acked"), col("batch"))
+      graft.streaming.StreamedBatch.ackLedgerStreamed(s, base, nBatches = 3)
+        .select(col("topic"), col("ledger.n_msgs").as("n_msgs"),
+          col("ledger.mark_delete").as("mark_delete"),
+          col("ledger.n_holes").as("n_holes"))
+        .orderBy(col("topic"))
+    }),
+
     "sync_ack_ledger" -> ((s, dir) => {
       // the consumer ACK LEDGER behind the reference's ack-after-bulk
       // cycle (pulsar.rs acks each message only after its ES bulk
@@ -590,9 +612,10 @@ object ABlock {
       |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
       |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin
 
-  val oracle: Map[String, String] = Map(
-    "sync_ack_ledger" ->
-      """WITH m AS (
+  /** sync_ack_ledger's SQL — shared verbatim by the streamed twin
+    * (interval-set union must reproduce the batch ledger exactly). */
+  private val ackLedgerOracleSql: String =
+    """WITH m AS (
         |  SELECT event_id AS msg_id, event_type AS topic FROM events
         |), sq AS (
         |  SELECT topic, msg_id,
@@ -610,7 +633,14 @@ object ABlock {
         |  CAST(SUM(CASE WHEN s.acked = 1 AND s.seq > mk.mark_delete
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_holes
         |FROM sq s JOIN mk ON s.topic = mk.topic
-        |GROUP BY 1, mk.mark_delete ORDER BY s.topic""".stripMargin,
+        |GROUP BY 1, mk.mark_delete ORDER BY s.topic""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "sync_ack_ledger" -> ackLedgerOracleSql,
+
+    // IDENTICAL SQL to sync_ack_ledger — the interval-compressed
+    // streamed ledger must equal the batch ledger row for row
+    "sync_ack_ledger_stream" -> ackLedgerOracleSql,
 
     "sync_rollover" -> rolloverOracleSql,
     "sync_rollover_stream" -> rolloverOracleSql,

@@ -301,6 +301,27 @@ object StreamedBatch {
         .writeStream
     }
 
+  /** [[graft.plans.AckLedgerAggregator]] as a LIVE complete-mode
+    * streaming aggregation across REAL micro-batches: per-topic ack
+    * observations arrive file by file, the interval-compressed ledger
+    * accumulates in aggregation state (O(holes), the Pulsar-cursor
+    * shape), and because interval-set union is a commutative monoid the
+    * drained ledger must equal the batch ledger for ANY arrival order.
+    * Input `obs`: (topic, seq, acked, batch). */
+  def ackLedgerStreamed(s: SparkSession, obs: DataFrame,
+      nBatches: Int): DataFrame =
+    throughChunkedStreamMode(s, "ackl", nBatches, "complete",
+      (obs, Seq("topic", "seq", "acked"))) { (ss, srcs) =>
+      import ss.implicits._
+      ss.readStream.schema("topic STRING, seq LONG, acked INT")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .as[graft.plans.AckObs]
+        .groupByKey(_.topic)
+        .agg(new graft.plans.AckLedgerAggregator().toColumn.name("ledger"))
+        .toDF("topic", "ledger")
+        .writeStream
+    }
+
   /** [[StreamingRollover.assignGenerations]] across REAL micro-batches:
     * the in-order message stream replays one file per micro-batch, the
     * per-topic cumulative-bytes counter SURVIVES batch boundaries in

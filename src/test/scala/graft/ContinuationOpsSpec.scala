@@ -180,6 +180,30 @@ class ContinuationOpsSpec extends SparkSpec {
     }
   }
 
+  test("AckLedgerAggregator: interval compression reads the ledger exactly, any order") {
+    val agg = new graft.plans.AckLedgerAggregator
+    // seqs 1..20, unacked at 5 and 12 → mark_delete=4, holes=18-4=14
+    val obs = (1L to 20L).map(s =>
+      graft.plans.AckObs("t", s, if (s == 5 || s == 12) 0 else 1))
+    val want = graft.plans.AckLedger(20L, 4L, 14L)
+    assert(agg.finish(obs.foldLeft(agg.zero)(agg.reduce)) == want)
+    val rng = new scala.util.Random(5)
+    val shuffled = rng.shuffle(obs)
+    assert(agg.finish(shuffled.foldLeft(agg.zero)(agg.reduce)) == want)
+    val (a, b) = shuffled.splitAt(7)
+    assert(agg.finish(agg.merge(
+      a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))) == want)
+    // fully acked → mark_delete = n, no holes
+    val full = (1L to 9L).map(s => graft.plans.AckObs("t", s, 1))
+    assert(agg.finish(full.foldLeft(agg.zero)(agg.reduce)) ==
+      graft.plans.AckLedger(9L, 9L, 0L))
+    // first message unacked → mark_delete 0, every ack is a hole
+    val firstUn = (1L to 6L).map(s => graft.plans.AckObs("t", s, if (s == 1) 0 else 1))
+    assert(agg.finish(firstUn.foldLeft(agg.zero)(agg.reduce)) ==
+      graft.plans.AckLedger(6L, 0L, 5L))
+  }
+
   test("cmsDot: estimate upper-bounds the exact dot and is exact without collisions") {
     val toks = Seq.tabulate(60)(i => (s"s${i % 2}", s"w${i % 5}"))
       .toDF("src", "word")
