@@ -779,6 +779,41 @@ object BBlock {
         .orderBy(col("topic"), col("day"))
     }),
 
+    "q_session_sweep" -> ((s, dir) => {
+      // session-GAP policy sweep (15/30/60 min arms in ONE scan — the
+      // pack_seqlen_sweep pattern on the sessionizer): the 3-row arm
+      // table broadcasts against events, every window is PARTITIONED
+      // by (arm, user), and the readout shows how session count,
+      // length, and singleton share move with the gap — the data an
+      // operator needs to PICK the gap q_sessionize hard-codes
+      val ss2 = s; import ss2.implicits._
+      val arms = Seq(15L, 30L, 60L).toDF("gap_min")
+      val w = Window.partitionBy(col("gap_min"), col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sid = eventsUs(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .crossJoin(broadcast(arms))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("ns", when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") >
+            col("gap_min") * 60000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("ns")).over(
+          Window.partitionBy(col("gap_min"), col("user_id"))
+            .orderBy(col("ts"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sid.groupBy(col("gap_min"), col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("gap_min"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("len")).as("n_events"),
+          sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_singletons"))
+        .withColumn("avg_len_milli",
+          expr("(n_events * 1000) div n_sessions"))
+        .select(col("gap_min"), col("n_sessions"), col("n_events"),
+          col("avg_len_milli"), col("n_singletons"))
+        .orderBy(col("gap_min"))
+    }),
+
     "q_funnel_steps" -> ((s, dir) => {
       // TIME-CONSTRAINED 3-step funnel (view → click ≤ 1 h → purchase
       // ≤ 1 h): the greedy per-step chain — first view, first click
@@ -2060,6 +2095,40 @@ object BBlock {
         |  END AS z
         |FROM win WHERE w_n = 7
         |ORDER BY topic, day""".stripMargin,
+
+    "q_session_sweep" ->
+      """WITH arms AS (
+        |  SELECT CAST(unnest([15, 30, 60]) AS BIGINT) AS gap_min
+        |), e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t FROM events
+        |), x AS (
+        |  SELECT a.gap_min, e.user_id, e.event_id, e.t,
+        |    lag(epoch_us(e.t)) OVER (PARTITION BY a.gap_min, e.user_id
+        |      ORDER BY e.t, e.event_id) AS prev_us
+        |  FROM e, arms a
+        |), f AS (
+        |  SELECT gap_min, user_id, event_id, t,
+        |    CASE WHEN prev_us IS NULL
+        |      OR epoch_us(t) - prev_us > gap_min * 60000000
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM x
+        |), sid AS (
+        |  SELECT gap_min, user_id,
+        |    CAST(SUM(ns) OVER (PARTITION BY gap_min, user_id
+        |      ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |      AS session_id
+        |  FROM f
+        |), per AS (
+        |  SELECT gap_min, user_id, session_id, count(*) AS len
+        |  FROM sid GROUP BY 1, 2, 3
+        |)
+        |SELECT gap_min, count(*) AS n_sessions,
+        |  CAST(sum(len) AS BIGINT) AS n_events,
+        |  CAST((CAST(sum(len) AS BIGINT) * 1000) // count(*) AS BIGINT)
+        |    AS avg_len_milli,
+        |  CAST(SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singletons
+        |FROM per GROUP BY 1 ORDER BY gap_min""".stripMargin,
 
     "q_funnel_steps" ->
       """WITH ev AS (

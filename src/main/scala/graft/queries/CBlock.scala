@@ -1181,6 +1181,31 @@ object CBlock {
         .orderBy(col("source"), col("k"), col("bin"))
     }),
 
+    "cdc_apply_stream" -> ((s, dir) => {
+      // the MERGE applied AT INGEST: the changelog replays in its real
+      // arrival order (snapshot batch, then updates, then deletes) and
+      // per-key max(struct(version, op, text)) holds the last writer in
+      // O(keys) streaming aggregation state — the continuously-merged
+      // table view a CDC consumer maintains; cdc_apply's own oracle
+      // anchors the drained relation
+      val docs = Tables.documents(s, dir)
+      val base = docs.select(col("doc_id"), lit(0L).as("version"),
+        lit("I").as("op"), col("text"))
+      val upd = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" updated")).as("text"))
+      val del = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), lit(2L).as("version"), lit("D").as("op"),
+          lit(null).cast("string").as("text"))
+      val log = base.unionByName(upd).unionByName(del)
+        .withColumn("batch", col("version"))
+      graft.streaming.StreamedBatch.cdcApplied(s, log, nBatches = 3)
+        .filter(col("op") =!= "D")
+        .select(col("doc_id"), col("version"),
+          graft.plans.native.poly_hash(col("text")).as("text_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     "cdc_apply" -> ((s, dir) => {
       // changelog-merge (the Delta/Iceberg MERGE semantics a mutable
       // 100 TB table needs): base snapshot + planted updates (every
@@ -2552,6 +2577,26 @@ object CBlock {
        |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
        |  FROM p
        |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin
+
+  /** cdc_apply's oracle (shared verbatim with the streamed twin). */
+  private lazy val cdcApplyOracleSql: String =
+    s"""WITH log AS (
+       |  SELECT doc_id, 0 AS version, 'I' AS op, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id, 1, 'U', text || ' updated' FROM documents
+       |  WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 7 = 0
+       |), latest AS (
+       |  SELECT doc_id, version, op, text,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
+       |      AS rk
+       |  FROM log
+       |)
+       |SELECT doc_id, CAST(version AS BIGINT) AS version,
+       |  ${ph("text")} AS text_hash
+       |FROM latest WHERE rk = 1 AND op <> 'D'
+       |ORDER BY doc_id""".stripMargin
 
   /** sketch_heavy_hitters's oracle (shared verbatim with the
     * streamed-grid twin). */
@@ -4717,24 +4762,11 @@ object CBlock {
          |  round(CAST(sum(fill) AS DOUBLE) / 256, 6) AS fill_rate
          |FROM c GROUP BY 1, 2, 3 ORDER BY source, k, bin""".stripMargin,
 
-    "cdc_apply" ->
-      s"""WITH log AS (
-         |  SELECT doc_id, 0 AS version, 'I' AS op, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id, 1, 'U', text || ' updated' FROM documents
-         |  WHERE doc_id % 5 = 0
-         |  UNION ALL
-         |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 7 = 0
-         |), latest AS (
-         |  SELECT doc_id, version, op, text,
-         |    row_number() OVER (PARTITION BY doc_id ORDER BY version DESC)
-         |      AS rk
-         |  FROM log
-         |)
-         |SELECT doc_id, CAST(version AS BIGINT) AS version,
-         |  ${ph("text")} AS text_hash
-         |FROM latest WHERE rk = 1 AND op <> 'D'
-         |ORDER BY doc_id""".stripMargin,
+    "cdc_apply" -> cdcApplyOracleSql,
+
+    // IDENTICAL SQL to cdc_apply — the streamed last-writer state must
+    // equal the batch rank-window merge row for row
+    "cdc_apply_stream" -> cdcApplyOracleSql,
 
     "mix_fill_budget" ->
       s"""WITH a AS (

@@ -322,6 +322,26 @@ object StreamedBatch {
         .writeStream
     }
 
+  /** The CDC last-writer-wins merge as a LIVE complete-mode streaming
+    * aggregation: the changelog replays in its REAL arrival order
+    * (base snapshot, then updates, then deletes — one micro-batch per
+    * version epoch) and per-key max(struct(version, op, text)) keeps
+    * exactly the last writer in O(keys) aggregation state; the drained
+    * relation must match the batch merge's rank-window result. Input
+    * `log`: (doc_id, version, op, text, batch). */
+  def cdcApplied(s: SparkSession, log: DataFrame, nBatches: Int): DataFrame =
+    throughChunkedStreamMode(s, "cdc", nBatches, "complete",
+      (log, Seq("doc_id", "version", "op", "text"))) { (ss, srcs) =>
+      ss.readStream
+        .schema("doc_id LONG, version LONG, op STRING, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("version"), col("op"), col("text"))).as("last"))
+        .select(col("doc_id"), col("last.version").as("version"),
+          col("last.op").as("op"), col("last.text").as("text"))
+        .writeStream
+    }
+
   /** [[StreamingRollover.assignGenerations]] across REAL micro-batches:
     * the in-order message stream replays one file per micro-batch, the
     * per-topic cumulative-bytes counter SURVIVES batch boundaries in
