@@ -47,8 +47,15 @@ object Sketches {
     * maps ship O(k) rows per group — the sketch is O(groups·k) state,
     * never the data. */
   def kmvDistinct(df: DataFrame, keys: Seq[String], valueCol: Column,
-      k: Int = 64): DataFrame = {
-    val mink = Materialize(kmvMinK(df, keys, valueCol, k))
+      k: Int = 64): DataFrame =
+    kmvDistinctFromMinK(Materialize(kmvMinK(df, keys, valueCol, k)), keys, k)
+
+  /** The estimate readout of [[kmvDistinct]] over an already-built
+    * (possibly streaming-maintained or merged) k-min relation
+    * (keys..., h, rk) — split out so a stored/streamed sketch
+    * estimates through the identical arithmetic. */
+  def kmvDistinctFromMinK(mink: DataFrame, keys: Seq[String],
+      k: Int): DataFrame = {
     mink.groupBy(keys.map(col): _*)
       .agg(max(col("rk")).cast("long").as("n_min"),
         max(when(col("rk") === k, col("h"))).as("h_k"))
@@ -146,12 +153,22 @@ object Sketches {
 
   def histogramQuantiles(df: DataFrame, keys: Seq[String], valueCol: Column,
       qs: Seq[Double], bins: Int = 128, lo: Double = 0.0,
+      hi: Double = 512.0): DataFrame =
+    histogramQuantilesFromCounts(
+      df.groupBy(
+        (keys.map(col) :+ histogramBin(valueCol, bins, lo, hi).as("bin")): _*)
+        .agg(count(lit(1)).as("cnt")),
+      keys, qs, bins, lo, hi)
+
+  /** The quantile readout of [[histogramQuantiles]] over an
+    * already-built (possibly streaming-maintained or merged) per-(key,
+    * bin) count relation — bin counts are plain sums, so a streamed or
+    * sharded grid reads out identically. */
+  def histogramQuantilesFromCounts(counts: DataFrame, keys: Seq[String],
+      qs: Seq[Double], bins: Int = 128, lo: Double = 0.0,
       hi: Double = 512.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val width = (hi - lo) / bins
-    val counts = df.groupBy(
-        (keys.map(col) :+ histogramBin(valueCol, bins, lo, hi).as("bin")): _*)
-      .agg(count(lit(1)).as("cnt"))
     val byKey = Window.partitionBy(keys.map(col): _*)
     val cum = counts
       .withColumn("n_values", sum(col("cnt")).over(byKey))

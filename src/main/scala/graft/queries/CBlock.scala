@@ -1120,6 +1120,47 @@ object CBlock {
         .orderBy(col("word"))
     }),
 
+    "sketch_kmv_stream" -> ((s, dir) => {
+      // C108's k-min sets maintained as LIVE streaming aggregation
+      // state (BottomKDistinctAggregator — the bottom-k-of-a-union
+      // monoid, O(k) per key): the drained sketch equals the batch
+      // sketch, so the estimate readout lands on sketch_kmv's oracle
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, dir)
+      val h = (graft.plans.native.poly_hash(
+          concat(lit("kmv:"), col("user_id").cast("string")))
+        * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+        graft.plans.HashOps.M
+      val obs = ev.select(col("event_type").as("key"), h.as("h"))
+      val mink = graft.streaming.StreamedBatch.kmvMinKStreamed(s, obs, 64)
+        .select(col("key").as("event_type"),
+          posexplode(col("hs")).as(Seq("pos", "h")))
+        .withColumn("rk", (col("pos") + 1).cast("int")).drop("pos")
+      graft.operators.Sketches
+        .kmvDistinctFromMinK(mink, Seq("event_type"), 64)
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("exact")), Seq("event_type"))
+        .select(col("event_type"), col("exact"), col("n_min"),
+          col("kmv_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    "sketch_quantile_stream" -> ((s, dir) => {
+      // C46's bin counts maintained as a LIVE streaming aggregation
+      // (plain sums): the drained grid equals the batch grid, so the
+      // quantile readout lands on sketch_quantile's own oracle
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rows = Tables.events(s, dir).select(
+        col("event_type").as("key"),
+        graft.operators.Sketches
+          .histogramBin(col("value"), 128, 0.0, 512.0).as("bin"))
+      val counts = graft.streaming.StreamedBatch.histBinsStreamed(s, rows)
+        .select(col("key").as("event_type"), col("bin"), col("cnt"))
+      graft.operators.Sketches.histogramQuantilesFromCounts(
+          counts, Seq("event_type"), qs = Seq(0.5, 0.95))
+        .orderBy(col("event_type"))
+    }),
+
     "sketch_quantile" -> ((s, dir) => {
       // mergeable histogram quantile sketch (commutative bin counts →
       // oracle-exact estimates); events.value spans [0, 512)
@@ -2641,6 +2682,54 @@ object CBlock {
        |  COALESCE(x.exact_dot, 0) AS exact_dot
        |FROM est e LEFT JOIN ex x USING (source_a, source_b)
        |ORDER BY source_a, source_b""".stripMargin
+
+  /** sketch_kmv's oracle (shared verbatim with the streamed-sketch
+    * twin). */
+  private lazy val kmvOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |    (${ph("'kmv:' || CAST(user_id AS VARCHAR)")}
+       |      * ((1 * 2654435761) % 2147483647)
+       |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT event_type, h,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+       |  FROM h
+       |), agg AS (
+       |  SELECT event_type, CAST(max(rk) AS BIGINT) AS n_min,
+       |    max(CASE WHEN rk = 64 THEN h END) AS h_k
+       |  FROM r WHERE rk <= 64 GROUP BY 1
+       |), ex AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact
+       |  FROM events GROUP BY 1
+       |)
+       |SELECT agg.event_type, ex.exact, agg.n_min,
+       |  CASE WHEN agg.n_min < 64 THEN CAST(agg.n_min AS DOUBLE)
+       |       ELSE ROUND(63.0 * 2147483647 / agg.h_k, 4) END AS kmv_est
+       |FROM agg JOIN ex USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  /** sketch_quantile's oracle (shared verbatim with the streamed-grid
+    * twin). */
+  private lazy val quantileOracleSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    least(greatest(CAST(floor((value - 0.0) / 4.0) AS INT), 0), 127) AS bin,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |), c AS (
+      |  SELECT event_type, bin,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_values,
+      |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+      |  FROM b
+      |)
+      |SELECT event_type, max(n_values) AS n_values,
+      |  min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) AS p50_bin,
+      |  ROUND((min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p50_est,
+      |  min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) AS p95_bin,
+      |  ROUND((min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p95_est
+      |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** sketch_freq_cms's oracle (shared verbatim with the
     * streaming-maintained grid twin). */
@@ -4497,30 +4586,11 @@ object CBlock {
          |ORDER BY event_type""".stripMargin
     },
 
-    "sketch_kmv" ->
-      s"""WITH h AS (
-         |  SELECT DISTINCT event_type,
-         |    (${ph("'kmv:' || CAST(user_id AS VARCHAR)")}
-         |      * ((1 * 2654435761) % 2147483647)
-         |      + (1 * 40503) % 2147483647) % 2147483647 AS h
-         |  FROM events
-         |), r AS (
-         |  SELECT event_type, h,
-         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
-         |  FROM h
-         |), agg AS (
-         |  SELECT event_type, CAST(max(rk) AS BIGINT) AS n_min,
-         |    max(CASE WHEN rk = 64 THEN h END) AS h_k
-         |  FROM r WHERE rk <= 64 GROUP BY 1
-         |), ex AS (
-         |  SELECT event_type, count(DISTINCT user_id) AS exact
-         |  FROM events GROUP BY 1
-         |)
-         |SELECT agg.event_type, ex.exact, agg.n_min,
-         |  CASE WHEN agg.n_min < 64 THEN CAST(agg.n_min AS DOUBLE)
-         |       ELSE ROUND(63.0 * 2147483647 / agg.h_k, 4) END AS kmv_est
-         |FROM agg JOIN ex USING (event_type)
-         |ORDER BY event_type""".stripMargin,
+    "sketch_kmv" -> kmvOracleSql,
+
+    // IDENTICAL SQL to sketch_kmv — the streamed bottom-k state must
+    // drain to the batch sketch exactly
+    "sketch_kmv_stream" -> kmvOracleSql,
 
     "sketch_distinct" ->
       s"""WITH sk AS (
@@ -4681,24 +4751,11 @@ object CBlock {
     // estimate exactly what the batch grid does
     "sketch_freq_cms_stream" -> cmsOracleSql,
 
-    "sketch_quantile" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |    least(greatest(CAST(floor((value - 0.0) / 4.0) AS INT), 0), 127) AS bin,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2
-        |), c AS (
-        |  SELECT event_type, bin,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_values,
-        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
-        |  FROM b
-        |)
-        |SELECT event_type, max(n_values) AS n_values,
-        |  min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) AS p50_bin,
-        |  ROUND((min(CASE WHEN cum >= ceil(0.5 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p50_est,
-        |  min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) AS p95_bin,
-        |  ROUND((min(CASE WHEN cum >= ceil(0.95 * n_values) THEN bin END) + 1) * 4.0 + 0.0, 6) AS p95_est
-        |FROM c GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "sketch_quantile" -> quantileOracleSql,
+
+    // IDENTICAL SQL to sketch_quantile — streamed bin counts equal the
+    // batch counts, so the readout matches
+    "sketch_quantile_stream" -> quantileOracleSql,
 
     "decontaminate_bloom" ->
       s"""WITH g AS (

@@ -322,6 +322,41 @@ object StreamedBatch {
         .writeStream
     }
 
+  /** [[graft.plans.BottomKDistinctAggregator]] as a LIVE complete-mode
+    * streaming aggregation: the KMV k-min sets accumulate per key in
+    * O(k) aggregation state (the bottom-k-of-a-union monoid), so the
+    * drained sketch equals the batch sketch exactly. Input `obs`:
+    * (key, h) — the portable re-hashed values. */
+  def kmvMinKStreamed(s: SparkSession, obs: DataFrame, k: Int): DataFrame = {
+    val input = obs.select(col("key").cast("string").as("key"),
+      col("h").cast("long").as("h"))
+    throughStreamComplete(s, input, "kmv") { (ss, src) =>
+      import ss.implicits._
+      ss.readStream.schema("key STRING, h LONG").parquet(src)
+        .as[graft.plans.KmvObs]
+        .groupByKey(_.key)
+        .agg(new graft.plans.BottomKDistinctAggregator(k).toColumn.name("hs"))
+        .toDF("key", "hs")
+        .writeStream
+    }
+  }
+
+  /** Per-(key, bin) histogram counts maintained as a LIVE complete-mode
+    * streaming aggregation (plain sums — the [[cmsCellsStreamed]]
+    * property on the quantile grid): the drained counts equal the batch
+    * counts, so the quantile readout lands on the batch oracle. Input
+    * `rows`: (key, bin). */
+  def histBinsStreamed(s: SparkSession, rows: DataFrame): DataFrame = {
+    val input = rows.select(col("key").cast("string").as("key"),
+      col("bin").cast("int").as("bin"))
+    throughStreamComplete(s, input, "hist") { (ss, src) =>
+      ss.readStream.schema("key STRING, bin INT").parquet(src)
+        .groupBy(col("key"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream
+    }
+  }
+
   /** The CDC last-writer-wins merge as a LIVE complete-mode streaming
     * aggregation: the changelog replays in its REAL arrival order
     * (base snapshot, then updates, then deletes — one micro-batch per
