@@ -424,4 +424,27 @@ object HashOps {
       mn
     }
   }
+
+  /** Hilbert xy2d bit descent (the public-domain formulation): the
+    * codegen twin of the oracle's chained-CTE unroll — ~6·bits integer
+    * ops in a tight loop, versus the Column spellings that either
+    * explode the collapsed projection tree (per-step withColumn) or pay
+    * an interpreted struct fold per row (aggregate HOF); both were
+    * measured 10-20× slower at sf0.1. */
+  def hilbertKey(x0: Long, y0: Long, bits: Int): Long = {
+    val n1 = (1L << bits) - 1
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = n1 - x; y = n1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
 }

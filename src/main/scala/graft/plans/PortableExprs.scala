@@ -156,6 +156,19 @@ case class SortedJaccardExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class HilbertKeyExpr(left: Expression, right: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.hilbertKey(a.asInstanceOf[Long], b.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.HashOps.hilbertKey($a, $b, $bits)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertKeyExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 case class CosineSimExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -292,6 +305,8 @@ object native {
     asCol(ShingleHashSetExpr(exprOf(c), n))
   def sorted_jaccard(a: Column, b: Column): Column =
     asCol(SortedJaccardExpr(exprOf(a), exprOf(b)))
+  def hilbert_key(a: Column, b: Column, bits: Int): Column =
+    asCol(HilbertKeyExpr(exprOf(a), exprOf(b), bits))
   def cosine_sim(a: Column, b: Column): Column =
     asCol(CosineSimExpr(exprOf(a), exprOf(b)))
   def l2sq(a: Column, b: Column): Column =

@@ -779,6 +779,40 @@ object BBlock {
         .orderBy(col("topic"), col("day"))
     }),
 
+    "q_rfm" -> ((s, dir) => {
+      // RFM customer segmentation — recency/frequency/monetary
+      // QUINTILES without ntile's single-partition sort: three
+      // two-phase global ranks (the q_decile machinery, one per
+      // metric), score = 5 − (rank·5) div n as exact integer division
+      // (a double quantile could flip boundary customers
+      // cross-engine), then the classic segment rules on the scores
+      val base = Tables.orders(s, dir).groupBy(col("o_custkey"))
+        .agg(max(datediff(col("o_orderdate"),
+            lit("1970-01-01").cast("date")).cast("long")).as("rec_day"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+      val n = base.agg(count(lit(1)).as("n"))
+      def score(metric: String, out: String) =
+        graft.operators.Curation.globalRank(
+            base.select(col("o_custkey"), col(metric)),
+            Seq(col(metric).desc, col("o_custkey")), "rk")
+          .crossJoin(broadcast(n))
+          .select(col("o_custkey"),
+            (lit(5L) - expr("(rk * 5) div n")).as(out))
+      base.select(col("o_custkey"))
+        .join(score("rec_day", "r_score"), Seq("o_custkey"))
+        .join(score("freq", "f_score"), Seq("o_custkey"))
+        .join(score("mon_c", "m_score"), Seq("o_custkey"))
+        .withColumn("segment",
+          when(col("r_score") === 5 && col("f_score") === 5 &&
+            col("m_score") === 5, "champion")
+          .when(col("r_score") >= 4 && col("f_score") >= 4, "loyal")
+          .when(col("r_score") <= 2 && col("m_score") >= 4, "at_risk_big")
+          .when(col("r_score") <= 2, "lapsed")
+          .otherwise("regular"))
+        .orderBy(col("o_custkey"))
+    }),
+
     "q_session_sweep" -> ((s, dir) => {
       // session-GAP policy sweep (15/30/60 min arms in ONE scan — the
       // pack_seqlen_sweep pattern on the sessionizer): the 3-row arm
@@ -2095,6 +2129,43 @@ object BBlock {
         |  END AS z
         |FROM win WHERE w_n = 7
         |ORDER BY topic, day""".stripMargin,
+
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(max(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE))) AS BIGINT) AS rec_day,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS mon_c
+        |  FROM orders GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM base),
+        |r AS (
+        |  SELECT o_custkey, CAST(5 - ((row_number() OVER (
+        |    ORDER BY rec_day DESC, o_custkey) - 1) * 5) // n AS BIGINT)
+        |    AS r_score
+        |  FROM base, n
+        |), f AS (
+        |  SELECT o_custkey, CAST(5 - ((row_number() OVER (
+        |    ORDER BY freq DESC, o_custkey) - 1) * 5) // n AS BIGINT)
+        |    AS f_score
+        |  FROM base, n
+        |), m AS (
+        |  SELECT o_custkey, CAST(5 - ((row_number() OVER (
+        |    ORDER BY mon_c DESC, o_custkey) - 1) * 5) // n AS BIGINT)
+        |    AS m_score
+        |  FROM base, n
+        |)
+        |SELECT b.o_custkey, r.r_score, f.f_score, m.m_score,
+        |  CASE WHEN r.r_score = 5 AND f.f_score = 5 AND m.m_score = 5
+        |         THEN 'champion'
+        |       WHEN r.r_score >= 4 AND f.f_score >= 4 THEN 'loyal'
+        |       WHEN r.r_score <= 2 AND m.m_score >= 4 THEN 'at_risk_big'
+        |       WHEN r.r_score <= 2 THEN 'lapsed'
+        |       ELSE 'regular' END AS segment
+        |FROM base b JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+        |JOIN m USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q_session_sweep" ->
       """WITH arms AS (

@@ -40,7 +40,15 @@ object ScaleProbe {
     // corpus scan + O(types) marginals), harmonic no-split packing
     // (per-class rank windows), and the three-layout prune audit
     // (three two-phase ranks over the replicated lineitem)
-    "lm_kn_trigram", "pack_nosplit", "shard_zorder_prune")
+    "lm_kn_trigram", "pack_nosplit", "shard_zorder_prune",
+    // r8-continuation additions, each linear by design: CUSUM (daily
+    // rollup + topic-keyed cumulative windows), the skyline staircase
+    // (groupBy-x + bucketed prefix + broadcast-front join-back), the
+    // Hilbert descent (16 narrow column steps + the two-phase rank),
+    // the chained-min-agg funnel, the CMS dot (model-state grids), and
+    // the 3-arm session sweep (one scan, arm-keyed windows)
+    "q_cusum", "q_skyline", "shard_hilbert", "q_funnel_steps",
+    "sketch_cms_dot", "q_session_sweep")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
@@ -90,6 +98,12 @@ object ScaleProbe {
       val (v, r) = rep(spark.read.parquet(s"$baseDir/embeddings.parquet"))
       v.withColumn("vec_id", col("vec_id") * replicas + r).drop("__rep")
         .write.parquet(s"$scaledDir/embeddings.parquet")
+    }
+    locally { // q_skyline's input
+      val (o, r) = rep(spark.read.parquet(s"$baseDir/orders.parquet"))
+      o.withColumn("o_orderkey", col("o_orderkey") * replicas + r)
+        .drop("__rep")
+        .write.parquet(s"$scaledDir/orders.parquet")
     }
     locally { // shard_zorder's input
       val (l, r) = rep(spark.read.parquet(s"$baseDir/lineitem.parquet"))

@@ -66,6 +66,12 @@ class ContinuationOpsSpec extends SparkSpec {
     pts.foreach { case (x, y) =>
       assert(got((x, y)) == xy2dRef(16, x, y), s"mismatch at ($x,$y)")
     }
+    // native codegen expr == the Portable HOF reference formula
+    val parity = pts.toDF("x", "y")
+      .select(graft.plans.native.hilbert_key(col("x"), col("y"), 16).as("n"),
+        Portable.hilbertKey(col("x"), col("y"), 16).as("r"))
+      .collect()
+    assert(parity.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
   test("cusum: closed form equals the literal max(0, s+x) recursion") {
