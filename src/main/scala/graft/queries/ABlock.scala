@@ -75,6 +75,41 @@ object ABlock {
         .orderBy(col("topic"))
     }),
 
+    "sync_key_shared" -> ((s, dir) => {
+      // Key_Shared subscription distribution audit: Pulsar assigns each
+      // ordering KEY to one consumer by key hash (hash ranges; modeled
+      // with the repo's portable affine rehash mod 4) so per-key order
+      // survives parallel consumption, and KEYLESS messages round-robin
+      // (modeled by arrival id mod 4). Per consumer: message load,
+      // distinct keys, the hottest key's count (head-of-line-blocking
+      // risk — one slow key stalls everything sharing its consumer),
+      // and the load share in exact milli
+      val m = msgs(s, dir)
+      val key = when(col("data").isNotNull &&
+        col("data").rlike("\"k\": [0-9]+"),
+        regexp_extract(col("data"), "\"k\": ([0-9]+)", 1))
+      val h = (graft.plans.native.poly_hash(concat(lit("ks:"), col("key")))
+        * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
+        graft.plans.HashOps.M
+      val keyed = m.withColumn("key", key)
+        .withColumn("consumer", when(col("key").isNotNull, pmod(h, lit(4L)))
+          .otherwise(pmod(col("msg_id"), lit(4L))))
+      val perKey = keyed.filter(col("key").isNotNull)
+        .groupBy(col("consumer"), col("key"))
+        .agg(count(lit(1)).as("kn"))
+        .groupBy(col("consumer")).agg(max(col("kn")).as("max_key_msgs"))
+      val tot = keyed.agg(count(lit(1)).as("n_total"))
+      keyed.groupBy(col("consumer"))
+        .agg(count(lit(1)).as("n_msgs"),
+          countDistinct(col("key")).as("n_keys"))
+        .join(perKey, Seq("consumer"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("share_milli", expr("(n_msgs * 1000) div n_total"))
+        .select(col("consumer"), col("n_msgs"), col("n_keys"),
+          col("max_key_msgs"), col("share_milli"))
+        .orderBy(col("consumer"))
+    }),
+
     "sync_ack_ledger" -> ((s, dir) => {
       // the consumer ACK LEDGER behind the reference's ack-after-bulk
       // cycle (pulsar.rs acks each message only after its ES bulk
@@ -612,6 +647,12 @@ object ABlock {
       |  count(*) AS n_msgs, CAST(SUM(bytes) AS BIGINT) AS gen_bytes
       |FROM c GROUP BY 1, 2, 3 ORDER BY topic, gen""".stripMargin
 
+  /** The portable poly hash in DuckDB (CBlock's `ph`, local copy). */
+  private def phA(e: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), ch -> CAST(unicode(ch) AS BIGINT))), " +
+      s"(acc, cd) -> (acc * 31 + cd) % 2147483647)"
+
   /** sync_ack_ledger's SQL — shared verbatim by the streamed twin
     * (interval-set union must reproduce the batch ledger exactly). */
   private val ackLedgerOracleSql: String =
@@ -636,6 +677,36 @@ object ABlock {
         |GROUP BY 1, mk.mark_delete ORDER BY s.topic""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sync_key_shared" ->
+      s"""WITH m AS (
+         |  SELECT event_id AS msg_id, props AS data FROM events
+         |), k AS (
+         |  SELECT msg_id,
+         |    CASE WHEN data IS NOT NULL AND regexp_matches(data, '"k": [0-9]+')
+         |      THEN regexp_extract(data, '"k": ([0-9]+)', 1) END AS key
+         |  FROM m
+         |), c AS (
+         |  SELECT msg_id, key,
+         |    CASE WHEN key IS NOT NULL
+         |      THEN (${phA("'ks:' || key")}
+         |        * ((1 * 2654435761) % 2147483647)
+         |        + (1 * 40503) % 2147483647) % 2147483647 % 4
+         |      ELSE msg_id % 4 END AS consumer
+         |  FROM k
+         |), pk AS (
+         |  SELECT consumer, key, count(*) AS kn FROM c
+         |  WHERE key IS NOT NULL GROUP BY 1, 2
+         |), mx AS (
+         |  SELECT consumer, CAST(max(kn) AS BIGINT) AS max_key_msgs
+         |  FROM pk GROUP BY 1
+         |), t AS (SELECT count(*) AS n_total FROM c)
+         |SELECT c.consumer, count(*) AS n_msgs,
+         |  CAST(count(DISTINCT c.key) AS BIGINT) AS n_keys,
+         |  min(mx.max_key_msgs) AS max_key_msgs,
+         |  CAST((count(*) * 1000) // min(t.n_total) AS BIGINT) AS share_milli
+         |FROM c LEFT JOIN mx ON c.consumer = mx.consumer, t
+         |GROUP BY c.consumer ORDER BY c.consumer""".stripMargin,
+
     "sync_ack_ledger" -> ackLedgerOracleSql,
 
     // IDENTICAL SQL to sync_ack_ledger — the interval-compressed

@@ -869,6 +869,47 @@ object CBlock {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    "sketch_hll_sliding" -> ((s, dir) => {
+      // 7-day ROLLING distinct users per (event_type, day) — the ops
+      // metric a register store answers without rescanning: daily
+      // registers max-merge across a (etype, bucket)-partitioned
+      // 7-row calendar window (days densified so the ROWS frame IS the
+      // calendar week), then the standard estimate. The oracle computes
+      // the window estimate DIRECTLY from the windowed event sets, so
+      // the hash match proves sliding register-max ≡ direct — the
+      // merge theorem applied to sliding windows. Exact count rides a
+      // ≤7-day explode (narrow), never an inequality join
+      val ss2 = s; import ss2.implicits._
+      val ev = Tables.eventsTime(s, dir).withColumn("day", to_date(col("ts")))
+      val daily = graft.operators.Sketches.hllRegisters(
+        ev, Seq("event_type", "day"), col("user_id"))
+      val days = ev.groupBy(col("event_type"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val buckets = (0L until 64L).toDF("bucket")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"), col("bucket"))
+        .orderBy(col("day")).rowsBetween(-6, 0)
+      val slid = days.crossJoin(broadcast(buckets))
+        .join(daily, Seq("event_type", "day", "bucket"), "left")
+        .withColumn("m7", max(col("m_j")).over(w))
+        .filter(col("m7").isNotNull)
+        .select(col("event_type"), col("day"), col("bucket"),
+          col("m7").as("m_j"))
+      val exact7 = ev
+        .withColumn("day_w",
+          explode(sequence(col("day"), date_add(col("day"), 6))))
+        .groupBy(col("event_type"), col("day_w").as("day"))
+        .agg(countDistinct(col("user_id")).as("exact7"))
+        .join(days, Seq("event_type", "day"), "left_semi")
+      graft.operators.Sketches.hllEstimate(slid, Seq("event_type", "day"))
+        .join(exact7, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("exact7"),
+          col("occupied"), col("hll_est"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "sketch_hll_weekly" -> ((s, dir) => {
       // the TIME-dimension register rollup a daily-materialized sketch
       // store serves: day registers (C125's shape) max-merge into week
@@ -2801,6 +2842,68 @@ object CBlock {
        |ORDER BY est.event_type""".stripMargin
   }
 
+  /** sketch_hll_sliding's oracle: the window estimate computed DIRECTLY
+    * from each day's trailing-7-calendar-day event set (dense day
+    * domain per topic), so the hash match proves the register-store
+    * route (daily registers max-merged across the sliding window)
+    * equals direct estimation. */
+  private lazy val hllSlidingOracleSql: String = {
+    val rhoCase = (0 until 25)
+      .map(i => s"WHEN w >= ${1L << (24 - i)} THEN ${i + 1}")
+      .mkString(" ")
+    val termCase = (1 to 26)
+      .map(m => s"WHEN $m THEN ${1L << (26 - m)}")
+      .mkString(" ")
+    s"""WITH e AS (
+       |  SELECT event_type, user_id,
+       |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+       |  FROM events
+       |), sp AS (
+       |  SELECT event_type, min(day) AS d0, max(day) AS d1
+       |  FROM e GROUP BY 1
+       |), days AS (
+       |  SELECT sp.event_type, CAST(u.d AS DATE) AS day
+       |  FROM sp, unnest(generate_series(CAST(sp.d0 AS TIMESTAMP),
+       |    CAST(sp.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS u(d)
+       |), wins AS (
+       |  SELECT d.event_type, d.day, e.user_id
+       |  FROM days d JOIN e ON e.event_type = d.event_type
+       |    AND e.day BETWEEN d.day - 6 AND d.day
+       |), h AS (
+       |  SELECT event_type, day,
+       |    (${ph("'hll:' || CAST(user_id AS VARCHAR)")}
+       |      * ((1 * 2654435761) % 2147483647)
+       |      + (1 * 40503) % 2147483647) % 2147483647 AS h
+       |  FROM wins
+       |), b AS (
+       |  SELECT event_type, day, h % 64 AS bucket, h // 64 AS w FROM h
+       |), r AS (
+       |  SELECT event_type, day, bucket,
+       |    max(CASE $rhoCase ELSE 26 END) AS m_j
+       |  FROM b GROUP BY 1, 2, 3
+       |), agg AS (
+       |  SELECT event_type, day, count(*) AS occupied,
+       |    SUM(CASE m_j $termCase END) AS s_present
+       |  FROM r GROUP BY 1, 2
+       |), est AS (
+       |  SELECT event_type, day, occupied,
+       |    CAST(0.709 AS DOUBLE) * 64 * 64 * 67108864.0
+       |      / (s_present + (64 - occupied) * 67108864) AS e_raw
+       |  FROM agg
+       |), ex AS (
+       |  SELECT event_type, day, count(DISTINCT user_id) AS exact7
+       |  FROM wins GROUP BY 1, 2
+       |)
+       |SELECT est.event_type, est.day, ex.exact7,
+       |  CAST(est.occupied AS BIGINT) AS occupied,
+       |  CASE WHEN e_raw <= 160 AND est.occupied < 64
+       |       THEN ROUND(64.0 * ln(64.0 / (64 - est.occupied)), 4)
+       |       ELSE ROUND(e_raw, 4) END AS hll_est
+       |FROM est JOIN ex ON est.event_type = ex.event_type
+       |  AND est.day = ex.day
+       |ORDER BY est.event_type, est.day""".stripMargin
+  }
+
   /** emb_pca's oracle: the 3-step integer power iteration unrolled as
     * CTEs over a `(vec_id, embedding)` relation (shared with the
     * planted-cluster twin — `prefix` carries the WITH head so the
@@ -4477,6 +4580,8 @@ object CBlock {
          |FROM est JOIN ex ON est.event_type = ex.event_type AND est.week = ex.week
          |ORDER BY est.event_type, est.week""".stripMargin
     },
+
+    "sketch_hll_sliding" -> hllSlidingOracleSql,
 
     "sketch_hll_daily" -> {
       val rhoCase = (0 until 25)
