@@ -983,6 +983,35 @@ object BBlock {
         .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
     }),
 
+    "q_skyline3" -> ((s, dir) => {
+      // 3-D Pareto front of orders on (price, recency, basket size) —
+      // the dimensionality where the 2-D staircase stops existing (no
+      // total order on x leaves a single sufficient statistic once a
+      // third dim joins), so the MONOID front buffer (Skyline3Aggregator
+      // — insert with dominance prune; map-side partials ship only
+      // their front) IS the scalable algorithm; oracle is the
+      // independent 3-way NOT-EXISTS dominance spelling
+      val ss2 = s; import ss2.implicits._
+      val items = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      Tables.orders(s, dir)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("id"),
+          round(col("o_totalprice") * 100).cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("y"),
+          col("n_items").as("z"))
+        .as[graft.plans.FrontPoint3]
+        .groupByKey(_ => 0L)
+        .agg(new graft.plans.Skyline3Aggregator().toColumn.name("front"))
+        .toDF("k", "front")
+        .select(explode(col("front")).as("p"))
+        .select(col("p.id").as("o_orderkey"), col("p.x").as("price_c"),
+          col("p.y").as("day_n"), col("p.z").as("n_items"))
+        .orderBy(col("price_c").desc, col("day_n"), col("n_items"),
+          col("o_orderkey"))
+    }),
+
     "q_time_window" -> ((s, dir) => {
       // THE canonical 100 TB event query: aggregate over a time window.
       // Rides the pushdown-friendly eventsUs shape, so the ts range
@@ -2296,6 +2325,27 @@ object BBlock {
     // IDENTICAL SQL to q_skyline — the streamed front must equal the
     // batch front (dominance filtering is confluent)
     "q_skyline_stream" -> skylineOracleSql,
+
+    "q_skyline3" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+        |), pts AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+        |    CAST(li.n_items AS BIGINT) AS n_items
+        |  FROM orders JOIN li ON o_orderkey = li.l_orderkey
+        |)
+        |SELECT p.o_orderkey, p.price_c, p.day_n, p.n_items FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts a
+        |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
+        |    AND a.n_items >= p.n_items
+        |    AND (a.price_c > p.price_c OR a.day_n > p.day_n
+        |      OR a.n_items > p.n_items))
+        |ORDER BY p.price_c DESC, p.day_n, p.n_items, p.o_orderkey"""
+        .stripMargin,
 
     "q_time_window" ->
       """SELECT event_type,
