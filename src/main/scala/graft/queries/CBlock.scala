@@ -2473,6 +2473,22 @@ object CBlock {
       Multimodal.phashFeatures(media).toDF().orderBy(col("doc_id"))
     }),
 
+    "mm_phash_gate_stream" -> ((s, dir) => {
+      // C45's ingest gate extended to IMAGES: arrivals replay across 3
+      // real micro-batches (batch = id mod 3 — an out-of-id-order
+      // plant), each payload is synthesized + perceptually hashed
+      // partition-locally inside the stream, and the phash feeds the
+      // SAME first-seen registry as the text gate — first = earliest
+      // (batch, id), every later holder of the image collides; the
+      // oracle recomputes the phash in SQL and the arrival-order argmin
+      val batched = Tables.documents(s, dir)
+        .select(col("doc_id"), pmod(col("doc_id"), lit(3L)).as("batch"))
+      graft.streaming.StreamedBatch.phashCollisionsMulti(s, batched, 3)
+        .select(col("doc_id"), col("bucket").as("phash"),
+          col("first_doc"))
+        .orderBy(col("doc_id"), col("phash"))
+    }),
+
     "mm_phash_dups" -> ((s, dir) => {
       // image-level dedup via perceptual hash: payloads repeat mod 97,
       // so every hash group collects the docs sharing an image
@@ -2659,6 +2675,34 @@ object CBlock {
        |      ORDER BY priority, doc_id) AS BIGINT) AS sample_rank
        |  FROM p
        |) WHERE sample_rank <= 7 ORDER BY source, sample_rank""".stripMargin
+
+  /** The BMP pixel-synthesis → perceptual-hash CTE chain ending in
+    * `hsh(id2, phash)` over `ids(doc_id, id2)` (payloads repeat mod
+    * 97) — shared by mm_phash_dups and the streaming gate twin. */
+  private val phashCtes: String =
+    """ids AS (
+      |  SELECT doc_id, doc_id % 97 AS id2 FROM documents
+      |), dims AS (
+      |  SELECT DISTINCT id2, 4 + id2 % 5 AS w, 3 + id2 % 4 AS h FROM ids
+      |), px AS (
+      |  SELECT d.id2, y.y * d.w + x.x AS pos,
+      |    (d.id2 * 31 + x.x * 7 + y.y * 13) % 256
+      |      + 2 * ((d.id2 * 17 + x.x * 3 + y.y * 5) % 256)
+      |      + 4 * ((x.x + y.y * 11) % 256) AS v
+      |  FROM dims d
+      |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.w
+      |  JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.h
+      |), agg AS (
+      |  SELECT id2, CAST(sum(v) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM px GROUP BY 1
+      |), hsh AS (
+      |  SELECT p.id2,
+      |    CAST(SUM(CASE WHEN p.v * a.n > a.total
+      |      THEN (CAST(1 AS BIGINT) << CAST(p.pos AS INTEGER)) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM px p JOIN agg a USING (id2) GROUP BY 1
+      |)""".stripMargin
 
   /** cdc_apply's oracle (shared verbatim with the streamed twin). */
   private lazy val cdcApplyOracleSql: String =
@@ -6751,33 +6795,27 @@ object CBlock {
          |ORDER BY d.doc_id""".stripMargin,
 
     "mm_phash_dups" ->
-      """WITH ids AS (
-        |  SELECT doc_id, doc_id % 97 AS id2 FROM documents
-        |), dims AS (
-        |  SELECT DISTINCT id2, 4 + id2 % 5 AS w, 3 + id2 % 4 AS h FROM ids
-        |), px AS (
-        |  SELECT d.id2, y.y * d.w + x.x AS pos,
-        |    (d.id2 * 31 + x.x * 7 + y.y * 13) % 256
-        |      + 2 * ((d.id2 * 17 + x.x * 3 + y.y * 5) % 256)
-        |      + 4 * ((x.x + y.y * 11) % 256) AS v
-        |  FROM dims d
-        |  JOIN (SELECT unnest(range(0, 9)) AS x) x ON x.x < d.w
-        |  JOIN (SELECT unnest(range(0, 7)) AS y) y ON y.y < d.h
-        |), agg AS (
-        |  SELECT id2, CAST(sum(v) AS BIGINT) AS total,
-        |    CAST(count(*) AS BIGINT) AS n
-        |  FROM px GROUP BY 1
-        |), hsh AS (
-        |  SELECT p.id2,
-        |    CAST(SUM(CASE WHEN p.v * a.n > a.total
-        |      THEN (CAST(1 AS BIGINT) << CAST(p.pos AS INTEGER)) ELSE 0 END)
-        |      AS BIGINT) AS phash
-        |  FROM px p JOIN agg a USING (id2) GROUP BY 1
-        |)
-        |SELECT s.phash, count(*) AS n_docs, min(i.doc_id) AS min_doc
-        |FROM ids i JOIN hsh s USING (id2)
-        |GROUP BY 1 HAVING count(*) >= 2
-        |ORDER BY phash""".stripMargin,
+      s"""WITH $phashCtes
+         |SELECT s.phash, count(*) AS n_docs, min(i.doc_id) AS min_doc
+         |FROM ids i JOIN hsh s USING (id2)
+         |GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY phash""".stripMargin,
+
+    "mm_phash_gate_stream" ->
+      s"""WITH $phashCtes,
+         |dp AS (
+         |  SELECT i.doc_id, h.phash, i.doc_id % 3 AS b
+         |  FROM ids i JOIN hsh h USING (id2)
+         |), fr AS (
+         |  SELECT phash, doc_id AS first_doc FROM (
+         |    SELECT phash, doc_id,
+         |      row_number() OVER (PARTITION BY phash ORDER BY b, doc_id) AS rn
+         |    FROM dp) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.phash, f.first_doc
+         |FROM dp d JOIN fr f ON d.phash = f.phash
+         |WHERE d.doc_id <> f.first_doc
+         |ORDER BY d.doc_id, d.phash""".stripMargin,
 
     "text_entropy" ->
       """WITH c AS (

@@ -736,6 +736,31 @@ object StreamedBatch {
     }
   }
 
+  /** The image near-dup gate AT INGEST across REAL micro-batches:
+    * doc ids replay one file per micro-batch (batch = id mod 3, an
+    * out-of-id-order arrival plant), each arrival's payload is
+    * synthesized and perceptually hashed PARTITION-LOCALLY inside the
+    * stream (the mm_phash decode path), and the phash feeds the same
+    * first-seen registry the text gate uses
+    * ([[StreamingDedup.keyedFirstSeenGate]]) — first = earliest
+    * (batch, id), every later holder of the image collides. */
+  def phashCollisionsMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int): DataFrame =
+    throughChunkedStream(s, "phg", nBatches,
+      (batched, Seq("doc_id"))) { (ss, srcs) =>
+      import ss.implicits._
+      val keyed = ss.readStream.schema("doc_id LONG")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val payload = graft.operators.Multimodal.synthesizeBmp(id % 97)
+          val ph = graft.operators.Multimodal.perceptualHash(payload)
+            .map(_._3).getOrElse(0L)
+          (id, ph)
+        })
+      StreamingDedup.keyedFirstSeenGate(keyed).toDF().writeStream
+    }
+
   /** [[StreamingDedup.nearDupGate]] fed `(doc_id, text)`: one
     * micro-batch + empty registry flags exactly the batch relation —
     * for every band bucket, each doc sharing it with an earlier

@@ -41,8 +41,18 @@ object StreamingDedup {
       shingleN: Int = 3): Dataset[Collision] = {
     val s = docs.sparkSession
     import s.implicits._
-    val keyed = Dedup.minhashBuckets(docs.toDF(), k, bands, shingleN)
-      .as[(Long, Long)]
+    keyedFirstSeenGate(
+      Dedup.minhashBuckets(docs.toDF(), k, bands, shingleN).as[(Long, Long)])
+  }
+
+  /** The first-seen registry over ANY precomputed (doc_id, key)
+    * relation — the gate's state machinery split out so other keying
+    * functions (perceptual image hashes, chunk hashes, …) gate through
+    * the identical semantics: within a micro-batch ties break by doc
+    * id, across batches the registry carries ownership forward. */
+  def keyedFirstSeenGate(keyed: Dataset[(Long, Long)]): Dataset[Collision] = {
+    val s = keyed.sparkSession
+    import s.implicits._
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState[Seen, Collision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
