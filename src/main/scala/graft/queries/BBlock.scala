@@ -17,6 +17,29 @@ object BBlock {
     dec2(col("l_extendedprice")) * (one4 - dec4(col("l_discount")))
   private val toksSqlB = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** q_skyline3's oracle — the independent 3-way NOT-EXISTS dominance
+    * spelling; shared verbatim with the shard-merge twin. */
+  private lazy val skyline3OracleSql: String =
+    """WITH li AS (
+      |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
+      |), pts AS (
+      |  SELECT o_orderkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+      |    CAST(date_diff('day', DATE '1970-01-01',
+      |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
+      |    CAST(li.n_items AS BIGINT) AS n_items
+      |  FROM orders JOIN li ON o_orderkey = li.l_orderkey
+      |)
+      |SELECT p.o_orderkey, p.price_c, p.day_n, p.n_items FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts a
+      |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
+      |    AND a.n_items >= p.n_items
+      |    AND (a.price_c > p.price_c OR a.day_n > p.day_n
+      |      OR a.n_items > p.n_items))
+      |ORDER BY p.price_c DESC, p.day_n, p.n_items, p.o_orderkey"""
+      .stripMargin
+
   /** q_skyline's oracle — the independent NOT-EXISTS dominance
     * spelling; shared verbatim with the shard-merge twin. */
   private lazy val skylineOracleSql: String =
@@ -1002,6 +1025,36 @@ object BBlock {
             .cast("long").as("y"),
           col("n_items").as("z"))
         .as[graft.plans.FrontPoint3]
+        .groupByKey(_ => 0L)
+        .agg(new graft.plans.Skyline3Aggregator().toColumn.name("front"))
+        .toDF("k", "front")
+        .select(explode(col("front")).as("p"))
+        .select(col("p.id").as("o_orderkey"), col("p.x").as("price_c"),
+          col("p.y").as("day_n"), col("p.z").as("n_items"))
+        .orderBy(col("price_c").desc, col("day_n"), col("n_items"),
+          col("o_orderkey"))
+    }),
+
+    "q_skyline3_merge" -> ((s, dir) => {
+      // the 3-D front's explicit SHARD route: 8 per-shard fronts
+      // (each executor's monoid buffer) flattened and re-merged must
+      // equal the direct front — the local-prune theorem holds in any
+      // dimension because dominance stays transitive; anchored by
+      // q_skyline3's IDENTICAL oracle
+      val ss2 = s; import ss2.implicits._
+      val items = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_items"))
+      val pts = Tables.orders(s, dir)
+        .join(items, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey").as("id"),
+          round(col("o_totalprice") * 100).cast("long").as("x"),
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
+            .cast("long").as("y"),
+          col("n_items").as("z"))
+        .as[graft.plans.FrontPoint3]
+      pts.groupByKey(_.id % 8)
+        .agg(new graft.plans.Skyline3Aggregator().toColumn.name("front"))
+        .flatMap(_._2)
         .groupByKey(_ => 0L)
         .agg(new graft.plans.Skyline3Aggregator().toColumn.name("front"))
         .toDF("k", "front")
@@ -2326,26 +2379,11 @@ object BBlock {
     // batch front (dominance filtering is confluent)
     "q_skyline_stream" -> skylineOracleSql,
 
-    "q_skyline3" ->
-      """WITH li AS (
-        |  SELECT l_orderkey, count(*) AS n_items FROM lineitem GROUP BY 1
-        |), pts AS (
-        |  SELECT o_orderkey,
-        |    CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
-        |    CAST(date_diff('day', DATE '1970-01-01',
-        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS day_n,
-        |    CAST(li.n_items AS BIGINT) AS n_items
-        |  FROM orders JOIN li ON o_orderkey = li.l_orderkey
-        |)
-        |SELECT p.o_orderkey, p.price_c, p.day_n, p.n_items FROM pts p
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM pts a
-        |  WHERE a.price_c >= p.price_c AND a.day_n >= p.day_n
-        |    AND a.n_items >= p.n_items
-        |    AND (a.price_c > p.price_c OR a.day_n > p.day_n
-        |      OR a.n_items > p.n_items))
-        |ORDER BY p.price_c DESC, p.day_n, p.n_items, p.o_orderkey"""
-        .stripMargin,
+    "q_skyline3" -> skyline3OracleSql,
+
+    // IDENTICAL SQL to q_skyline3 — the shard-merged 3-D front must
+    // equal the direct front (dominance is transitive in any dimension)
+    "q_skyline3_merge" -> skyline3OracleSql,
 
     "q_time_window" ->
       """SELECT event_type,
