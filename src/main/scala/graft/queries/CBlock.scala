@@ -1332,6 +1332,28 @@ object CBlock {
         .orderBy(col("fold"), col("source"))
     }),
 
+    "text_templates_stream" -> ((s, dir) => {
+      // template detection AT INGEST: the digit-masked key feeds the
+      // same first-seen registry as the text/image gates — C169's
+      // planted twins (id-offset + per-doc id stamps) arrive in the
+      // LAST micro-batch (the repost shape), so each must collide with
+      // its base; first = earliest (batch, id), oracle recomputes the
+      // masked-key hash and the arrival argmin
+      val base = Tables.documents(s, dir)
+      val twins = base.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val stamped = base.unionByName(twins)
+        .withColumn("text",
+          concat(col("text"), lit(" req "), col("doc_id").cast("string")))
+        .withColumn("batch", when(col("doc_id") >= 1000000L, 2L)
+          .otherwise(pmod(col("doc_id"), lit(2L))))
+      graft.streaming.StreamedBatch
+        .templateCollisionsMulti(s, stamped, nBatches = 3)
+        .select(col("doc_id"), col("bucket").as("tmpl_hash"),
+          col("first_doc"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_templates" -> ((s, dir) => {
       // boilerplate TEMPLATE detection (the near-dup class exact dedup
       // misses and minhash over-matches): texts identical after masking
@@ -5025,6 +5047,31 @@ object CBlock {
          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS tok_sum,
          |  min(doc_id) AS min_id
          |FROM k GROUP BY 1, 2 ORDER BY fold, source""".stripMargin,
+
+    "text_templates_stream" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 13 = 0
+         |), st AS (
+         |  SELECT doc_id,
+         |    text || ' req ' || CAST(doc_id AS VARCHAR) AS text
+         |  FROM base
+         |), k AS (
+         |  SELECT doc_id,
+         |    ${ph("regexp_replace(text, '[0-9]+', '#', 'g')")} AS tmpl_hash,
+         |    CASE WHEN doc_id >= 1000000 THEN 2 ELSE doc_id % 2 END AS b
+         |  FROM st
+         |), fr AS (
+         |  SELECT tmpl_hash, doc_id AS first_doc FROM (
+         |    SELECT tmpl_hash, doc_id, row_number() OVER (
+         |      PARTITION BY tmpl_hash ORDER BY b, doc_id) AS rn
+         |    FROM k) WHERE rn = 1
+         |)
+         |SELECT d.doc_id, d.tmpl_hash, f.first_doc
+         |FROM k d JOIN fr f ON d.tmpl_hash = f.tmpl_hash
+         |WHERE d.doc_id <> f.first_doc
+         |ORDER BY d.doc_id""".stripMargin,
 
     "text_templates" ->
       s"""WITH corpus AS (

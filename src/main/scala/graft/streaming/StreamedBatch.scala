@@ -761,6 +761,24 @@ object StreamedBatch {
       StreamingDedup.keyedFirstSeenGate(keyed).toDF().writeStream
     }
 
+  /** The TEMPLATE gate at ingest across REAL micro-batches: each
+    * arrival's digit-masked text hash keys the same first-seen registry
+    * as the text/image gates ([[StreamingDedup.keyedFirstSeenGate]]) —
+    * a repost that differs only in ids/counters collides the moment it
+    * arrives. Input `docs`: (doc_id, text, batch). */
+  def templateCollisionsMulti(s: SparkSession, docs: DataFrame,
+      nBatches: Int): DataFrame =
+    throughChunkedStream(s, "tmplg", nBatches,
+      (docs, Seq("doc_id", "text"))) { (ss, srcs) =>
+      import ss.implicits._
+      val keyed = ss.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        .select(col("doc_id"), graft.plans.native.poly_hash(
+          regexp_replace(col("text"), "[0-9]+", "#")).as("k"))
+        .as[(Long, Long)]
+      StreamingDedup.keyedFirstSeenGate(keyed).toDF().writeStream
+    }
+
   /** [[StreamingDedup.nearDupGate]] fed `(doc_id, text)`: one
     * micro-batch + empty registry flags exactly the batch relation —
     * for every band bucket, each doc sharing it with an earlier
