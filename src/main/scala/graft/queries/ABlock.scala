@@ -75,6 +75,32 @@ object ABlock {
         .orderBy(col("topic"))
     }),
 
+    "sync_rate_limit_sweep" -> ((s, dir) => {
+      // rate-limit POLICY sweep (the q_session_sweep pattern on A11):
+      // hourly caps {1, 2, 5} swept in ONE scan — 3-row arm table
+      // broadcast, admission rank windows PARTITIONED by (cap, app,
+      // window); per arm the admitted/rejected split and how many
+      // windows saturate — the data an operator needs to SET the cap
+      // the config hard-codes
+      val ss2 = s; import ss2.implicits._
+      val arms = Seq(1L, 2L, 5L).toDF("cap")
+      val w = Window.partitionBy(col("cap"), col("app"), col("win"))
+        .orderBy(col("publish_time"), col("msg_id"))
+      val perWin = msgs(s, dir).withColumn("app", col("topic"))
+        .withColumn("win", date_trunc("hour", col("publish_time")))
+        .crossJoin(broadcast(arms))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("cap"), col("app"), col("win"))
+        .agg(count(lit(1)).as("n_arrived"),
+          sum(when(col("rn") <= col("cap"), 1L).otherwise(0L)).as("n_adm"))
+      perWin.groupBy(col("cap"))
+        .agg(sum(col("n_adm")).as("n_admitted"),
+          sum(col("n_arrived") - col("n_adm")).as("n_rejected"),
+          sum(when(col("n_arrived") > col("cap"), 1L).otherwise(0L))
+            .as("n_saturated_windows"))
+        .orderBy(col("cap"))
+    }),
+
     "sync_key_shared" -> ((s, dir) => {
       // Key_Shared subscription distribution audit: Pulsar assigns each
       // ordering KEY to one consumer by key hash (hash ranges; modeled
@@ -677,6 +703,27 @@ object ABlock {
         |GROUP BY 1, mk.mark_delete ORDER BY s.topic""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sync_rate_limit_sweep" ->
+      """WITH arms AS (
+        |  SELECT CAST(unnest([1, 2, 5]) AS BIGINT) AS cap
+        |), r AS (
+        |  SELECT a.cap, e.event_type AS app,
+        |    date_trunc('hour', e.ts) AS win,
+        |    row_number() OVER (PARTITION BY a.cap, e.event_type,
+        |      date_trunc('hour', e.ts) ORDER BY e.ts, e.event_id) AS rn
+        |  FROM events e, arms a
+        |), pw AS (
+        |  SELECT cap, app, win, count(*) AS n_arrived,
+        |    CAST(SUM(CASE WHEN rn <= cap THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_adm
+        |  FROM r GROUP BY 1, 2, 3
+        |)
+        |SELECT cap, CAST(sum(n_adm) AS BIGINT) AS n_admitted,
+        |  CAST(sum(n_arrived - n_adm) AS BIGINT) AS n_rejected,
+        |  CAST(SUM(CASE WHEN n_arrived > cap THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_saturated_windows
+        |FROM pw GROUP BY 1 ORDER BY cap""".stripMargin,
+
     "sync_key_shared" ->
       s"""WITH m AS (
          |  SELECT event_id AS msg_id, props AS data FROM events
