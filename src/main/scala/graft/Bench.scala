@@ -110,7 +110,14 @@ object Bench {
       once() match {
         case Left(e1) => R(name, -1.0, Some(e1))
         case Right(t1) => once() match {
-          case Right(t2) => R(name, math.min(t1, t2), None)
+          case Right(t2) =>
+            // the two runs can straddle a machine-contention window (the
+            // bimodal-noise history above): when they disagree by >2×, a
+            // third run arbitrates so one contended sample can't become
+            // the reported "regression" (the r8 q10_returned ghost)
+            val disagree = math.max(t1, t2) > 2.0 * math.min(t1, t2)
+            val t3 = if (disagree) once().toOption else None
+            R(name, (Seq(t1, t2) ++ t3).min, None)
           case Left(e2) => // succeeded cold, failed warm: suspicious — surface it
             R(name, t1, Some(s"second run failed: $e2"))
         }

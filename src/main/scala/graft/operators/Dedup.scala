@@ -244,25 +244,85 @@ object Dedup {
       native.simhash64(col(textCol)).as("sh")), bandBits = 16, maxHamming)
   }
 
+  /** Rare-first prefix-filtered candidate pairs WITHIN blocks — the
+    * AllPairs prefix filter ([[prefixJaccardPairs]]) applied to a blocked
+    * set relation `g` = (doc_id, blk, ng: sorted distinct array<long>).
+    * Tokens rank rare-first globally (two-phase [[Curation.globalRank]],
+    * never a single-task sort); each doc emits only its first
+    * sz − ⌈τ·sz⌉ + 1 rarest tokens; candidates are the equi-join on
+    * (blk, token) under the lossless length-ratio prune. Provably
+    * COMPLETE at τ = tauNum/tauDen: a qualifying pair shares ≥ ⌈τ·sz⌉
+    * tokens on each side, so its rarest common token sits inside BOTH
+    * prefixes — callers verify candidates exactly and lose nothing. All
+    * threshold tests are integer cross-multiplied (no float boundary).
+    *
+    * This replaces the blk-only self-join whose candidate count is
+    * O(block²) — at 100 TB one language block is most of the corpus,
+    * while rare-token posting lists stay short by construction. */
+  private def prefixBlockedCandidates(g: DataFrame, tauNum: Int,
+      tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, "need 0 < tauNum/tauDen <= 1")
+    val toks = Materialize(g.select(col("doc_id"), col("blk"),
+      explode(col("ng")).as("tok")))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val ranked = Curation.globalRank(freq, Seq(col("f").asc, col("tok")), "rk")
+    // rks ascending = the doc's tokens in rare-first order
+    val docRks = toks
+      .join(ranked.select(col("tok"), col("rk")), "tok")
+      .groupBy(col("doc_id"), col("blk"))
+      .agg(sort_array(collect_list(col("rk"))).as("rks"),
+        count(lit(1)).as("sz"))
+    val prefLen = (col("sz") -
+      expr(s"(sz * $tauNum + ${tauDen - 1}) div $tauDen") + 1).cast("int")
+    // posexplode keeps each prefix token's 0-based rare-first position:
+    // the PPJoin POSITIONAL filter below needs it. On a flat token
+    // alphabet (e.g. char 3-grams, a few hundred values) the prefix
+    // filter alone degenerates — "rare" tokens still post thousands of
+    // docs — and the positional bound is what keeps the candidate count
+    // near the verified-pair count (measured 6.7 s → with positions the
+    // join output shrinks by the suffix-overlap bound).
+    val pref = docRks.select(col("doc_id"), col("blk"), col("sz"),
+      posexplode(slice(col("rks"), lit(1), prefLen)).as(Seq("pos", "key")))
+    val a = pref.select(col("blk"), col("key"), col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"), col("pos").as("pos_a"))
+    val b = pref.select(col("blk").as("blk_b"), col("key").as("key_b"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"), col("pos").as("pos_b"))
+    // lossless POSITIONAL prune (PPJoin): a token matched at 0-based
+    // rare-first positions (p_a, p_b) bounds the overlap by
+    // min(sz_a − p_a, sz_b − p_b) (all other common tokens sit after it
+    // in both orders), and jaccard ≥ τ needs overlap ≥
+    // ⌈τ/(1+τ)·(sz_a+sz_b)⌉; integer cross-multiplied. For a qualifying
+    // pair the RAREST common token's instance always satisfies the
+    // bound, so the pair survives — at pos 0 this reduces to the
+    // classic length-ratio prune and is strictly stronger after it.
+    a.join(b, col("blk") === col("blk_b") && col("key") === col("key_b") &&
+        col("doc_a") < col("doc_b") &&
+        least(col("sz_a") - col("pos_a"), col("sz_b") - col("pos_b")) *
+          (tauNum + tauDen) >= (col("sz_a") + col("sz_b")) * tauNum)
+      .select(col("doc_a"), col("doc_b")).distinct()
+  }
+
   /** Dictionary-encoded fast path of [[ngramJaccardPairs]] for corpora
     * whose distinct-gram universe is small enough to bitset-encode (the
     * test corpus has ~400 distinct 3-grams → 7 longs per doc): build the
     * gram dictionary (one small distinct), broadcast it, map each doc's
-    * gram set to a bitset, then the same blocked size-pruned self-join
-    * computes jaccard as popcount(AND)/popcount(OR) — per-pair cost
-    * O(words) instead of O(set size), and the join rows shrink from KBs
-    * to ~100 bytes. Fully declarative: bit ids come from a STRIPED rank
-    * (partitioned window keyed on the gram hash, bit = rank·stripes +
-    * stripe — injective across stripes), never a single-partition global
-    * sort, and the bitsets self-size per row so no driver-side dictionary
-    * count is needed. Identical output to the merge path (asserted in
-    * DedupParitySpec); for unbounded gram universes use
-    * [[ngramJaccardPairs]]. */
-  def ngramJaccardPairsDict(docs: DataFrame, n: Int, tau: Double,
-      blockCol: String, textCol: String = "text",
+    * gram set to a bitset, generate candidates through the lossless
+    * rare-first prefix filter ([[prefixBlockedCandidates]] — never a
+    * blk-only self-join), then verify each candidate's jaccard as
+    * popcount(AND)/popcount(OR) — per-pair cost O(words) instead of
+    * O(set size), and the verify rows are ~100 bytes. Fully declarative:
+    * bit ids come from a STRIPED rank (partitioned window keyed on the
+    * gram hash, bit = rank·stripes + stripe — injective across stripes),
+    * never a single-partition global sort, and the bitsets self-size per
+    * row so no driver-side dictionary count is needed. τ is the rational
+    * tauNum/tauDen so the prefix length is exact integer arithmetic.
+    * Identical output to the merge path (asserted in DedupParitySpec);
+    * for unbounded gram universes use [[ngramJaccardPairs]]. */
+  def ngramJaccardPairsDict(docs: DataFrame, n: Int, tauNum: Int,
+      tauDen: Int, blockCol: String, textCol: String = "text",
       idCol: String = "doc_id", idStripes: Int = 64): DataFrame = {
-    // one corpus scan + ONE n-gram pass, shared by the dictionary build
-    // and the encode stage (both consume g)
+    // one corpus scan + ONE n-gram pass, shared by the dictionary build,
+    // the encode stage and the candidate prefixes (all consume g)
     val g = Materialize(docs.select(col(idCol).as("doc_id"),
       col(blockCol).as("blk"), native.ngram_hash_set(col(textCol), n).as("ng")))
     val w = org.apache.spark.sql.expressions.Window
@@ -272,25 +332,23 @@ object Dedup {
       .withColumn("bit",
         (row_number().over(w) - 1).cast("long") * idStripes + col("stripe"))
       .select(col("gram"), col("bit"))
-    // materialized ONCE before the self-join (as minhashCandidates does):
-    // otherwise both join sides rebuild the whole explode→dict-join→bitset
-    // subtree — two dictionary builds and four corpus scans
+    // materialized ONCE before the candidate join-back (as
+    // minhashCandidates does): otherwise both verify sides rebuild the
+    // whole explode→dict-join→bitset subtree
     val enc = Materialize(
       g.select(col("doc_id"), col("blk"), size(col("ng")).as("nn"),
           explode(col("ng")).as("gram"))
         .join(broadcast(dict), "gram")
         .groupBy(col("doc_id"), col("blk"), col("nn"))
         .agg(collect_list(col("bit")).as("bits"))
-        .select(col("doc_id"), col("blk"), col("nn"),
+        .select(col("doc_id"), col("nn"),
           native.positions_to_bitset(col("bits"), -1).as("bs")))
-    val a = enc.select(col("blk"), col("doc_id").as("doc_a"),
-      col("bs").as("bs_a"), col("nn").as("n_a"))
-    val b = enc.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
-      col("bs").as("bs_b"), col("nn").as("n_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
-        col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+    val cand = prefixBlockedCandidates(g, tauNum, tauDen)
+    val ea = enc.select(col("doc_id").as("doc_a"), col("bs").as("bs_a"))
+    val eb = enc.select(col("doc_id").as("doc_b"), col("bs").as("bs_b"))
+    cand.join(ea, "doc_a").join(eb, "doc_b")
       .withColumn("jac", native.bitset_jaccard(col("bs_a"), col("bs_b")))
-      .filter(col("jac") >= tau)
+      .filter(col("jac") >= lit(tauNum.toDouble / tauDen))
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 
@@ -534,24 +592,23 @@ object Dedup {
   /** Character-n-gram Jaccard near-dup pairs within blocks (e.g. language).
     * Exact-threshold join made scale-feasible by (a) representing each
     * document as a sorted distinct array of n-gram hashes computed in one
-    * native pass, (b) a provably-lossless size-ratio prune — jaccard(A,B)
-    * ≤ min(|A|,|B|)/max(|A|,|B|), so pairs failing |A| ≥ τ·|B| ∧ |B| ≥
-    * τ·|A| can never reach τ — and (c) a merge-based jaccard (no per-pair
-    * set allocation). Blocking bounds the self-join fan-out. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int, tau: Double,
+    * native pass, (b) lossless rare-first PREFIX-FILTERED candidate
+    * generation ([[prefixBlockedCandidates]] — never a blk-only
+    * self-join, whose candidate count is O(block²) when one language
+    * block dominates the corpus) and (c) a merge-based jaccard verify on
+    * the surviving candidates (no per-pair set allocation). τ is the
+    * rational tauNum/tauDen (exact integer prefix lengths). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, tauNum: Int, tauDen: Int,
       blockCol: String, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val g = docs.select(col(idCol).as("doc_id"), col(blockCol).as("blk"),
-      native.ngram_hash_set(col(textCol), n).as("ng"))
-      .withColumn("nn", size(col("ng")))
-    val a = g.select(col("blk"), col("doc_id").as("doc_a"),
-      col("ng").as("ng_a"), col("nn").as("n_a"))
-    val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
-      col("ng").as("ng_b"), col("nn").as("n_b"))
-    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
-        col("n_a") >= col("n_b") * tau && col("n_b") >= col("n_a") * tau)
+    val g = Materialize(docs.select(col(idCol).as("doc_id"),
+      col(blockCol).as("blk"), native.ngram_hash_set(col(textCol), n).as("ng")))
+    val cand = prefixBlockedCandidates(g, tauNum, tauDen)
+    val sa = g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
+    val sb = g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
       .withColumn("jac", native.sorted_jaccard(col("ng_a"), col("ng_b")))
-      .filter(col("jac") >= tau)
+      .filter(col("jac") >= lit(tauNum.toDouble / tauDen))
       .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
   }
 

@@ -356,8 +356,10 @@ object CBlock {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.ngramJaccardPairsDict(Tables.documents(s, dir), n = 3, tau = 0.8,
-          blockCol = "lang")
+      // τ = 4/5 as a rational: prefix lengths are exact integer math,
+      // candidates come from the lossless rare-first prefix filter
+      Dedup.ngramJaccardPairsDict(Tables.documents(s, dir), n = 3,
+          tauNum = 4, tauDen = 5, blockCol = "lang")
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 

@@ -9,14 +9,29 @@ import org.apache.spark.sql.functions._
   * and values of the sorted-merge path, and the 64-bit simhash blocking
   * must keep the pigeonhole exactness the 32-bit path proved. */
 class DedupParitySpec extends SparkSpec {
-  test("ngramJaccardPairsDict == ngramJaccardPairs") {
+  test("ngramJaccardPairsDict == ngramJaccardPairs == blocked all-pairs") {
     val docs = Tables.documents(spark, sf())
-    val merge = Dedup.ngramJaccardPairs(docs, 3, 0.7, "lang")
+    val merge = Dedup.ngramJaccardPairs(docs, 3, 7, 10, "lang")
       .orderBy("doc_a", "doc_b").collect().toSeq
-    val dict = Dedup.ngramJaccardPairsDict(docs, 3, 0.7, "lang")
+    val dict = Dedup.ngramJaccardPairsDict(docs, 3, 7, 10, "lang")
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(dict == merge)
     assert(dict.nonEmpty)
+    // the prefix filter is lossless: candidates pruned before verify can
+    // never reach τ, so both paths must equal the blocked ALL-PAIRS join
+    val g = docs.select(col("doc_id"), col("lang"),
+      native.ngram_hash_set(col("text"), 3).as("ng"))
+    val a = g.select(col("lang").as("la"), col("doc_id").as("doc_a"),
+      col("ng").as("ng_a"))
+    val b = g.select(col("lang").as("lb"), col("doc_id").as("doc_b"),
+      col("ng").as("ng_b"))
+    val brute = a.join(b, col("la") === col("lb") &&
+        col("doc_a") < col("doc_b"))
+      .withColumn("jac", native.sorted_jaccard(col("ng_a"), col("ng_b")))
+      .filter(col("jac") >= 0.7)
+      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(merge == brute)
   }
 
   test("simhash64: low-31-bit parity with simhash32") {

@@ -88,15 +88,32 @@ class PlanPostureSpec extends SparkSpec {
     assert(planOf("decontaminate").contains("BroadcastHashJoin"))
   }
 
-  test("dedup_ngram_jaccard: encode materialized once — both join sides scan it") {
-    // the self-join must consume the checkpointed encode table (Scan
-    // ExistingRDD), not rebuild the explode→dict-join→bitset subtree per
-    // side (which would double the dominant narrow stage at scale)
-    val p = planOf("dedup_ngram_jaccard")
+  test("dedup_ngram_jaccard: prefix-filtered candidates — no blk-only self-join") {
+    // candidate generation must go through the rare-first prefix filter:
+    // every equi-join keyed on the lang block must ALSO carry the prefix
+    // token key (a blk-only self-join pairs O(block²) rows — at 100 TB
+    // one language block is most of the corpus); the encode and token
+    // tables stay materialized (Scan ExistingRDD)
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf("0.01"))
+      .queryExecution.sparkPlan
+    val p = plan.toString
     assert(p.contains("ExistingRDD"),
-      s"encode stage must be materialized before the self-join:\n$p")
-    assert(!p.contains("HashAggregate"),
-      s"no aggregate may survive into the pair join (encode rebuilt?):\n$p")
+      s"encode/token stages must be materialized before the pair join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    val joinKeys = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString)
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString)
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.leftKeys.map(_.toString)
+    }
+    val blkJoins = joinKeys.filter(_.exists(_.contains("blk")))
+    assert(blkJoins.nonEmpty, s"expected the (blk, key) candidate join:\n$p")
+    blkJoins.foreach { ks =>
+      assert(ks.exists(_.contains("key")),
+        s"a blk-only self-join remains (keys: ${ks.mkString(", ")}):\n$p")
+    }
   }
 
   test("annTopK: bounded-heap final top-k, no per-probe window sort") {

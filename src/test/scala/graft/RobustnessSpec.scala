@@ -33,7 +33,7 @@ class RobustnessSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang")
     assert(Dedup.exactGroups(emptyDocs).count() == 0)
     assert(Dedup.minhashCandidates(emptyDocs).count() == 0)
-    assert(Dedup.ngramJaccardPairs(emptyDocs, 3, 0.8, "lang").count() == 0)
+    assert(Dedup.ngramJaccardPairs(emptyDocs, 3, 4, 5, "lang").count() == 0)
     assert(Dedup.winnowCandidates(emptyDocs).count() == 0)
   }
 
