@@ -116,8 +116,12 @@ object Bench {
             // third run arbitrates so one contended sample can't become
             // the reported "regression" (the r8 q10_returned ghost)
             val disagree = math.max(t1, t2) > 2.0 * math.min(t1, t2)
-            val t3 = if (disagree) once().toOption else None
-            R(name, (Seq(t1, t2) ++ t3).min, None)
+            if (disagree) once() match {
+              case Right(t3) => R(name, Seq(t1, t2, t3).min, None)
+              case Left(e3) => // same posture as the warm-run branch below:
+                // a crashing arbitration run is surfaced, not swallowed
+                R(name, math.min(t1, t2), Some(s"third run failed: $e3"))
+            } else R(name, math.min(t1, t2), None)
           case Left(e2) => // succeeded cold, failed warm: suspicious — surface it
             R(name, t1, Some(s"second run failed: $e2"))
         }

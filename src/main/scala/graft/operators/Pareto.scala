@@ -39,6 +39,8 @@ object Pareto {
   def skyline2d(pts: DataFrame, xCol: String, yCol: String,
       bucketWidth: Long = 5000000L,
       groupCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0,
+      s"skyline2d: bucketWidth must be positive, got $bucketWidth")
     val g = groupCols.map(col)
     val perX = pts.groupBy((g :+ col(xCol)): _*)
       .agg(max(col(yCol)).as("__ymax"))

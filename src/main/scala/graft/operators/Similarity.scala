@@ -1272,7 +1272,19 @@ object Similarity {
         "(CASE WHEN proj < 0 THEN -1 ELSE 1 END) * (abs(proj) div 10000000)"))
     var stats = pb.groupBy(col("comp_id"))
       .agg(count(lit(1)).as("n"), sum(col("pb")).as("sp"),
-        sum(col("pb") * col("pb")).as("sp2"))
+        sum(col("pb") * col("pb")).as("sp2"),
+        max(abs(col("pb"))).as("__mpb"))
+      // the collectGram-class guard pcaPower already carries: past
+      // ~2·10⁵ vectors at the defaults Σpb² wraps int64 silently —
+      // fail loudly instead (count and max ride the same agg for free)
+      .withColumn("sp2", col("sp2")
+        + Guards.sumSqBound(col("n"), col("__mpb"),
+          "pcaWhiten: Σpb² can exceed int64 at this corpus size — " +
+            "raise `gramDiv`")
+        + Guards.sumBound(col("n"), col("__mpb"),
+          "pcaWhiten: Σpb can exceed int64 at this corpus size — " +
+            "raise `gramDiv`"))
+      .drop("__mpb")
       .withColumn("m", expr(
         "(CASE WHEN sp < 0 THEN -1 ELSE 1 END) * (abs(sp) div n)"))
       .withColumn("var_s", expr("greatest(sp2 div n - m * m, 1)"))

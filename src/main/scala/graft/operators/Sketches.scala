@@ -274,7 +274,13 @@ object Sketches {
     a.join(b, Seq("k", "cell"))
       .filter(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"), col("k"))
-      .agg(sum(col("na") * col("nb")).as("dk"))
+      .agg(sum(col("na") * col("nb")).as("dk"),
+        count(lit(1)).as("__nc"),
+        max(col("na").cast("decimal(19,0)") * col("nb").cast("decimal(19,0)"))
+          .as("__mp"))
+      .withColumn("dk", col("dk") + Guards.sumBound(col("__nc"), col("__mp"),
+        "cmsDot: Σ na·nb can exceed int64 at these cell counts — " +
+          "deepen/widen the grid or shard the sources"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(min(col("dk")).as("est_dot"))
   }
@@ -410,5 +416,9 @@ object Sketches {
     rows.withColumn("__q", floor(value * scale).cast("long"))
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("__q")).as("s1"),
-        sum(col("__q") * col("__q")).as("s2"))
+        sum(col("__q") * col("__q")).as("s2"),
+        max(abs(col("__q"))).as("__mq"))
+      .withColumn("s2", col("s2") + Guards.sumSqBound(col("n"), col("__mq"),
+        "moments: Σq² can exceed int64 at this row count — lower `scale`"))
+      .drop("__mq")
 }

@@ -430,7 +430,10 @@ object TextAnalysis {
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wPhrase = Window.partitionBy(col(idCol), col("phrase_id"))
-    val isStop = stopwords.map(col("word") === _).reduce(_ || _)
+    // reduceOption: an empty stopword list means "no token is a stop" —
+    // the whole doc is one phrase — not a reduce() crash
+    val isStop = stopwords.map(col("word") === _)
+      .reduceOption(_ || _).getOrElse(lit(false))
     docs
       .select(col(idCol),
         posexplode(Portable.tokens(col(textCol))).as(Seq("pos", "word")))

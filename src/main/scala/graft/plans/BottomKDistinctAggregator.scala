@@ -18,6 +18,10 @@ final case class KmvObs(key: String, h: Long)
 final class BottomKDistinctAggregator(k: Int)
     extends Aggregator[KmvObs, TreeSet[Long], Seq[Long]] {
 
+  // fail at plan-build time on the driver: k ≤ 0 would otherwise reach
+  // `b.max` on an empty buffer inside an executor task
+  require(k > 0, s"BottomKDistinctAggregator: k must be positive, got $k")
+
   override def zero: TreeSet[Long] = TreeSet.empty[Long]
 
   private def add(b: TreeSet[Long], h: Long): TreeSet[Long] =

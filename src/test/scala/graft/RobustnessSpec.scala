@@ -202,4 +202,62 @@ class RobustnessSpec extends SparkSpec {
     assert(math.abs(r1(0L)) === r1.values.map(math.abs).max,
       "single-vector direction must align with the vector")
   }
+
+  test("silent-wrap paths fail loudly: int64 sum guards") {
+    import graft.operators.{Guards, Sketches}
+    // the guard primitive: n·maxAbs over the int64 line throws with the
+    // caller's message; under it, it adds exactly 0 to the guarded sum
+    val small = Seq(1L, 2L, 3L).toDF("v")
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        max(abs(col("v"))).as("m"))
+      .withColumn("s", col("s") + Guards.sumBound(col("n"), col("m"), "boom"))
+    assert(small.select("s").as[Long].head() === 6L)
+    // moments: q = 3.1e9 → q² ≈ 9.6e18 > Long.MaxValue → the ride-along
+    // guard fires instead of a silently wrapped Σq²
+    val wide = Seq(("k", 3.1e6), ("k", 3.1e6)).toDF("key", "v")
+    val ex = intercept[Exception] {
+      Sketches.moments(wide, Seq("key"), col("v"), scale = 1000L).collect()
+    }
+    assert(ex.getMessage != null || ex.getCause != null) // surfaced, not wrapped
+    // in range, the guarded sums are bit-identical to the plain ones
+    val ok = Sketches.moments(Seq(("k", 2.0), ("k", 3.0)).toDF("key", "v"),
+      Seq("key"), col("v"), scale = 1000L).collect().head
+    assert(ok.getLong(1) === 2L && ok.getLong(2) === 5000L &&
+      ok.getLong(3) === 13000000L)
+    // cmsDot over a stored grid: two 4e9-count cells would wrap na·nb
+    val grid = Seq(("a", 0, 1, 4000000000L), ("b", 0, 1, 4000000000L))
+      .toDF("__src", "k", "cell", "n")
+    intercept[Exception] { Sketches.cmsDotFromGrids(grid).collect() }
+    val gridOk = Seq(("a", 0, 1, 3L), ("b", 0, 1, 5L))
+      .toDF("__src", "k", "cell", "n")
+    assert(Sketches.cmsDotFromGrids(gridOk)
+      .select("est_dot").as[Long].head() === 15L)
+  }
+
+  test("degenerate parameters fail at build time, not in executors") {
+    import graft.operators.Pareto
+    val pts = Seq((1L, 2L)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      Pareto.skyline2d(pts, "x", "y", bucketWidth = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      new graft.plans.BottomKDistinctAggregator(0)
+    }
+    // empty stopword list: the whole doc is one phrase, not a crash
+    val docs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val rk = graft.operators.TextAnalysis
+      .rakeScores(docs, Nil, k = 10).collect()
+    assert(rk.nonEmpty, "empty stopwords must segment into one phrase")
+  }
+
+  test("pcaWhiten in range returns guarded-but-unchanged output") {
+    import graft.operators.Similarity
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.1f, 0.0f, 0.0f)), (1L, Seq(0.9f, -0.2f, 0.1f, 0.0f)),
+      (2L, Seq(-1.0f, 0.0f, 0.2f, 0.1f)), (3L, Seq(0.8f, 0.3f, -0.1f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.pcaWhiten(emb).collect()
+    assert(rows.length === 8 && rows.forall(!_.isNullAt(3)),
+      "4 vectors × 2 components, whitened values present")
+  }
 }
