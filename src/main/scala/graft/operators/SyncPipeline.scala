@@ -30,7 +30,11 @@ final case class SyncConfig(
     injectedKeyName: String = "__INJECTED_DATA__",
     /** namespaces whose injected payloads are logged to the per-namespace
       * debug logfile (args.rs --injected-namespaces, comma-separated) */
-    injectedNamespaces: Seq[String] = Nil)
+    injectedNamespaces: Seq[String] = Nil,
+    /** sink flush cadence in ms (args.rs:117-119 --flush-interval,
+      * default 5000): the processing-time trigger of the streaming sync
+      * (es.rs:275-308 ticks its buffer flush on this interval) */
+    flushIntervalMs: Long = 5000)
 
 /** The reference's consume→transform→route→buffer pipeline (pulsar.rs
   * consume_loop + es.rs sink_elasticsearch_loop) re-expressed as a

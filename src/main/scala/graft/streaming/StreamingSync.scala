@@ -69,7 +69,10 @@ object StreamingSync {
     * replays (broker redelivery). */
   def start(spark: SparkSession, cfg: SyncConfig, sourceDir: String,
       sinkPath: String, metricsPath: String,
-      availableNow: Boolean = false, flushIntervalMs: Long = 5000,
+      availableNow: Boolean = false,
+      // None → the config's --flush-interval (args.rs:117-119); Some(ms)
+      // remains for call sites that override per-run
+      flushIntervalMs: Option[Long] = None,
       batchFiles: Option[Int] = None,
       failedDocPattern: Option[String] = None,
       maxRetries: Int = 3,
@@ -112,6 +115,7 @@ object StreamingSync {
       }
       .option("checkpointLocation", s"$sinkPath/_checkpoint")
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
-     else writer.trigger(Trigger.ProcessingTime(flushIntervalMs))).start()
+     else writer.trigger(Trigger.ProcessingTime(
+       flushIntervalMs.getOrElse(cfg.flushIntervalMs)))).start()
   }
 }

@@ -56,6 +56,32 @@ class StreamingSyncSpec extends SparkSpec {
     assert(metrics.agg(sum("written")).head.getLong(0) == streamed.count())
   }
 
+  test("--flush-interval rides SyncConfig into the processing-time trigger") {
+    // the config default mirrors args.rs:117-119 (5000 ms)
+    assert(SyncConfig().flushIntervalMs == 5000L)
+    val tmp = Files.createTempDirectory("graft-flush").toString
+    val msgs = Tables.events(spark, sf())
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+      .limit(50)
+    msgs.write.parquet(s"$tmp/src")
+    // start WITHOUT the explicit flushIntervalMs override: the 100 ms
+    // cadence must come from the config field alone
+    val q = StreamingSync.start(spark, cfg.copy(flushIntervalMs = 100L),
+      s"$tmp/src", s"$tmp/sink", s"$tmp/metrics")
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      var n = 0L
+      while (n == 0L && System.currentTimeMillis() < deadline) {
+        Thread.sleep(200)
+        n = try spark.read.parquet(s"$tmp/sink").count()
+        catch { case _: Exception => 0L } // sink not yet created
+      }
+      assert(n > 0L, "configured flush interval never fired a batch")
+    } finally q.stop()
+  }
+
   test("bounded consumer batches (maxFilesPerTrigger) reach the same result") {
     val tmp = Files.createTempDirectory("graft-stream3").toString
     val msgs = Tables.events(spark, sf())
