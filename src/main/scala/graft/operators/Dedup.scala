@@ -245,8 +245,10 @@ object Dedup {
   }
 
   /** Rare-first prefix-filtered candidate pairs WITHIN blocks — the
-    * AllPairs prefix filter ([[prefixJaccardPairs]]) applied to a blocked
-    * set relation `g` = (doc_id, blk, ng: sorted distinct array<long>).
+    * AllPairs prefix filter ([[prefixJaccardPairs]]) applied to the
+    * already-MATERIALIZED exploded token relation `toks` = (doc_id, blk,
+    * tok) — shared with the caller's dictionary/encode stages, so the
+    * n-gram explode runs once per corpus scan, not once per stage.
     * Tokens rank rare-first globally (two-phase [[Curation.globalRank]],
     * never a single-task sort); each doc emits only its first
     * sz − ⌈τ·sz⌉ + 1 rarest tokens; candidates are the equi-join on
@@ -259,11 +261,9 @@ object Dedup {
     * This replaces the blk-only self-join whose candidate count is
     * O(block²) — at 100 TB one language block is most of the corpus,
     * while rare-token posting lists stay short by construction. */
-  private def prefixBlockedCandidates(g: DataFrame, tauNum: Int,
+  private def prefixBlockedCandidates(toks: DataFrame, tauNum: Int,
       tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, "need 0 < tauNum/tauDen <= 1")
-    val toks = Materialize(g.select(col("doc_id"), col("blk"),
-      explode(col("ng")).as("tok")))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     val ranked = Curation.globalRank(freq, Seq(col("f").asc, col("tok")), "rk")
     // rks ascending = the doc's tokens in rare-first order
@@ -302,13 +302,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b")).distinct()
   }
 
+  /** ADAPTIVE candidate plan for the exact-threshold jaccard joins: the
+    * block self-join's cost is EXACTLY Σ_blk c·(c−1)/2 candidate rows —
+    * computable up front from per-block doc counts (an O(#blocks)
+    * aggregate over the already-materialized `g`, collected as model
+    * state). When that bound fits `blockPairBudget`, the plain blocked
+    * join (under the lossless length-ratio prune) is the cheapest
+    * complete plan — cheaper than the prefix filter precisely in the
+    * regime where the filter degenerates (a flat token alphabet gives
+    * every "rare" prefix token a thousand-doc posting list: SURVEY §5b
+    * measured 0.86 s block join vs 4.86 s prefix filter at sf0.1).
+    * Past the budget — the 100 TB regime, where one language block is
+    * most of the corpus and Σc² is astronomically over any budget —
+    * candidates come from the rare-first positional prefix filter
+    * ([[prefixBlockedCandidates]]). All three paths are output-equal
+    * (DedupParitySpec), so the switch is a pure physical-plan choice,
+    * the hand-rolled analog of Catalyst's size-based join strategies.
+    * `toks` is a thunk: the token explode is only materialized on the
+    * prefix branch (callers that need it anyway just pass it through). */
+  private def blockedCandidates(g: DataFrame, toks: () => DataFrame,
+      tauNum: Int, tauDen: Int, blockPairBudget: Long): DataFrame = {
+    val counts = g.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val pairBound = counts.map(c => BigInt(c) * (c - 1) / 2).sum
+    if (pairBound <= blockPairBudget) {
+      val a = g.select(col("blk"), col("doc_id").as("doc_a"),
+        size(col("ng")).as("sz_a"))
+      val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
+        size(col("ng")).as("sz_b"))
+      // lossless length-ratio prune (the pos-0 case of the PPJoin
+      // bound); pairs are naturally distinct — no distinct() shuffle
+      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b") &&
+          least(col("sz_a"), col("sz_b")) * (tauNum + tauDen) >=
+            (col("sz_a") + col("sz_b")) * tauNum)
+        .select(col("doc_a"), col("doc_b"))
+    } else prefixBlockedCandidates(toks(), tauNum, tauDen)
+  }
+
   /** Dictionary-encoded fast path of [[ngramJaccardPairs]] for corpora
     * whose distinct-gram universe is small enough to bitset-encode (the
     * test corpus has ~400 distinct 3-grams → 7 longs per doc): build the
     * gram dictionary (one small distinct), broadcast it, map each doc's
-    * gram set to a bitset, generate candidates through the lossless
-    * rare-first prefix filter ([[prefixBlockedCandidates]] — never a
-    * blk-only self-join), then verify each candidate's jaccard as
+    * gram set to a bitset, generate candidates through the ADAPTIVE
+    * [[blockedCandidates]] gate (bounded block join under the pair
+    * budget, rare-first prefix filter past it — the 100 TB path), then
+    * verify each candidate's jaccard as
     * popcount(AND)/popcount(OR) — per-pair cost O(words) instead of
     * O(set size), and the verify rows are ~100 bytes. Fully declarative:
     * bit ids come from a STRIPED rank (partitioned window keyed on the
@@ -320,14 +358,18 @@ object Dedup {
     * for unbounded gram universes use [[ngramJaccardPairs]]. */
   def ngramJaccardPairsDict(docs: DataFrame, n: Int, tauNum: Int,
       tauDen: Int, blockCol: String, textCol: String = "text",
-      idCol: String = "doc_id", idStripes: Int = 64): DataFrame = {
-    // one corpus scan + ONE n-gram pass, shared by the dictionary build,
-    // the encode stage and the candidate prefixes (all consume g)
+      idCol: String = "doc_id", idStripes: Int = 64,
+      blockPairBudget: Long = 10000000L): DataFrame = {
+    // one corpus scan + ONE n-gram pass + ONE shared explode: the
+    // dictionary build, the encode stage and (when taken) the candidate
+    // prefixes all consume the same materialized token relation
     val g = Materialize(docs.select(col(idCol).as("doc_id"),
       col(blockCol).as("blk"), native.ngram_hash_set(col(textCol), n).as("ng")))
+    val toks = Materialize(g.select(col("doc_id"), col("blk"),
+      size(col("ng")).as("nn"), explode(col("ng")).as("tok")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("stripe")).orderBy(col("gram"))
-    val dict = g.select(explode(col("ng")).as("gram")).distinct()
+    val dict = toks.select(col("tok").as("gram")).distinct()
       .withColumn("stripe", pmod(col("gram"), lit(idStripes)).cast("int"))
       .withColumn("bit",
         (row_number().over(w) - 1).cast("long") * idStripes + col("stripe"))
@@ -336,14 +378,13 @@ object Dedup {
     // minhashCandidates does): otherwise both verify sides rebuild the
     // whole explode→dict-join→bitset subtree
     val enc = Materialize(
-      g.select(col("doc_id"), col("blk"), size(col("ng")).as("nn"),
-          explode(col("ng")).as("gram"))
-        .join(broadcast(dict), "gram")
+      toks.join(broadcast(dict), col("tok") === col("gram"))
         .groupBy(col("doc_id"), col("blk"), col("nn"))
         .agg(collect_list(col("bit")).as("bits"))
         .select(col("doc_id"), col("nn"),
           native.positions_to_bitset(col("bits"), -1).as("bs")))
-    val cand = prefixBlockedCandidates(g, tauNum, tauDen)
+    val cand = blockedCandidates(g, () => toks, tauNum, tauDen,
+      blockPairBudget)
     val ea = enc.select(col("doc_id").as("doc_a"), col("bs").as("bs_a"))
     val eb = enc.select(col("doc_id").as("doc_b"), col("bs").as("bs_b"))
     cand.join(ea, "doc_a").join(eb, "doc_b")
@@ -592,18 +633,24 @@ object Dedup {
   /** Character-n-gram Jaccard near-dup pairs within blocks (e.g. language).
     * Exact-threshold join made scale-feasible by (a) representing each
     * document as a sorted distinct array of n-gram hashes computed in one
-    * native pass, (b) lossless rare-first PREFIX-FILTERED candidate
-    * generation ([[prefixBlockedCandidates]] — never a blk-only
-    * self-join, whose candidate count is O(block²) when one language
-    * block dominates the corpus) and (c) a merge-based jaccard verify on
-    * the surviving candidates (no per-pair set allocation). τ is the
+    * native pass, (b) ADAPTIVE candidate generation
+    * ([[blockedCandidates]]: the bounded block join when the per-block
+    * pair bound fits the budget, the lossless rare-first prefix filter
+    * past it — the 100 TB regime, where a blk-only self-join's O(block²)
+    * candidate count is unpayable) and (c) a merge-based jaccard verify
+    * on the surviving candidates (no per-pair set allocation). τ is the
     * rational tauNum/tauDen (exact integer prefix lengths). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, tauNum: Int, tauDen: Int,
       blockCol: String, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      blockPairBudget: Long = 10000000L): DataFrame = {
     val g = Materialize(docs.select(col(idCol).as("doc_id"),
       col(blockCol).as("blk"), native.ngram_hash_set(col(textCol), n).as("ng")))
-    val cand = prefixBlockedCandidates(g, tauNum, tauDen)
+    // the explode is only paid on the prefix branch
+    val cand = blockedCandidates(g,
+      () => Materialize(g.select(col("doc_id"), col("blk"),
+        explode(col("ng")).as("tok"))),
+      tauNum, tauDen, blockPairBudget)
     val sa = g.select(col("doc_id").as("doc_a"), col("ng").as("ng_a"))
     val sb = g.select(col("doc_id").as("doc_b"), col("ng").as("ng_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")

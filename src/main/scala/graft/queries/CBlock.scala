@@ -356,8 +356,10 @@ object CBlock {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // τ = 4/5 as a rational: prefix lengths are exact integer math,
-      // candidates come from the lossless rare-first prefix filter
+      // τ = 4/5 as a rational: exact integer thresholds throughout.
+      // Candidates are ADAPTIVE (Dedup.blockedCandidates): the bounded
+      // block join under the pair budget, the lossless rare-first
+      // prefix filter past it — same output either way (DedupParitySpec)
       Dedup.ngramJaccardPairsDict(Tables.documents(s, dir), n = 3,
           tauNum = 4, tauDen = 5, blockCol = "lang")
         .orderBy(col("doc_a"), col("doc_b"))

@@ -17,6 +17,16 @@ class DedupParitySpec extends SparkSpec {
       .orderBy("doc_a", "doc_b").collect().toSeq
     assert(dict == merge)
     assert(dict.nonEmpty)
+    // the adaptive gate is a pure physical choice: forcing the prefix
+    // branch (budget 0 — the 100 TB regime) must not change one row
+    val dictPrefix = Dedup.ngramJaccardPairsDict(docs, 3, 7, 10, "lang",
+        blockPairBudget = 0L)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(dictPrefix == merge)
+    val mergePrefix = Dedup.ngramJaccardPairs(docs, 3, 7, 10, "lang",
+        blockPairBudget = 0L)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(mergePrefix == merge)
     // the prefix filter is lossless: candidates pruned before verify can
     // never reach τ, so both paths must equal the blocked ALL-PAIRS join
     val g = docs.select(col("doc_id"), col("lang"),

@@ -88,32 +88,54 @@ class PlanPostureSpec extends SparkSpec {
     assert(planOf("decontaminate").contains("BroadcastHashJoin"))
   }
 
-  test("dedup_ngram_jaccard: prefix-filtered candidates — no blk-only self-join") {
-    // candidate generation must go through the rare-first prefix filter:
-    // every equi-join keyed on the lang block must ALSO carry the prefix
-    // token key (a blk-only self-join pairs O(block²) rows — at 100 TB
-    // one language block is most of the corpus); the encode and token
-    // tables stay materialized (Scan ExistingRDD)
-    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf("0.01"))
+  private def candidateJoinKeys(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[String]] = plan.collect {
+    case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+      j.leftKeys.map(_.toString).toSeq
+    case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+      j.leftKeys.map(_.toString).toSeq
+    case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+      j.leftKeys.map(_.toString).toSeq
+  }
+
+  test("dedup_ngram_jaccard scale path: prefix-filtered — no blk-only self-join") {
+    // past the pair budget (the 100 TB regime, forced here with budget
+    // 0) candidate generation must go through the rare-first prefix
+    // filter: every equi-join keyed on the lang block must ALSO carry
+    // the prefix token key (a blk-only self-join pairs O(block²) rows —
+    // at 100 TB one language block is most of the corpus); the encode
+    // and token tables stay materialized (Scan ExistingRDD)
+    val docs = graft.sources.Tables.documents(spark, sf("0.01"))
+    val plan = graft.operators.Dedup.ngramJaccardPairsDict(docs, n = 3,
+        tauNum = 4, tauDen = 5, blockCol = "lang", blockPairBudget = 0L)
       .queryExecution.sparkPlan
     val p = plan.toString
     assert(p.contains("ExistingRDD"),
       s"encode/token stages must be materialized before the pair join:\n$p")
     assert(!p.contains("CartesianProduct"))
-    val joinKeys = plan.collect {
-      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-        j.leftKeys.map(_.toString)
-      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
-        j.leftKeys.map(_.toString)
-      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
-        j.leftKeys.map(_.toString)
-    }
-    val blkJoins = joinKeys.filter(_.exists(_.contains("blk")))
+    val blkJoins = candidateJoinKeys(plan).filter(_.exists(_.contains("blk")))
     assert(blkJoins.nonEmpty, s"expected the (blk, key) candidate join:\n$p")
     blkJoins.foreach { ks =>
       assert(ks.exists(_.contains("key")),
         s"a blk-only self-join remains (keys: ${ks.mkString(", ")}):\n$p")
     }
+  }
+
+  test("dedup_ngram_jaccard adaptive gate: bounded corpus takes the block join") {
+    // under the budget the per-block pair bound is exact and small, so
+    // the cheapest complete plan is the blocked join itself — assert
+    // the gate actually picks it (blk-only keys present) and that the
+    // default query still carries no cartesian product
+    val plan = SparkEntry.queries("dedup_ngram_jaccard")(spark, sf("0.01"))
+      .queryExecution.sparkPlan
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ExistingRDD"),
+      s"encode stage must stay materialized on the block path:\n$p")
+    val blkOnly = candidateJoinKeys(plan)
+      .filter(ks => ks.exists(_.contains("blk")) && !ks.exists(_.contains("key")))
+    assert(blkOnly.nonEmpty,
+      s"expected the bounded block join on the sf0.01 corpus (33k pairs):\n$p")
   }
 
   test("annTopK: bounded-heap final top-k, no per-probe window sort") {
