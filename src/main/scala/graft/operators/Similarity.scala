@@ -876,38 +876,85 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), round(col("cos"), 6).as("cosine"))
   }
 
+  /** Integer-lattice projection of a vector onto pseudo-random plane
+    * `p` — the SECONDARY sort key of [[knnGraph]]'s bounded candidate
+    * window. q_i = floor(v_i·10⁶) against the centered lattice
+    * component 2·((i·a_p + b_p) mod M) − M: exact int64 arithmetic
+    * (|Σ| ≤ 64·10⁶·2M ≈ 2.7·10¹⁷), so the rank order is bit-identical
+    * on any engine — a double-valued projection could flip ranks at
+    * the last ulp and change WHICH pairs are generated. */
+  private def latticeProj(vecCol: Column, p: Int, dim: Int): Column =
+    aggregate(sequence(lit(1), lit(dim)), lit(0L), (s, i) =>
+      s + floor(element_at(toDouble(vecCol), i) * 1000000d).cast("long") *
+        (((i.cast("long") * graft.plans.HashOps.aK(p) +
+          graft.plans.HashOps.bK(p)) % graft.plans.HashOps.M) * 2 -
+          graft.plans.HashOps.M))
+
+  /** The BOUNDED candidate pair stage of [[knnGraph]]: within each
+    * sign-bit bucket, members are ranked by the integer-lattice
+    * projection onto one extra plane (index `nPlanes` — independent of
+    * the bucket bits) and each vector pairs with only the next `window`
+    * members in that order. Projection-adjacent vectors are
+    * cosine-close far more often than random bucket members (the
+    * sorted-LSH trick), and the candidate count is DETERMINISTICALLY
+    * ≤ window per vector forward, ≤ 2·window including reverse
+    * orientation — a hot bucket costs O(bucket·window), never
+    * O(bucket²). Each unordered pair is scored once (both directions
+    * share the cosine); the window join is an EQUI-join on
+    * (bucket, rank) via an exploded rank sequence — no inequality-join
+    * fan-out in the physical plan. */
+  private[graft] def knnCandidatePairs(emb: DataFrame, nPlanes: Int,
+      dim: Int, window: Int, idCol: String,
+      vecCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("prj"), col("id"))
+    val ranked = Materialize(emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+        latticeProj(col(vecCol), nPlanes, dim).as("prj"))
+      .withColumn("rk", row_number().over(w).cast("long")))
+    val cands = ranked.select(col("bucket"), col("rk"), col("id"),
+      col("vec"))
+    val probes = ranked.select(col("bucket").as("b_p"),
+      explode(sequence(col("rk") + 1, col("rk") + window)).as("rk_c"),
+      col("id").as("id_p"), col("vec").as("vec_p"))
+    probes.join(cands,
+        col("b_p") === col("bucket") && col("rk_c") === col("rk"))
+      .select(col("id_p").as("id_a"), col("id").as("id_b"),
+        cosineCol(col("vec_p"), col("vec")).as("score"))
+  }
+
   /** Mutual-kNN graph audit over LSH buckets — the semantic-clustering
     * primitive (mutual-kNN is the standard sparsifier in front of
     * community detection / semantic dedup): EVERY vector is a probe,
-    * its candidates are its own sign-bit bucket, and its top-k by cosine
-    * form the directed kNN edge set. Returns per-vector out-degree
-    * (≤ k — small buckets yield fewer), in-degree, and the count of
-    * MUTUAL edges (i→j AND j→i — the edges a mutual-kNN clustering
-    * keeps).
+    * its candidates are the `window` projection-rank neighbors inside
+    * its own sign-bit bucket ([[knnCandidatePairs]]), and its top-k by
+    * cosine form the directed kNN edge set. Returns per-vector
+    * out-degree (≤ k — small windows yield fewer), in-degree, and the
+    * count of MUTUAL edges (i→j AND j→i — the edges a mutual-kNN
+    * clustering keeps).
     *
     * Scale: NO corpus broadcast — with every vector a probe, the
     * broadcast-probes shape of [[annTopK]] would ship the whole corpus
-    * to every executor; instead the pair generation is a bucket-keyed
-    * SELF-JOIN (one shuffle on the bucket id, the [[Dedup
-    * .embeddingPairs]] posture, AQE splitting any hot bucket), and the
+    * to every executor; pair generation is the bucket-keyed equi-join
+    * of [[knnCandidatePairs]] with its DETERMINISTIC ≤ 2·window
+    * per-vector candidate bound (one hot bucket pairs O(bucket·window)
+    * rows, never O(bucket²) — KnnBoundSpec asserts the bound), and the
     * top-k runs through the bounded-heap aggregator (≤ k rows per
     * vector per partition on the shuffle). The k-bounded edge set is
     * materialized once; the degree/mutuality passes are map-side-
     * combined aggs and one self-join on O(n·k) rows. */
   def knnGraph(emb: DataFrame, k: Int, nPlanes: Int = 8, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      window: Int = 16): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      lshBucket(col(vecCol), nPlanes, dim).as("bucket"))
-    val probes = bucketed.select(col("bucket"), col("id").as("key"),
-      col("vec").as("probe_vec"))
-    val scored = probes
-      .join(bucketed.select(col("bucket"), col("id").as("cid"),
-        col("vec").as("cand_vec")), Seq("bucket"))
-      .filter(col("key") =!= col("cid"))
-      .select(col("key"), col("cid").as("id"),
-        cosineCol(col("probe_vec"), col("cand_vec")).as("score"))
+    val pairs = knnCandidatePairs(emb, nPlanes, dim, window, idCol, vecCol)
+    // both orientations ride one scored row per unordered pair
+    val scored = pairs
+      .select(col("id_a").as("key"), col("id_b").as("id"), col("score"))
+      .unionAll(pairs
+        .select(col("id_b").as("key"), col("id_a").as("id"), col("score")))
       .as[graft.plans.Scored]
     val edges = Materialize(scored.groupByKey(_.key)
       .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))

@@ -207,7 +207,9 @@ object CBlock {
 
     "sim_knn_graph" -> ((s, dir) => {
       // mutual-kNN graph audit over LSH buckets: per-vector out/in
-      // degree + mutual-edge count (the semantic-clustering sparsifier)
+      // degree + mutual-edge count (the semantic-clustering sparsifier).
+      // Candidates are the ≤16 projection-rank neighbors inside the
+      // bucket — deterministic O(bucket·window), never O(bucket²)
       Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)
         .orderBy(col("vec_id"))
     }),
@@ -3793,17 +3795,31 @@ object CBlock {
         |          (CAST((i * (((p+1) * 2654435761) % 2147483647)
         |             + ((p+1) * 40503) % 2147483647) % 2147483647 AS DOUBLE) / 2147483647 * 2 - 1)
         |        )), (a, x) -> a + x) > 0
-        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, x) -> a + x) AS bucket
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, x) -> a + x) AS bucket,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i ->
+        |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) *
+        |      (((i * (((8+1) * 2654435761) % 2147483647)
+        |         + ((8+1) * 40503) % 2147483647) % 2147483647) * 2 - 2147483647)
+        |    )), (a, x) -> a + x) AS prj
         |  FROM embeddings
-        |), cos AS (
-        |  SELECT p.vec_id AS src, c.vec_id AS dst,
+        |), r AS (
+        |  SELECT vec_id, embedding, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY prj, vec_id) AS rk
+        |  FROM b
+        |), pr AS (
+        |  SELECT p.vec_id AS ia, c.vec_id AS ib,
         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
         |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
         |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
         |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
         |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
         |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
-        |  FROM b p JOIN b c ON p.bucket = c.bucket AND p.vec_id <> c.vec_id
+        |  FROM r p JOIN r c ON p.bucket = c.bucket
+        |    AND c.rk > p.rk AND c.rk <= p.rk + 16
+        |), cos AS (
+        |  SELECT ia AS src, ib AS dst, cos FROM pr
+        |  UNION ALL
+        |  SELECT ib AS src, ia AS dst, cos FROM pr
         |), edges AS (
         |  SELECT src, dst FROM cos
         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) <= 5

@@ -269,6 +269,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.sum > 0, "the bucketed corpus yields edges at this SF")
   }
 
+  test("knnGraph: hot-bucket candidate count is window-bounded, never O(bucket²)") {
+    // 100 positively-scaled copies of one direction share every plane
+    // sign → ONE bucket: the worst case for the old all-pairs self-join
+    // (4 950 pairs). The rank-window stage must emit exactly
+    // Σ min(window, n−r) = 1 464 forward pairs at window = 16, with no
+    // vector exceeding the per-vector bound.
+    val base = Array.tabulate(64)(i => ((i * 37 % 13) - 6) / 6.0f)
+    val emb = spark.createDataFrame(
+      (0 until 100).map(j => (j.toLong, base.map(_ * (1f + j / 1000f)).toSeq)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.knnCandidatePairs(emb, nPlanes = 8, dim = 64,
+      window = 16, idCol = "vec_id", vecCol = "embedding")
+    assert(pairs.count() == (1 to 100).map(r => math.min(16, 100 - r)).sum,
+      "forward candidate count must equal the window bound exactly")
+    val maxPer = pairs.groupBy(col("id_a")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).head.getLong(0)
+    assert(maxPer <= 16, s"a vector generated $maxPer forward candidates")
+    // the graph built on those candidates keeps the k bound
+    val g = Similarity.knnGraph(emb, k = 5)
+    assert(g.filter(col("out_deg") > 5).count() == 0)
+  }
+
   test("triangleCounts: K4 clique, pendant path, and isolated edge — exact counts") {
     // K4 on {1,2,3,4} (4 triangles, every node in 3), a pendant path
     // 4-5-6 (no triangles, node 5 has degree 2), and an isolated edge

@@ -214,16 +214,24 @@ class PlanPostureSpec extends SparkSpec {
     assert(!p.contains("l_orderkey"), "unused columns must be pruned")
   }
 
-  test("sim_knn_graph: bucket-keyed self-join — no corpus broadcast, no cartesian") {
+  test("sim_knn_graph: bucket-keyed equi-join — no corpus broadcast, no cartesian") {
     // every vector is a probe, so the annTopK broadcast-probes shape
     // would broadcast the whole corpus; the graph must use the shuffle
-    // self-join on the bucket key instead
-    val p = planOf("sim_knn_graph")
+    // equi-join on (bucket, rank) instead, and the only Window is the
+    // bucket-PARTITIONED candidate rank — per-vector top-k stays the
+    // bounded heap, never a per-probe window sort over scored rows
+    val plan = SparkEntry.queries("sim_knn_graph")(spark, sf("0.01"))
+      .queryExecution.sparkPlan
+    val p = plan.toString
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"knn graph pair generation must be an equi-join on the bucket:\n$p")
-    assert(!p.contains("Window"),
-      s"per-vector top-k must be the bounded heap, not a window sort:\n$p")
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.forall(_.partitionSpec.exists(_.toString.contains("bucket"))),
+      s"every window must be the bucket-partitioned rank (no global sort):\n$p")
+    assert(windows.size <= 1, s"only the candidate-rank window is allowed:\n$p")
   }
 
   test("dedup_minhash_est: signatures materialized once, estimate join-free") {
