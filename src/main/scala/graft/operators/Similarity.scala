@@ -1130,45 +1130,51 @@ object Similarity {
     * raise `gramDiv` proportionally (it only rescales the eigenvector's
     * fixed-point resolution, not its direction); both bounds are
     * ENFORCED — the corpus count rides the Gram aggregation for free
-    * (rows per (i,j) group = n) and the collected matrix is checked
-    * before iterating, so an out-of-range corpus fails loudly instead
-    * of wrapping silently.
+    * and the collected matrix is checked before iterating, so an
+    * out-of-range corpus fails loudly instead of wrapping silently.
     *
-    * Scale: ONE wide edge — the (i, j) Gram aggregation (the vec_id
-    * equi-join fans each vector to its D² dim pairs, map-side combined);
-    * the D×D Gram table is MODEL STATE (4096 rows at D = 64, like the
-    * IVF centroids) so the power iteration itself runs on the collected
-    * matrix — O(iters·D²) driver work, independent of corpus size. */
+    * Scale: NO wide edge — the Gram aggregation is a NARROW scan
+    * folding each vector's outer product into a flat D×D partition
+    * buffer ([[graft.plans.GramAggregator]]); the shuffle carries one
+    * ~32 KB partial per partition. The D×D Gram table is MODEL STATE
+    * (4096 cells at D = 64, like the IVF centroids) so the power
+    * iteration itself runs on the collected matrix — O(iters·D²)
+    * driver work, independent of corpus size. */
   /** Collect the rescaled integer Gram matrix (None for an empty
     * corpus), enforcing the long-range bounds the scaladoc documents —
     * the BIGINT Gram sum wraps silently past Long.Max in non-ANSI
     * mode, and the driver product Σⱼ g·vⱼ wraps past
-    * Long.Max/(2·scale·D); both fail loudly here instead (the corpus
-    * count rides the aggregation for free: rows per (i,j) group = n). */
+    * Long.Max/(2·scale·D); both fail loudly here instead (the vector
+    * count rides the aggregator buffer for free). */
   private def collectGram(emb: DataFrame, scale: Long, gramDiv: Long,
       idCol: String, vecCol: String): Option[Array[Array[Long]]] = {
-    val q = emb.select(col(idCol).as("__id"),
-        posexplode(col(vecCol)).as(Seq("dim", "x")))
-      .select(col("__id"), col("dim"),
-        floor(col("x").cast("double") * scale).cast("long").as("q"))
-    val a = q.select(col("__id"), col("dim").as("i"), col("q").as("qi"))
-    val b = q.select(col("__id"), col("dim").as("j"), col("q").as("qj"))
-    val gram = a.join(b, "__id")
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("qi") * col("qj")).as("gsum"),
-        count(lit(1)).as("n")) // rows per (i,j) group = corpus size
-      .select(col("i"), col("j"), col("n"),
-        expr(s"(CASE WHEN gsum < 0 THEN -1 ELSE 1 END) * (abs(gsum) div $gramDiv)")
-          .as("g"))
-    val gRows = gram.collect() // D² rows — bounded model state
-    if (gRows.isEmpty) return None
-    val nVec = gRows.iterator.map(_.getLong(2)).max
+    val s = emb.sparkSession
+    import s.implicits._
+    // NARROW scan: each vector folds its outer product into a flat D×D
+    // partition buffer ([[graft.plans.GramAggregator]] — the moments-
+    // sketch shape); the shuffle carries one ~32 KB partial per
+    // partition instead of D² rows per vector (the exploded self-join
+    // measured slope 5.34 at data ×8 — this is the flatten)
+    val (nVec, d, flat) = emb.select(toDouble(col(vecCol)).as("v"))
+      .as[Seq[Double]]
+      .select(new graft.plans.GramAggregator(scale).toColumn)
+      .head()
+    if (nVec == 0 || d == 0) return None
     require(BigInt(nVec) * BigInt(scale) * BigInt(scale) <= Long.MaxValue,
       s"pcaPower: $nVec vectors at scale=$scale can overflow the Gram " +
         "sum — lower `scale`")
-    val d = gRows.iterator.map(_.getInt(0)).max + 1
     val gm = Array.ofDim[Long](d, d)
-    gRows.foreach(r => gm(r.getInt(0))(r.getInt(1)) = r.getLong(3))
+    var i = 0
+    while (i < d) {
+      var j = i
+      while (j < d) {
+        val gsum = flat(i * d + j)
+        val g = (if (gsum < 0) -1L else 1L) * (math.abs(gsum) / gramDiv)
+        gm(i)(j) = g; gm(j)(i) = g
+        j += 1
+      }
+      i += 1
+    }
     val maxAbsG = gm.iterator.flatMap(_.iterator).map(math.abs).max
     require(BigInt(maxAbsG) * BigInt(2L * scale) * BigInt(d) <= Long.MaxValue,
       s"pcaPower: |gram| up to $maxAbsG overflows the power iteration " +
