@@ -1970,6 +1970,31 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "tokenizer_bpe_sampled" -> ((s, dir) => {
+      // the PRODUCTION trainer for large merge counts: each merge round
+      // scans only a deterministic exact-k per-source sample (the C99
+      // draw) — O(sample distinct words) per round instead of a full
+      // corpus pass — then the frozen sample-trained artifacts apply
+      // corpus-wide through the narrow encodeWith seam (C137).
+      // Sample-unseen symbols surface as NULL ids (the OOV story a
+      // real deployment has anyway).
+      val docs = Tables.documents(s, dir)
+      val sampled = docs.join(
+        Curation.sampleExactK(docs, k = 50).select(col("doc_id")), "doc_id")
+      val merges = graft.operators.Tokenizer.bpeMerges(sampled, rounds = 5)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val ids = graft.operators.Tokenizer.bpeVocab(sampled, rounds = 5)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), posexplode(
+          graft.operators.Tokenizer.encodeWith(col("text"), merges, ids))
+          .as(Seq("pos", "tok_id")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("tok_id"))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     "tokenizer_encode" -> ((s, dir) => {
       // the id-level export: trained merges + dense vocab ids applied to
       // every doc → per-(doc, position) token id (trimmed to a
@@ -6114,6 +6139,73 @@ object CBlock {
          |SELECT doc_id, pos, tok_id, sym FROM enc
          |WHERE doc_id % 7 = 0
          |ORDER BY doc_id, pos""".stripMargin,
+
+    // sample-trained / corpus-applied: the training chain (c0..c5 and
+    // the b$k argmax pairs) runs over ONLY the exact-k sampled docs
+    // (sample_exact_k's own draw at k=50); the corpus-side e-chain
+    // applies those sample-trained pairs to the doc_id%7 subset and ids
+    // come from the SAMPLE's vocab (LEFT JOIN → NULL for OOV symbols)
+    "tokenizer_bpe_sampled" -> {
+      val eChain = (1 to 5).map(k =>
+        s"""e$k AS (
+           |  SELECT doc_id, wpos,
+           |    list_reduce(list_prepend(CAST('' AS VARCHAR),
+           |      string_split(enc, chr(31))), (acc, s) ->
+           |      CASE WHEN acc = '' THEN s
+           |           WHEN (acc = b.l OR ends_with(acc, chr(31) || b.l)) AND s = b.r
+           |             THEN acc || s
+           |           ELSE acc || chr(31) || s END) AS enc
+           |  FROM e${k - 1}, b$k b
+           |)""".stripMargin).mkString(",\n")
+      s"""WITH u AS (
+         |  SELECT doc_id, source,
+         |    (${ph("'sample:' || CAST(doc_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |  FROM documents
+         |), sampled AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (PARTITION BY source
+         |      ORDER BY pu, doc_id) AS rk FROM u) WHERE rk <= 50
+         |), sdocs AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN sampled USING (doc_id)
+         |),
+         |${bpeCtes(5, withPos = false, from = "sdocs")},
+         |ssyms AS (
+         |  SELECT unnest(string_split(enc, chr(31))) AS sym FROM c5
+         |),
+         |vocab AS (
+         |  SELECT sym,
+         |    CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS tok_id
+         |  FROM (SELECT DISTINCT sym FROM ssyms)
+         |),
+         |e0 AS (
+         |  SELECT doc_id, p.pos AS wpos,
+         |    array_to_string(string_split(p.w, ''), chr(31)) AS enc
+         |  FROM (SELECT doc_id,
+         |        unnest(list_transform(range(1, len(t) + 1),
+         |          i -> struct_pack(pos := i, w := t[i]))) AS p
+         |        FROM (SELECT doc_id, $toksSql AS t FROM documents
+         |              WHERE doc_id % 7 = 0))
+         |),
+         |$eChain,
+         |fsyms AS (
+         |  SELECT doc_id, wpos, u2.spos AS spos, u2.s AS sym
+         |  FROM (SELECT doc_id, wpos,
+         |        unnest(list_transform(range(1, len(ss) + 1),
+         |          i -> struct_pack(spos := i, s := ss[i]))) AS u2
+         |        FROM (SELECT doc_id, wpos,
+         |              string_split(enc, chr(31)) AS ss FROM e5))
+         |),
+         |enc2 AS (
+         |  SELECT f.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY f.doc_id
+         |      ORDER BY f.wpos, f.spos) - 1 AS BIGINT) AS pos,
+         |    v.tok_id
+         |  FROM fsyms f LEFT JOIN vocab v USING (sym)
+         |)
+         |SELECT doc_id, pos, tok_id FROM enc2 ORDER BY doc_id, pos""".stripMargin
+    },
 
     // IDENTICAL chain to tokenizer_encode — the streamed narrow encoder
     // must emit the batch join+window encode's exact id relation
