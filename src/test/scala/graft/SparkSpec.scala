@@ -7,6 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sf(dir: String = "0.001"): String = s"/root/testdata/sf$dir"
+
+  /** Peak total state-store rows a query reported — the measured value
+    * behind each stateful operator's documented state bound (SURVEY §6:
+    * registry = distinct buckets, limiter = apps, quota = domains…). */
+  def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal))
+      .foldLeft(0L)(math.max)
 }
 
 object SparkSpec {

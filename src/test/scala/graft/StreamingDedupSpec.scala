@@ -54,6 +54,14 @@ class StreamingDedupSpec extends SparkSpec {
       // every collision of doc 10 points at the batch-1 owner, doc 1
       assert(flagged.nonEmpty)
       assert(flagged.forall { case (d, f) => d == 10L && f == 1L })
+      // MEASURED state bound: the registry holds exactly one row per
+      // distinct bucket ever seen — O(buckets), not O(docs)
+      val distinctBuckets = graft.operators.Dedup.minhashBuckets(
+          Seq(a, b, Doc(10L, a.text),
+            Doc(11L, "wholly novel words appear here now")).toDS().toDF())
+        .select("bucket").distinct().count()
+      assert(stateRows(q) == distinctBuckets,
+        s"registry rows ${stateRows(q)} != distinct buckets $distinctBuckets")
     } finally q.stop()
   }
 }

@@ -51,6 +51,10 @@ class StreamingQuotaSpec extends SparkSpec {
       // → only doc 5 fits), doc 6 and 7 dropped
       assert(all == Set((1L, "a", 1L), (2L, "a", 2L), (3L, "b", 1L),
         (5L, "b", 2L)))
+      // MEASURED state bound: one counter row per domain ever seen —
+      // O(domains), independent of arrival count
+      assert(stateRows(q) == 2,
+        s"quota state rows ${stateRows(q)} != 2 distinct domains")
     } finally q.stop()
   }
 

@@ -63,6 +63,12 @@ class StreamingRateLimitSpec extends SparkSpec {
       .count().collect()
       .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2))).toSet
     assert(streamCounts === batchCounts)
+
+    // MEASURED state bound: one state row per app ever seen (app_a,
+    // app_b) — the per-app counts map inside each row is horizon-pruned
+    // to ≤ stateHorizonWindows windows, so state is O(apps), not O(msgs)
+    assert(stateRows(q) == 2,
+      s"limiter state rows ${stateRows(q)} != 2 distinct apps")
   }
 
   test("in-order arrival admits the exact batch-limiter message set") {
