@@ -75,6 +75,18 @@ object Compaction {
     fs.delete(old, true)
     if (!fs.rename(root, old) || !fs.rename(tmp, root))
       throw new IllegalStateException(s"compaction swap failed for $path")
+    // carry forward the store's NON-DATA entries: the rewrite only
+    // produces index= partitions, but a LIVE sync keeps operational
+    // state beside them (the streaming _checkpoint, the _failed payload
+    // log) — dropping those with the old layout would reset the
+    // consumer and erase the failure audit (CompactionSpec's
+    // mid-stream fault test pins this)
+    fs.listStatus(old)
+      .filterNot(_.getPath.getName.startsWith(s"$partitionCol="))
+      .foreach { st =>
+        val dest = new Path(root, st.getPath.getName)
+        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+      }
     fs.delete(old, true)
 
     val after = partitionSizes(fs, root, partitionCol)

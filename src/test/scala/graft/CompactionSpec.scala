@@ -51,4 +51,88 @@ class CompactionSpec extends SparkSpec {
       s"hot partition must split into multiple target-size files: $report")
     assert(spark.read.parquet(store).count() === 5000)
   }
+
+  test("fault: concurrent readers never observe a partial store mid-swap") {
+    // hammer reads while three compactions swap the store underneath:
+    // every SUCCESSFUL read must see the complete row count (old or new
+    // layout). A read that lands inside the rename window may fail
+    // (store momentarily absent — the documented HDFS-rename caveat) but
+    // must never return a subset: the rewrite goes to a sibling scratch
+    // dir, so the root only ever lists one complete layout.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact3").toString
+    val store = s"$tmp/store"
+    val docs = (0 until 600).map(i => (i.toLong, s"doc $i", s"idx${i % 3}"))
+      .toDF("msg_id", "data", "index")
+    (0 until 6).foreach(_ => docs.repartition(2).write.mode("append")
+      .partitionBy("index").parquet(store))
+    val expect = spark.read.parquet(store).count()
+    @volatile var done = false
+    @volatile var partial: Option[Long] = None
+    val reader = new Thread(() => {
+      while (!done && partial.isEmpty) {
+        try {
+          val n = spark.read.parquet(store).count()
+          if (n != expect) partial = Some(n)
+        } catch { case _: Exception => () } // absent mid-rename: allowed
+      }
+    })
+    reader.start()
+    try {
+      (0 until 3).foreach(_ =>
+        Compaction.compact(spark, store, targetBytes = 1L << 30))
+    } finally { done = true; reader.join(60000) }
+    assert(partial.isEmpty,
+      s"a reader observed a partial store: ${partial.getOrElse(-1L)} rows " +
+        s"vs $expect")
+    assert(spark.read.parquet(store).count() === expect)
+  }
+
+  test("fault: compacting a LIVE sync store preserves checkpoint and failure log") {
+    // maintenance interleaved with the streaming sync: batch 1 drains,
+    // compaction rewrites the store (the _checkpoint and _failed dirs
+    // live INSIDE it), then a second AvailableNow run must RESUME from
+    // the preserved checkpoint — final store equals the batch pipeline
+    // over all messages, no loss, no replay duplicates
+    import graft.operators.{SyncConfig, SyncPipeline}
+    import graft.streaming.StreamingSync
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact4").toString
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def m(id: Long) = (id, if (id % 2 == 0) "click" else "view", ts,
+      s"""{"k": $id}""")
+    val cols = Seq("msg_id", "topic", "publish_time", "data")
+    val cfg = SyncConfig()
+    val poison = "\"k\": 13\\}"
+
+    (1L to 40L).map(m).toDF(cols: _*).repartition(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    val q1 = StreamingSync.start(spark, cfg, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, failedDocPattern = Some(poison))
+    assert(q1.awaitTermination(120000))
+
+    Compaction.compact(spark, s"$tmp/sink", targetBytes = 1L << 30)
+    val names = new java.io.File(s"$tmp/sink").listFiles()
+      .map(_.getName).toSet
+    assert(names.contains("_checkpoint"),
+      s"compaction dropped the consumer checkpoint: $names")
+    assert(names.contains("_failed"),
+      s"compaction dropped the failed-payload log: $names")
+
+    (41L to 80L).map(m).toDF(cols: _*).repartition(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    val q2 = StreamingSync.start(spark, cfg, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, failedDocPattern = Some(poison))
+    assert(q2.awaitTermination(120000))
+
+    val store = spark.read.parquet(s"$tmp/sink")
+      .select("msg_id").as[Long].collect().sorted.toSeq
+    val batch = SyncPipeline(cfg)((1L to 80L).map(m).toDF(cols: _*))
+      .filter(!col("data").rlike(poison))
+      .select("msg_id").as[Long].collect().sorted.toSeq
+    assert(store === batch, "resumed store must equal the batch pipeline")
+    // the diverted batch-1 doc is still in the preserved failure log
+    assert(spark.read.parquet(s"$tmp/sink/_failed")
+      .select("msg_id").as[Long].collect().toSeq === Seq(13L))
+  }
 }
