@@ -944,9 +944,11 @@ object Similarity {
     * vector per partition on the shuffle). The k-bounded edge set is
     * materialized once; the degree/mutuality passes are map-side-
     * combined aggs and one self-join on O(n·k) rows. */
-  def knnGraph(emb: DataFrame, k: Int, nPlanes: Int = 8, dim: Int = 64,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      window: Int = 16): DataFrame = {
+  /** The directed kNN edge set (src, dst) the graph audit is built on —
+    * split out so AnnRecallSpec can compare the windowed edge set
+    * against the unbounded-window (all-pairs-in-bucket) reference. */
+  private[graft] def knnEdges(emb: DataFrame, k: Int, nPlanes: Int,
+      dim: Int, window: Int, idCol: String, vecCol: String): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
     val pairs = knnCandidatePairs(emb, nPlanes, dim, window, idCol, vecCol)
@@ -956,10 +958,16 @@ object Similarity {
       .unionAll(pairs
         .select(col("id_b").as("key"), col("id_a").as("id"), col("score")))
       .as[graft.plans.Scored]
-    val edges = Materialize(scored.groupByKey(_.key)
+    Materialize(scored.groupByKey(_.key)
       .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
       .flatMap { case (key, tk) => tk.map { case (id, _) => (key, id) } }
       .toDF("src", "dst"))
+  }
+
+  def knnGraph(emb: DataFrame, k: Int, nPlanes: Int = 8, dim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      window: Int = 16): DataFrame = {
+    val edges = knnEdges(emb, k, nPlanes, dim, window, idCol, vecCol)
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_deg"))
     val inDeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("in_deg"))
     val mutual = edges

@@ -325,6 +325,24 @@ class AnnRecallSpec extends SparkSpec {
     assert(rm >= 0.25, s"multi-probe LSH recall collapsed: $rm")
   }
 
+  test("windowed kNN edges: recall >= 0.95 vs the unbounded in-bucket reference") {
+    // the window=16 candidate bound must not cost meaningful graph
+    // quality: the directed edge set against the all-pairs-in-bucket
+    // reference (window >> any bucket) — measured 100% at sf0.001/0.01
+    // and 99.9%+ at sf0.1, floored at 0.95 so a bucketing or rank
+    // regression fails loudly
+    val emb = Tables.embeddings(spark, sf())
+    def edgeSet(w: Int): Set[(Long, Long)] =
+      Similarity.knnEdges(emb, k = 5, nPlanes = 8, dim = 64, window = w,
+          idCol = "vec_id", vecCol = "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val windowed = edgeSet(16)
+    val reference = edgeSet(1000000)
+    assert(reference.nonEmpty)
+    val recall = windowed.intersect(reference).size.toDouble / reference.size
+    assert(recall >= 0.95, f"windowed edge recall $recall%.3f < 0.95")
+  }
+
   test("pcaPower: integer-lattice direction tracks double-precision power iteration") {
     val emb = Tables.embeddings(spark, sf())
     val lattice = Similarity.pcaPower(emb, iters = 3)
