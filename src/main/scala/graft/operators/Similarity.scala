@@ -410,6 +410,54 @@ object Similarity {
     cents
   }
 
+  /** SAMPLE-trained IVF model — the production trainer at corpus scale
+    * (the FAISS shape: Lloyd never sees more than the training sample):
+    * the deterministic exact-k per-stratum draw (the C99 affine-rehash
+    * sample; strata = id mod `strataMod`, so the rank windows stay
+    * partitioned) selects the training set, seeds are its
+    * `numCentroids` smallest ids, and `iters` Lloyd rounds run over
+    * ONLY the sample — per-round cost O(sample), independent of corpus
+    * size (the fix for the full-corpus trainer's ×8-data slope). The
+    * returned k·dim model assigns/searches corpus-wide through the
+    * same inlined-literal seams as every IVF path; decimal-exact means
+    * ([[refineStep]]) keep the model engine-reproducible, so the whole
+    * sampled chain stays oracle-exact. */
+  def sampledCentroids(emb: DataFrame, iters: Int, sampleK: Int = 12,
+      strataMod: Int = 16, numCentroids: Int = 8, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
+    val sampleIds = Curation.sampleExactK(
+      emb.withColumn("__strata", pmod(col(idCol), lit(strataMod))),
+      k = sampleK, strataCol = "__strata", idCol = idCol)
+      .select(col(idCol))
+    val sample = Materialize(emb.join(sampleIds, idCol))
+    var cents = sample
+      .select(col(idCol).cast("long"), col(vecCol))
+      .orderBy(col(idCol)).limit(numCentroids)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    for (_ <- 0 until iters) {
+      val means = refineStep(sample, cents, vecCol).collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getLong(1)).toSeq.map(_.getDouble(3))
+        }
+      cents = cents.map { case (cid, old) =>
+        (cid, means.getOrElse(cid, old))
+      }
+    }
+    cents
+  }
+
+  /** [[ivfAssign]] against an EXPLICIT centroid model — the seam the
+    * sample-trained path assigns the full corpus through. */
+  def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Seq[Double])],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val best = array_min(centScored(col(vecCol), cents))
+    emb.select(col(idCol).as("vec_id"),
+      best.getField("cent_id").as("cent_id"),
+      round(best.getField("dist"), 6).as("dist"))
+  }
+
   /** The (iters)-th Lloyd step as a DataFrame — the oracle-checkable
     * face of [[trainedCentroids]]: refine against the model trained for
     * `iters − 1` rounds, i.e. the per-(centroid, dimension) counts and

@@ -1591,6 +1591,17 @@ object CBlock {
         .orderBy(col("cent_id"), col("pos"))
     }),
 
+    "sim_ivf_sampled" -> ((s, dir) => {
+      // the PRODUCTION IVF trainer: Lloyd sees ONLY the deterministic
+      // exact-k per-stratum sample (per-round cost O(sample),
+      // corpus-size-independent — the sampled answer to the full-corpus
+      // trainer's ×8-data slope), then the whole corpus assigns against
+      // the frozen sample-trained model in one narrow argmin pass
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.sampledCentroids(emb, iters = 1)
+      Similarity.ivfAssignWith(emb, cents).orderBy(col("vec_id"))
+    }),
+
     "quality_classifier" -> ((s, dir) => {
       // feature-hashed linear classifier (native codegen'd score kernel)
       Curation.hashedLinearScore(Tables.documents(s, dir))
@@ -4130,6 +4141,66 @@ object CBlock {
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // sample-trained / corpus-assigned IVF: the sample CTE is
+    // sample_exact_k's own draw (strata = vec_id % 16, k = 12), seeds
+    // the sample's 8 smallest ids, ONE Lloyd round over ONLY the
+    // sample (decimal-exact means), then every corpus vector assigns
+    // to its nearest sample-trained centroid
+    "sim_ivf_sampled" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, vec_id % 16 AS strata,
+         |    (${ph("'sample:' || CAST(vec_id AS VARCHAR)")}
+         |      * ((1 * 2654435761) % 2147483647)
+         |      + (1 * 40503) % 2147483647) % 2147483647 AS pu
+         |  FROM embeddings
+         |), sampled AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY strata
+         |      ORDER BY pu, vec_id) AS rk FROM u) WHERE rk <= 12
+         |), semb AS (
+         |  SELECT e.vec_id, e.embedding
+         |  FROM embeddings e JOIN sampled USING (vec_id)
+         |), cents0 AS (
+         |  SELECT vec_id AS cent_id, embedding AS cv FROM semb
+         |  ORDER BY vec_id LIMIT 8
+         |), d1 AS (
+         |  SELECT e.vec_id, e.embedding, c.cent_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+         |         * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))),
+         |      (a, x) -> a + x) AS dist
+         |  FROM semb e, cents0 c
+         |), a1 AS (
+         |  SELECT vec_id, embedding, cent_id FROM d1
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+         |), m1 AS (
+         |  SELECT cent_id, i.i - 1 AS pos,
+         |    ROUND(CAST(sum(CAST(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)
+         |      AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mean
+         |  FROM a1, (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY 1, 2
+         |), c1 AS (
+         |  SELECT cent_id, list(mean ORDER BY pos) AS cv
+         |  FROM (
+         |    SELECT c0.cent_id, p.pos,
+         |      COALESCE(m.mean, CAST(c0.cv[CAST(p.pos + 1 AS INT)] AS DOUBLE)) AS mean
+         |    FROM cents0 c0
+         |    CROSS JOIN (SELECT unnest(range(0, 64)) AS pos) p
+         |    LEFT JOIN m1 m ON m.cent_id = c0.cent_id AND m.pos = p.pos
+         |  ) GROUP BY cent_id
+         |), d2 AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+         |      i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+         |         * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))),
+         |      (a, x) -> a + x) AS dist
+         |  FROM embeddings e, c1 c
+         |)
+         |SELECT vec_id, cent_id, ROUND(dist, 6) AS dist
+         |FROM d2
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cent_id) = 1
+         |ORDER BY vec_id""".stripMargin,
 
     "sim_probe_sweep" -> probeSweepOracle,
 

@@ -25,6 +25,10 @@ object ScaleProbe {
     "sync_pipeline", "q_sessionize", "q_events_anomaly", "q_time_window",
     "q_attribution", "sketch_hll_daily",
     "sim_pq_residual", "sim_ivf_trained",
+    // the sampled trainer: Lloyd over ONLY the exact-k sample, corpus
+    // pays one narrow assign — the slope the full-corpus trainer can't
+    // have (r10; compare against sim_ivf_trained's ~5.4)
+    "sim_ivf_sampled",
     "shard_zorder", "lm_kn_model",
     // the id-level export chain: replicated docs duplicate WORDS but not
     // the distinct-word table, so BPE training cost is
