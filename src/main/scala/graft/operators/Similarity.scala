@@ -435,6 +435,7 @@ object Similarity {
       .orderBy(col(idCol)).limit(numCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+    if (cents.isEmpty) return cents // empty corpus: empty model, no rounds
     for (_ <- 0 until iters) {
       val means = refineStep(sample, cents, vecCol).collect()
         .groupBy(_.getLong(0))
@@ -449,14 +450,20 @@ object Similarity {
   }
 
   /** [[ivfAssign]] against an EXPLICIT centroid model — the seam the
-    * sample-trained path assigns the full corpus through. */
+    * sample-trained path assigns the full corpus through. An empty
+    * model (empty training corpus) yields an empty result with the
+    * contract schema rather than an unanalyzable empty-array argmin. */
   def ivfAssignWith(emb: DataFrame, cents: Array[(Long, Seq[Double])],
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val best = array_min(centScored(col(vecCol), cents))
-    emb.select(col(idCol).as("vec_id"),
-      best.getField("cent_id").as("cent_id"),
-      round(best.getField("dist"), 6).as("dist"))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    if (cents.isEmpty)
+      emptyPcaResult(emb.sparkSession,
+        "vec_id BIGINT, cent_id BIGINT, dist DOUBLE")
+    else {
+      val best = array_min(centScored(col(vecCol), cents))
+      emb.select(col(idCol).as("vec_id"),
+        best.getField("cent_id").as("cent_id"),
+        round(best.getField("dist"), 6).as("dist"))
+    }
 
   /** The (iters)-th Lloyd step as a DataFrame — the oracle-checkable
     * face of [[trainedCentroids]]: refine against the model trained for

@@ -262,6 +262,29 @@ class AnnRecallSpec extends SparkSpec {
       s"trained IVF recall@5 must reach 0.5, got $rTrained")
   }
 
+  test("sample-trained IVF: searches within 0.1 recall of the full-corpus trainer") {
+    // the production question: does training Lloyd on ONLY the exact-k
+    // sample cost search quality? Recall@5 through the same ivfTopKWith
+    // seam must land within 0.1 of the full-corpus-trained model (and
+    // the empty-model edge returns the contract schema, not a crash)
+    val emb = Tables.embeddings(spark, sf())
+    val truth = topSets(Similarity.cosineTopKAgg(emb, col("vec_id") < 20, 5))
+    val full = meanRecall(truth, topSets(Similarity.ivfTopKWith(
+      emb, col("vec_id") < 20, 5, nprobe = 2,
+      Similarity.trainedCentroids(emb, iters = 2))))
+    val sampled = meanRecall(truth, topSets(Similarity.ivfTopKWith(
+      emb, col("vec_id") < 20, 5, nprobe = 2,
+      Similarity.sampledCentroids(emb, iters = 2))))
+    info(f"IVF recall@5 nprobe=2: full-trained $full%.3f, sample-trained $sampled%.3f")
+    assert(sampled >= full - 0.1,
+      f"sample-trained recall $sampled%.3f fell > 0.1 below full-trained $full%.3f")
+    val empty = emb.limit(0)
+    val r0 = Similarity.ivfAssignWith(empty,
+      Similarity.sampledCentroids(empty, iters = 1))
+    assert(r0.columns.toSeq === Seq("vec_id", "cent_id", "dist"))
+    assert(r0.count() === 0L)
+  }
+
   test("planted clusters: IVF recall floors are meaningful, trained nprobe=2 >= 0.8") {
     // the r6-verdict #3 testbed: the near-uniform synthetic embeddings
     // cap every recall number (IVF nprobe=2 ≈ 0.41); on hash-seeded
