@@ -84,6 +84,15 @@ class PlanPostureSpec extends SparkSpec {
       s"IVF assignment must be a pure projection:\n$p")
   }
 
+  test("sim_ivf_sampled: corpus assign is one narrow pass against the frozen model") {
+    // training collects driver-side over the sample; the corpus-facing
+    // plan must stay the same inlined-literal argmin projection as the
+    // untrained path — no join, no window
+    val p = planOf("sim_ivf_sampled")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"sampled-model assignment must be a pure projection:\n$p")
+  }
+
   test("decontaminate: benchmark gram set is broadcast") {
     assert(planOf("decontaminate").contains("BroadcastHashJoin"))
   }

@@ -71,6 +71,35 @@ class StreamingRateLimitSpec extends SparkSpec {
       s"limiter state rows ${stateRows(q)} != 2 distinct apps")
   }
 
+  test("restart recovery: limiter state survives a query restart from checkpoint") {
+    // the crash-recovery guarantee the quota gate already proves, for
+    // the limiter: two SEPARATE AvailableNow runs share a checkpoint —
+    // run 2 must restore run 1's per-(app, window) admitted counts, or
+    // the hot second would admit 2 MORE messages after the restart
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-rl-ckpt").toString
+    val schema = implicitly[org.apache.spark.sql.Encoder[RlMsg]].schema
+    def run(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .parquet(s"$tmp/src").as[RlMsg]
+      val q = StreamingRateLimit(cfg)(stream).writeStream
+        .format("parquet").option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000))
+    }
+    batch1.toDS().repartition(1).write.mode("append").parquet(s"$tmp/src")
+    run() // admits 2 of app_a's hot second (+ 1 app_b)
+    batch2.toDS().repartition(1).write.mode("append").parquet(s"$tmp/src")
+    run() // fresh query object, SAME checkpoint: hot second exhausted
+    val admitted = spark.read.parquet(s"$tmp/out").as[RlMsg].collect().toSeq
+    assert(admitted.count(_.app == "app_a") === 2,
+      "a restart must not re-admit the exhausted hot second")
+    assert(admitted.count(_.app == "app_b") === 3)
+  }
+
   test("in-order arrival admits the exact batch-limiter message set") {
     import spark.implicits._
     // single micro-batch (no split): stateful == batch window exactly,
