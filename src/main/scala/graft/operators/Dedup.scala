@@ -322,10 +322,17 @@ object Dedup {
     * prefix branch (callers that need it anyway just pass it through). */
   private def blockedCandidates(g: DataFrame, toks: () => DataFrame,
       tauNum: Int, tauDen: Int, blockPairBudget: Long): DataFrame = {
-    val counts = g.groupBy(col("blk")).agg(count(lit(1)).as("c"))
-      .collect().map(_.getLong(1))
-    val pairBound = counts.map(c => BigInt(c) * (c - 1) / 2).sum
-    if (pairBound <= blockPairBudget) {
+    // the bound folds to ONE decimal scalar (decimal cannot wrap; a
+    // precision overflow nulls out and conservatively takes the prefix
+    // branch) — never an O(#blocks) driver collect, so a high-card
+    // block key (url domain, shard id) prices the plan just as cheaply
+    val pairBound = Option(
+      g.groupBy(col("blk")).agg(count(lit(1)).as("c"))
+        .agg(sum((col("c").cast("decimal(19,0)") *
+          (col("c") - 1).cast("decimal(19,0)")) / 2).as("pb"))
+        .head.getDecimal(0))
+      .map(BigDecimal(_))
+    if (pairBound.exists(_ <= BigDecimal(blockPairBudget))) {
       val a = g.select(col("blk"), col("doc_id").as("doc_a"),
         size(col("ng")).as("sz_a"))
       val b = g.select(col("blk").as("blk_b"), col("doc_id").as("doc_b"),
