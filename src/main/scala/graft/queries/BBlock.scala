@@ -1081,6 +1081,17 @@ object BBlock {
         .orderBy(col("event_type"))
     }),
 
+    "q_salted_agg" -> ((s, dir) => {
+      // skew-mitigated aggregation UNDER THE ORACLE (B13, previously
+      // spec-only): the two-phase salted sum/count — partial on
+      // (key, salt), final on key, the shape AQE does NOT rebalance for
+      // aggs — must equal the plain GROUP BY bit for bit (integer sums
+      // commute across any salt split)
+      graft.operators.Skew.saltedSumCount(Tables.events(s, dir),
+          keys = Seq("event_type"), valueCol = "user_id", salts = 16)
+        .orderBy(col("event_type"))
+    }),
+
     "q_interarrival" -> ((s, dir) => {
       // per-topic inter-arrival-gap profile (burst/lull diagnosis for
       // the sync's rate limits): lag over a topic-PARTITIONED window —
@@ -2384,6 +2395,12 @@ object BBlock {
     // IDENTICAL SQL to q_skyline3 — the shard-merged 3-D front must
     // equal the direct front (dominance is transitive in any dimension)
     "q_skyline3_merge" -> skyline3OracleSql,
+
+    // the salted two-phase agg must land on the plain GROUP BY exactly
+    "q_salted_agg" ->
+      """SELECT event_type, CAST(sum(user_id) AS BIGINT) AS sum_value,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_time_window" ->
       """SELECT event_type,
