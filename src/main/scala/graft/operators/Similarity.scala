@@ -979,6 +979,71 @@ object Similarity {
         cosineCol(col("vec_p"), col("vec")).as("score"))
   }
 
+  /** Window-policy sweep for the bounded kNN graph — the tuning scan
+    * that picks `window` for a recall/cost target at 100 TB: per
+    * candidate arm, the directed edge count and mutual-edge count the
+    * graph would keep. ONE corpus scan, ONE rank window, ONE cosine per
+    * unordered pair at the WIDEST arm (each pair carries its rank gap;
+    * an arm keeps the pairs with gap ≤ arm — the same
+    * every-arm-in-one-pass shape as the session/rate-limit sweeps).
+    * Per-(arm, vector) top-k rides the bounded-heap aggregator with
+    * the arm index folded into the key (id·nArms + arm — injective for
+    * non-negative ids). The arm table broadcasts (a 3-row inequality
+    * broadcast join, never a shuffle). */
+  def knnWindowSweep(emb: DataFrame, k: Int, windows: Seq[Int],
+      nPlanes: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(windows.nonEmpty && windows.forall(_ > 0),
+      "knnWindowSweep needs at least one positive window arm")
+    val s = emb.sparkSession
+    import s.implicits._
+    val maxW = windows.max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("prj"), col("id"))
+    val ranked = Materialize(emb
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
+        latticeProj(col(vecCol), nPlanes, dim).as("prj"))
+      .withColumn("rk", row_number().over(w).cast("long")))
+    val cands = ranked.select(col("bucket"), col("rk"), col("id"),
+      col("vec"))
+    val probes = ranked.select(col("bucket").as("b_p"),
+      explode(sequence(col("rk") + 1, col("rk") + maxW)).as("rk_c"),
+      col("rk").as("rk_p"), col("id").as("id_p"), col("vec").as("vec_p"))
+    val pairs = Materialize(probes.join(cands,
+        col("b_p") === col("bucket") && col("rk_c") === col("rk"))
+      .select(col("id_p").as("id_a"), col("id").as("id_b"),
+        (col("rk_c") - col("rk_p")).as("gap"),
+        cosineCol(col("vec_p"), col("vec")).as("score")))
+    val nArms = windows.length
+    val armDf = windows.zipWithIndex
+      .map { case (wn, i) => (wn.toLong, i.toLong) }.toDF("win", "arm")
+    val armed = pairs.join(broadcast(armDf), col("gap") <= col("win"))
+    val scored = armed
+      .select((col("id_a") * nArms + col("arm")).as("key"),
+        col("id_b").as("id"), col("score"))
+      .unionAll(armed
+        .select((col("id_b") * nArms + col("arm")).as("key"),
+          col("id_a").as("id"), col("score")))
+      .as[graft.plans.Scored]
+    val dec = Materialize(scored.groupByKey(_.key)
+      .agg(new graft.plans.TopKAggregator(k).toColumn.name("topk"))
+      .flatMap { case (key, tk) => tk.map { case (id, _) => (key, id) } }
+      .toDF("keyed", "dst")
+      .select(expr(s"keyed % $nArms").as("arm"),
+        expr(s"keyed div $nArms").as("src"), col("dst")))
+    val perArm = dec.groupBy(col("arm")).agg(count(lit(1)).as("n_edges"))
+    val mutual = dec.join(dec.select(col("arm").as("m_arm"),
+        col("src").as("m_dst"), col("dst").as("m_src")),
+        col("arm") === col("m_arm") && col("src") === col("m_src") &&
+          col("dst") === col("m_dst"))
+      .groupBy(col("arm")).agg(count(lit(1)).as("n_mutual"))
+    armDf.join(perArm, Seq("arm"), "left_outer")
+      .join(mutual, Seq("arm"), "left_outer")
+      .select(col("win"), coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        coalesce(col("n_mutual"), lit(0L)).as("n_mutual"))
+  }
+
   /** Mutual-kNN graph audit over LSH buckets — the semantic-clustering
     * primitive (mutual-kNN is the standard sparsifier in front of
     * community detection / semantic dedup): EVERY vector is a probe,

@@ -214,6 +214,16 @@ object CBlock {
         .orderBy(col("vec_id"))
     }),
 
+    "sim_knn_window_sweep" -> ((s, dir) => {
+      // the window-tuning sweep for the bounded graph: per arm
+      // {4, 8, 16}, the edge and mutual-edge counts the graph would
+      // keep — one scan, one rank window, one cosine per pair at the
+      // widest arm (gap-filtered per arm, arms broadcast)
+      Similarity.knnWindowSweep(Tables.embeddings(s, dir), k = 5,
+          windows = Seq(4, 8, 16))
+        .orderBy(col("win"))
+    }),
+
     "dedup_clusters" -> ((s, dir) => {
       Dedup.connectedComponents(
           Dedup.minhashCandidates(Tables.documents(s, dir), k = 16, bands = 4))
@@ -3875,6 +3885,62 @@ object CBlock {
         |LEFT JOIN idg ON v.vec_id = idg.dst
         |LEFT JOIN mu ON v.vec_id = mu.src
         |ORDER BY v.vec_id""".stripMargin,
+
+    // the same rank/pair chain swept over window arms {4, 8, 16}: a
+    // pair carries its rank gap, each arm keeps gap <= arm, per-(arm,
+    // src) top-5 by cosine, then per-arm edge/mutual counts
+    "sim_knn_window_sweep" ->
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |          CAST(embedding[i] AS DOUBLE) *
+        |          (CAST((i * (((p+1) * 2654435761) % 2147483647)
+        |             + ((p+1) * 40503) % 2147483647) % 2147483647 AS DOUBLE) / 2147483647 * 2 - 1)
+        |        )), (a, x) -> a + x) > 0
+        |      THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a, x) -> a + x) AS bucket,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i ->
+        |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) *
+        |      (((i * (((8+1) * 2654435761) % 2147483647)
+        |         + ((8+1) * 40503) % 2147483647) % 2147483647) * 2 - 2147483647)
+        |    )), (a, x) -> a + x) AS prj
+        |  FROM embeddings
+        |), r AS (
+        |  SELECT vec_id, embedding, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY prj, vec_id) AS rk
+        |  FROM b
+        |), pr AS (
+        |  SELECT p.vec_id AS ia, c.vec_id AS ib, c.rk - p.rk AS gap,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |      i -> CAST(p.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x)
+        |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(p.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE))), (a,x) -> a + x))
+        |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),
+        |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))), (a,x) -> a + x))) AS cos
+        |  FROM r p JOIN r c ON p.bucket = c.bucket
+        |    AND c.rk > p.rk AND c.rk <= p.rk + 16
+        |), arms AS (
+        |  SELECT CAST(win AS BIGINT) AS win FROM (VALUES (4), (8), (16)) t(win)
+        |), cos AS (
+        |  SELECT a.win, ia AS src, ib AS dst, cos FROM pr, arms a WHERE pr.gap <= a.win
+        |  UNION ALL
+        |  SELECT a.win, ib AS src, ia AS dst, cos FROM pr, arms a WHERE pr.gap <= a.win
+        |), edges AS (
+        |  SELECT win, src, dst FROM cos
+        |  QUALIFY row_number() OVER (PARTITION BY win, src ORDER BY cos DESC, dst) <= 5
+        |), ne AS (SELECT win, count(*) AS n_edges FROM edges GROUP BY 1),
+        |mu AS (
+        |  SELECT e1.win, count(*) AS n_mutual
+        |  FROM edges e1 JOIN edges e2
+        |    ON e1.win = e2.win AND e1.src = e2.dst AND e1.dst = e2.src
+        |  GROUP BY 1
+        |)
+        |SELECT a.win, COALESCE(ne.n_edges, 0) AS n_edges,
+        |  COALESCE(mu.n_mutual, 0) AS n_mutual
+        |FROM arms a
+        |LEFT JOIN ne ON a.win = ne.win
+        |LEFT JOIN mu ON a.win = mu.win
+        |ORDER BY a.win""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE ${minhashPairsCte()},
