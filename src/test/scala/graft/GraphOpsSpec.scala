@@ -291,6 +291,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(g.filter(col("out_deg") > 5).count() == 0)
   }
 
+  test("knnWindowSweep: edge count is monotone in the window arm") {
+    // a wider window only ADDS candidates, so per-vector out-degree
+    // (min(k, candidates)) and hence the total edge count can only
+    // grow; mutual counts may move either way (better candidates
+    // displace top-k members) and are not asserted monotone
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+    val rows = Similarity.knnWindowSweep(emb, k = 5, windows = Seq(4, 8, 16))
+      .orderBy(col("win")).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(4L, 8L, 16L))
+    val edges = rows.map(_.getLong(1))
+    assert(edges.sorted.toSeq == edges.toSeq,
+      s"edge count must be monotone in the window: ${edges.toSeq}")
+    assert(edges.head > 0)
+    intercept[IllegalArgumentException] {
+      Similarity.knnWindowSweep(emb, k = 5, windows = Nil)
+    }
+  }
+
   test("triangleCounts: K4 clique, pendant path, and isolated edge — exact counts") {
     // K4 on {1,2,3,4} (4 triangles, every node in 3), a pendant path
     // 4-5-6 (no triangles, node 5 has degree 2), and an isolated edge
