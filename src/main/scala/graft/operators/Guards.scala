@@ -18,11 +18,16 @@ object Guards {
   private val int64Max = lit(Long.MaxValue).cast("decimal(38,0)")
 
   /** 0L if n·maxAbs ≤ Long.MaxValue; otherwise the query fails with
-    * `msg`. `maxAbs` may be long or decimal. */
+    * `msg`. `maxAbs` may be long or decimal. A NULL maxAbs (a group
+    * whose terms are all null — the sum itself is null, nothing can
+    * have wrapped) counts as 0, so such groups pass through with null
+    * sums exactly as they did before the guard existed. */
   def sumBound(n: Column, maxAbs: Column, msg: String): Column =
     coalesce(
       assert_true(
-        n.cast("decimal(19,0)") * maxAbs.cast("decimal(38,0)") <= int64Max,
+        n.cast("decimal(19,0)") *
+          coalesce(maxAbs.cast("decimal(38,0)"),
+            lit(0L).cast("decimal(38,0)")) <= int64Max,
         lit(msg)).cast("long"),
       lit(0L))
 

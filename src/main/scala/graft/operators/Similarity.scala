@@ -961,6 +961,10 @@ object Similarity {
   private[graft] def knnCandidatePairs(emb: DataFrame, nPlanes: Int,
       dim: Int, window: Int, idCol: String,
       vecCol: String): DataFrame = {
+    // a non-positive window would make sequence(rk+1, rk+window) count
+    // DOWN and emit self-pairs — fail at plan-build time instead
+    require(window > 0,
+      s"knn candidate window must be positive, got $window")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("bucket")).orderBy(col("prj"), col("id"))
     val ranked = Materialize(emb
@@ -972,10 +976,11 @@ object Similarity {
       col("vec"))
     val probes = ranked.select(col("bucket").as("b_p"),
       explode(sequence(col("rk") + 1, col("rk") + window)).as("rk_c"),
-      col("id").as("id_p"), col("vec").as("vec_p"))
+      col("rk").as("rk_p"), col("id").as("id_p"), col("vec").as("vec_p"))
     probes.join(cands,
         col("b_p") === col("bucket") && col("rk_c") === col("rk"))
       .select(col("id_p").as("id_a"), col("id").as("id_b"),
+        (col("rk_c") - col("rk_p")).as("gap"),
         cosineCol(col("vec_p"), col("vec")).as("score"))
   }
 
@@ -997,24 +1002,10 @@ object Similarity {
       "knnWindowSweep needs at least one positive window arm")
     val s = emb.sparkSession
     import s.implicits._
-    val maxW = windows.max
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket")).orderBy(col("prj"), col("id"))
-    val ranked = Materialize(emb
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        lshBucket(col(vecCol), nPlanes, dim).as("bucket"),
-        latticeProj(col(vecCol), nPlanes, dim).as("prj"))
-      .withColumn("rk", row_number().over(w).cast("long")))
-    val cands = ranked.select(col("bucket"), col("rk"), col("id"),
-      col("vec"))
-    val probes = ranked.select(col("bucket").as("b_p"),
-      explode(sequence(col("rk") + 1, col("rk") + maxW)).as("rk_c"),
-      col("rk").as("rk_p"), col("id").as("id_p"), col("vec").as("vec_p"))
-    val pairs = Materialize(probes.join(cands,
-        col("b_p") === col("bucket") && col("rk_c") === col("rk"))
-      .select(col("id_p").as("id_a"), col("id").as("id_b"),
-        (col("rk_c") - col("rk_p")).as("gap"),
-        cosineCol(col("vec_p"), col("vec")).as("score")))
+    // the SAME candidate stage the graph itself runs, at the widest
+    // arm — the sweep tunes exactly what knnGraph will execute
+    val pairs = Materialize(
+      knnCandidatePairs(emb, nPlanes, dim, windows.max, idCol, vecCol))
     val nArms = windows.length
     val armDf = windows.zipWithIndex
       .map { case (wn, i) => (wn.toLong, i.toLong) }.toDF("win", "arm")
@@ -1059,7 +1050,7 @@ object Similarity {
     * to every executor; pair generation is the bucket-keyed equi-join
     * of [[knnCandidatePairs]] with its DETERMINISTIC ≤ 2·window
     * per-vector candidate bound (one hot bucket pairs O(bucket·window)
-    * rows, never O(bucket²) — KnnBoundSpec asserts the bound), and the
+    * rows, never O(bucket²) — GraphOpsSpec asserts the bound), and the
     * top-k runs through the bounded-heap aggregator (≤ k rows per
     * vector per partition on the shuffle). The k-bounded edge set is
     * materialized once; the degree/mutuality passes are map-side-

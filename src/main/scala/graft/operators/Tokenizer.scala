@@ -146,6 +146,17 @@ object Tokenizer {
     vocabIds(vocab)
   }
 
+  /** BOTH frozen artifacts from ONE training run — the ordered merge
+    * list and the (sym, tok_id) vocab ids. Callers that need the pair
+    * (the sampled trainer, the streamed encoder) use this seam so the
+    * merge table and the id map don't pay two trainings. */
+  def bpeArtifacts(docs: DataFrame, rounds: Int,
+      textCol: String = "text")
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val (merges, vocab, _) = trainState(docs, rounds, textCol, "doc_id")
+    (merges, vocabIds(vocab))
+  }
+
   /** Dense 0-based id per distinct final symbol of a trained vocab, in
     * symbol sort order — the id↔symbol mapping a tokenizer ships. The
     * single-partition ordering window is over the model-state-sized

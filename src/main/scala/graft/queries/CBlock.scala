@@ -2002,10 +2002,11 @@ object CBlock {
       val docs = Tables.documents(s, dir)
       val sampled = docs.join(
         Curation.sampleExactK(docs, k = 50).select(col("doc_id")), "doc_id")
-      val merges = graft.operators.Tokenizer.bpeMerges(sampled, rounds = 5)
-        .orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val ids = graft.operators.Tokenizer.bpeVocab(sampled, rounds = 5)
+      // ONE training run yields both artifacts (bpeArtifacts seam)
+      val (mergeRows, vocabDf) =
+        graft.operators.Tokenizer.bpeArtifacts(sampled, rounds = 5)
+      val merges = mergeRows.sortBy(_._1).map(m => (m._2, m._3))
+      val ids = vocabDf
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select(col("doc_id"), posexplode(
@@ -2035,10 +2036,10 @@ object CBlock {
       // online-applied tokenization under the oracle; sym joins back
       // from the vocab artifact so the relation matches C126 exactly
       val docs = Tables.documents(s, dir)
-      val merges = graft.operators.Tokenizer.bpeMerges(docs, rounds = 5)
-        .orderBy(col("round")).collect()
-        .map(r => (r.getString(1), r.getString(2))).toSeq
-      val vocab = graft.operators.Tokenizer.bpeVocab(docs, rounds = 5)
+      // ONE training run yields both artifacts (bpeArtifacts seam)
+      val (mergeRows, vocab) =
+        graft.operators.Tokenizer.bpeArtifacts(docs, rounds = 5)
+      val merges = mergeRows.sortBy(_._1).map(m => (m._2, m._3))
       val ids = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       graft.streaming.StreamedBatch.encodedStream(s,
           docs.filter(pmod(col("doc_id"), lit(7)) === 0)

@@ -76,16 +76,26 @@ object Compaction {
     if (!fs.rename(root, old) || !fs.rename(tmp, root))
       throw new IllegalStateException(s"compaction swap failed for $path")
     // carry forward the store's NON-DATA entries: the rewrite only
-    // produces index= partitions, but a LIVE sync keeps operational
-    // state beside them (the streaming _checkpoint, the _failed payload
-    // log) — dropping those with the old layout would reset the
-    // consumer and erase the failure audit (CompactionSpec's
-    // mid-stream fault test pins this)
+    // produces index= partitions (+ its own _SUCCESS), but a LIVE sync
+    // keeps operational state beside them (the streaming _checkpoint,
+    // the _failed payload log) — dropping those with the old layout
+    // would reset the consumer and erase the failure audit
+    // (CompactionSpec's mid-stream fault test pins this). A carry that
+    // CANNOT complete — the destination already exists (a concurrent
+    // writer recreated it mid-swap) or the rename fails — must fail
+    // loudly with the old layout preserved, never silently delete the
+    // only copy of the consumer's state.
     fs.listStatus(old)
-      .filterNot(_.getPath.getName.startsWith(s"$partitionCol="))
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(s"$partitionCol=") && n != "_SUCCESS"
+      }
       .foreach { st =>
         val dest = new Path(root, st.getPath.getName)
-        if (!fs.exists(dest)) fs.rename(st.getPath, dest)
+        if (fs.exists(dest) || !fs.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"compaction could not carry forward ${st.getPath.getName} " +
+              s"into the new layout; old layout preserved at $old")
       }
     fs.delete(old, true)
 

@@ -360,7 +360,10 @@ class AnnRecallSpec extends SparkSpec {
           idCol = "vec_id", vecCol = "embedding")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val windowed = edgeSet(16)
-    val reference = edgeSet(1000000)
+    // any window >= the corpus vector count is already unbounded
+    // in-bucket (no rank gap can exceed it) — don't explode a huge
+    // per-vector sequence to say the same thing
+    val reference = edgeSet(emb.count().toInt)
     assert(reference.nonEmpty)
     val recall = windowed.intersect(reference).size.toDouble / reference.size
     assert(recall >= 0.95, f"windowed edge recall $recall%.3f < 0.95")

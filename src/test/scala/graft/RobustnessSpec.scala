@@ -224,6 +224,14 @@ class RobustnessSpec extends SparkSpec {
       Seq("key"), col("v"), scale = 1000L).collect().head
     assert(ok.getLong(1) === 2L && ok.getLong(2) === 5000L &&
       ok.getLong(3) === 13000000L)
+    // an all-null group has NULL sums and a NULL max — the guard must
+    // treat it as 0 terms (nothing can have wrapped), not assert-fail
+    val nullGrp = Sketches.moments(
+      Seq(("k", null.asInstanceOf[java.lang.Double]))
+        .toDF("key", "v"), Seq("key"), col("v"), scale = 1000L)
+      .collect().head
+    assert(nullGrp.getLong(1) === 1L && nullGrp.isNullAt(2) &&
+      nullGrp.isNullAt(3))
     // cmsDot over a stored grid: two 4e9-count cells would wrap na·nb
     val grid = Seq(("a", 0, 1, 4000000000L), ("b", 0, 1, 4000000000L))
       .toDF("__src", "k", "cell", "n")

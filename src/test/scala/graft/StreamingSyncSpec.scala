@@ -70,6 +70,14 @@ class StreamingSyncSpec extends SparkSpec {
     // cadence must come from the config field alone
     val q = StreamingSync.start(spark, cfg.copy(flushIntervalMs = 100L),
       s"$tmp/src", s"$tmp/sink", s"$tmp/metrics")
+    // pin the WIRING, not just "some trigger fired": the running
+    // query's actual trigger must be the config's 100 ms cadence
+    val trig = q
+      .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.trigger
+    assert(trig ==
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L),
+      s"config flush interval did not reach the trigger: $trig")
     try {
       val deadline = System.currentTimeMillis() + 60000
       var n = 0L
