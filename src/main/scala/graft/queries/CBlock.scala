@@ -377,6 +377,24 @@ object CBlock {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    "dedup_ngram_jaccard_prefix" -> ((s, dir) => {
+      // the FORCED 100 TB path under the driver's oracle gate: budget 0
+      // reroutes candidates through the rare-first positional prefix
+      // filter (the branch the small-SF adaptive default never takes),
+      // output must equal the adaptive row exactly (identical SQL)
+      Dedup.ngramJaccardPairsDict(Tables.documents(s, dir), n = 3,
+          tauNum = 4, tauDen = 5, blockCol = "lang", blockPairBudget = 0L)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    "dedup_ngram_jaccard_merge" -> ((s, dir) => {
+      // the sorted-merge verify face (no dictionary bitsets) over the
+      // same adaptive gate — the operator's third equal physical plan
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 3,
+          tauNum = 4, tauDen = 5, blockCol = "lang")
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     "dedup_prefix_jaccard" -> ((s, dir) => {
       // AllPairs/PPJoin prefix filter: EXACT jaccard ≥ 4/5 over word
       // 3-SHINGLE sets with NO block column — the rare-first prefix IS
@@ -2731,6 +2749,23 @@ object CBlock {
 
   /** sample_weighted_k's oracle (shared verbatim with the shard-merge
     * twin). */
+  // shared by dedup_ngram_jaccard and its forced-path twins: the three
+  // physical plans (adaptive gate, forced prefix filter, sorted-merge
+  // verify) must all land on this one relation
+  private lazy val ngramJaccardOracleSql: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(text) >= 3
+       |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")}))
+       |         ELSE [${ph("text")}] END AS ng
+       |  FROM documents
+       |)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  ROUND(len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)), 6) AS jaccard
+       |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private lazy val weightedKOracleSql: String =
     s"""WITH u AS (
        |  SELECT doc_id, source,
@@ -4080,19 +4115,11 @@ object CBlock {
          |  >= 4 * (len(a.ng) + len(b.ng) - len(list_intersect(a.ng, b.ng)))
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dedup_ngram_jaccard" ->
-      s"""WITH g AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN len(text) >= 3
-         |         THEN list_distinct(list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")}))
-         |         ELSE [${ph("text")}] END AS ng
-         |  FROM documents
-         |)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |  ROUND(len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)), 6) AS jaccard
-         |FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |WHERE len(list_intersect(a.ng, b.ng)) * 1.0 / len(list_distinct(a.ng || b.ng)) >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_ngram_jaccard" -> ngramJaccardOracleSql,
+    // IDENTICAL SQL — the forced prefix (100 TB) path and the
+    // sorted-merge verify path must land on the same relation
+    "dedup_ngram_jaccard_prefix" -> ngramJaccardOracleSql,
+    "dedup_ngram_jaccard_merge" -> ngramJaccardOracleSql,
 
     "dedup_embedding" ->
       """WITH cos AS (
