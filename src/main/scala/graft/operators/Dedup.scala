@@ -322,6 +322,10 @@ object Dedup {
     * prefix branch (callers that need it anyway just pass it through). */
   private def blockedCandidates(g: DataFrame, toks: () => DataFrame,
       tauNum: Int, tauDen: Int, blockPairBudget: Long): DataFrame = {
+    // budget ≤ 0 forces the prefix branch outright — don't price a
+    // plan that can't be chosen (any non-empty corpus has bound > 0)
+    if (blockPairBudget <= 0)
+      return prefixBlockedCandidates(toks(), tauNum, tauDen)
     // the bound folds to ONE decimal scalar (decimal cannot wrap; a
     // precision overflow nulls out and conservatively takes the prefix
     // branch) — never an O(#blocks) driver collect, so a high-card

@@ -397,10 +397,20 @@ object Similarity {
     * it — is reproducible bit-for-bit across engines and layouts. */
   def trainedCentroids(emb: DataFrame, iters: Int, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Seq[Double])] = {
-    var cents = ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
+      vecCol: String = "embedding"): Array[(Long, Seq[Double])] =
+    lloydRounds(emb,
+      ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol),
+      iters, vecCol)
+
+  /** The Lloyd iteration loop both trainers share: `iters` rounds of
+    * [[refineStep]] over `df` from explicit seeds, model collected per
+    * round, empty clusters keeping their previous coordinates. */
+  private def lloydRounds(df: DataFrame,
+      seeds: Array[(Long, Seq[Double])], iters: Int,
+      vecCol: String): Array[(Long, Seq[Double])] = {
+    var cents = seeds
     for (_ <- 0 until iters) {
-      val means = refineStep(emb, cents, vecCol).collect()
+      val means = refineStep(df, cents, vecCol).collect()
         .groupBy(_.getLong(0))
         .map { case (cid, rows) =>
           cid -> rows.sortBy(_.getLong(1)).toSeq.map(_.getDouble(3))
@@ -430,23 +440,13 @@ object Similarity {
       k = sampleK, strataCol = "__strata", idCol = idCol)
       .select(col(idCol))
     val sample = Materialize(emb.join(sampleIds, idCol))
-    var cents = sample
+    val seeds = sample
       .select(col(idCol).cast("long"), col(vecCol))
       .orderBy(col(idCol)).limit(numCentroids)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
-    if (cents.isEmpty) return cents // empty corpus: empty model, no rounds
-    for (_ <- 0 until iters) {
-      val means = refineStep(sample, cents, vecCol).collect()
-        .groupBy(_.getLong(0))
-        .map { case (cid, rows) =>
-          cid -> rows.sortBy(_.getLong(1)).toSeq.map(_.getDouble(3))
-        }
-      cents = cents.map { case (cid, old) =>
-        (cid, means.getOrElse(cid, old))
-      }
-    }
-    cents
+    if (seeds.isEmpty) seeds // empty corpus: empty model, no rounds
+    else lloydRounds(sample, seeds, iters, vecCol)
   }
 
   /** [[ivfAssign]] against an EXPLICIT centroid model — the seam the
@@ -938,12 +938,26 @@ object Similarity {
     * (|Σ| ≤ 64·10⁶·2M ≈ 2.7·10¹⁷), so the rank order is bit-identical
     * on any engine — a double-valued projection could flip ranks at
     * the last ulp and change WHICH pairs are generated. */
-  private def latticeProj(vecCol: Column, p: Int, dim: Int): Column =
-    aggregate(sequence(lit(1), lit(dim)), lit(0L), (s, i) =>
+  private def latticeProj(vecCol: Column, p: Int, dim: Int): Column = {
+    val raw = aggregate(sequence(lit(1), lit(dim)), lit(0L), (s, i) =>
       s + floor(element_at(toDouble(vecCol), i) * 1000000d).cast("long") *
         (((i.cast("long") * graft.plans.HashOps.aK(p) +
           graft.plans.HashOps.bK(p)) % graft.plans.HashOps.M) * 2 -
           graft.plans.HashOps.M))
+    // |v_i| ≤ 67 keeps every 64-term sum inside int64; past that Spark
+    // would wrap SILENTLY (reordering ranks and changing WHICH pairs
+    // generate) while the identical oracle SQL errors — fail loudly
+    // instead, the same silent-wrap policy as Guards. Null/empty
+    // vectors pass through (their projection is null/0 as before).
+    raw + coalesce(
+      assert_true(
+        coalesce(
+          array_max(transform(toDouble(vecCol), x => abs(x))) <= lit(67d),
+          lit(true)),
+        lit("latticeProj: |embedding| > 67 can overflow the int64 rank " +
+          "projection — normalize the vectors")).cast("long"),
+      lit(0L))
+  }
 
   /** The BOUNDED candidate pair stage of [[knnGraph]]: within each
     * sign-bit bucket, members are ranked by the integer-lattice
@@ -1062,8 +1076,11 @@ object Similarity {
       dim: Int, window: Int, idCol: String, vecCol: String): DataFrame = {
     val s = emb.sparkSession
     import s.implicits._
-    val pairs = knnCandidatePairs(emb, nPlanes, dim, window, idCol, vecCol)
-    // both orientations ride one scored row per unordered pair
+    // materialized so both orientations genuinely ride ONE scored row
+    // per unordered pair (an unmaterialized unionAll would rebuild the
+    // window-explode join and re-score every cosine twice)
+    val pairs = Materialize(
+      knnCandidatePairs(emb, nPlanes, dim, window, idCol, vecCol))
     val scored = pairs
       .select(col("id_a").as("key"), col("id_b").as("id"), col("score"))
       .unionAll(pairs

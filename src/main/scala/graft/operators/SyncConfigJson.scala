@@ -45,7 +45,9 @@ object SyncConfigJson {
       debugTopics: Option[String] = None,
       injectKey: Boolean = false,
       injectedKeyName: Option[String] = None,
-      injectedNamespaces: Option[String] = None): SyncConfig = {
+      injectedNamespaces: Option[String] = None,
+      // args.rs:117-119 --flush-interval (ms, default 5000)
+      flushInterval: Long = 5000): SyncConfig = {
     // comma-separated lists, exactly like the reference flags
     // (pulsar.rs:145, 186: debug_topics / injected_namespaces .split(','))
     def csv(o: Option[String]): Seq[String] =
@@ -63,6 +65,7 @@ object SyncConfigJson {
       debugTopics = csv(debugTopics),
       injectKey = injectKey,
       injectedKeyName = injectedKeyName.getOrElse("__INJECTED_DATA__"),
-      injectedNamespaces = csv(injectedNamespaces))
+      injectedNamespaces = csv(injectedNamespaces),
+      flushIntervalMs = flushInterval)
   }
 }

@@ -37,12 +37,61 @@ object Compaction {
         (d.getPath.getName, (files.length.toLong, files.map(_.getLen).sum))
       }.toMap
 
+  /** Move the old layout's NON-DATA entries (streaming _checkpoint,
+    * _failed payload log, _spark_metadata…) into the new root. In
+    * `strict` mode (the fresh post-swap carry) an already-existing
+    * destination means a CONCURRENT writer recreated state mid-swap —
+    * neither copy can be auto-chosen, so fail loudly; in lenient mode
+    * (crash recovery — entries may have been carried before the crash)
+    * an existing destination is simply already done. Deletes `old`
+    * only once every entry is accounted for. */
+  private def carryForward(fs: FileSystem, root: Path, old: Path,
+      partitionCol: String, strict: Boolean): Unit = {
+    fs.listStatus(old)
+      .filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(s"$partitionCol=") && n != "_SUCCESS"
+      }
+      .foreach { st =>
+        val n = st.getPath.getName
+        val dest = new Path(root, n)
+        if (fs.exists(dest)) {
+          if (strict) throw new IllegalStateException(
+            s"compaction carry-forward: $dest already exists (a " +
+              "concurrent writer recreated it mid-swap); entries carried " +
+              s"so far are at $root, the rest at $old — operational " +
+              "state is SPLIT across both layouts, resolve manually " +
+              "before re-running")
+        } else if (!fs.rename(st.getPath, dest))
+          throw new IllegalStateException(
+            s"compaction carry-forward: could not move $n; entries " +
+              s"carried so far are at $root, the rest at $old — " +
+              "operational state is SPLIT across both layouts, resolve " +
+              "manually before re-running")
+      }
+    fs.delete(old, true)
+    ()
+  }
+
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L << 20,
       partitionCol: String = "index"): Report = {
     val fs = FileSystem.get(new java.net.URI(path),
       spark.sparkContext.hadoopConfiguration)
     val root = new Path(path)
+    val old0 = new Path(s"$path._precompact")
+    // a leftover `._precompact` means a prior compaction crashed after
+    // its swap but before its carry-forward: the consumer state it
+    // stranded must be recovered FIRST — blindly deleting it (the old
+    // behavior) would destroy the only copy of _checkpoint/_failed
+    if (fs.exists(old0) && !fs.exists(root)) {
+      // crashed BETWEEN the two swap renames: the store is wholly at
+      // `._precompact` — restore it wholesale before anything else
+      if (!fs.rename(old0, root))
+        throw new IllegalStateException(
+          s"could not restore crashed-compaction store from $old0")
+    } else if (fs.exists(old0) && fs.exists(root))
+      carryForward(fs, root, old0, partitionCol, strict = false)
     val before = partitionSizes(fs, root, partitionCol)
     val filesBefore = before.values.map(_._1).sum
     val totalBytes = before.values.map(_._2).sum
@@ -71,8 +120,7 @@ object Compaction {
       .write.option("maxRecordsPerFile", maxRecords)
       .partitionBy(partitionCol).parquet(tmp.toString)
 
-    val old = new Path(s"$path._precompact")
-    fs.delete(old, true)
+    val old = old0
     if (!fs.rename(root, old) || !fs.rename(tmp, root))
       throw new IllegalStateException(s"compaction swap failed for $path")
     // carry forward the store's NON-DATA entries: the rewrite only
@@ -80,24 +128,8 @@ object Compaction {
     // keeps operational state beside them (the streaming _checkpoint,
     // the _failed payload log) — dropping those with the old layout
     // would reset the consumer and erase the failure audit
-    // (CompactionSpec's mid-stream fault test pins this). A carry that
-    // CANNOT complete — the destination already exists (a concurrent
-    // writer recreated it mid-swap) or the rename fails — must fail
-    // loudly with the old layout preserved, never silently delete the
-    // only copy of the consumer's state.
-    fs.listStatus(old)
-      .filter { st =>
-        val n = st.getPath.getName
-        !n.startsWith(s"$partitionCol=") && n != "_SUCCESS"
-      }
-      .foreach { st =>
-        val dest = new Path(root, st.getPath.getName)
-        if (fs.exists(dest) || !fs.rename(st.getPath, dest))
-          throw new IllegalStateException(
-            s"compaction could not carry forward ${st.getPath.getName} " +
-              s"into the new layout; old layout preserved at $old")
-      }
-    fs.delete(old, true)
+    // (CompactionSpec's fault tests pin this)
+    carryForward(fs, root, old, partitionCol, strict = true)
 
     val after = partitionSizes(fs, root, partitionCol)
     Report(after.size, filesBefore, after.values.map(_._1).sum, totalBytes)

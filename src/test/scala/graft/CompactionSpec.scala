@@ -88,6 +88,28 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(store).count() === expect)
   }
 
+  test("fault: re-running compact after a mid-carry crash recovers stranded state") {
+    // a prior compaction that died AFTER its swap but BEFORE its
+    // carry-forward strands _checkpoint in `._precompact`; the old
+    // first statement (delete the leftover dir) would destroy the only
+    // copy — a re-run must recover it into the live store instead
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-compact5").toString
+    val store = s"$tmp/store"
+    val docs = (0 until 90).map(i => (i.toLong, s"d$i", s"idx${i % 3}"))
+      .toDF("msg_id", "data", "index")
+    docs.write.partitionBy("index").parquet(store)
+    val pre = new java.io.File(s"$store._precompact/_checkpoint")
+    assert(pre.mkdirs())
+    java.nio.file.Files.writeString(pre.toPath.resolve("offsets"), "batch-7")
+    Compaction.compact(spark, store, targetBytes = 1L << 30)
+    // recovered into the live store AND carried through the new swap
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$store/_checkpoint/offsets")) == "batch-7")
+    assert(!new java.io.File(s"$store._precompact").exists())
+    assert(spark.read.parquet(store).count() === 90)
+  }
+
   test("fault: compacting a LIVE sync store preserves checkpoint and failure log") {
     // maintenance interleaved with the streaming sync: batch 1 drains,
     // compaction rewrites the store (the _checkpoint and _failed dirs
