@@ -52,7 +52,14 @@ object ScaleProbe {
     // the chained-min-agg funnel, the CMS dot (model-state grids), and
     // the 3-arm session sweep (one scan, arm-keyed windows)
     "q_cusum", "q_skyline", "shard_hilbert", "q_funnel_steps",
-    "sketch_cms_dot", "q_session_sweep")
+    "sketch_cms_dot", "q_session_sweep",
+    // r10: the kNN graph is linear by design SINCE the projection-rank
+    // window bound — each vector pairs with ≤ window rank-neighbors
+    // regardless of bucket skew, so 8× vectors is 8× bounded pair work
+    // (the pre-r10 in-bucket self-join would have shown a super-linear
+    // slope here; dedup-family rows stay excluded for the data-structure
+    // reason above)
+    "sim_knn_graph")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
