@@ -805,4 +805,83 @@ object Dedup {
       .select(col("cluster"), col(idCol).as("medoid"), col("n_members"),
         col("score"))
   }
+
+  /** Corpus-level LINE deduplication — the boilerplate-removal pass a
+    * web-scale curation pipeline runs before document-level dedup:
+    * split each document into lines, count every distinct line's
+    * document support across the WHOLE corpus, strip lines whose
+    * support reaches `minSupport` (cookie banners, navigation chrome,
+    * share footers — content that repeats across pages verbatim while
+    * the documents around it differ), and reassemble the survivors in
+    * their original order. Document-level dedup cannot catch this
+    * class (the hosting docs are distinct) and minhash over-matches it
+    * (shared chrome inflates similarity between unrelated pages).
+    *
+    * A "line" here is a fixed `lineLen`-token window — this corpus has
+    * no newline structure, and the splitter is the only
+    * corpus-specific piece; everything downstream works on (doc_id,
+    * line_id, line) whatever produced it.
+    *
+    * Returns (doc_id, n_lines, n_kept, text_clean); a fully-boilerplate
+    * document survives with n_kept = 0 and empty text (dropping it is
+    * the caller's policy, not the operator's).
+    *
+    * Scale: the explode is O(corpus tokens / lineLen) rows; support is
+    * a two-level hash aggregate on the line key (distinct (line, doc)
+    * then count — both map-side combined, one shuffle each on a
+    * well-distributed key); the join back is a shuffle join on that
+    * same key (the support table is O(distinct lines) — NEVER
+    * broadcast, on a boilerplate-heavy web corpus it is corpus-sized);
+    * reassembly is one groupBy(doc). Nothing quadratic, nothing
+    * driver-side, and the final sort/filter/concat runs inside one
+    * collect_list aggregate per document. */
+  def lineDedup(docs: DataFrame, lineLen: Int = 10, minSupport: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minSupport > 1,
+      s"minSupport must be > 1 (1 would drop every line), got $minSupport")
+    val lines = docLines(docs, lineLen, idCol, textCol)
+    val sup = lineSupport(lines)
+    lines.join(sup, "line")
+      .groupBy(col("doc_id"), col("n_lines"))
+      .agg(
+        sum(when(col("sup") < minSupport, 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          filter(
+            array_sort(collect_list(struct(col("line_id"),
+              (col("sup") < minSupport).as("keep"), col("line")))),
+            x => x.getField("keep")),
+          x => x.getField("line"))).as("text_clean"))
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("text_clean"))
+  }
+
+  /** The (doc_id, n_lines, line_id, line) relation both line-dedup
+    * halves consume: each document split into fixed `lineLen`-token
+    * windows in order. One narrow explode, token-less docs drop (the
+    * sequence guard — an empty sequence with a positive step errors in
+    * ANSI mode). */
+  def docLines(docs: DataFrame, lineLen: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lineLen > 0, s"lineLen must be positive, got $lineLen")
+    docs
+      .withColumn("__t", Portable.tokens(col(textCol)))
+      .filter(size(col("__t")) > 0)
+      .withColumn("n_lines",
+        expr(s"(size(__t) + ${lineLen - 1}) div $lineLen"))
+      .withColumn("__off",
+        explode(sequence(lit(0), size(col("__t")) - 1, lit(lineLen))))
+      .select(col(idCol).as("doc_id"), col("n_lines"),
+        (col("__off") / lineLen).cast("long").as("line_id"),
+        concat_ws(" ",
+          slice(col("__t"), col("__off") + 1, lit(lineLen))).as("line"))
+  }
+
+  /** Document support of every distinct line — the model-state half of
+    * [[lineDedup]], exposed so the boilerplate inventory (which lines,
+    * how widespread) is auditable before committing to a threshold.
+    * Input is the [[docLines]] relation; a line repeating inside one
+    * document counts that document once. */
+  def lineSupport(lines: DataFrame): DataFrame =
+    lines.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("sup"))
 }

@@ -2468,6 +2468,30 @@ object CBlock {
         .orderBy(col("chunk_hash"))
     }),
 
+    "dedup_lines" -> ((s, dir) => {
+      // corpus-level LINE dedup (the RefinedWeb boilerplate-removal
+      // pass): lines repeating across >= 3 documents are stripped and
+      // the survivors reassembled in order. Ground truth is planted
+      // (the dedup_eval twin pattern): every 3rd doc gets the same
+      // 10-word cookie-banner header — document dedup can't see it
+      // (the hosting docs differ), this pass must strip EXACTLY it
+      // plus whatever natural repeats the corpus already has (the
+      // oracle computes both from the same relation)
+      Dedup.lineDedup(linePlantedCorpus(s, dir), lineLen = 10,
+          minSupport = 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_lines_support" -> ((s, dir) => {
+      // the boilerplate INVENTORY: document-support histogram of the
+      // line universe — the audit a pipeline reads before choosing the
+      // minSupport threshold (how much chrome, how widespread)
+      Dedup.lineSupport(Dedup.docLines(linePlantedCorpus(s, dir),
+          lineLen = 10))
+        .groupBy(col("sup")).agg(count(lit(1)).as("n_distinct_lines"))
+        .orderBy(col("sup"))
+    }),
+
     "sim_project_rerank" -> ((s, dir) => {
       // two-stage ANN: shortlist in the 16-dim projected space (4× fewer
       // flops/bytes), exact cosine rerank on the shortlist only
@@ -2635,6 +2659,40 @@ object CBlock {
         .orderBy(col("shuffle_pos"))
     }),
   )
+
+  /** The 10-word boilerplate header dedup_lines plants (the "cookie
+    * banner" every 3rd document shares verbatim). */
+  private val lineHeader =
+    "accept cookies privacy terms subscribe newsletter follow share contact help"
+
+  /** Planted corpus shared by dedup_lines / dedup_lines_support: every
+    * 3rd document prefixed with the SAME 10-word boilerplate header —
+    * line-level chrome that document-level dedup cannot see (the
+    * hosting documents all differ). */
+  private def linePlantedCorpus(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("text",
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(lineHeader + " "), col("text"))).otherwise(col("text")))
+
+  /** The planted-corpus → lines → support CTE chain both dedup_lines
+    * oracles share (lineLen = 10 tokens, support = distinct docs). */
+  private lazy val lineCtes: String =
+    s"""corpus AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 3 = 0 THEN '$lineHeader ' || text
+       |         ELSE text END AS text
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, $toksSql AS t FROM corpus
+       |), ln AS (
+       |  SELECT doc_id, (off // 10) AS line_id,
+       |    CAST((len(t) + 9) // 10 AS BIGINT) AS n_lines,
+       |    array_to_string(list_slice(t, off + 1, off + 10), ' ') AS line
+       |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS off
+       |        FROM w WHERE len(t) > 0)
+       |), sup AS (
+       |  SELECT line, count(DISTINCT doc_id) AS sup FROM ln GROUP BY line
+       |)""".stripMargin
 
   /** Inline portable poly-hash over a DuckDB string expression (the SQL
     * twin of HashOps.polyHashStr / Portable.polyHash). */
@@ -6902,6 +6960,22 @@ object CBlock {
          |  min(doc_id) AS keeper_doc, count(*) AS n_dups
          |FROM ch GROUP BY 1 HAVING count(*) > 1
          |ORDER BY chunk_hash""".stripMargin,
+
+    "dedup_lines" ->
+      s"""WITH $lineCtes
+         |SELECT ln.doc_id, ln.n_lines,
+         |  CAST(count(*) FILTER (WHERE sup.sup < 3) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(ln.line ORDER BY ln.line_id) FILTER (WHERE sup.sup < 3),
+         |    ' '), '') AS text_clean
+         |FROM ln JOIN sup USING (line)
+         |GROUP BY ln.doc_id, ln.n_lines
+         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_lines_support" ->
+      s"""WITH $lineCtes
+         |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
+         |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
 
     "sim_project_rerank" ->
       """WITH pr AS (

@@ -142,4 +142,40 @@ class DedupParitySpec extends SparkSpec {
       Dedup.wordShingleHashSet(col("text"), 3), 4, 5).collect()
     assert(tinyPairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
+
+  test("lineDedup strips exactly the >= minSupport lines, keeps order") {
+    import spark.implicits._
+    // lineLen = 2: "w1 w2" is the planted chrome (support 4, incl. the
+    // fully-boilerplate doc 5); "a b" repeats across 2 docs (UNDER the
+    // threshold, must stay); "q r" repeats only WITHIN doc 6 (support
+    // counts docs, not instances — must stay)
+    val docs = Seq(
+      (1L, "w1 w2 a b c d"),
+      (2L, "w1 w2 e f"),
+      (3L, "w1 w2 g"),
+      (4L, "a b x y"),
+      (5L, "w1 w2"),
+      (6L, "q r q r")).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, lineLen = 2, minSupport = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(out == Seq(
+      (1L, 3L, 2L, "a b c d"),
+      (2L, 2L, 1L, "e f"),
+      (3L, 2L, 1L, "g"),
+      (4L, 2L, 2L, "a b x y"),
+      (5L, 1L, 0L, ""), // fully-boilerplate doc survives, empty
+      (6L, 2L, 2L, "q r q r")))
+    // the support half counts documents once, however often the line
+    // repeats inside one
+    val sup = Dedup.lineSupport(Dedup.docLines(docs, lineLen = 2))
+      .orderBy("line").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sup.contains(("q r", 1L)) && sup.contains(("w1 w2", 4L)))
+    // degenerate parameters fail at plan-build time, never silently
+    intercept[IllegalArgumentException](Dedup.lineDedup(docs, lineLen = 0))
+    intercept[IllegalArgumentException](
+      Dedup.lineDedup(docs, minSupport = 1))
+  }
 }
