@@ -351,6 +351,34 @@ object ABlock {
         .orderBy(col("topic"))
     }),
 
+    "sync_jsonl_source" -> ((s, dir) => {
+      // the raw-FILE ingestion face of the consumer (A18, otherwise
+      // spec-only): the message stream serialized topic-per-directory
+      // as JSON lines, re-read through JsonLines.read under a
+      // topic-regex subscription — directory→topic derivation, the
+      // line's ts field→publish_time, raw-payload passthrough, all
+      // under the driver oracle. The write is itself the plan the sink
+      // side uses (partitionBy, one narrow projection); the temp store
+      // is per-invocation
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl-src").toString + "/store"
+      msgs(s, dir)
+        .select(col("topic"),
+          concat(lit("{\"ts\": "), unix_millis(col("publish_time")),
+            lit(", \"id\": "), col("msg_id"),
+            lit(", \"k\": "),
+            coalesce(get_json_object(col("data"), "$.k"), lit("null")),
+            lit("}")).as("value"))
+        .write.partitionBy("topic").text(tmp)
+      graft.sources.JsonLines.read(s, s"$tmp/*/part-*",
+          topicRegex = Some("^topic=(click|purchase|signup)$"))
+        .select(col("topic"),
+          get_json_object(col("data"), "$.id").cast("long").as("msg_id"),
+          get_json_object(col("data"), "$.k").cast("long").as("k"),
+          col("publish_time"))
+        .orderBy(col("msg_id"))
+    }),
+
     "sync_uri_topics" -> ((s, dir) => {
       // full URI-shaped partitioned topics through enrich: the index must
       // derive from the topic part only (util.rs:13-21), never embed the
@@ -1055,6 +1083,14 @@ object ABlock {
         |FROM events
         |WHERE regexp_matches(event_type, '^(click|purchase)')
         |GROUP BY 1 ORDER BY topic""".stripMargin,
+
+    "sync_jsonl_source" ->
+      """SELECT 'topic=' || event_type AS topic, event_id AS msg_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |  make_timestamp(epoch_ms(ts) * 1000) AS publish_time
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase', 'signup')
+        |ORDER BY msg_id""".stripMargin,
 
     "sync_uri_topics" ->
       """SELECT (CASE WHEN regexp_matches(event_type, '^click') THEN 'web'
