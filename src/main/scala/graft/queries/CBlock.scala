@@ -2492,6 +2492,36 @@ object CBlock {
         .orderBy(col("sup"))
     }),
 
+    "dedup_lines_stream" -> ((s, dir) => {
+      // C191's boilerplate gate ONLINE: the planted corpus replays as
+      // 5 REAL micro-batches in doc-id order; a line is kept iff its
+      // document support over STRICTLY EARLIER batches was still under
+      // 3 when the doc arrived (the batch that carries a line over the
+      // threshold still passes — an ingest gate acts only on what it
+      // has seen). The planted header crosses in batch 0, so batches
+      // 1-4 arrive pre-stripped; the oracle recomputes the per-batch
+      // cumulative-support relation exactly. Reassembly of the gated
+      // lines is the stateless batch step downstream of the stream.
+      import org.apache.spark.sql.expressions.Window
+      val docs = linePlantedCorpus(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .lineGatedMulti(s, batched, nBatches = 5)
+        .groupBy(col("doc_id"), col("n_lines"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            filter(array_sort(collect_list(struct(col("line_id"),
+              col("kept").as("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_project_rerank" -> ((s, dir) => {
       // two-stage ANN: shortlist in the 16-dim projected space (4× fewer
       // flops/bytes), exact cosine rerank on the shortlist only
@@ -6976,6 +7006,49 @@ object CBlock {
       s"""WITH $lineCtes
          |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
          |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
+
+    "dedup_lines_stream" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$lineHeader ' || text
+         |         ELSE text END AS text
+         |  FROM documents
+         |), nn AS (SELECT count(*) AS n FROM corpus),
+         |bat AS (
+         |  SELECT doc_id,
+         |    ((row_number() OVER (ORDER BY doc_id)) - 1)
+         |      // ((nn.n + 4) // 5) AS batch
+         |  FROM corpus, nn
+         |), w AS (
+         |  SELECT doc_id, $toksSql AS t FROM corpus
+         |), ln AS (
+         |  SELECT w2.doc_id, bat.batch, (off // 10) AS line_id,
+         |    CAST((len(t) + 9) // 10 AS BIGINT) AS n_lines,
+         |    array_to_string(list_slice(t, off + 1, off + 10), ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS off
+         |        FROM w WHERE len(t) > 0) w2
+         |  JOIN bat ON w2.doc_id = bat.doc_id
+         |), supb AS (
+         |  SELECT line, batch, count(DISTINCT doc_id) AS d
+         |  FROM ln GROUP BY line, batch
+         |), cum AS (
+         |  SELECT line, batch,
+         |    COALESCE(SUM(d) OVER (PARTITION BY line ORDER BY batch
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS sup_before
+         |  FROM supb
+         |), g AS (
+         |  SELECT ln.doc_id, ln.n_lines, ln.line_id, ln.line,
+         |    cum.sup_before < 3 AS kept
+         |  FROM ln JOIN cum
+         |    ON ln.line = cum.line AND ln.batch = cum.batch
+         |)
+         |SELECT doc_id, n_lines,
+         |  CAST(count(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(line ORDER BY line_id) FILTER (WHERE kept), ' '), '')
+         |    AS text_clean
+         |FROM g GROUP BY doc_id, n_lines ORDER BY doc_id""".stripMargin,
 
     "sim_project_rerank" ->
       """WITH pr AS (

@@ -736,6 +736,30 @@ object StreamedBatch {
     }
   }
 
+  /** The LINE-BOILERPLATE gate at ingest across REAL micro-batches:
+    * each arriving document splits into its fixed-window lines INSIDE
+    * the stream (the same [[graft.operators.Dedup.docLines]] projection
+    * the batch pass runs — narrow, stream-safe), and every line is
+    * gated against the per-line document support accumulated over
+    * strictly earlier batches
+    * ([[StreamingDedup.lineSupportGate]]). Returns the gated line
+    * relation (doc_id, n_lines, line_id, line, kept); reassembly into
+    * cleaned documents is the caller's stateless batch step — in
+    * production the gated stream lands in a store and reassembly is
+    * the downstream job. */
+  def lineGatedMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int, lineLen: Int = 10, minSupport: Int = 3): DataFrame =
+    throughChunkedStream(s, "lng", nBatches,
+      (batched, Seq("doc_id", "text"))) { (ss, srcs) =>
+      import ss.implicits._
+      val stream = ss.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+      StreamingDedup.lineSupportGate(
+        graft.operators.Dedup.docLines(stream, lineLen)
+          .as[StreamingDedup.LineRow],
+        minSupport).toDF().writeStream
+    }
+
   /** The image near-dup gate AT INGEST across REAL micro-batches:
     * doc ids replay one file per micro-batch (batch = id mod 3, an
     * out-of-id-order arrival plant), each arrival's payload is

@@ -69,6 +69,56 @@ object StreamingDedup {
       }
   }
 
+  /** One document line flowing through [[lineSupportGate]]. */
+  final case class LineRow(doc_id: Long, n_lines: Long, line_id: Long,
+    line: String)
+
+  /** A gated line: `kept` = the line's corpus support over STRICTLY
+    * EARLIER micro-batches was still under the threshold when this
+    * document arrived. */
+  final case class LineGated(doc_id: Long, n_lines: Long, line_id: Long,
+    line: String, kept: Boolean)
+
+  final case class LineSup(n: Long)
+
+  /** The ONLINE face of [[Dedup.lineDedup]]'s support table: per-line
+    * running document support kept in streaming state, each arriving
+    * batch gated against the support accumulated over STRICTLY EARLIER
+    * batches (boilerplate that crossed `minSupport` stops flowing for
+    * every LATER arrival; the arrivals that carried it over the
+    * threshold still pass — an online gate can only act on what it has
+    * seen). The decision is batch-atomic — within one micro-batch every
+    * instance of a line gets the same verdict, so the replay is
+    * deterministic whatever the intra-batch row order.
+    *
+    * State per line: ONE long — O(distinct lines ever seen), the same
+    * bound the batch support table has; at 100 TB the key is the line
+    * hash and a production deployment ages it with event-time TTL.
+    * Emits EVERY line with its verdict (a fully-boilerplate document
+    * must still reach the downstream reassembly with n_kept = 0). */
+  def lineSupportGate(lines: Dataset[LineRow],
+      minSupport: Int = 3): Dataset[LineGated] = {
+    require(minSupport > 1,
+      s"minSupport must be > 1 (1 would drop every line), got $minSupport")
+    val s = lines.sparkSession
+    import s.implicits._
+    lines.groupByKey(_.line)
+      .flatMapGroupsWithState[LineSup, LineGated](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (line: String, it: Iterator[LineRow], state: GroupState[LineSup]) =>
+          val rows = it.toArray
+          val before = state.getOption.map(_.n).getOrElse(0L)
+          val keep = before < minSupport
+          // a line repeating inside one document counts the doc once —
+          // the same distinct-docs semantics as the batch support table
+          state.update(LineSup(before +
+            rows.iterator.map(_.doc_id).toSet.size))
+          rows.sortBy(r => (r.doc_id, r.line_id)).iterator
+            .map(r => LineGated(r.doc_id, r.n_lines, r.line_id, r.line,
+              keep))
+      }
+  }
+
   /** Batch reference relation for the spec: docs that are the later
     * member of ≥ 1 bucket (all-in-one-batch equivalence). */
   def batchFlagged(docs: DataFrame, k: Int = 16, bands: Int = 4,

@@ -64,4 +64,45 @@ class StreamingDedupSpec extends SparkSpec {
         s"registry rows ${stateRows(q)} != distinct buckets $distinctBuckets")
     } finally q.stop()
   }
+
+  test("line gate: strictly-earlier-batch support decides; state = distinct lines") {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.{LineGated, LineRow}
+    def lr(d: Long, lid: Long, l: String) = LineRow(d, 1L, lid, l)
+    val ms = MemoryStream[LineRow]
+    val q = StreamingDedup.lineSupportGate(ms.toDS(), minSupport = 3)
+      .writeStream.format("memory").queryName("lng_spec")
+      .outputMode("append").start()
+    def rows(): Seq[LineGated] =
+      spark.table("lng_spec").as[LineGated].collect().toSeq
+    try {
+      // batch 1: nothing seen before — everything passes, including the
+      // header's third instance (the gate acts only on what it has SEEN)
+      ms.addData(Seq(lr(1, 0, "w1 w2"), lr(2, 0, "w1 w2"),
+        lr(3, 0, "w1 w2"), lr(1, 1, "a b")))
+      q.processAllAvailable()
+      assert(rows().size == 4 && rows().forall(_.kept))
+      // batch 2: the header crossed (3 ≥ 3) → dropped; "a b" at 1 →
+      // kept; "q r" TWICE in one doc must count the doc once
+      ms.addData(Seq(lr(4, 0, "w1 w2"), lr(4, 1, "a b"),
+        lr(5, 0, "q r"), lr(5, 1, "q r")))
+      q.processAllAvailable()
+      val b2 = rows().filter(_.doc_id >= 4)
+      assert(b2.filter(_.line == "w1 w2").forall(!_.kept))
+      assert(b2.filter(_.line == "a b").forall(_.kept))
+      assert(b2.filter(_.line == "q r").forall(_.kept))
+      // batch 3: "q r" support so far is 1 (doc 5 once) → still kept
+      ms.addData(Seq(lr(6, 0, "q r"), lr(7, 0, "q r")))
+      q.processAllAvailable()
+      assert(rows().filter(_.doc_id >= 6).forall(_.kept))
+      // batch 4: "q r" has crossed (1 + 2 = 3) → dropped
+      ms.addData(Seq(lr(8, 0, "q r")))
+      q.processAllAvailable()
+      assert(rows().filter(_.doc_id == 8).forall(r => !r.kept))
+      // MEASURED state bound: one row per distinct line ever seen
+      assert(stateRows(q) == 3L,
+        s"state rows ${stateRows(q)} != 3 distinct lines")
+    } finally q.stop()
+  }
 }
