@@ -2492,6 +2492,33 @@ object CBlock {
         .orderBy(col("sup"))
     }),
 
+    "curate_boilerplate" -> ((s, dir) => {
+      // the chrome-impact audit a boilerplate pass publishes per
+      // source: C191's cleaned corpus joined back to its provenance —
+      // lines and tokens before/after, plus REQUALIFICATION: a doc
+      // whose CLEANED text falls under the 20-token floor was
+      // chrome-carried (it passed raw quality gates on boilerplate
+      // bulk) and drops from the training set. Composition is the
+      // point: the rewrite feeds downstream gates, not just a flag.
+      val docs = linePlantedCorpus(s, dir)
+      val cleaned = Dedup.lineDedup(docs, lineLen = 10, minSupport = 3)
+      docs.select(col("doc_id"), col("source"),
+          size(graft.functions.Portable.tokens(col("text")))
+            .as("tok_before"))
+        .join(cleaned, "doc_id")
+        .withColumn("tok_after",
+          size(graft.functions.Portable.tokens(col("text_clean"))))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("tok_after") < 20, 1L).otherwise(0L))
+            .as("n_requalified"),
+          sum(col("n_lines")).as("lines_total"),
+          sum(col("n_kept")).as("lines_kept"),
+          sum(col("tok_before").cast("long")).as("tok_before"),
+          sum(col("tok_after").cast("long")).as("tok_after"))
+        .orderBy(col("source"))
+    }),
+
     "dedup_lines_stream" -> ((s, dir) => {
       // C191's boilerplate gate ONLINE: the planted corpus replays as
       // 5 REAL micro-batches in doc-id order; a line is kept iff its
@@ -7006,6 +7033,32 @@ object CBlock {
       s"""WITH $lineCtes
          |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
          |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
+
+    "curate_boilerplate" ->
+      s"""WITH $lineCtes,
+         |cleaned AS (
+         |  SELECT ln.doc_id, ln.n_lines,
+         |    CAST(count(*) FILTER (WHERE sup.sup < 3) AS BIGINT) AS n_kept,
+         |    COALESCE(array_to_string(
+         |      list(ln.line ORDER BY ln.line_id) FILTER (WHERE sup.sup < 3),
+         |      ' '), '') AS text_clean
+         |  FROM ln JOIN sup USING (line)
+         |  GROUP BY ln.doc_id, ln.n_lines
+         |)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN len(list_filter(
+         |      string_split(c.text_clean, ' '), t -> t <> '')) < 20
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_requalified,
+         |  CAST(sum(c.n_lines) AS BIGINT) AS lines_total,
+         |  CAST(sum(c.n_kept) AS BIGINT) AS lines_kept,
+         |  CAST(sum(len(w.t)) AS BIGINT) AS tok_before,
+         |  CAST(sum(len(list_filter(
+         |    string_split(c.text_clean, ' '), t -> t <> ''))) AS BIGINT)
+         |    AS tok_after
+         |FROM cleaned c
+         |JOIN documents d ON c.doc_id = d.doc_id
+         |JOIN w ON w.doc_id = c.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "dedup_lines_stream" ->
       s"""WITH corpus AS (
