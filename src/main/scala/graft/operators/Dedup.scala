@@ -844,7 +844,10 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minSupport > 1,
       s"minSupport must be > 1 (1 would drop every line), got $minSupport")
-    val lines = docLines(docs, lineLen, idCol, textCol)
+    // materialized ONCE: the line relation feeds BOTH join sides (the
+    // corpus side and the support aggregate) — unmaterialized, the
+    // tokenize+explode would re-scan the corpus twice
+    val lines = Materialize(docLines(docs, lineLen, idCol, textCol))
     val boiler = lineSupport(lines)
       .filter(col("sup") >= minSupport)
       .select(col("line"), lit(true).as("__bp"))

@@ -59,7 +59,12 @@ object ScaleProbe {
     // (the pre-r10 in-bucket self-join would have shown a super-linear
     // slope here; dedup-family rows stay excluded for the data-structure
     // reason above)
-    "sim_knn_graph")
+    "sim_knn_graph",
+    // r10-continuation: line-boilerplate removal is the one dedup-family
+    // row WITHOUT pair structure (support counting + a set join — output
+    // is per-doc, never per-pair), so replication multiplies line
+    // support but not any candidate set: linear by design, measured
+    "dedup_lines")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
