@@ -851,8 +851,39 @@ object Dedup {
     val boiler = lineSupport(lines)
       .filter(col("sup") >= minSupport)
       .select(col("line"), lit(true).as("__bp"))
-    lines.join(boiler, Seq("line"), "left")
-      .groupBy(col("doc_id"), col("n_lines"))
+    reassembleLines(lines.join(boiler, Seq("line"), "left"))
+  }
+
+  /** INCREMENTAL line dedup — the production loop ([[lineDedup]]'s
+    * analog of the stored minhash index): clean a NEW batch of
+    * documents against a STORED support registry (yesterday's
+    * [[lineSupport]] output, or the compacted streaming-gate state)
+    * plus the batch's OWN support — a line is boilerplate when the
+    * COMBINED count crosses `minSupport`, whichever side carried it.
+    * Stored lines absent from the new batch cost nothing (they cannot
+    * strip anything — the registry join is on the new batch's distinct
+    * lines, not the registry's). Same output shape as [[lineDedup]];
+    * running it with an empty registry IS the batch pass. */
+  def lineDedupIncremental(newDocs: DataFrame, stored: DataFrame,
+      lineLen: Int = 10, minSupport: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minSupport > 1,
+      s"minSupport must be > 1 (1 would drop every line), got $minSupport")
+    val lines = Materialize(docLines(newDocs, lineLen, idCol, textCol))
+    val boiler = lineSupport(lines)
+      .join(stored.select(col("line"), col("sup").as("__old")),
+        Seq("line"), "left")
+      .filter(col("sup") + coalesce(col("__old"), lit(0L)) >= minSupport)
+      .select(col("line"), lit(true).as("__bp"))
+    reassembleLines(lines.join(boiler, Seq("line"), "left"))
+  }
+
+  /** Reassembly shared by the batch and incremental line passes: fold
+    * the (doc_id, n_lines, line_id, line, __bp) relation back into
+    * cleaned documents — one collect_list aggregate per document, the
+    * sort/filter/concat all inside it. */
+  private def reassembleLines(joined: DataFrame): DataFrame =
+    joined.groupBy(col("doc_id"), col("n_lines"))
       .agg(
         sum(when(col("__bp").isNull, 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", transform(
@@ -863,7 +894,6 @@ object Dedup {
           x => x.getField("line"))).as("text_clean"))
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         col("text_clean"))
-  }
 
   /** The (doc_id, n_lines, line_id, line) relation both line-dedup
     * halves consume: each document split into fixed `lineLen`-token

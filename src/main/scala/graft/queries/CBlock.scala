@@ -2492,6 +2492,22 @@ object CBlock {
         .orderBy(col("sup"))
     }),
 
+    "dedup_lines_stored" -> ((s, dir) => {
+      // the PRODUCTION loop for the line pass (the dedup_index_stored
+      // pattern): yesterday's registry is the stored support table
+      // (here built from the even-id half), today's batch (the odd-id
+      // half) cleans against stored + its OWN support — a line crosses
+      // the threshold from EITHER side, and registry lines absent from
+      // the batch cost nothing
+      val corpus = linePlantedCorpus(s, dir)
+      val stored = Dedup.lineSupport(Dedup.docLines(
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 0), lineLen = 10))
+      Dedup.lineDedupIncremental(
+          corpus.filter(pmod(col("doc_id"), lit(2)) === 1), stored,
+          lineLen = 10, minSupport = 3)
+        .orderBy(col("doc_id"))
+    }),
+
     "curate_boilerplate" -> ((s, dir) => {
       // the chrome-impact audit a boilerplate pass publishes per
       // source: C191's cleaned corpus joined back to its provenance —
@@ -7033,6 +7049,40 @@ object CBlock {
       s"""WITH $lineCtes
          |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
          |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
+
+    "dedup_lines_stored" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN '$lineHeader ' || text
+         |         ELSE text END AS text
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, $toksSql AS t FROM corpus
+         |), lnall AS (
+         |  SELECT doc_id, (off // 10) AS line_id,
+         |    CAST((len(t) + 9) // 10 AS BIGINT) AS n_lines,
+         |    array_to_string(list_slice(t, off + 1, off + 10), ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS off
+         |        FROM w WHERE len(t) > 0)
+         |), sup_old AS (
+         |  SELECT line, count(DISTINCT doc_id) AS sup FROM lnall
+         |  WHERE doc_id % 2 = 0 GROUP BY line
+         |), ln AS (SELECT * FROM lnall WHERE doc_id % 2 = 1),
+         |sup_new AS (
+         |  SELECT line, count(DISTINCT doc_id) AS sup FROM ln GROUP BY line
+         |), boiler AS (
+         |  SELECT n.line FROM sup_new n
+         |  LEFT JOIN sup_old o ON n.line = o.line
+         |  WHERE n.sup + COALESCE(o.sup, 0) >= 3
+         |)
+         |SELECT ln.doc_id, ln.n_lines,
+         |  CAST(count(*) FILTER (WHERE b.line IS NULL) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(ln.line ORDER BY ln.line_id) FILTER (WHERE b.line IS NULL),
+         |    ' '), '') AS text_clean
+         |FROM ln LEFT JOIN boiler b ON ln.line = b.line
+         |GROUP BY ln.doc_id, ln.n_lines
+         |ORDER BY doc_id""".stripMargin,
 
     "curate_boilerplate" ->
       s"""WITH $lineCtes,

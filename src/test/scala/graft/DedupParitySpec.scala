@@ -178,4 +178,29 @@ class DedupParitySpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Dedup.lineDedup(docs, minSupport = 1))
   }
+
+  test("lineDedupIncremental: empty registry == batch pass; either side crosses") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w1 w2 a b c d"),
+      (2L, "w1 w2 e f"),
+      (3L, "w1 w2 g"),
+      (4L, "a b x y")).toDF("doc_id", "text")
+    // the claimed identity: an empty registry IS the batch pass
+    val empty = Seq.empty[(String, Long)].toDF("line", "sup")
+    val inc = Dedup.lineDedupIncremental(docs, empty, lineLen = 2,
+      minSupport = 3).orderBy("doc_id").collect().toSeq
+    val batch = Dedup.lineDedup(docs, lineLen = 2, minSupport = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == batch && inc.nonEmpty)
+    // combined crossing: stored 2 + batch 1 reaches the threshold, so
+    // the registry strips a line the batch alone would keep
+    val stored = Seq(("a b", 2L)).toDF("line", "sup")
+    val out = Dedup.lineDedupIncremental(
+        Seq((9L, "a b z z")).toDF("doc_id", "text"), stored,
+        lineLen = 2, minSupport = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(out == Seq((9L, 1L, "z z")))
+  }
 }
