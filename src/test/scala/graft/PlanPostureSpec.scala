@@ -385,4 +385,24 @@ class PlanPostureSpec extends SparkSpec {
         s"$q arm table must broadcast:\n$p")
     }
   }
+
+  test("line dedup family: no cartesian, reassembly windows keyed, no global sort before the agg") {
+    Seq("dedup_lines", "dedup_lines_stored", "curate_boilerplate")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf("0.01"))
+        val plan = df.queryExecution.sparkPlan
+        val p = plan.toString
+        assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+        // the boilerplate-set join must never degrade to a nested loop
+        // (an accidental non-equi condition would); windows, if any,
+        // must be keyed — reassembly is a hash aggregate, not a sort
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q plans a nested-loop join:\n$p")
+        val wins = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+        assert(wins.forall(_.partitionSpec.nonEmpty),
+          s"$q has an unpartitioned window")
+      }
+  }
 }
