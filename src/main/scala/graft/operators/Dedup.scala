@@ -862,17 +862,21 @@ object Dedup {
     * COMBINED count crosses `minSupport`, whichever side carried it.
     * Stored lines absent from the new batch cost nothing (they cannot
     * strip anything — the registry join is on the new batch's distinct
-    * lines, not the registry's). Same output shape as [[lineDedup]];
-    * running it with an empty registry IS the batch pass. */
+    * lines, not the registry's). The registry is summed per line
+    * first, so a UNION of daily registries is a valid input (duplicate
+    * line rows add, and can never fan the join out). Same output shape
+    * as [[lineDedup]]; running it with an empty registry IS the batch
+    * pass. */
   def lineDedupIncremental(newDocs: DataFrame, stored: DataFrame,
       lineLen: Int = 10, minSupport: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minSupport > 1,
       s"minSupport must be > 1 (1 would drop every line), got $minSupport")
     val lines = Materialize(docLines(newDocs, lineLen, idCol, textCol))
+    val storedByLine = stored.groupBy(col("line"))
+      .agg(sum(col("sup")).as("__old"))
     val boiler = lineSupport(lines)
-      .join(stored.select(col("line"), col("sup").as("__old")),
-        Seq("line"), "left")
+      .join(storedByLine, Seq("line"), "left")
       .filter(col("sup") + coalesce(col("__old"), lit(0L)) >= minSupport)
       .select(col("line"), lit(true).as("__bp"))
     reassembleLines(lines.join(boiler, Seq("line"), "left"))

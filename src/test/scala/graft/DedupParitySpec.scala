@@ -194,8 +194,10 @@ class DedupParitySpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(inc == batch && inc.nonEmpty)
     // combined crossing: stored 2 + batch 1 reaches the threshold, so
-    // the registry strips a line the batch alone would keep
-    val stored = Seq(("a b", 2L)).toDF("line", "sup")
+    // the registry strips a line the batch alone would keep; the
+    // registry is a UNION of daily outputs (duplicate line rows) — the
+    // counts must ADD, and the join must not fan out
+    val stored = Seq(("a b", 1L), ("a b", 1L)).toDF("line", "sup")
     val out = Dedup.lineDedupIncremental(
         Seq((9L, "a b z z")).toDF("doc_id", "text"), stored,
         lineLen = 2, minSupport = 3)
