@@ -2492,6 +2492,29 @@ object CBlock {
         .orderBy(col("sup"))
     }),
 
+    "dedup_lines_sweep" -> ((s, dir) => {
+      // the minSupport POLICY sweep (the threshold audit the board's
+      // sweep-row convention gives every tunable): ONE line+support
+      // scan, the 3-row arm table broadcast, per-arm how many docs /
+      // lines / tokens the threshold would strip — read next to
+      // dedup_lines_support before committing to a gate
+      import s.implicits._
+      val lines = Dedup.docLines(linePlantedCorpus(s, dir), lineLen = 10)
+      val arms = Seq(2L, 3L, 5L).toDF("min_support")
+      lines.join(Dedup.lineSupport(lines), "line")
+        .crossJoin(broadcast(arms))
+        .groupBy(col("min_support"))
+        .agg(
+          countDistinct(when(col("sup") >= col("min_support"),
+            col("doc_id"))).as("docs_affected"),
+          sum(when(col("sup") >= col("min_support"), 1L).otherwise(0L))
+            .as("lines_stripped"),
+          sum(when(col("sup") >= col("min_support"),
+            size(graft.functions.Portable.tokens(col("line")))
+              .cast("long")).otherwise(0L)).as("tok_removed"))
+        .orderBy(col("min_support"))
+    }),
+
     "dedup_lines_stored" -> ((s, dir) => {
       // the PRODUCTION loop for the line pass (the dedup_index_stored
       // pattern): yesterday's registry is the stored support table
@@ -7049,6 +7072,20 @@ object CBlock {
       s"""WITH $lineCtes
          |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
          |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
+
+    "dedup_lines_sweep" ->
+      s"""WITH $lineCtes,
+         |arms AS (SELECT unnest([2, 3, 5]) AS min_support)
+         |SELECT a.min_support,
+         |  CAST(count(DISTINCT CASE WHEN s.sup >= a.min_support
+         |    THEN ln.doc_id END) AS BIGINT) AS docs_affected,
+         |  CAST(sum(CASE WHEN s.sup >= a.min_support THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS lines_stripped,
+         |  CAST(sum(CASE WHEN s.sup >= a.min_support
+         |    THEN len(list_filter(string_split(ln.line, ' '), t -> t <> ''))
+         |    ELSE 0 END) AS BIGINT) AS tok_removed
+         |FROM ln JOIN sup s USING (line) CROSS JOIN arms a
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_lines_stored" ->
       s"""WITH corpus AS (
