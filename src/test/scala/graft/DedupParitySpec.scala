@@ -204,5 +204,18 @@ class DedupParitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
       .toSeq
     assert(out == Seq((9L, 1L, "z z")))
+    // identity invariant on the REAL corpus: a threshold above the
+    // corpus size can strip nothing, so reassembly must be a pure
+    // token-normalization round-trip for every document
+    val corpus = Tables.documents(spark, sf())
+    val n = corpus.count().toInt
+    val idOut = Dedup.lineDedup(corpus, lineLen = 10, minSupport = n + 1)
+    val bad = idOut.join(corpus, "doc_id")
+      .filter(col("n_kept") =!= col("n_lines") ||
+        col("text_clean") =!=
+          concat_ws(" ", graft.functions.Portable.tokens(col("text"))))
+      .count()
+    assert(bad == 0L, s"$bad docs fail the identity round-trip")
+    assert(idOut.count() > 0)
   }
 }
