@@ -103,6 +103,9 @@ class StreamingDedupSpec extends SparkSpec {
       // MEASURED state bound: one row per distinct line ever seen
       assert(stateRows(q) == 3L,
         s"state rows ${stateRows(q)} != 3 distinct lines")
+      // a drop-everything threshold fails at plan-build time
+      intercept[IllegalArgumentException](
+        StreamingDedup.lineSupportGate(ms.toDS(), minSupport = 1))
     } finally q.stop()
   }
 }
