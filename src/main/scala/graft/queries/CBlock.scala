@@ -2492,6 +2492,28 @@ object CBlock {
         .orderBy(col("sup"))
     }),
 
+    "dedup_lines_registry" -> ((s, dir) => {
+      // closes the ONLINE→STORED loop: the registry REBUILT from the
+      // gate's emissions (every line instance flows through with its
+      // verdict, so distinct (line, doc) pairs survive the stream)
+      // must equal the batch lineSupport relation EXACTLY — the stored
+      // registry C195 consumes can be maintained from the stream
+      // alone, no batch recount. Same 5-batch replay as C193.
+      import org.apache.spark.sql.expressions.Window
+      val docs = linePlantedCorpus(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .lineGatedMulti(s, batched, nBatches = 5)
+        .select(col("line"), col("doc_id")).distinct()
+        .groupBy(col("line")).agg(count(lit(1)).as("sup"))
+        .orderBy(col("line"))
+    }),
+
     "dedup_lines_sweep" -> ((s, dir) => {
       // the minSupport POLICY sweep (the threshold audit the board's
       // sweep-row convention gives every tunable): ONE line+support
@@ -7072,6 +7094,10 @@ object CBlock {
       s"""WITH $lineCtes
          |SELECT sup, CAST(count(*) AS BIGINT) AS n_distinct_lines
          |FROM sup GROUP BY sup ORDER BY sup""".stripMargin,
+
+    "dedup_lines_registry" ->
+      s"""WITH $lineCtes
+         |SELECT line, sup FROM sup ORDER BY line""".stripMargin,
 
     "dedup_lines_sweep" ->
       s"""WITH $lineCtes,
