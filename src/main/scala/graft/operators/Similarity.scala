@@ -385,22 +385,34 @@ object Similarity {
         round(col("s").cast("double") / col("n_assigned"), 6).as("mean"))
   }
 
-  /** Iterated Lloyd training — k-means for real recall: `iters` rounds,
-    * each ONE corpus pass (the no-shuffle argmin assign fused with a
-    * numCentroids×dim-group partial-aggregated mean), with the k·dim
-    * model collected per round (model to the driver, data never — the
-    * Spark k-means standard; same iterate-materialize shape as the CC
-    * loop, but the per-round state is constant-size so collect IS the
-    * materialization). Clusters that lose all members keep their
-    * previous coordinates. Per-round means are decimal-exact and rounded
-    * to 6 decimals, so the trained model — and everything computed from
-    * it — is reproducible bit-for-bit across engines and layouts. */
+  /** Iterated FULL-SLICE Lloyd training — DEMOTED to an id-bounded
+    * AUDIT of the trainer math (r11): each round rescans its input, so
+    * an unbounded corpus pays iters full passes — the one super-linear
+    * slope the r10 scale probe found (5.99 at data ×8). The PRODUCTION
+    * trainer is [[sampledCentroids]] (Lloyd sees only the exact-k
+    * sample; slope 0.95, recall within 0.1 — AnnRecallSpec); every
+    * model consumer should train through it. This audit face therefore
+    * caps its training slice at `maxTrainId` ids BY DEFAULT — at the
+    * test scale factors (≤ 2000 vectors) the cap is inert and the
+    * model is identical to the historical full-corpus one, while at
+    * any larger corpus the audit cost stays constant.
+    *
+    * Mechanics (shared with the sampled trainer via [[lloydRounds]]):
+    * `iters` rounds, each ONE slice pass (the no-shuffle argmin assign
+    * fused with a numCentroids×dim-group partial-aggregated mean), the
+    * k·dim model collected per round (model to the driver, data never).
+    * Clusters that lose all members keep their previous coordinates.
+    * Per-round means are decimal-exact and rounded to 6 decimals, so
+    * the model is reproducible bit-for-bit across engines/layouts. */
   def trainedCentroids(emb: DataFrame, iters: Int, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[(Long, Seq[Double])] =
-    lloydRounds(emb,
-      ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol),
+      vecCol: String = "embedding",
+      maxTrainId: Long = 4096L): Array[(Long, Seq[Double])] = {
+    val slice = emb.filter(col(idCol) < maxTrainId)
+    lloydRounds(slice,
+      ivfCentroids(slice, numCentroids, centroidStride, idCol, vecCol),
       iters, vecCol)
+  }
 
   /** The Lloyd iteration loop both trainers share: `iters` rounds of
     * [[refineStep]] over `df` from explicit seeds, model collected per
@@ -468,16 +480,24 @@ object Similarity {
   /** The (iters)-th Lloyd step as a DataFrame — the oracle-checkable
     * face of [[trainedCentroids]]: refine against the model trained for
     * `iters − 1` rounds, i.e. the per-(centroid, dimension) counts and
-    * means AFTER `iters` total refinement steps. */
+    * means AFTER `iters` total refinement steps. Like the trainer it
+    * audits, it is id-bounded by default (`maxTrainId`) — the full
+    * trainer is an sf-bounded AUDIT since r11; production training is
+    * [[sampledCentroids]]. */
   def kmeansRefine(emb: DataFrame, iters: Int, numCentroids: Int = 8,
       centroidStride: Int = 32, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxTrainId: Long = 4096L): DataFrame = {
     require(iters >= 1, "kmeansRefine needs at least one step")
+    // the audit runs END-TO-END on the bounded slice (train AND the
+    // displayed refine step), so its cost is corpus-size-independent —
+    // at the test SFs (≤ 2000 ids) the cap is inert
+    val slice = emb.filter(col(idCol) < maxTrainId)
     val cents =
-      if (iters == 1) ivfCentroids(emb, numCentroids, centroidStride, idCol, vecCol)
-      else trainedCentroids(emb, iters - 1, numCentroids, centroidStride,
-        idCol, vecCol)
-    refineStep(emb, cents, vecCol)
+      if (iters == 1) ivfCentroids(slice, numCentroids, centroidStride, idCol, vecCol)
+      else trainedCentroids(slice, iters - 1, numCentroids, centroidStride,
+        idCol, vecCol, maxTrainId)
+    refineStep(slice, cents, vecCol)
   }
 
   /** Product quantization (the memory-compressed ANN index, Jégou et al.
@@ -742,8 +762,9 @@ object Similarity {
     * 64×-compressed table. Final top-k through the bounded-heap
     * aggregator (≤ k rows per probe per partition on the shuffle).
     * nprobe = numCentroids degenerates to exactly [[pqTopK]] (asserted
-    * in AnnRecallSpec). Pass [[trainedCentroids]] as `centsOverride` to
-    * run the k-means model. */
+    * in AnnRecallSpec). Pass a k-means model as `centsOverride` to run
+    * a trained coarse quantizer — [[sampledCentroids]] is the
+    * production trainer ([[trainedCentroids]] is an sf-bounded audit). */
   def ivfadcTopK(emb: DataFrame, probePred: Column, k: Int, nprobe: Int = 2,
       m: Int = 8, dim: Int = 64, numCentroids: Int = 8,
       centroidStride: Int = 32,
@@ -944,18 +965,24 @@ object Similarity {
         (((i.cast("long") * graft.plans.HashOps.aK(p) +
           graft.plans.HashOps.bK(p)) % graft.plans.HashOps.M) * 2 -
           graft.plans.HashOps.M))
-    // |v_i| ≤ 67 keeps every 64-term sum inside int64; past that Spark
-    // would wrap SILENTLY (reordering ranks and changing WHICH pairs
-    // generate) while the identical oracle SQL errors — fail loudly
-    // instead, the same silent-wrap policy as Guards. Null/empty
-    // vectors pass through (their projection is null/0 as before).
+    // the safe per-component bound DERIVED from dim (r11, was a
+    // hardcoded 67 that only covered dim ≤ 64): each term is at most
+    // (|v_i|·1e6 + 1)·M, so dim terms stay inside int64 iff
+    // |v_i| ≤ (Long.MaxValue/(dim·M) − 1)/1e6 — 67 at dim=64, 33 at
+    // dim=128. Past that Spark would wrap SILENTLY (reordering ranks
+    // and changing WHICH pairs generate) while the identical oracle SQL
+    // errors — fail loudly instead, the same silent-wrap policy as
+    // Guards. Null/empty vectors pass through (projection null/0).
+    val bound = math.floor(
+      (Long.MaxValue.toDouble / (dim.toDouble * graft.plans.HashOps.M) - 1)
+        / 1e6)
     raw + coalesce(
       assert_true(
         coalesce(
-          array_max(transform(toDouble(vecCol), x => abs(x))) <= lit(67d),
+          array_max(transform(toDouble(vecCol), x => abs(x))) <= lit(bound),
           lit(true)),
-        lit("latticeProj: |embedding| > 67 can overflow the int64 rank " +
-          "projection — normalize the vectors")).cast("long"),
+        lit(s"latticeProj: |embedding| > $bound at dim=$dim can overflow " +
+          "the int64 rank projection — normalize the vectors")).cast("long"),
       lit(0L))
   }
 

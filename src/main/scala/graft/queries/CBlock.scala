@@ -1614,7 +1614,10 @@ object CBlock {
       // the k-means TRAINING loop, oracle-exact: the second Lloyd step —
       // refine against centroids already refined once (decimal-exact
       // means rounded to 6 decimals make the iterated model
-      // engine-reproducible)
+      // engine-reproducible). Since r11 this is an sf-bounded AUDIT of
+      // the trainer math (kmeansRefine caps its slice at 4096 ids —
+      // inert at every test SF, constant-cost at any corpus size); the
+      // production trainer is the sampled row below
       Similarity.kmeansRefine(Tables.embeddings(s, dir), iters = 2)
         .orderBy(col("cent_id"), col("pos"))
     }),

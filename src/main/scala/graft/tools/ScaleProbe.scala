@@ -24,10 +24,13 @@ object ScaleProbe {
   val probes: Seq[String] = Seq(
     "sync_pipeline", "q_sessionize", "q_events_anomaly", "q_time_window",
     "q_attribution", "sketch_hll_daily",
+    // sim_ivf_trained is the full-slice Lloyd AUDIT — since r11 it is
+    // id-bounded by default (kmeansRefine maxTrainId=4096), so the ×8
+    // replica corpus trains/refines the same-order slice as base and
+    // the historical 5.99 slope is gone BY CONSTRUCTION, not by tuning
     "sim_pq_residual", "sim_ivf_trained",
     // the sampled trainer: Lloyd over ONLY the exact-k sample, corpus
-    // pays one narrow assign — the slope the full-corpus trainer can't
-    // have (r10; compare against sim_ivf_trained's ~5.4)
+    // pays one narrow assign — the PRODUCTION trainer since r11
     "sim_ivf_sampled",
     "shard_zorder", "lm_kn_model",
     // the id-level export chain: replicated docs duplicate WORDS but not

@@ -402,4 +402,23 @@ class AnnRecallSpec extends SparkSpec {
     info(f"lattice-vs-double cosine after 3 iterations: $c%.6f")
     assert(c >= 0.999, s"integer lattice bent the principal direction: cos=$c")
   }
+
+  test("full-slice trainer is an sf-bounded audit: ids past maxTrainId are invisible") {
+    // r11 demotion: trainedCentroids/kmeansRefine cap their slice at
+    // maxTrainId, so a corpus 6× the cap trains the IDENTICAL model —
+    // the audit's cost (and output) is corpus-size-independent
+    val emb = Tables.embeddings(spark, sf())
+    val inflated = emb.union(
+      emb.withColumn("vec_id", col("vec_id") + 10000L))
+    val base = Similarity.trainedCentroids(emb, iters = 2)
+    val capped = Similarity.trainedCentroids(inflated, iters = 2)
+    assert(capped.toSeq === base.toSeq,
+      "ids beyond maxTrainId leaked into the audit trainer's model")
+    val refBase = Similarity.kmeansRefine(emb, iters = 2)
+      .orderBy("cent_id", "pos").collect().toSeq
+    val refCapped = Similarity.kmeansRefine(inflated, iters = 2)
+      .orderBy("cent_id", "pos").collect().toSeq
+    assert(refCapped === refBase,
+      "kmeansRefine's audit step saw rows beyond maxTrainId")
+  }
 }

@@ -291,6 +291,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(g.filter(col("out_deg") > 5).count() == 0)
   }
 
+  test("latticeProj overflow guard: bound derives from dim, not a constant") {
+    // r11 (ADVICE): the old guard hardcoded |v| ≤ 67, which only bounds
+    // the int64 sum for dim = 64 — at dim = 128 a |v| = 50 vector is
+    // under the old constant yet can overflow. The guard must now trip
+    // at dim = 128 / |v| = 50 AND still trip at dim = 64 / |v| = 70,
+    // while dim = 64 / |v| = 50 passes clean.
+    def corpus(dim: Int, mag: Float) = spark.createDataFrame(
+      (0 until 4).map(j => (j.toLong, Seq.fill(dim)(mag * (1 + j % 2)))))
+      .toDF("vec_id", "embedding")
+    def run(dim: Int, mag: Float): Unit =
+      Similarity.knnCandidatePairs(corpus(dim, mag), nPlanes = 4, dim = dim,
+        window = 2, idCol = "vec_id", vecCol = "embedding").count()
+    run(64, 33f) // under every bound: clean
+    def chainHas(t: Throwable, s: String): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => Option(e.getMessage).exists(_.contains(s)))
+    val e64 = intercept[Exception] { run(64, 70f) }
+    assert(chainHas(e64, "latticeProj"), e64.getMessage)
+    val e128 = intercept[Exception] { run(128, 50f) }
+    assert(chainHas(e128, "latticeProj"), e128.getMessage)
+  }
+
   test("knnWindowSweep: edge count is monotone in the window arm") {
     // a wider window only ADDS candidates, so per-vector out-degree
     // (min(k, candidates)) and hence the total edge count can only

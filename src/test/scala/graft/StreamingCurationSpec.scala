@@ -49,7 +49,9 @@ class StreamingCurationSpec extends SparkSpec {
     val tmp = Files.createTempDirectory("graft-pq-stream").toString
     val emb = Tables.embeddings(spark, sf())
     emb.write.parquet(s"$tmp/src")
-    val cents = graft.operators.Similarity.trainedCentroids(emb, iters = 2)
+    // the PRODUCTION trainer (sampled Lloyd) — the full-corpus trainer
+    // is an sf-bounded audit since r11
+    val cents = graft.operators.Similarity.sampledCentroids(emb, iters = 2)
     val stream = spark.readStream.schema(emb.schema).parquet(s"$tmp/src")
     val q = graft.operators.Similarity.pqCodesWith(stream, cents)
       .writeStream
