@@ -824,7 +824,14 @@ object Dedup {
     *
     * Returns (doc_id, n_lines, n_kept, text_clean); a fully-boilerplate
     * document survives with n_kept = 0 and empty text (dropping it is
-    * the caller's policy, not the operator's).
+    * the caller's policy, not the operator's). CONTRACT EDGE (r11,
+    * ADVICE): a TOKEN-LESS document (null/empty/whitespace-only text)
+    * produces no lines and is therefore ABSENT from the output — and
+    * from any downstream join ([[docLines]] is where the drop happens;
+    * the oracle mirrors it). Callers that must preserve such docs
+    * left-join this result back onto the corpus; the operator does not
+    * union them in because the extra corpus-wide join would tax every
+    * run for a row class the gate has nothing to say about.
     *
     * Scale: the explode is O(corpus tokens / lineLen) rows; support is
     * a two-level hash aggregate on the line key (distinct (line, doc)
@@ -901,9 +908,12 @@ object Dedup {
 
   /** The (doc_id, n_lines, line_id, line) relation both line-dedup
     * halves consume: each document split into fixed `lineLen`-token
-    * windows in order. One narrow explode, token-less docs drop (the
-    * sequence guard — an empty sequence with a positive step errors in
-    * ANSI mode). */
+    * windows in order. One narrow explode; token-less docs DROP here
+    * (the sequence guard — an empty sequence with a positive step
+    * errors in ANSI mode), which is why they are absent from
+    * [[lineDedup]]/[[lineDedupIncremental]] output and from
+    * curate_boilerplate's per-source accounting — the documented
+    * contract edge, not an accident. */
   def docLines(docs: DataFrame, lineLen: Int = 10,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(lineLen > 0, s"lineLen must be positive, got $lineLen")

@@ -2613,6 +2613,43 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "dedup_lines_evict" -> ((s, dir) => {
+      // the line gate's state-EVICTION lifecycle (r11, closes the one
+      // unbounded-state residue on the board): the SAME 5-batch replay
+      // as dedup_lines_stream, but after batch 2 the gate state is
+      // FLUSHED — phase-1 emissions fold into the stored registry
+      // (StreamingDedup.registryFold ≡ batch lineSupport, the
+      // dedup_lines_registry proof) and phase 2 RESTARTS with empty
+      // state, seeded by the registry through a stream-static join.
+      // The flush is invisible to verdicts — the oracle is
+      // dedup_lines_stream's SQL VERBATIM — while the restarted gate's
+      // state store holds only phase-2 lines (spec-measured).
+      import org.apache.spark.sql.expressions.Window
+      val docs = linePlantedCorpus(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val g1 = graft.streaming.StreamedBatch
+        .lineGatedMulti(s, batched.filter(col("batch") <= 2), nBatches = 3)
+      val reg = graft.streaming.StreamingDedup.registryFold(g1)
+      val g2 = graft.streaming.StreamedBatch.lineGatedMultiFrom(s,
+        batched.filter(col("batch") >= 3)
+          .withColumn("batch", col("batch") - 3),
+        nBatches = 2, registry = reg)
+      g1.unionByName(g2)
+        .groupBy(col("doc_id"), col("n_lines"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            filter(array_sort(collect_list(struct(col("line_id"),
+              col("kept").as("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     "sim_project_rerank" -> ((s, dir) => {
       // two-stage ANN: shortlist in the 16-dim projected space (4× fewer
       // flops/bytes), exact cosine rerank on the shortlist only
@@ -7514,5 +7551,9 @@ object CBlock {
     * divergence is a REAL bug in the artifact lifecycle. */
   lazy val oracle: Map[String, String] =
     baseOracle + ("sim_pq_stored" -> baseOracle("sim_pq_ivf")) +
-      ("dedup_index_stored" -> baseOracle("dedup_incremental"))
+      ("dedup_index_stored" -> baseOracle("dedup_incremental")) +
+      // the flush/restart eviction protocol must be INVISIBLE to
+      // verdicts: the evicted replay answers to the never-flushed
+      // stream row's SQL verbatim
+      ("dedup_lines_evict" -> baseOracle("dedup_lines_stream"))
 }

@@ -760,6 +760,45 @@ object StreamedBatch {
         minSupport).toDF().writeStream
     }
 
+  /** [[lineGatedMulti]] RESTARTED from a flushed registry — the state
+    * EVICTION half of the line gate's lifecycle (r11): the gate runs
+    * with EMPTY state, each arriving line carries its stored support
+    * via a stream-static left join against `registry` (summed per line
+    * first, so a union of daily flushes is a valid input), and the
+    * verdict is stored + since-flush support
+    * ([[StreamingDedup.lineSupportGateFrom]]). Flush(phase-1 emissions)
+    * → restart(phase 2) must replay EXACTLY like the never-flushed gate
+    * (the `dedup_lines_evict` oracle row shares `dedup_lines_stream`'s
+    * SQL verbatim) while the state store holds only phase-2 lines. */
+  def lineGatedMultiFrom(s: SparkSession, batched: DataFrame,
+      nBatches: Int, registry: DataFrame, lineLen: Int = 10,
+      minSupport: Int = 3): DataFrame = {
+    val regTmp = Files.createTempDirectory("graft-lngf-reg").toString
+    try {
+      registry.select(col("line"), col("sup")).write.parquet(s"$regTmp/reg")
+      throughChunkedStream(s, "lngf", nBatches,
+        (batched, Seq("doc_id", "text"))) { (ss, srcs) =>
+        import ss.implicits._
+        val base = ss.read.parquet(s"$regTmp/reg")
+          .groupBy(col("line")).agg(sum(col("sup")).as("__base"))
+        val stream = ss.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        val withBase = graft.operators.Dedup.docLines(stream, lineLen)
+          .join(base, Seq("line"), "left")
+          .select(col("doc_id"), col("n_lines"), col("line_id"),
+            col("line"), coalesce(col("__base"), lit(0L)).as("base"))
+          .as[StreamingDedup.LineRowBase]
+        StreamingDedup.lineSupportGateFrom(withBase, minSupport)
+          .toDF().writeStream
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(regTmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(regTmp), true)
+      ()
+    }
+  }
+
   /** The image near-dup gate AT INGEST across REAL micro-batches:
     * doc ids replay one file per micro-batch (batch = id mod 3, an
     * out-of-id-order arrival plant), each arrival's payload is

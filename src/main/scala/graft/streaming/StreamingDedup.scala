@@ -73,6 +73,13 @@ object StreamingDedup {
   final case class LineRow(doc_id: Long, n_lines: Long, line_id: Long,
     line: String)
 
+  /** A line carrying its STORED-REGISTRY support (`base`) — the input of
+    * [[lineSupportGateFrom]]; produced by a stream-static left join of
+    * the line stream against the flushed registry (absent line →
+    * base = 0). */
+  final case class LineRowBase(doc_id: Long, n_lines: Long, line_id: Long,
+    line: String, base: Long)
+
   /** A gated line: `kept` = the line's corpus support over STRICTLY
     * EARLIER micro-batches was still under the threshold when this
     * document arrived. */
@@ -91,12 +98,39 @@ object StreamingDedup {
     * instance of a line gets the same verdict, so the replay is
     * deterministic whatever the intra-batch row order.
     *
-    * State per line: ONE long — O(distinct lines ever seen), the same
-    * bound the batch support table has; at 100 TB the key is the line
-    * hash and a production deployment ages it with event-time TTL.
+    * State per line: ONE long — O(distinct lines seen SINCE the last
+    * flush): the eviction protocol (r11) is [[registryFold]] the gate's
+    * emissions into the stored registry (C197-proven ≡ the batch
+    * support table), then restart the gate through
+    * [[lineSupportGateFrom]] with the registry as base and EMPTY state —
+    * verdicts are unchanged (spec + the `dedup_lines_evict` oracle row)
+    * and the state store shrinks to the post-flush tail.
     * Emits EVERY line with its verdict (a fully-boilerplate document
     * must still reach the downstream reassembly with n_kept = 0). */
   def lineSupportGate(lines: Dataset[LineRow],
+      minSupport: Int = 3): Dataset[LineGated] = {
+    val s = lines.sparkSession
+    import s.implicits._
+    lineSupportGateFrom(
+      lines.map(r => LineRowBase(r.doc_id, r.n_lines, r.line_id, r.line, 0L)),
+      minSupport)
+  }
+
+  /** [[lineSupportGate]] seeded by a STORED registry: each row carries
+    * the line's flushed support (`base`, constant per line — joined in
+    * upstream), the verdict is `base + state < minSupport`, and state
+    * counts only documents seen since the registry snapshot. Running it
+    * with base ≡ 0 IS the plain gate.
+    *
+    * The group body is ONE STREAMED PASS (r11, ADVICE): the hot chrome
+    * line can hold a large share of a micro-batch, so instance rows are
+    * never materialized — per-group memory is the distinct-doc id set
+    * (one long per doc), and the state update rides each newly-seen doc
+    * so the committed count matches however far the sink consumed.
+    * Emission order within a group is ARRIVAL order (the pre-r11 gate
+    * sorted by (doc, line) — test-only determinism; every downstream
+    * consumer is relational: reassembly aggregates, registry folds). */
+  def lineSupportGateFrom(lines: Dataset[LineRowBase],
       minSupport: Int = 3): Dataset[LineGated] = {
     require(minSupport > 1,
       s"minSupport must be > 1 (1 would drop every line), got $minSupport")
@@ -105,18 +139,33 @@ object StreamingDedup {
     lines.groupByKey(_.line)
       .flatMapGroupsWithState[LineSup, LineGated](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (line: String, it: Iterator[LineRow], state: GroupState[LineSup]) =>
-          val rows = it.toArray
-          val before = state.getOption.map(_.n).getOrElse(0L)
-          val keep = before < minSupport
+        (_: String, it: Iterator[LineRowBase], state: GroupState[LineSup]) =>
+          val prior = state.getOption.map(_.n).getOrElse(0L)
+          val buf = it.buffered
+          val keep = buf.head.base + prior < minSupport
           // a line repeating inside one document counts the doc once —
           // the same distinct-docs semantics as the batch support table
-          state.update(LineSup(before +
-            rows.iterator.map(_.doc_id).toSet.size))
-          rows.sortBy(r => (r.doc_id, r.line_id)).iterator
-            .map(r => LineGated(r.doc_id, r.n_lines, r.line_id, r.line,
-              keep))
+          val docs = new java.util.HashSet[Long]
+          buf.map { r =>
+            if (docs.add(r.doc_id)) state.update(LineSup(prior + docs.size))
+            LineGated(r.doc_id, r.n_lines, r.line_id, r.line, keep)
+          }
       }
+  }
+
+  /** The registry FLUSH of gate emissions — the eviction target: every
+    * line instance flows through the gate with its verdict, so distinct
+    * (line, doc) pairs survive the stream and the fold rebuilds EXACT
+    * document support (the `dedup_lines_registry` oracle row proves
+    * fold(stream) ≡ batch [[Dedup.lineSupport]]). A production
+    * deployment flushes on a state-size trigger, unions the fold into
+    * the stored registry, and restarts the gate through
+    * [[lineSupportGateFrom]]; [[Dedup.lineDedupIncremental]] consumes
+    * the same registry on the batch side. */
+  def registryFold(gated: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    gated.select(col("line"), col("doc_id")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("sup"))
   }
 
   /** Batch reference relation for the spec: docs that are the later

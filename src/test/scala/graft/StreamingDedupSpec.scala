@@ -108,4 +108,66 @@ class StreamingDedupSpec extends SparkSpec {
         StreamingDedup.lineSupportGate(ms.toDS(), minSupport = 1))
     } finally q.stop()
   }
+
+  test("line gate eviction: flush to registry + restart — state shrinks, verdicts identical") {
+    // r11 (VERDICT #2): the gate's state is bounded by FLUSHING it into
+    // the stored registry (registryFold of the emissions — C197 proves
+    // fold ≡ batch lineSupport) and restarting the gate with EMPTY
+    // state seeded by the registry. Replay batches B1, B2, B3 both ways:
+    // verdicts must be identical, and the restarted gate's state store
+    // must hold ONLY the lines B3 touched — strictly fewer rows than
+    // the never-flushed gate accumulated.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.{LineGated, LineRow, LineRowBase}
+    def lr(d: Long, lid: Long, l: String) = LineRow(d, 1L, lid, l)
+    val b1 = Seq(lr(1, 0, "h h"), lr(2, 0, "h h"), lr(3, 0, "h h"),
+      lr(1, 1, "x y"), lr(2, 1, "a b"))
+    val b2 = Seq(lr(4, 0, "h h"), lr(5, 0, "x y"))
+    val b3 = Seq(lr(6, 0, "h h"), lr(7, 0, "x y"), lr(8, 0, "x y"),
+      lr(9, 0, "z z"))
+
+    // control: the never-flushed gate over all three batches
+    val msC = MemoryStream[LineRow]
+    val qC = StreamingDedup.lineSupportGate(msC.toDS(), minSupport = 3)
+      .writeStream.format("memory").queryName("lng_ctl")
+      .outputMode("append").start()
+    val ctl3 = try {
+      Seq(b1, b2, b3).foreach { b => msC.addData(b); qC.processAllAvailable() }
+      assert(stateRows(qC) == 4L, // h h, x y, a b, z z — every line ever
+        s"control state ${stateRows(qC)} != 4 distinct lines ever seen")
+      spark.table("lng_ctl").as[LineGated].collect()
+        .filter(_.doc_id >= 6).map(g => (g.doc_id, g.line_id) -> g.kept).toMap
+    } finally qC.stop()
+
+    // evicted: B1+B2 through the gate, FLUSH, restart for B3
+    val ms1 = MemoryStream[LineRow]
+    val q1 = StreamingDedup.lineSupportGate(ms1.toDS(), minSupport = 3)
+      .writeStream.format("memory").queryName("lng_ph1")
+      .outputMode("append").start()
+    val reg = try {
+      Seq(b1, b2).foreach { b => ms1.addData(b); q1.processAllAvailable() }
+      StreamingDedup.registryFold(spark.table("lng_ph1"))
+        .as[(String, Long)].collect().toMap
+    } finally q1.stop()
+    // the flushed registry is the exact batch support of B1 ∪ B2
+    assert(reg == Map("h h" -> 4L, "x y" -> 2L, "a b" -> 1L), reg.toString)
+
+    val ms2 = MemoryStream[LineRowBase]
+    val q2 = StreamingDedup.lineSupportGateFrom(ms2.toDS(), minSupport = 3)
+      .writeStream.format("memory").queryName("lng_ph2")
+      .outputMode("append").start()
+    try {
+      ms2.addData(b3.map(r => LineRowBase(r.doc_id, r.n_lines, r.line_id,
+        r.line, reg.getOrElse(r.line, 0L))))
+      q2.processAllAvailable()
+      val evicted = spark.table("lng_ph2").as[LineGated].collect()
+        .map(g => (g.doc_id, g.line_id) -> g.kept).toMap
+      assert(evicted == ctl3,
+        s"flush/restart changed verdicts: $evicted vs $ctl3")
+      // state SHRANK: only B3's lines, not the full history
+      assert(stateRows(q2) == 3L,
+        s"restarted state ${stateRows(q2)} != 3 (lines B3 touched)")
+    } finally q2.stop()
+  }
 }
