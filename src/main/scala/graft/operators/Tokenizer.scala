@@ -170,13 +170,28 @@ object Tokenizer {
     * list + the sym→id map — exactly what [[bpeMerges]]/[[bpeVocab]]
     * train offline) to a text column as ONE narrow expression — per
     * word, the char encoding folds through each merge in training
-    * order, then symbols map to ids through a literal map. No join, no
-    * window, no shuffle: safe inside a streaming projection, the same
+    * order, then symbols map to ids. No join, no window, no shuffle:
+    * safe inside a streaming projection, the same
     * offline-trained/online-applied pattern as the PQ code assignment
     * (C61). Returns array<long> ids in document order; unknown symbols
     * (impossible when artifacts come from this corpus's training, the
-    * OOV story of a real deployment) map to null. */
+    * OOV story of a real deployment) map to null.
+    *
+    * Scale (r11, verdict #3): the artifacts ride ONE native expression's
+    * constructor ([[graft.plans.BpeEncodeExpr]] → a single BpeModel
+    * reference object, the HilbertKeyExpr pattern) — the pre-r11
+    * per-merge HOF unroll + `typedLit` map would put a 30k-entry
+    * literal chain in the expression tree at a production vocab, the
+    * CollapseProject/codegen blowup class C173 measured. The unrolled
+    * formulation survives as [[encodeWithHof]] for the parity spec;
+    * TokenizerSpec guards plan+execute time at a 30k-merge vocab. */
   def encodeWith(text: Column, merges: Seq[(String, String)],
+      ids: Map[String, Long]): Column =
+    graft.plans.native.bpe_encode(text, merges, ids)
+
+  /** Reference HOF formulation of [[encodeWith]] (parity tests only —
+    * unrolls one merge fold per round; do not use past toy vocabs). */
+  def encodeWithHof(text: Column, merges: Seq[(String, String)],
       ids: Map[String, Long]): Column = {
     val idMap = typedLit(ids)
     def wordEnc(w: Column): Column =

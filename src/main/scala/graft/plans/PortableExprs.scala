@@ -282,6 +282,27 @@ case class BitsetJaccardExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Frozen-artifact BPE encoder (r11): the whole model — ordered merge
+  * list + sym→id map — rides ONE [[BpeModel]] reference object instead
+  * of an unrolled per-merge HOF chain + map literal, so the expression
+  * tree (and the generated code) is the same size at 3 merges or 30k
+  * (guarded in TokenizerSpec). Exact sequential-fold semantics; parity
+  * with the HOF formulation is spec-asserted. */
+case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
+    ids: Map[String, Long]) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val model = BpeModel(merges, ids)
+  override protected def nullSafeEval(input: Any): Any =
+    model.encode(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeExpr =
+    copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (Spark 4 classic backend:
   * Column wraps a ColumnNode, so go through ExpressionUtils). */
 object native {
@@ -326,4 +347,7 @@ object native {
   def hashed_linear_score(c: Column, halfRange: Int): Column =
     asCol(HashedLinearScoreExpr(exprOf(c), halfRange))
   def token_count(c: Column): Column = asCol(TokenCountExpr(exprOf(c)))
+  def bpe_encode(c: Column, merges: Seq[(String, String)],
+      ids: Map[String, Long]): Column =
+    asCol(BpeEncodeExpr(exprOf(c), merges, ids))
 }

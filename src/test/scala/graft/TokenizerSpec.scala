@@ -157,4 +157,59 @@ class TokenizerSpec extends SparkSpec {
 
   private def sourcesDocs =
     graft.sources.Tables.documents(spark, sf()).limit(100)
+
+  test("encodeWith native expression == HOF reference, nulls and edges included") {
+    // r11: encodeWith moved from the per-merge HOF unroll to one native
+    // BpeModel reference object — exact parity on the real corpus plus
+    // the edge rows the corpus lacks (null text, empty, spaces-only,
+    // single char, OOV symbols under sample-trained artifacts)
+    val docs = sourcesDocs
+    val merges = Tokenizer.bpeMerges(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = Tokenizer.bpeVocab(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val edges = Seq((9001L, null.asInstanceOf[String]), (9002L, ""),
+      (9003L, "   "), (9004L, "q"), (9005L, "ÿ unseen"))
+      .toDF("doc_id", "text")
+    val all = docs.select(col("doc_id"), col("text")).unionByName(edges)
+    val cmp = all.select(col("doc_id"),
+      Tokenizer.encodeWith(col("text"), merges, ids).as("nat"),
+      Tokenizer.encodeWithHof(col("text"), merges, ids).as("hof"))
+    assert(cmp.count() === all.count())
+    val diff = cmp.filter(
+      !(col("nat") <=> col("hof"))).collect()
+    assert(diff.isEmpty, diff.take(3).mkString("; "))
+  }
+
+  test("encodeWith at a 30k-merge vocab: constant-size plan, padded merges are no-ops") {
+    // the guard the r10 verdict asked for: at a production-scale vocab
+    // the expression tree must NOT grow with the merge count (the HOF
+    // unroll measured the C173 blowup class). 30k padding merges whose
+    // symbols never occur must leave the output identical to the real
+    // merges alone, and plan+execute must stay in seconds.
+    val docs = sourcesDocs
+    val merges = Tokenizer.bpeMerges(docs, rounds = 3)
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val ids = Tokenizer.bpeVocab(docs, rounds = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pad symbols carry \u0001/\u0002 prefixes so they can never match
+    // corpus chars or real merge outputs — provably inert no-ops
+    val padded = merges ++ (0 until 30000).map(i =>
+      ("\u0001" + i, "\u0002" + i))
+    val idsPadded = ids ++ (0 until 30000).map(i =>
+      ("\u0001" + i + "\u0002" + i) -> (100000L + i))
+    val t0 = System.nanoTime()
+    val out = docs.select(col("doc_id"),
+      Tokenizer.encodeWith(col("text"), padded, idsPadded).as("ids"))
+    val base = docs.select(col("doc_id"),
+      Tokenizer.encodeWith(col("text"), merges, ids).as("ids"))
+    val j = out.as("p").join(base.as("b"), "doc_id")
+    assert(j.filter(!(col("p.ids") <=> col("b.ids"))).count() === 0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"30k-merge encode plan+execute: $secs%.1f s")
+    assert(secs < 60.0,
+      f"30k-merge vocab took $secs%.1f s — the artifact seam regressed to tree growth")
+  }
 }
