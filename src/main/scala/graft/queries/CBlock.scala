@@ -1575,6 +1575,38 @@ object CBlock {
         .orderBy(col("probe_id"), col("adc_dist"), col("cand_id"))
     }),
 
+    "sim_pq_stream" -> ((s, dir) => {
+      // C61's streaming PQ code assignment promoted to an oracle row
+      // (r11): the codebook is collected OFFLINE, the codes are
+      // assigned inside a REAL streaming projection (file source →
+      // narrow argmin → memory sink) — index-at-ingest, no state, no
+      // shuffle — and the emitted relation must land on the batch
+      // assignment's SQL (sim_pq's argmin, ordinal mapped to cent_id)
+      val emb = Tables.embeddings(s, dir)
+      graft.streaming.StreamedBatch
+        .pqCodesStream(s, emb, Similarity.ivfCentroids(emb))
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    "sim_pq_books" -> ((s, dir) => {
+      // C64's per-subspace PQ TRAINING promoted to an oracle row (r11):
+      // one Lloyd round of independent per-subspace k-means over the
+      // SUBVECTORS (decimal-exact means, ties to the smaller ordinal,
+      // empty codewords keep their init coordinates) — the trained
+      // codebook model itself, flattened to (subspace, code, pos,
+      // coord) rows and recomputed exactly by the DuckDB twin
+      val s2 = s
+      import s2.implicits._
+      val books = Similarity.trainedSubCodebooks(
+        Tables.embeddings(s, dir), iters = 1)
+      books.zipWithIndex.flatMap { case (cws, sub) =>
+        cws.zipWithIndex.flatMap { case (cw, ord) =>
+          cw.zipWithIndex.map { case (x, pos) =>
+            (sub.toLong, ord.toLong, pos.toLong, x) } }
+      }.toSeq.toDF("subspace", "code", "pos", "coord")
+        .orderBy(col("subspace"), col("code"), col("pos"))
+    }),
+
     "sim_pq_ivf" -> ((s, dir) => {
       // IVFADC: coarse quantizer prunes to nprobe inverted lists, ADC
       // scores only those lists' PQ codes — the production ANN shape
@@ -5826,6 +5858,58 @@ object CBlock {
         |FROM d
         |QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) = 1
         |ORDER BY vec_id, subspace""".stripMargin,
+
+    "sim_pq_stream" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |d AS (
+        |  SELECT e.vec_id, ss.s, c.cent_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, ss, cents c
+        |)
+        |SELECT vec_id, CAST(s AS BIGINT) AS subspace, cent_id AS code
+        |FROM d
+        |QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cent_id) = 1
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    "sim_pq_books" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, embedding AS cv,
+        |    CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ord
+        |  FROM embeddings WHERE vec_id % 32 = 0 AND vec_id < 256
+        |), ss AS (SELECT unnest(range(0, 8)) AS s),
+        |pp AS (SELECT unnest(range(0, 8)) AS pos),
+        |d AS (
+        |  SELECT e.vec_id, ss.s, c.ord,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 9),
+        |      i -> (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE))
+        |         * (CAST(e.embedding[ss.s*8+i] AS DOUBLE) - CAST(c.cv[ss.s*8+i] AS DOUBLE)))),
+        |      (a, x) -> a + x) AS dist
+        |  FROM embeddings e, ss, cents c
+        |), a AS (
+        |  SELECT vec_id, s, ord FROM d
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, ord) = 1
+        |), mm AS (
+        |  SELECT a.s, a.ord AS code, pp.pos,
+        |    ROUND(CAST(sum(CAST(CAST(e.embedding[CAST(a.s*8 + pp.pos + 1 AS INT)]
+        |      AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS mean
+        |  FROM a JOIN embeddings e ON e.vec_id = a.vec_id, pp
+        |  GROUP BY 1, 2, 3
+        |), grid AS (
+        |  SELECT ss.s, c.ord AS code, pp.pos,
+        |    CAST(c.cv[CAST(ss.s*8 + pp.pos + 1 AS INT)] AS DOUBLE) AS init
+        |  FROM cents c, ss, pp
+        |)
+        |SELECT CAST(g.s AS BIGINT) AS subspace, CAST(g.code AS BIGINT) AS code,
+        |  CAST(g.pos AS BIGINT) AS pos, COALESCE(m.mean, g.init) AS coord
+        |FROM grid g LEFT JOIN mm m
+        |  ON m.s = g.s AND m.code = g.code AND m.pos = g.pos
+        |ORDER BY subspace, code, pos""".stripMargin,
 
     "sim_pq_topk" ->
       """WITH cents AS (

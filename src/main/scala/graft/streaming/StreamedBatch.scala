@@ -452,6 +452,30 @@ object StreamedBatch {
       .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok_id"))
   }
 
+  /** [[graft.operators.Similarity.pqCodesWith]] — the offline-trained
+    * PQ codebook applied AT INGEST — run through a REAL stream (file
+    * source → narrow argmin projection → memory sink), then exploded to
+    * the (vec_id, subspace, code) relation with the ordinal mapped back
+    * to its centroid id, so the emitted stream lands on the BATCH
+    * assignment's oracle SQL. The C61 component's oracle anchor (r11):
+    * every new vector is indexed at consume time, no state, no
+    * shuffle. */
+  def pqCodesStream(s: SparkSession, emb: DataFrame,
+      cents: Array[(Long, Seq[Double])]): DataFrame = {
+    val input = emb.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding"))
+    val streamed = throughStream(s, input, "pqc") { (ss, src) =>
+      graft.operators.Similarity.pqCodesWith(
+        ss.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(src), cents)
+        .writeStream
+    }
+    streamed
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "ord")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        element_at(typedLit(cents.map(_._1).toSeq), col("ord") + 1).as("code"))
+  }
+
 
 
   /** Write `batches` as ONE parquet FILE per `batch` value, in batch
