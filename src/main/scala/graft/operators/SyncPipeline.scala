@@ -34,7 +34,29 @@ final case class SyncConfig(
     /** sink flush cadence in ms (args.rs:117-119 --flush-interval,
       * default 5000): the processing-time trigger of the streaming sync
       * (es.rs:275-308 ticks its buffer flush on this interval) */
-    flushIntervalMs: Long = 5000)
+    flushIntervalMs: Long = 5000,
+    // ---- client connection identity (r11, CLI-parity residue) ----
+    // The six remaining args.rs knobs configure the network CLIENT the
+    // sandbox cannot run; they are carried VERBATIM to the connector
+    // seam ([[graft.sources.Connectors.Subscription]]) where an
+    // off-sandbox Pulsar binding consumes them — inert for the file
+    // stand-ins, asserted delivered in StreamingSyncSpec.
+    /** broker address (args.rs:73-75 --pulsar-addr) */
+    pulsarAddr: String = "pulsar://127.0.0.1:6650",
+    /** auth token (args.rs:77-79 --pulsar-token) */
+    pulsarToken: Option[String] = None,
+    /** consumer name (args.rs:85-87 --consumer-name) */
+    consumerName: Option[String] = None,
+    /** subscription name (args.rs:89-91 --subscription-name) */
+    subscriptionName: Option[String] = None,
+    /** client-side receive channel capacity (args.rs:121-123
+      * --channel-buffer-size, default 2048) */
+    channelBufferSize: Int = 2048,
+    /** debug filename for injected payloads (args.rs:141-143
+      * --injected-logfile): the physical file target of the inject
+      * side channel whose CONTENT the `is_logged` flag of
+      * [[SyncPipeline.inject]] already carries */
+    injectedLogfile: Option[String] = None)
 
 /** The reference's consume→transform→route→buffer pipeline (pulsar.rs
   * consume_loop + es.rs sink_elasticsearch_loop) re-expressed as a

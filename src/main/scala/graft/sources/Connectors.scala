@@ -19,6 +19,30 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * exercises the sync through these seams via the default providers. */
 object Connectors {
 
+  /** The full subscription descriptor a source connector receives —
+    * the seam where the reference's client connection-identity knobs
+    * (args.rs:73-123: --pulsar-addr, --pulsar-token, --consumer-name,
+    * --subscription-name, --channel-buffer-size) bind. The file
+    * stand-ins only consume `uri`/`maxBatch`; an off-sandbox Pulsar
+    * connector consumes all of them. Built from the pipeline config by
+    * [[subscriptionFor]] so the CLI surface maps 1:1 with no field
+    * dropped on the floor (StreamingSyncSpec asserts delivery). */
+  final case class Subscription(
+      uri: String,
+      maxBatch: Option[Int] = None,
+      pulsarAddr: String = "pulsar://127.0.0.1:6650",
+      pulsarToken: Option[String] = None,
+      consumerName: Option[String] = None,
+      subscriptionName: Option[String] = None,
+      channelBufferSize: Int = 2048)
+
+  /** [[Subscription]] from a [[graft.operators.SyncConfig]]: the knobs
+    * travel config → subscription → connector verbatim. */
+  def subscriptionFor(cfg: graft.operators.SyncConfig, uri: String,
+      maxBatch: Option[Int] = None): Subscription =
+    Subscription(uri, maxBatch, cfg.pulsarAddr, cfg.pulsarToken,
+      cfg.consumerName, cfg.subscriptionName, cfg.channelBufferSize)
+
   /** Source seam: a subscription yielding the canonical message stream
     * `(msg_id LONG, topic STRING, publish_time TIMESTAMP, data STRING)`.
     * `maxBatch` is ingestion backpressure (consumer --batch-size,
@@ -29,6 +53,12 @@ object Connectors {
     def readStream(spark: SparkSession, uri: String,
         maxBatch: Option[Int] = None): DataFrame
     def read(spark: SparkSession, uri: String): DataFrame
+    /** Open the stream from a FULL [[Subscription]] — the entry point
+      * the sync uses, so every connection-identity knob reaches the
+      * connector; the file stand-ins ignore the client fields by
+      * delegating here. */
+    def readStreamWith(spark: SparkSession, sub: Subscription): DataFrame =
+      readStream(spark, sub.uri, sub.maxBatch)
   }
 
   /** Sink seam: write one admitted micro-batch to the index target,

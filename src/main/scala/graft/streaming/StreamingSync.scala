@@ -80,7 +80,12 @@ object StreamingSync {
         graft.sources.Connectors.ParquetMessages,
       sink: graft.sources.Connectors.BulkSinkConnector =
         graft.sources.Connectors.IndexedParquetBulk): StreamingQuery = {
-    val out = transform(cfg)(source.readStream(spark, sourceDir, batchFiles))
+    // the FULL subscription descriptor goes to the connector (r11):
+    // connection-identity knobs travel config → seam verbatim; the
+    // file stand-ins ignore the client fields, a Pulsar binding uses
+    // them
+    val out = transform(cfg)(source.readStreamWith(spark,
+      graft.sources.Connectors.subscriptionFor(cfg, sourceDir, batchFiles)))
     val writer = out.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = SyncPipeline.rateLimit(cfg)(batch)

@@ -90,6 +90,63 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("connection-identity knobs travel SyncConfig → the connector seam verbatim") {
+    // r11 CLI-parity residue: the six args.rs client knobs the sandbox
+    // cannot exercise (--pulsar-addr/-token, --consumer-name,
+    // --subscription-name, --channel-buffer-size, --injected-logfile)
+    // are config fields that must REACH the provider seam, not sit
+    // inert in a struct nobody reads
+    import graft.sources.Connectors
+    // defaults mirror args.rs:73-123 exactly
+    assert(SyncConfig().pulsarAddr == "pulsar://127.0.0.1:6650")
+    assert(SyncConfig().pulsarToken.isEmpty &&
+      SyncConfig().consumerName.isEmpty &&
+      SyncConfig().subscriptionName.isEmpty)
+    assert(SyncConfig().channelBufferSize == 2048)
+    assert(SyncConfig().injectedLogfile.isEmpty)
+    val idCfg = cfg.copy(
+      pulsarAddr = "pulsar://broker.example:6650",
+      pulsarToken = Some("tok-123"),
+      consumerName = Some("graft-consumer"),
+      subscriptionName = Some("graft-sub"),
+      channelBufferSize = 4096,
+      injectedLogfile = Some("/var/log/injected.log"))
+    // the builder maps config → subscription 1:1
+    assert(Connectors.subscriptionFor(idCfg, "/some/uri", Some(7)) ==
+      Connectors.Subscription("/some/uri", Some(7),
+        "pulsar://broker.example:6650", Some("tok-123"),
+        Some("graft-consumer"), Some("graft-sub"), 4096))
+    // and the RUNNING sync delivers the full descriptor to the
+    // connector: a recording wrapper around the parquet stand-in
+    var seen: Option[Connectors.Subscription] = None
+    object Recording extends Connectors.MessageConnector {
+      val name = "recording"
+      def readStream(s: org.apache.spark.sql.SparkSession, uri: String,
+          maxBatch: Option[Int]): org.apache.spark.sql.DataFrame =
+        Connectors.ParquetMessages.readStream(s, uri, maxBatch)
+      def read(s: org.apache.spark.sql.SparkSession,
+          uri: String): org.apache.spark.sql.DataFrame =
+        Connectors.ParquetMessages.read(s, uri)
+      override def readStreamWith(s: org.apache.spark.sql.SparkSession,
+          sub: Connectors.Subscription): org.apache.spark.sql.DataFrame = {
+        seen = Some(sub)
+        super.readStreamWith(s, sub)
+      }
+    }
+    val tmp = Files.createTempDirectory("graft-connid").toString
+    Tables.events(spark, sf())
+      .select(col("event_id").as("msg_id"), col("event_type").as("topic"),
+        timestamp_micros(expr("ts div 1000")).as("publish_time"),
+        col("props").as("data"))
+      .limit(20).write.parquet(s"$tmp/src")
+    val q = StreamingSync.start(spark, idCfg, s"$tmp/src", s"$tmp/sink",
+      s"$tmp/metrics", availableNow = true, source = Recording)
+    q.awaitTermination(120000)
+    assert(seen.contains(
+      Connectors.subscriptionFor(idCfg, s"$tmp/src", None)),
+      s"connector saw $seen")
+  }
+
   test("bounded consumer batches (maxFilesPerTrigger) reach the same result") {
     val tmp = Files.createTempDirectory("graft-stream3").toString
     val msgs = Tables.events(spark, sf())
