@@ -11,10 +11,16 @@ import java.nio.file.{Files, Paths}
   * steady-state per-query throughput; each query is then timed on full
   * materializations (count of the final plan).
   *
+  * Protocol (r11): three FULL interleaved sweeps — every query timed
+  * once per sweep, per-query seconds = the MEDIAN across sweeps, and
+  * the line carries `sweep_totals` so environment drift between sweeps
+  * is visible in the artifact (SPARK_GRAFT_BENCH_SWEEPS overrides the
+  * sweep count for local iteration).
+  *
   * Failure contract: a query run that throws is NEVER reported as a
-  * timing. Its entry in `queries` is -1.0, the message lands in `errors`,
-  * and the line is also printed to stderr. The reported time is the min
-  * over successful runs only.
+  * timing. A query with zero successful sweeps reports -1.0; partial
+  * failures report the min of the surviving samples; every failure
+  * message lands in `errors` and on stderr.
   */
 object Bench {
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -89,8 +95,28 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(s =>
       SparkEntry.queries.filter { case (n, _) => s(n) })
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Either[String, Double] = {
+    // r11 protocol (verdict #4): THREE FULL SWEEPS, each timing every
+    // query once in alphabetical order, and the reported per-query
+    // number is the MEDIAN across sweeps. The pre-r11 per-query
+    // min-of-2 (+conditional third run) ran a query's samples
+    // back-to-back, so a multi-second machine-contention window (the
+    // bimodal-noise history above — five same-binary sf0.1 sweeps
+    // spread 185-234 s) hit BOTH samples of the queries inside it and
+    // arbitration never fired. Interleaving at the sweep level puts
+    // minutes between a query's samples; one contended sweep then
+    // loses the median vote per query, and the per-sweep TOTALS are
+    // reported alongside so a drifting environment is visible in the
+    // artifact itself instead of reading as a code regression.
+    val sweepCount = sys.env.get("SPARK_GRAFT_BENCH_SWEEPS")
+      .map(_.toInt).getOrElse(3)
+    val names = selected.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, List[String]]()
+      .withDefaultValue(Nil)
+    val sweepTotals = (1 to sweepCount).map { sweep =>
+      var tot = 0.0
+      names.foreach { case (name, fn) =>
         // Release DEAD materialization blocks from prior queries before
         // timing: Materialize local-checkpoints eagerly and a finished
         // query's blocks are unreachable, but they still occupy the
@@ -102,30 +128,30 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          Left(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
+        try {
+          fn(spark, sfDir).count()
+          val t = (System.nanoTime() - t0) / 1e9
+          samples(name) = t :: samples(name)
+          tot += t
+        } catch { case e: Throwable =>
+          errors(name) = (s"sweep $sweep: ${e.getClass.getName}: " +
+            String.valueOf(e.getMessage).take(400)) :: errors(name)
         }
       }
-      once() match {
-        case Left(e1) => R(name, -1.0, Some(e1))
-        case Right(t1) => once() match {
-          case Right(t2) =>
-            // the two runs can straddle a machine-contention window (the
-            // bimodal-noise history above): when they disagree by >2×, a
-            // third run arbitrates so one contended sample can't become
-            // the reported "regression" (the r8 q10_returned ghost)
-            val disagree = math.max(t1, t2) > 2.0 * math.min(t1, t2)
-            if (disagree) once() match {
-              case Right(t3) => R(name, Seq(t1, t2, t3).min, None)
-              case Left(e3) => // same posture as the warm-run branch below:
-                // a crashing arbitration run is surfaced, not swallowed
-                R(name, math.min(t1, t2), Some(s"third run failed: $e3"))
-            } else R(name, math.min(t1, t2), None)
-          case Left(e2) => // succeeded cold, failed warm: suspicious — surface it
-            R(name, t1, Some(s"second run failed: $e2"))
-        }
-      }
+      tot
+    }
+    // median of 3, min of fewer (a query that crashed a sweep keeps the
+    // contention-defensive posture of the old min-of-2 on what's left)
+    def report(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size >= 3) s(s.size / 2) else s.headOption.getOrElse(-1.0)
+    }
+    val results = names.map { case (name, _) =>
+      R(name, report(samples(name)),
+        errors(name) match {
+          case Nil => None
+          case es => Some(es.reverse.mkString("; "))
+        })
     }
     results.flatMap(r => r.err.map(r.name -> _)).foreach { case (n, e) =>
       System.err.println(s"[bench] QUERY FAILED $n: $e")
@@ -139,8 +165,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_.secs >= 0).map(_.secs).sum
     val nErr = results.count(_.err.isDefined)
+    val sweepsJson = sweepTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sweep_totals":$sweepsJson,"sf":${jstr(sfDir)}}"""
     // tail-proof contract: the LAST stdout line is a short, complete JSON
     // object (a bounded tail window always contains one parseable line
     // even if the full per-query line gets truncated by log capture);
