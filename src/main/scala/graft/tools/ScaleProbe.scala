@@ -72,6 +72,11 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    // SPARK_GRAFT_SCALE_ONLY=a,b restricts the probe set (local
+    // diagnosis aid); restricted runs skip the SCALE.json write so a
+    // partial probe never masquerades as the board
+    val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val baseDir = "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -146,14 +151,15 @@ object ScaleProbe {
 
     def fmt(d: Double) =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
-    val rows = probes.map { q =>
+    val selected = onlyProbes.fold(probes)(s => probes.filter(s))
+    val rows = selected.map { q =>
       val b = time(q, baseDir)
       val s = time(q, scaledDir)
       println(f"[scale] $q%-20s base=$b%.2fs scaled=$s%.2fs slope=${s / b}%.2f (data x$replicas)")
       s""""$q":{"base_sec":${fmt(b)},"scaled_sec":${fmt(s)},"slope":${fmt(s / b)}}"""
     }
     val line = s"""{"replicas":$replicas,"queries":{${rows.mkString(",")}}}"""
-    Files.writeString(Paths.get("SCALE.json"), line + "\n")
+    if (onlyProbes.isEmpty) Files.writeString(Paths.get("SCALE.json"), line + "\n")
     println(line)
     // the scaled copy is ~10× sf0.1 on disk — drop it
     val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(scaledDir),
