@@ -310,6 +310,43 @@ object CBlock {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    "dedup_gate_evict" -> ((s, dir) => {
+      // the BUCKET gate's state-eviction lifecycle (r11 — the line
+      // gate's C199 protocol applied to the first-seen registry): the
+      // same redelivery-planted 5-batch replay as
+      // dedup_gate_multibatch, but after batch 2 the gate state is
+      // FLUSHED into the stored bucket index (per-bucket replay owner
+      // = min (batch, doc) over phase-1 arrivals — the C104 artifact a
+      // production sink maintains) and phase 2 RESTARTS with empty
+      // state seeded by it via a stream-static join. The flush is
+      // invisible to ownership, so the oracle is
+      // dedup_gate_multibatch's SQL VERBATIM; the restarted state
+      // store holds only phase-2 buckets (spec-measured).
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("arrival", col("doc_id") +
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val p1 = batched.filter(col("batch") <= 2)
+      val g1 = graft.streaming.StreamedBatch
+        .nearDupCollisionsMulti(s, p1, nBatches = 3)
+      val reg = Dedup.minhashBuckets(p1.select(col("doc_id"), col("text")))
+        .join(p1.select(col("doc_id"), col("batch")), "doc_id")
+        .groupBy(col("bucket"))
+        .agg(min(struct(col("batch"), col("doc_id"))).as("o"))
+        .select(col("bucket"), col("o.doc_id").as("first_doc"))
+      val g2 = graft.streaming.StreamedBatch.nearDupCollisionsMultiFrom(s,
+        batched.filter(col("batch") >= 3)
+          .withColumn("batch", col("batch") - 3),
+        nBatches = 2, registry = reg)
+      g1.unionByName(g2).orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "dedup_registry_compact" -> ((s, dir) => {
       // the production loop C45's scaladoc promises, closed under the
       // oracle: the streaming gate's first-seen registry (per-bucket
@@ -7637,7 +7674,8 @@ object CBlock {
     baseOracle + ("sim_pq_stored" -> baseOracle("sim_pq_ivf")) +
       ("dedup_index_stored" -> baseOracle("dedup_incremental")) +
       // the flush/restart eviction protocol must be INVISIBLE to
-      // verdicts: the evicted replay answers to the never-flushed
-      // stream row's SQL verbatim
-      ("dedup_lines_evict" -> baseOracle("dedup_lines_stream"))
+      // verdicts: each evicted replay answers to its never-flushed
+      // twin's SQL verbatim
+      ("dedup_lines_evict" -> baseOracle("dedup_lines_stream")) +
+      ("dedup_gate_evict" -> baseOracle("dedup_gate_multibatch"))
 }

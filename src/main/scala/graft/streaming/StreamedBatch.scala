@@ -760,6 +760,44 @@ object StreamedBatch {
     }
   }
 
+  /** [[nearDupCollisionsMulti]] RESTARTED from a flushed ownership
+    * registry — the bucket gate's state-eviction half (r11, the line
+    * gate's C199 lifecycle applied to the first-seen registry): the
+    * gate runs with EMPTY state, each arriving (doc, bucket) pair
+    * carries the bucket's STORED first owner via a stream-static left
+    * join against `registry` (bucket, first_doc) — min per bucket
+    * first, so overlapping flushes collapse to the earliest owner —
+    * and ownership continues exactly where the flushed run stopped
+    * (`dedup_gate_evict` shares `dedup_gate_multibatch`'s SQL
+    * verbatim). */
+  def nearDupCollisionsMultiFrom(s: SparkSession, batched: DataFrame,
+      nBatches: Int, registry: DataFrame): DataFrame = {
+    val regTmp = Files.createTempDirectory("graft-ndgf-reg").toString
+    try {
+      registry.select(col("bucket"), col("first_doc"))
+        .write.parquet(s"$regTmp/reg")
+      throughChunkedStream(s, "ndgf", nBatches,
+        (batched, Seq("doc_id", "text"))) { (ss, srcs) =>
+        import ss.implicits._
+        val reg = ss.read.parquet(s"$regTmp/reg")
+          .groupBy(col("bucket")).agg(min(col("first_doc")).as("__first"))
+        val stream = ss.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        val keyed = graft.operators.Dedup.minhashBuckets(stream)
+          .join(reg, Seq("bucket"), "left")
+          .select(col("doc_id"), col("bucket"),
+            coalesce(col("__first"), lit(Long.MaxValue)).as("first"))
+          .as[(Long, Long, Long)]
+        StreamingDedup.keyedFirstSeenGateFrom(keyed).toDF().writeStream
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(regTmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(regTmp), true)
+      ()
+    }
+  }
+
   /** The LINE-BOILERPLATE gate at ingest across REAL micro-batches:
     * each arriving document splits into its fixed-window lines INSIDE
     * the stream (the same [[graft.operators.Dedup.docLines]] projection

@@ -18,11 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * across batches the registry carries first-seen ownership forward.
   *
   * Scale: the shuffle is on the bucket key (the same single wide stage
-  * as batch banding); state is O(distinct buckets) × 16 bytes — at
-  * 100 TB the registry is sharded by the same key, and a production
-  * deployment bounds it with event-time TTL (dedup horizon) or periodic
-  * compaction into the stored bucket index that [[Dedup.incrementalDedup]]
-  * consumes. NoTimeout here = an unbounded horizon, the strictest gate.
+  * as batch banding); state is O(distinct buckets since the last
+  * flush) × 16 bytes — at 100 TB the registry is sharded by the same
+  * key and bounded by the r11 eviction lifecycle: persist the stored
+  * bucket index (the C104 artifact), restart the gate through
+  * [[keyedFirstSeenGateFrom]] with empty state seeded by it — verdicts
+  * unchanged (`dedup_gate_evict` shares `dedup_gate_multibatch`'s SQL
+  * verbatim). NoTimeout within a run = the strictest gate horizon.
   */
 object StreamingDedup {
 
@@ -49,16 +51,38 @@ object StreamingDedup {
     * relation — the gate's state machinery split out so other keying
     * functions (perceptual image hashes, chunk hashes, …) gate through
     * the identical semantics: within a micro-batch ties break by doc
-    * id, across batches the registry carries ownership forward. */
+    * id, across batches the registry carries ownership forward.
+    * State = one owner per distinct key since the last flush — the
+    * r11 eviction lifecycle: persist the stored bucket index (per-key
+    * replay owner, the C104 artifact a production sink maintains),
+    * restart through [[keyedFirstSeenGateFrom]] with EMPTY state —
+    * verdicts unchanged (spec + the `dedup_gate_evict` oracle row). */
   def keyedFirstSeenGate(keyed: Dataset[(Long, Long)]): Dataset[Collision] = {
+    val s = keyed.sparkSession
+    import s.implicits._
+    keyedFirstSeenGateFrom(keyed.map(r => (r._1, r._2, Long.MaxValue)))
+  }
+
+  /** [[keyedFirstSeenGate]] seeded by a STORED ownership registry: each
+    * row carries its key's flushed first-owner (`_3`; Long.MaxValue =
+    * no stored owner — the same sentinel the gate's own empty state
+    * uses), joined in upstream from the stored bucket index. A key
+    * absent from the registry starts fresh; a key present collides
+    * every arrival against the stored owner. base ≡ MaxValue IS the
+    * plain gate. */
+  def keyedFirstSeenGateFrom(
+      keyed: Dataset[(Long, Long, Long)]): Dataset[Collision] = {
     val s = keyed.sparkSession
     import s.implicits._
     keyed.groupByKey(_._2)
       .flatMapGroupsWithState[Seen, Collision](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bucket: Long, it: Iterator[(Long, Long)], state: GroupState[Seen]) =>
-          val arrivals = it.map(_._1).toArray.sorted
-          var first = state.getOption.map(_.first).getOrElse(Long.MaxValue)
+        (bucket: Long, it: Iterator[(Long, Long, Long)],
+            state: GroupState[Seen]) =>
+          val buf = it.buffered
+          val base = buf.head._3
+          val arrivals = buf.map(_._1).toArray.sorted
+          var first = state.getOption.map(_.first).getOrElse(base)
           val out = Array.newBuilder[Collision]
           arrivals.foreach { d =>
             if (first == Long.MaxValue) first = d

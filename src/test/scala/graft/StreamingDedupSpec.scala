@@ -109,6 +109,67 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed gate eviction: stored-owner restart — state shrinks, collisions identical") {
+    // r11: the first-seen registry's state is bounded the same way as
+    // the line gate's — persist the per-key replay owner (the stored
+    // bucket index), restart keyedFirstSeenGateFrom with empty state.
+    // Keys: 100 owned by doc 1 (batch 1), 200 owned by doc 4 (batch 2),
+    // 300 first touched only in batch 3.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.Collision
+    val b1 = Seq((1L, 100L), (2L, 100L))
+    val b2 = Seq((4L, 200L), (3L, 100L))
+    // B3 leaves key 100 untouched, so the restarted store must be
+    // strictly smaller than the control's
+    val b3 = Seq((8L, 200L), (7L, 300L), (6L, 300L))
+
+    // control: never-flushed gate over all three batches
+    val msC = MemoryStream[(Long, Long)]
+    val qC = StreamingDedup.keyedFirstSeenGate(msC.toDS())
+      .writeStream.format("memory").queryName("kfs_ctl")
+      .outputMode("append").start()
+    val ctl3 = try {
+      Seq(b1, b2, b3).foreach { b => msC.addData(b); qC.processAllAvailable() }
+      assert(stateRows(qC) == 3L, s"control state ${stateRows(qC)} != 3 keys ever")
+      spark.table("kfs_ctl").as[Collision].collect()
+        .filter(_.doc_id >= 6).toSet
+    } finally qC.stop()
+
+    // evicted: B1+B2 through the gate; the stored index is the replay
+    // owner per key (computable from the inputs — owners are silent in
+    // the emissions, so the index comes from the sink side, not the
+    // collision stream); restart for B3 seeded by it
+    val ms1 = MemoryStream[(Long, Long)]
+    val q1 = StreamingDedup.keyedFirstSeenGate(ms1.toDS())
+      .writeStream.format("memory").queryName("kfs_ph1")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2).foreach { b => ms1.addData(b); q1.processAllAvailable() }
+    } finally q1.stop()
+    val owners = Map(100L -> 1L, 200L -> 4L) // min (batch, doc) per key
+
+    val ms2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamingDedup.keyedFirstSeenGateFrom(ms2.toDS())
+      .writeStream.format("memory").queryName("kfs_ph2")
+      .outputMode("append").start()
+    try {
+      ms2.addData(b3.map { case (d, k) =>
+        (d, k, owners.getOrElse(k, Long.MaxValue)) })
+      q2.processAllAvailable()
+      val evicted = spark.table("kfs_ph2").as[Collision].collect().toSet
+      assert(evicted == ctl3,
+        s"flush/restart changed collisions: $evicted vs $ctl3")
+      // fresh key 300: doc 6 owns (min id in the batch), doc 7 collides
+      assert(evicted.contains(Collision(7L, 300L, 6L)))
+      // stored-owner key 200: doc 8 collides against the FLUSHED owner
+      assert(evicted.contains(Collision(8L, 200L, 4L)))
+      // state SHRANK: only B3's keys (200, 300), not the full history
+      assert(stateRows(q2) == 2L,
+        s"restarted state ${stateRows(q2)} != 2 (keys B3 touched)")
+    } finally q2.stop()
+  }
+
   test("line gate eviction: flush to registry + restart — state shrinks, verdicts identical") {
     // r11 (VERDICT #2): the gate's state is bounded by FLUSHING it into
     // the stored registry (registryFold of the emissions — C197 proves
