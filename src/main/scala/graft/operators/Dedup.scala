@@ -906,6 +906,38 @@ object Dedup {
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         col("text_clean"))
 
+  /** INTRA-document line dedup — the WITHIN-doc half of the line pass
+    * (the C4/RefinedWeb "remove repeated lines inside a page" rule,
+    * distinct from [[lineDedup]]'s corpus-wide support gate): a line
+    * repeating inside ONE document keeps its FIRST occurrence and
+    * drops the rest (scraped pages repeat nav blocks, pagination
+    * chrome, quoted reply chains — repetition that needs no corpus
+    * statistics to condemn). Returns the same
+    * (doc_id, n_lines, n_kept, text_clean) contract as [[lineDedup]]
+    * (and the same token-less-doc drop edge).
+    *
+    * Scale: ONE doc-partitioned window (first occurrence = min line_id
+    * per (doc, line) — no corpus-wide state, no support table, no
+    * join) + the shared reassembly agg: two shuffles on the doc key,
+    * both map-side combined; every step is per-document, so the pass
+    * is embarrassingly parallel at any corpus size and is stream-safe
+    * per micro-batch (stateless across documents). Composes with the
+    * corpus gate: run intra first (cheap, no state), then the corpus
+    * support pass sees each page's chrome once per page. */
+  def lineDedupIntra(docs: DataFrame, lineLen: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id"), col("line"))
+      .orderBy(col("line_id"))
+    reassembleLines(docLines(docs, lineLen, idCol, textCol)
+      .withColumn("__rk", row_number().over(w))
+      // reassembly's keep-verdict column: null __bp = keep (first
+      // occurrence), true = drop (a repeat)
+      .withColumn("__bp", when(col("__rk") === 1, lit(null)
+        .cast("boolean")).otherwise(lit(true)))
+      .drop("__rk"))
+  }
+
   /** The (doc_id, n_lines, line_id, line) relation both line-dedup
     * halves consume: each document split into fixed `lineLen`-token
     * windows in order. One narrow explode; token-less docs DROP here

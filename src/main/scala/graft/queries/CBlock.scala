@@ -2586,6 +2586,23 @@ object CBlock {
         .orderBy(col("line"))
     }),
 
+    "dedup_lines_intra" -> ((s, dir) => {
+      // WITHIN-doc repetition removal (r11 — the C4 "repeated lines
+      // inside a page" rule, the intra half the corpus-support gate
+      // C191 deliberately does not cover): a line repeating inside ONE
+      // document keeps its first occurrence, no corpus statistics
+      // involved. Plant: every 3rd doc carries the chrome header TWICE
+      // in a row (window-aligned), so the second occurrence must strip
+      // while the corpus gate would need support ≥ 3. One
+      // doc-partitioned window + the shared reassembly — stateless
+      // across docs, stream-safe per micro-batch.
+      val docs = Tables.documents(s, dir).withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(lineHeader + " " + lineHeader + " "), col("text")))
+          .otherwise(col("text")))
+      Dedup.lineDedupIntra(docs, lineLen = 10).orderBy(col("doc_id"))
+    }),
+
     "dedup_lines_sweep" -> ((s, dir) => {
       // the minSupport POLICY sweep (the threshold audit the board's
       // sweep-row convention gives every tunable): ONE line+support
@@ -7259,6 +7276,34 @@ object CBlock {
     "dedup_lines_registry" ->
       s"""WITH $lineCtes
          |SELECT line, sup FROM sup ORDER BY line""".stripMargin,
+
+    "dedup_lines_intra" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0
+         |         THEN '$lineHeader $lineHeader ' || text
+         |         ELSE text END AS text
+         |  FROM documents
+         |), w AS (
+         |  SELECT doc_id, $toksSql AS t FROM corpus
+         |), ln AS (
+         |  SELECT doc_id, (off // 10) AS line_id,
+         |    CAST((len(t) + 9) // 10 AS BIGINT) AS n_lines,
+         |    array_to_string(list_slice(t, off + 1, off + 10), ' ') AS line
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t), 10)) AS off
+         |        FROM w WHERE len(t) > 0)
+         |), v AS (
+         |  SELECT doc_id, n_lines, line_id, line,
+         |    row_number() OVER (PARTITION BY doc_id, line
+         |      ORDER BY line_id) = 1 AS keep
+         |  FROM ln
+         |)
+         |SELECT doc_id, n_lines,
+         |  CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |  COALESCE(array_to_string(
+         |    list(line ORDER BY line_id) FILTER (WHERE keep), ' '), '')
+         |    AS text_clean
+         |FROM v GROUP BY doc_id, n_lines ORDER BY doc_id""".stripMargin,
 
     "dedup_lines_sweep" ->
       s"""WITH $lineCtes,

@@ -218,4 +218,32 @@ class DedupParitySpec extends SparkSpec {
     assert(bad == 0L, s"$bad docs fail the identity round-trip")
     assert(idOut.count() > 0)
   }
+
+  test("lineDedupIntra: first occurrence survives, repeats strip, no corpus state") {
+    import spark.implicits._
+    // doc 1: line "a b" at windows 0 and 2 — second strips, order kept;
+    // doc 2: the SAME line once — untouched (no corpus support gate);
+    // doc 3: all-distinct — identity
+    val docs = Seq(
+      (1L, "a b x y a b"),
+      (2L, "a b q r"),
+      (3L, "m n o p")).toDF("doc_id", "text")
+    val out = Dedup.lineDedupIntra(docs, lineLen = 2)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out(0) == ((1L, 3L, 2L, "a b x y")))
+    assert(out(1) == ((2L, 2L, 2L, "a b q r")))
+    assert(out(2) == ((3L, 2L, 2L, "m n o p")))
+    // composition: intra-first leaves the corpus gate's verdicts on a
+    // per-page-deduped stream — a doc's chrome counts once per page
+    val both = Dedup.lineDedup(
+      Dedup.lineDedupIntra(docs, lineLen = 2)
+        .select(col("doc_id"), col("text_clean").as("text")),
+      lineLen = 2, minSupport = 2)
+      .orderBy("doc_id").collect()
+    // "a b" support after intra = 2 docs (1 and 2) → stripped by the
+    // corpus gate at minSupport=2; doc 3 untouched
+    assert(both.map(_.getLong(2)).toSeq == Seq(1L, 1L, 2L))
+  }
 }
