@@ -150,4 +150,56 @@ class HashPropertiesSpec extends AnyFunSuite {
       assert(arr.sliding(2).forall(p => p.length < 2 || p(0) < p(1)))
     }
   }
+
+  test("BpeModel == independent sequential-fold reference on ARBITRARY merge lists") {
+    // r11: encodeWith's native model claims EXACT sequential-merge
+    // semantics on ANY merge list — not just trained ones — including
+    // the presence-set skip and the self-overlap rule. Adversarial
+    // cover: random {a,b}-alphabet words and random merge lists whose
+    // pairs may self-overlap ("a","a"), reference symbols that never
+    // occur (the skip path), or compound across rounds ("ab","ab").
+    // The reference below is an INDEPENDENT reimplementation of the
+    // string fold Tokenizer.mergePair documents (separator-encoded,
+    // greedy left-to-right, fused symbol joins later checks).
+    val Sep = ""
+    def refEncode(text: String, merges: Seq[(String, String)],
+        ids: Map[String, Long]): Seq[Option[Long]] = {
+      def mergeOnce(enc: String, l: String, r: String): String =
+        enc.split(Sep).foldLeft("") { (acc, s) =>
+          if (acc.isEmpty) s
+          else if ((acc == l || acc.endsWith(Sep + l)) && s == r) acc + s
+          else acc + Sep + s
+        }
+      text.split(' ').filter(_.nonEmpty).toSeq.flatMap { w =>
+        val enc0 = w.toCharArray.map(String.valueOf).mkString(Sep)
+        val enc = merges.foldLeft(enc0) { case (e, (l, r)) =>
+          mergeOnce(e, l, r) }
+        enc.split(Sep).toSeq.map(ids.get)
+      }
+    }
+    // ids over every {a,b} string of length <= 3 — longer merged
+    // symbols fall outside and must surface as null (the OOV path)
+    val ids = (1 to 3).flatMap(n =>
+      Seq.fill(n)(Seq('a', 'b')).foldLeft(Seq("")) { (acc, cs) =>
+        acc.flatMap(p => cs.map(c => p + c)) }.filter(_.length == n))
+      .zipWithIndex.map { case (s, i) => s -> i.toLong }.toMap
+    val sym = Gen.choose(1, 2).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val mergeList = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(sym, sym)))
+    val abWord = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+    val abText = Gen.choose(0, 8).flatMap(n =>
+      Gen.listOfN(n, abWord).map(_.mkString(" ")))
+    forAll(Gen.zip(abText, mergeList), n = 400) { case (text, merges) =>
+      val model = graft.plans.BpeModel(merges, ids)
+      val got = model.encode(u(text))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.GenericArrayData]
+        .array.toSeq
+        .map(v => Option(v).map(_.asInstanceOf[java.lang.Long].longValue))
+      val want = refEncode(text, merges, ids)
+      assert(got === want,
+        s"text='$text' merges=$merges\n native=$got\n ref=$want")
+    }
+  }
 }
