@@ -1154,11 +1154,18 @@ object Curation {
     * exchange (posture-asserted) — each map task ships only its local
     * top-k, so the shuffle carries O(k · tasks) rows per stratum, never
     * the stratum. */
-  def sampleExactK(docs: DataFrame, k: Int, strataCol: String = "source",
-      idCol: String = "doc_id"): DataFrame = {
-    val u = (native.poly_hash(concat(lit("sample:"), col(idCol).cast("string")))
+  /** The deterministic draw priority both exact-k samplers (and the
+    * streaming twin) share: the affine-rehashed poly hash of the id —
+    * a pure function of the id, identical on any engine/arrival
+    * order. */
+  def samplePriority(id: Column): Column =
+    (native.poly_hash(concat(lit("sample:"), id.cast("string")))
       * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
       graft.plans.HashOps.M
+
+  def sampleExactK(docs: DataFrame, k: Int, strataCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    val u = samplePriority(col(idCol))
     val w = Window.partitionBy(col(strataCol)).orderBy(col("__u"), col(idCol))
     docs.withColumn("__u", u)
       .withColumn("sample_rank", row_number().over(w).cast("long"))
@@ -1181,9 +1188,7 @@ object Curation {
     * apply (bottom-k under ANY fixed total order merges). */
   def sampleWeightedK(docs: DataFrame, k: Int, weight: Column,
       strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
-    val u = (native.poly_hash(concat(lit("sample:"), col(idCol).cast("string")))
-      * graft.plans.HashOps.aK(0) + graft.plans.HashOps.bK(0)) %
-      graft.plans.HashOps.M
+    val u = samplePriority(col(idCol))
     val prio = expr(s"(__u * 1000000) div greatest(CAST(__w AS BIGINT), 1)")
     val w = Window.partitionBy(col(strataCol)).orderBy(col("__p"), col(idCol))
     docs.withColumn("__u", u).withColumn("__w", weight)

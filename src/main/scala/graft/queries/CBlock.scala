@@ -2378,6 +2378,26 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "sample_exact_k_stream" -> ((s, dir) => {
+      // the exact-k holdout MAINTAINED AT INGEST (r11): the bottom-k
+      // (priority, id) pairs ride complete-mode streaming aggregation
+      // as the monoid they are (O(k) state per stratum; a redelivered
+      // doc collapses instead of double-occupying a slot), and the
+      // drained sample must land row-for-row on the batch rank-window
+      // draw — the oracle is sample_exact_k's SQL VERBATIM. Rank =
+      // ascending (u, id) position, the batch window's exact order.
+      val rows = Tables.documents(s, dir).select(
+        col("source").as("key"),
+        Curation.samplePriority(col("doc_id")).as("u"),
+        col("doc_id").as("id"))
+      graft.streaming.StreamedBatch.sampleMinKStreamed(s, rows, k = 7)
+        .select(col("key").as("source"),
+          posexplode(col("ps")).as(Seq("pos", "p")))
+        .select(col("p._2").as("doc_id"), col("source"),
+          (col("pos") + 1).cast("long").as("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "sample_weighted_k" -> ((s, dir) => {
       // length-weighted exact-k draw: a token-budgeted sample should
       // pick long docs proportionally more often — priority divides the
@@ -7722,5 +7742,8 @@ object CBlock {
       // verdicts: each evicted replay answers to its never-flushed
       // twin's SQL verbatim
       ("dedup_lines_evict" -> baseOracle("dedup_lines_stream")) +
-      ("dedup_gate_evict" -> baseOracle("dedup_gate_multibatch"))
+      ("dedup_gate_evict" -> baseOracle("dedup_gate_multibatch")) +
+      // the streaming-maintained holdout must equal the batch draw
+      // row for row — bottom-k is a monoid, so the oracle is shared
+      ("sample_exact_k_stream" -> baseOracle("sample_exact_k"))
 }

@@ -341,6 +341,28 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.plans.BottomKPairsAggregator]] as a LIVE complete-mode
+    * streaming aggregation — the exact-k per-stratum HOLDOUT maintained
+    * at ingest: the bottom-k (priority, id) pairs accumulate per
+    * stratum in O(k) state (the bottom-k-of-a-union monoid), so the
+    * drained sample equals the batch rank-window draw exactly —
+    * whatever the arrival order, and with redeliveries collapsing
+    * instead of double-occupying slots. Input `rows`: (key, u, id). */
+  def sampleMinKStreamed(s: SparkSession, rows: DataFrame,
+      k: Int): DataFrame = {
+    val input = rows.select(col("key").cast("string").as("key"),
+      col("u").cast("long").as("u"), col("id").cast("long").as("id"))
+    throughStreamComplete(s, input, "smpk") { (ss, src) =>
+      import ss.implicits._
+      ss.readStream.schema("key STRING, u LONG, id LONG").parquet(src)
+        .as[graft.plans.PairObs]
+        .groupByKey(_.key)
+        .agg(new graft.plans.BottomKPairsAggregator(k).toColumn.name("ps"))
+        .toDF("key", "ps")
+        .writeStream
+    }
+  }
+
   /** Per-(key, bin) histogram counts maintained as a LIVE complete-mode
     * streaming aggregation (plain sums — the [[cmsCellsStreamed]]
     * property on the quantile grid): the drained counts equal the batch

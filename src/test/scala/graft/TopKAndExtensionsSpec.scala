@@ -101,4 +101,46 @@ class TopKAndExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(spark)
     }
   }
+
+  test("BottomKPairsAggregator: arrival-order invariant, redelivery collapses") {
+    // r11 (sample_exact_k_stream): the streamed holdout's two claims —
+    // ANY batch split of the corpus drains to the batch draw, and a
+    // redelivered id cannot occupy two sample slots
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.sources.Tables.documents(spark, sf())
+      .select(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("doc_id"))
+    val batch = graft.operators.Curation
+      .sampleExactK(graft.sources.Tables.documents(spark, sf()), k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val obs = docs.select(
+        org.apache.spark.sql.functions.col("source"),
+        graft.operators.Curation.samplePriority(
+          org.apache.spark.sql.functions.col("doc_id")).as("u"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .collect().map(r => graft.plans.PairObs(r.getString(0), r.getLong(1),
+        r.getLong(2))).toSeq
+    // adversarial split: reverse order, 3 uneven batches, and the
+    // FIRST 40 observations redelivered verbatim in the last batch
+    val rev = obs.reverse
+    val batches = Seq(rev.take(7), rev.slice(7, 250),
+      rev.drop(250) ++ obs.take(40))
+    val ms = MemoryStream[graft.plans.PairObs]
+    val q = ms.toDS().groupByKey(_.key)
+      .agg(new graft.plans.BottomKPairsAggregator(5).toColumn.name("ps"))
+      .toDF("key", "ps")
+      .writeStream.format("memory").queryName("smpk_spec")
+      .outputMode("complete").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      val streamed = spark.table("smpk_spec")
+        .as[(String, Seq[(Long, Long)])].collect()
+        .flatMap { case (src, ps) => ps.zipWithIndex.map { case ((_, id), i) =>
+          (id, src, (i + 1).toLong) } }.toSet
+      assert(streamed == batch,
+        s"streamed holdout diverged: ${streamed.diff(batch).take(3)} vs ${batch.diff(streamed).take(3)}")
+    } finally q.stop()
+  }
 }
