@@ -1186,13 +1186,20 @@ object Curation {
     * stratum. Same bottom-k shape as sampleExactK, so the same
     * WindowGroupLimit partial-top-k and the same shard-merge theorem
     * apply (bottom-k under ANY fixed total order merges). */
+  /** The WEIGHTED draw priority shared by [[sampleWeightedK]] and the
+    * streaming twin: (u·10⁶) div max(w, 1) in exact long arithmetic
+    * (u − u mod w over w — the quotient is an exactly-representable
+    * integer, so the double division is exact). */
+  def weightedSamplePriority(id: Column, weight: Column): Column = {
+    val u = samplePriority(id) * 1000000L
+    val w = greatest(weight.cast("long"), lit(1L))
+    ((u - pmod(u, w)) / w).cast("long")
+  }
+
   def sampleWeightedK(docs: DataFrame, k: Int, weight: Column,
       strataCol: String = "source", idCol: String = "doc_id"): DataFrame = {
-    val u = samplePriority(col(idCol))
-    val prio = expr(s"(__u * 1000000) div greatest(CAST(__w AS BIGINT), 1)")
     val w = Window.partitionBy(col(strataCol)).orderBy(col("__p"), col(idCol))
-    docs.withColumn("__u", u).withColumn("__w", weight)
-      .withColumn("__p", prio)
+    docs.withColumn("__p", weightedSamplePriority(col(idCol), weight))
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
       .select(col(idCol), col(strataCol), col("__p").as("priority"),

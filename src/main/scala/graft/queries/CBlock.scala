@@ -2409,6 +2409,25 @@ object CBlock {
         .orderBy(col("source"), col("sample_rank"))
     }),
 
+    "sample_weighted_k_stream" -> ((s, dir) => {
+      // the WEIGHTED holdout maintained at ingest (r11): identical
+      // monoid machinery as sample_exact_k_stream — only the priority
+      // changes (the shared weightedSamplePriority seam), so the
+      // drained sample lands on sample_weighted_k's SQL verbatim
+      val rows = Tables.documents(s, dir).select(
+        col("source").as("key"),
+        Curation.weightedSamplePriority(col("doc_id"),
+          length(col("text"))).as("u"),
+        col("doc_id").as("id"))
+      graft.streaming.StreamedBatch.sampleMinKStreamed(s, rows, k = 7)
+        .select(col("key").as("source"),
+          posexplode(col("ps")).as(Seq("pos", "p")))
+        .select(col("p._2").as("doc_id"), col("source"),
+          col("p._1").as("priority"),
+          (col("pos") + 1).cast("long").as("sample_rank"))
+        .orderBy(col("source"), col("sample_rank"))
+    }),
+
     "sample_weighted_k_merge" -> ((s, dir) => {
       // the WEIGHTED draw's mergeability through the shard route:
       // bottom-k under any fixed total order merges, and the weighted
@@ -7745,5 +7764,6 @@ object CBlock {
       ("dedup_gate_evict" -> baseOracle("dedup_gate_multibatch")) +
       // the streaming-maintained holdout must equal the batch draw
       // row for row — bottom-k is a monoid, so the oracle is shared
-      ("sample_exact_k_stream" -> baseOracle("sample_exact_k"))
+      ("sample_exact_k_stream" -> baseOracle("sample_exact_k")) +
+      ("sample_weighted_k_stream" -> baseOracle("sample_weighted_k"))
 }
