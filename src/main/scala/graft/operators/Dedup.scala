@@ -536,6 +536,55 @@ object Dedup {
       .agg(count(lit(1)).as("n_maybe_shared"))
   }
 
+  /** The Bloom bitset COLLECTED as frozen model state (mBits/64 longs —
+    * 512 B at the default): what a deployment trains OFFLINE from the
+    * benchmark suite and ships to the ingest gate ([[bloomGateWith]]).
+    * An empty benchmark yields all-zero bits (a gate that admits
+    * everything), not an error. */
+  def bloomBits(benchmark: DataFrame, n: Int = 8, mBits: Int = 4096,
+      kHashes: Int = 3, textCol: String = "text"): Array[Long] = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    def positions(g: Column): Seq[Column] =
+      (0 until kHashes).map(j => Portable.rehash(g, j) % mBits)
+    val rows = benchmark
+      .select(explode(native.ngram_hash_set(col(textCol), n)).as("gram"))
+      .select(explode(array(positions(col("gram")): _*)).as("pos"))
+      .distinct()
+      .agg(collect_list(col("pos")).as("ps"))
+      .select(native.positions_to_bitset(col("ps"), mBits / 64).as("bloom"))
+      .collect()
+    if (rows.isEmpty) Array.fill(mBits / 64)(0L)
+    else rows(0).getSeq[Long](0).toArray
+  }
+
+  /** [[decontaminateBloom]] against FROZEN bits as ONE narrow per-doc
+    * expression — count the doc's distinct n-grams whose kHashes
+    * positions are all set, bits inlined as a 512 B literal: no
+    * explode-shuffle, no join, no state — streaming-safe, the
+    * offline-trained/online-applied pattern (C61/C137). Emits only
+    * flagged docs, the batch gate's exact relation (spec-proven;
+    * `decontaminate_stream` shares `decontaminate_bloom`'s oracle). */
+  def bloomGateWith(docs: DataFrame, bits: Array[Long], n: Int = 8,
+      mBits: Int = 4096, kHashes: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(mBits % 64 == 0, "mBits must be a multiple of 64")
+    require(bits.length == mBits / 64,
+      s"bits length ${bits.length} != mBits/64 = ${mBits / 64}")
+    val bloom = typedlit(bits.toSeq)
+    def hit(g: Column): Column = (0 until kHashes).map { j =>
+      val p = Portable.rehash(g, j) % mBits
+      // p ≥ 0, so shiftright(p,6) = p div 64 and p & 63 = p % 64 —
+      // the batch gate's exact bit arithmetic
+      element_at(bloom, shiftright(p, 6).cast("int") + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          p.bitwiseAND(63).cast("int"))) =!= 0
+    }.reduce(_ && _)
+    docs.select(col(idCol).as("doc_id"),
+        size(filter(native.ngram_hash_set(col(textCol), n),
+          g => hit(g))).cast("long").as("n_maybe_shared"))
+      .filter(col("n_maybe_shared") > 0)
+  }
+
   /** Bloom-filter FALSE-POSITIVE-RATE audit — the operational readout
     * that validates the (mBits, kHashes) choice of
     * [[decontaminateBloom]] before trusting its gate at scale: build

@@ -1294,6 +1294,23 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "decontaminate_stream" -> ((s, dir) => {
+      // benchmark decontamination AT INGEST (r11): the Bloom bits are
+      // trained OFFLINE from the benchmark split (512 B of model
+      // state), then every arriving doc is gated inside a REAL
+      // streaming projection — the bits ride the expression as a
+      // literal, no join, no shuffle, no state. The emitted relation
+      // must be the batch gate's exact output, so the oracle is
+      // decontaminate_bloom's SQL VERBATIM (false positives included —
+      // deterministic hashing makes even those engine-exact).
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val bits = Dedup.bloomBits(docs.filter(isBench), n = 8)
+      graft.streaming.StreamedBatch.bloomGatedStream(s,
+          docs.filter(!isBench).select(col("doc_id"), col("text")), bits)
+        .orderBy(col("doc_id"))
+    }),
+
     "pack_sequences" -> ((s, dir) => {
       // training-sequence packing manifest: 256-token sequences per source
       Curation.packSequences(Tables.documents(s, dir), seqLen = 256)
@@ -7765,5 +7782,8 @@ object CBlock {
       // the streaming-maintained holdout must equal the batch draw
       // row for row — bottom-k is a monoid, so the oracle is shared
       ("sample_exact_k_stream" -> baseOracle("sample_exact_k")) +
-      ("sample_weighted_k_stream" -> baseOracle("sample_weighted_k"))
+      ("sample_weighted_k_stream" -> baseOracle("sample_weighted_k")) +
+      // the ingest-side Bloom gate must flag the batch gate's exact
+      // doc set, measured false positives included
+      ("decontaminate_stream" -> baseOracle("decontaminate_bloom"))
 }

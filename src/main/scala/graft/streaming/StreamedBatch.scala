@@ -341,6 +341,24 @@ object StreamedBatch {
     }
   }
 
+  /** [[graft.operators.Dedup.bloomGateWith]] — benchmark
+    * decontamination AT INGEST — run through a REAL stream: the Bloom
+    * bits are trained offline (512 B of model state), inlined as a
+    * literal into a narrow per-doc expression, and every arriving doc
+    * is gated at consume time with no state, no join, no shuffle. The
+    * emitted relation is the batch gate's exact output
+    * (`decontaminate_stream` shares `decontaminate_bloom`'s SQL). */
+  def bloomGatedStream(s: SparkSession, docs: DataFrame,
+      bits: Array[Long], n: Int = 8): DataFrame = {
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("text").cast("string").as("text"))
+    throughStream(s, input, "blg") { (ss, src) =>
+      graft.operators.Dedup.bloomGateWith(
+        ss.readStream.schema("doc_id LONG, text STRING").parquet(src),
+        bits, n).writeStream
+    }
+  }
+
   /** [[graft.plans.BottomKPairsAggregator]] as a LIVE complete-mode
     * streaming aggregation — the exact-k per-stratum HOLDOUT maintained
     * at ingest: the bottom-k (priority, id) pairs accumulate per

@@ -219,6 +219,31 @@ class DedupParitySpec extends SparkSpec {
     assert(idOut.count() > 0)
   }
 
+  test("bloomGateWith (frozen bits, narrow) == decontaminateBloom; empty benchmark admits all") {
+    // r11: the ingest-side gate applies OFFLINE-collected bits as one
+    // narrow expression and must reproduce the batch gate exactly —
+    // per-doc flagged counts included, on the REAL corpus split
+    val docs = Tables.documents(spark, sf())
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val bench = docs.filter(isBench)
+    val corpus = docs.filter(!isBench)
+    val bits = Dedup.bloomBits(bench, n = 8)
+    val narrow = Dedup.bloomGateWith(corpus, bits, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = Dedup.decontaminateBloom(corpus, bench, n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(narrow.nonEmpty && narrow == batch)
+    // empty benchmark: all-zero bits, gate admits everything
+    val zeroBits = Dedup.bloomBits(bench.limit(0), n = 8)
+    assert(zeroBits.forall(_ == 0L) && zeroBits.length == 64)
+    assert(Dedup.bloomGateWith(corpus, zeroBits, n = 8).count() === 0L)
+    // wrong-size bits fail at plan-build time, not as silent garbage
+    intercept[IllegalArgumentException](
+      Dedup.bloomGateWith(corpus, Array.fill(3)(0L)))
+  }
+
   test("lineDedupIntra: first occurrence survives, repeats strip, no corpus state") {
     import spark.implicits._
     // doc 1: line "a b" at windows 0 and 2 — second strips, order kept;
