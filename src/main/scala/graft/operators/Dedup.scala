@@ -564,9 +564,13 @@ object Dedup {
     * offline-trained/online-applied pattern (C61/C137). Emits only
     * flagged docs, the batch gate's exact relation (spec-proven;
     * `decontaminate_stream` shares `decontaminate_bloom`'s oracle). */
-  def bloomGateWith(docs: DataFrame, bits: Array[Long], n: Int = 8,
-      mBits: Int = 4096, kHashes: Int = 3, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+  /** The per-row COLUMN face of the frozen-bits gate — count of the
+    * text's distinct n-grams whose kHashes positions are all set —
+    * split out so wider ingest projections compose it next to the
+    * quality/shard columns (`curate_ingest_stream`). Null text yields
+    * null (callers coalesce per their contract). */
+  def bloomHitCountCol(text: Column, bits: Array[Long], n: Int = 8,
+      mBits: Int = 4096, kHashes: Int = 3): Column = {
     require(mBits % 64 == 0, "mBits must be a multiple of 64")
     require(bits.length == mBits / 64,
       s"bits length ${bits.length} != mBits/64 = ${mBits / 64}")
@@ -579,11 +583,16 @@ object Dedup {
         .bitwiseAND(call_function("shiftleft", lit(1L),
           p.bitwiseAND(63).cast("int"))) =!= 0
     }.reduce(_ && _)
-    docs.select(col(idCol).as("doc_id"),
-        size(filter(native.ngram_hash_set(col(textCol), n),
-          g => hit(g))).cast("long").as("n_maybe_shared"))
-      .filter(col("n_maybe_shared") > 0)
+    size(filter(native.ngram_hash_set(text, n), g => hit(g))).cast("long")
   }
+
+  def bloomGateWith(docs: DataFrame, bits: Array[Long], n: Int = 8,
+      mBits: Int = 4096, kHashes: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        bloomHitCountCol(col(textCol), bits, n, mBits, kHashes)
+          .as("n_maybe_shared"))
+      .filter(col("n_maybe_shared") > 0)
 
   /** Bloom-filter FALSE-POSITIVE-RATE audit — the operational readout
     * that validates the (mBits, kHashes) choice of

@@ -1294,6 +1294,24 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "curate_ingest_stream" -> ((s, dir) => {
+      // the INGEST-SIDE curation capstone (r11): quality score +
+      // admission verdict + shard route + benchmark-contamination
+      // count computed per arriving doc in ONE streaming projection —
+      // every column a stateless narrow expression over frozen
+      // artifacts (classifier kernel, shard hash, offline Bloom bits).
+      // Composition is the point: the oracle recomputes the whole
+      // column set from the same relations in one SQL.
+      val docs = Tables.documents(s, dir)
+      val isBench = pmod(col("doc_id"), lit(97)) === 0
+      val bits = Dedup.bloomBits(docs.filter(isBench), n = 8)
+      graft.streaming.StreamedBatch.curatedIngestStream(s,
+          docs.filter(!isBench)
+            .select(col("doc_id"), col("lang"), col("text")),
+          bits, nShards = 16)
+        .orderBy(col("doc_id"))
+    }),
+
     "decontaminate_stream" -> ((s, dir) => {
       // benchmark decontamination AT INGEST (r11): the Bloom bits are
       // trained OFFLINE from the benchmark split (512 B of model
@@ -5495,6 +5513,48 @@ object CBlock {
     // IDENTICAL SQL to sketch_quantile — streamed bin counts equal the
     // batch counts, so the readout matches
     "sketch_quantile_stream" -> quantileOracleSql,
+
+    "curate_ingest_stream" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 8
+         |      THEN list_transform(range(1, len(text) - 6), i -> ${ph("text[i:i+7]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM documents
+         |), bpos AS (
+         |  SELECT DISTINCT unnest(list_transform(range(0, 3), j ->
+         |    (gram * (((j+1) * 2654435761) % 2147483647)
+         |      + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM g WHERE doc_id % 97 = 0
+         |), cpos AS (
+         |  SELECT doc_id, gram,
+         |    unnest(list_transform(range(0, 3), j ->
+         |      (gram * (((j+1) * 2654435761) % 2147483647)
+         |        + ((j+1) * 40503) % 2147483647) % 2147483647 % 4096)) AS pos
+         |  FROM g WHERE doc_id % 97 <> 0
+         |), hit AS (
+         |  SELECT doc_id, gram, count(*) AS c
+         |  FROM cpos JOIN bpos USING (pos)
+         |  GROUP BY 1, 2
+         |), cont AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+         |  FROM hit WHERE c = 3 GROUP BY 1
+         |), d AS (
+         |  SELECT doc_id, lang, $toksSql AS toks FROM documents
+         |  WHERE doc_id % 97 <> 0
+         |), sc AS (
+         |  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tok,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t -> (${ph("t")} % 2001) - 1000)),
+         |      (a, x) -> a + x) AS score
+         |  FROM d
+         |)
+         |SELECT sc.doc_id, sc.lang, sc.n_tok, sc.score,
+         |  sc.score > 0 AS pred,
+         |  ${ph("CAST(sc.doc_id AS VARCHAR)")} % 16 AS shard,
+         |  COALESCE(cont.n_contaminated, 0) AS n_contaminated
+         |FROM sc LEFT JOIN cont ON sc.doc_id = cont.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
 
     "decontaminate_bloom" ->
       s"""WITH g AS (

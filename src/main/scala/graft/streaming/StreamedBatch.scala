@@ -457,6 +457,33 @@ object StreamedBatch {
     }
   }
 
+  /** The FULL ingest-side curation projection as ONE streaming plan
+    * (r11 capstone): quality score + admission verdict + shard route +
+    * benchmark-contamination count, every column a stateless narrow
+    * expression over frozen artifacts (the hashed classifier kernel,
+    * the shard hash, the offline-trained Bloom bits) — what a
+    * production consumer computes PER ARRIVING DOC before anything
+    * lands. No join, no shuffle, no state; the emitted relation equals
+    * the batch composition's SQL (`curate_ingest_stream`). */
+  def curatedIngestStream(s: SparkSession, docs: DataFrame,
+      bits: Array[Long], nShards: Int): DataFrame = {
+    val input = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col("lang").cast("string").as("lang"),
+      col("text").cast("string").as("text"))
+    throughStream(s, input, "curi") { (ss, src) =>
+      val stream = ss.readStream
+        .schema("doc_id LONG, lang STRING, text STRING").parquet(src)
+      graft.operators.Curation.shardAssign(
+          graft.operators.Curation.hashedLinearScore(stream), nShards)
+        .withColumn("n_contaminated", coalesce(
+          graft.operators.Dedup.bloomHitCountCol(col("text"), bits),
+          lit(0L)))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("score"),
+          col("pred"), col("shard"), col("n_contaminated"))
+        .writeStream
+    }
+  }
+
   /** [[graft.operators.Sketches.moments]] maintained by a REAL
     * streaming aggregation (complete mode): the three integer sums are
     * the streaming-aggregable state, so the drained per-key (n, s1, s2)
