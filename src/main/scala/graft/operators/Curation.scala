@@ -665,6 +665,40 @@ object Curation {
       .withColumn("score", native.hashed_linear_score(col(textCol), halfRange))
       .withColumn("pred", col("score") > 0)
 
+  /** Per-source robust CALIBRATION of the classifier score (r11 — the
+    * cross-source normalization step before a single global threshold:
+    * raw scores are not comparable across sources whose length/register
+    * distributions differ, so each source is centered by its MEDIAN and
+    * scaled by its MAD, the outlier-insensitive pair): z = (score −
+    * med) / mad, keep = z > `zFloor`. A zero-MAD source (all scores
+    * equal) calibrates to z = 0 and keeps everything — no division, no
+    * outliers to cut. Exact arithmetic: scores are integers, exact
+    * interpolated medians land on the binary-fraction lattice, and the
+    * one division runs on identical doubles both engines round to 6dp
+    * identically.
+    *
+    * Scale: two map-side-combined per-source aggregates (exact
+    * percentile state is per-group; #sources is small) broadcast back
+    * onto the scored stream — the corpus is scanned twice and never
+    * shuffled on a data key; at 100 TB the two model tables are a few
+    * rows each. */
+  def qualityCalibrate(docs: DataFrame, zFloor: Double = -1.0,
+      idCol: String = "doc_id", srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val scored = hashedLinearScore(docs, textCol = textCol)
+      .select(col(idCol), col(srcCol), col("score"))
+    val med = scored.groupBy(col(srcCol))
+      .agg(expr("percentile(score, 0.5)").as("med"))
+    val withMed = scored.join(broadcast(med), srcCol)
+    val mad = withMed.groupBy(col(srcCol))
+      .agg(expr("percentile(abs(score - med), 0.5)").as("mad"))
+    val z = when(col("mad") === 0.0, lit(0.0))
+      .otherwise((col("score") - col("med")) / col("mad"))
+    withMed.join(broadcast(mad), srcCol)
+      .select(col(idCol), col(srcCol), col("score"),
+        round(z, 6).as("z"), (z > zFloor).as("keep"))
+  }
+
   /** Deterministic shard assignment for training-data export: shard =
     * portable-hash(id) mod nShards. Content-independent, reproducible
     * across engines and reruns, and uniform (the id hash is well spread).

@@ -1745,6 +1745,15 @@ object CBlock {
         .orderBy(col("doc_id"))
     }),
 
+    "quality_calibrate" -> ((s, dir) => {
+      // per-source robust calibration (r11): median/MAD z-scores make
+      // classifier scores comparable ACROSS sources before one global
+      // threshold — the cross-source normalization step a mixed-corpus
+      // quality gate needs (raw thresholds over-cut terse sources)
+      Curation.qualityCalibrate(Tables.documents(s, dir))
+        .orderBy(col("doc_id"))
+    }),
+
     "quality_classifier_stream" -> ((s, dir) => {
       // C32's score-as-you-ingest promoted to an oracle row: the
       // classifier + shard assignment run as STREAMING projections
@@ -6269,6 +6278,30 @@ object CBlock {
         |  count(*) AS n_assigned,
         |  ROUND(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS mean
         |FROM x GROUP BY 1, 2 ORDER BY cent_id, pos""".stripMargin,
+
+    "quality_calibrate" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source, $toksSql AS toks FROM documents
+         |), sc AS (
+         |  SELECT doc_id, source,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(toks, t -> (${ph("t")} % 2001) - 1000)),
+         |      (a, x) -> a + x) AS score
+         |  FROM d
+         |), m AS (
+         |  SELECT source, median(score) AS med FROM sc GROUP BY 1
+         |), a AS (
+         |  SELECT sc.doc_id, sc.source, sc.score, m.med
+         |  FROM sc JOIN m USING (source)
+         |), md AS (
+         |  SELECT source, median(abs(score - med)) AS mad FROM a GROUP BY 1
+         |)
+         |SELECT a.doc_id, a.source, a.score,
+         |  ROUND(CASE WHEN md.mad = 0 THEN 0.0
+         |        ELSE (a.score - a.med) / md.mad END, 6) AS z,
+         |  CASE WHEN md.mad = 0 THEN true
+         |       ELSE (a.score - a.med) / md.mad > -1.0 END AS keep
+         |FROM a JOIN md USING (source) ORDER BY a.doc_id""".stripMargin,
 
     "quality_classifier" ->
       s"""WITH d AS (

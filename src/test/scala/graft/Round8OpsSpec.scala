@@ -49,6 +49,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("pcaPower"))
   }
 
+  test("qualityCalibrate: zero-MAD source keeps all at z=0; z centers on the source median") {
+    // r11: the cross-source normalization contract — a uniform source
+    // has no outliers to cut (z ≡ 0, all kept), and within a varied
+    // source the median-score doc sits exactly at z = 0 with the rest
+    // signed around it
+    val docs = Seq(
+      (1L, "aa bb", "s1"), (2L, "aa bb", "s1"), (3L, "aa bb", "s1"),
+      (4L, "m", "s2"), (5L, "m n o p q r", "s2"),
+      (6L, "m n o p q r s t u v w x", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.qualityCalibrate(docs).orderBy("doc_id").collect()
+    val s1 = out.filter(_.getString(1) == "s1")
+    assert(s1.length == 3 &&
+      s1.forall(r => r.getDouble(3) == 0.0 && r.getBoolean(4)))
+    val s2 = out.filter(_.getString(1) == "s2")
+      .map(r => (r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    // median-score doc at z = 0; lower/higher scores signed around it
+    assert(s2(1)._2 == 0.0, s2.toSeq.toString)
+    assert(s2(0)._2 < 0.0 && s2(2)._2 > 0.0, s2.toSeq.toString)
+  }
+
   test("rakeScores: stopwords never score; degree >= freq") {
     val r = TextAnalysis.rakeScores(docs, Seq("the", "a")).collect()
     val words = r.map(_.getAs[String]("word")).toSet
