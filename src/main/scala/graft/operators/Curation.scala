@@ -710,6 +710,25 @@ object Curation {
     docs.withColumn("shard",
       native.poly_hash(col(idCol).cast("string")) % nShards)
 
+  /** Per-shard export CHECKSUMS (r11) — the integrity audit a consumer
+    * runs after copying a shard: row count, token total, and an
+    * ORDER-INSENSITIVE content hash (XOR of each doc's poly hash over
+    * id:text — a dropped, duplicated, or altered row flips it; XOR
+    * never overflows and partial-manifest checksums merge by XOR, so a
+    * resharded copy verifies without re-reading the source). Verify =
+    * recompute on the copy, compare three numbers per shard. One
+    * map-side-combined agg on the shard key. */
+  def shardChecksums(sharded: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    sharded
+      .withColumn("__h", native.poly_hash(
+        concat(col(idCol).cast("string"), lit(":"),
+          coalesce(col(textCol), lit("")))))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(Portable.tokens(col(textCol))).cast("long")).as("n_tok"),
+        expr("bit_xor(__h)").as("content_xor"))
+
   /** Shard manifest: per-shard doc counts, byte/char totals, id range —
     * the export audit (balanced shards, no gaps). One agg on the shard key. */
   def shardStats(sharded: DataFrame, idCol: String = "doc_id",

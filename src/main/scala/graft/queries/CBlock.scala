@@ -1795,6 +1795,17 @@ object CBlock {
         .orderBy(col("shard"))
     }),
 
+    "shard_checksums" -> ((s, dir) => {
+      // per-shard export INTEGRITY audit (r11): doc count + token total
+      // + an order-insensitive XOR content hash — the three numbers a
+      // consumer recomputes on a copied shard to verify the transfer
+      // (any dropped/duplicated/altered row flips the XOR; partial
+      // manifests merge by XOR with no re-read)
+      Curation.shardChecksums(
+          Curation.shardAssign(Tables.documents(s, dir), 16))
+        .orderBy(col("shard"))
+    }),
+
     "shard_zorder" -> ((s, dir) => {
       // Z-ORDER clustered layout audit: rows range-partitioned into 32
       // "files" by the Morton key of (l_partkey, l_suppkey) — the
@@ -6386,6 +6397,18 @@ object CBlock {
          |  CAST(sum(n_chars) AS BIGINT) AS chars_sum,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM s GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "shard_checksums" ->
+      s"""WITH sh AS (
+         |  SELECT ${ph("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |    ${ph("CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')")} AS h,
+         |    len($toksSql) AS ntk
+         |  FROM documents
+         |)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntk) AS BIGINT) AS n_tok,
+         |  bit_xor(h) AS content_xor
+         |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "train_export_sink" ->
       s"""WITH s AS (

@@ -49,6 +49,35 @@ class Round8OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("pcaPower"))
   }
 
+  test("shardChecksums: any drop/duplicate/mutation flips a shard's checksum triple") {
+    // r11: the export-integrity contract — recomputing on a corrupted
+    // copy must disagree with the source manifest, and partial
+    // checksums merge by XOR (so a resharded copy verifies piecewise)
+    val docs = graft.sources.Tables.documents(spark, sf())
+    val sharded = Curation.shardAssign(docs, 4)
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Curation.shardChecksums(df).orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val base = sums(sharded)
+    // drop one row
+    assert(sums(sharded.filter(col("doc_id") =!= 3L)) != base)
+    // duplicate one row
+    assert(sums(sharded.union(sharded.filter(col("doc_id") === 3L))) != base)
+    // mutate one row's text
+    assert(sums(sharded.withColumn("text",
+      when(col("doc_id") === 3L, concat(col("text"), lit(" x")))
+        .otherwise(col("text")))) != base)
+    // merge-by-XOR: per-half checksums XOR/sum to the full manifest
+    val h1 = sums(sharded.filter(col("doc_id") % 2 === 0))
+    val h2 = sums(sharded.filter(col("doc_id") % 2 === 1))
+    val merged = (h1 ++ h2).groupBy(_._1).map { case (s2, rows) =>
+      (s2, rows.map(_._2).sum, rows.map(_._3).sum,
+        rows.map(_._4).reduce(_ ^ _))
+    }.toSeq.sortBy(_._1)
+    assert(merged == base, s"piecewise merge diverged: $merged vs $base")
+  }
+
   test("qualityCalibrate: zero-MAD source keeps all at z=0; z centers on the source median") {
     // r11: the cross-source normalization contract — a uniform source
     // has no outliers to cut (z ≡ 0, all kept), and within a varied
