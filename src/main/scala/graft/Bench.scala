@@ -17,6 +17,14 @@ import java.nio.file.{Files, Paths}
   * is visible in the artifact (SPARK_GRAFT_BENCH_SWEEPS overrides the
   * sweep count for local iteration).
   *
+  * Split totals (r12, verdict #3): the line additionally carries
+  * `batch_total` and `replay_total` — rows that start a streaming
+  * replay (observed at run time via [[graft.streaming.StreamedBatch]]'s
+  * run counter, no hand-kept list) are summed separately, because their
+  * checkpoint/state-store harness cost dominates their timing at every
+  * scale factor and was masking batch-plan deltas inside the single
+  * total. Cross-round plan comparisons read `batch_total`.
+  *
   * Failure contract: a query run that throws is NEVER reported as a
   * timing. A query with zero successful sweeps reports -1.0; partial
   * failures report the min of the surviving samples; every failure
@@ -114,6 +122,13 @@ object Bench {
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, List[String]]()
       .withDefaultValue(Nil)
+    // r12 (verdict #3): rows whose run starts a streaming replay
+    // (observed via the StreamedBatch counter — every replay harness
+    // ticks it) are split out of the batch total: the ~26 replay rows'
+    // checkpoint/state-store cost (~40% of the sf0.1 total) swamps the
+    // sweep envelope and was hiding batch-plan regressions. The
+    // round-over-round plan comparison reads `batch_total`.
+    val replayRows = scala.collection.mutable.Set[String]()
     val sweepTotals = (1 to sweepCount).map { sweep =>
       var tot = 0.0
       names.foreach { case (name, fn) =>
@@ -127,6 +142,7 @@ object Bench {
         spark.sharedState.cacheManager.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
+        val replays0 = graft.streaming.StreamedBatch.replayRuns
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -137,14 +153,20 @@ object Bench {
           errors(name) = (s"sweep $sweep: ${e.getClass.getName}: " +
             String.valueOf(e.getMessage).take(400)) :: errors(name)
         }
+        if (graft.streaming.StreamedBatch.replayRuns > replays0)
+          replayRows += name
       }
       tot
     }
-    // median of 3, min of fewer (a query that crashed a sweep keeps the
-    // contention-defensive posture of the old min-of-2 on what's left)
+    // median across sweeps; an even surviving-sample count averages the
+    // two middle samples (r12, ADVICE — the upper median biased even
+    // SPARK_GRAFT_BENCH_SWEEPS counts upward); a single sample reports
+    // itself (crash-partial sweeps keep a defensive floor).
     def report(xs: List[Double]): Double = {
       val s = xs.sorted
-      if (s.size >= 3) s(s.size / 2) else s.headOption.getOrElse(-1.0)
+      if (s.isEmpty) -1.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = names.map { case (name, _) =>
       R(name, report(samples(name)),
@@ -164,16 +186,20 @@ object Bench {
     val errs = results.flatMap(r => r.err.map(e => jstr(r.name) + ":" + jstr(e)))
       .mkString("{", ",", "}")
     val total = results.filter(_.secs >= 0).map(_.secs).sum
+    val replayTotal = results
+      .filter(r => r.secs >= 0 && replayRows(r.name)).map(_.secs).sum
+    val batchTotal = total - replayTotal
+    val nReplay = results.count(r => replayRows(r.name))
     val nErr = results.count(_.err.isDefined)
     val sweepsJson = sweepTotals.map(fmt).mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"n_errors":$nErr,"sweep_totals":$sweepsJson,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_total":${fmt(batchTotal)},"replay_total":${fmt(replayTotal)},"n_replay_queries":$nReplay,"queries":$qs,"errors":$errs,"n_errors":$nErr,"sweep_totals":$sweepsJson,"sf":${jstr(sfDir)}}"""
     // tail-proof contract: the LAST stdout line is a short, complete JSON
     // object (a bounded tail window always contains one parseable line
     // even if the full per-query line gets truncated by log capture);
     // the full detail lives in the line above and in the output file.
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_errors":$nErr,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","batch_total":${fmt(batchTotal)},"replay_total":${fmt(replayTotal)},"n_errors":$nErr,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get(outFile), line + "\n")
     // Per-SF committed artifact (r6 verdict #2): BENCH_LOCAL.json is
     // overwritten by whichever scale ran last, which destroyed the

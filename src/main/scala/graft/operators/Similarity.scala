@@ -409,6 +409,14 @@ object Similarity {
       vecCol: String = "embedding",
       maxTrainId: Long = 4096L): Array[(Long, Seq[Double])] = {
     val slice = emb.filter(col(idCol) < maxTrainId)
+    // the id bound is an ABSOLUTE predicate: a corpus whose ids start
+    // above it (offset/sharded id spaces) would otherwise train on an
+    // empty slice and hand every consumer an empty model with no error
+    // (r12, ADVICE) — fail loudly and name the knob instead
+    require(!slice.isEmpty,
+      s"trainedCentroids: no rows with $idCol < $maxTrainId — the corpus's " +
+        "id space starts above the audit bound; raise maxTrainId or train " +
+        "through sampledCentroids (the production path)")
     lloydRounds(slice,
       ivfCentroids(slice, numCentroids, centroidStride, idCol, vecCol),
       iters, vecCol)

@@ -44,16 +44,20 @@ final class BpeModel(mergesL: Array[String], mergesR: Array[String],
   }
 
   private def encodeWord(w: String, out: java.util.ArrayList[AnyRef]): Unit = {
-    // start: one symbol per UTF-16 unit (Portable.chars' split-by-""
-    // does the same; the corpus is ASCII)
+    // start: one symbol per CODE POINT — Java regex never matches inside
+    // a surrogate pair, so Portable.chars' split-by-"" yields whole
+    // supplementary characters, and the native seam must agree (r12,
+    // ADVICE): non-BMP text (emoji, supplementary CJK) would otherwise
+    // split into lone surrogates and diverge from encodeWithHof
     var syms = new java.util.ArrayList[String](w.length)
     val present = new java.util.HashSet[String]()
     var j = 0
     while (j < w.length) {
-      val c = String.valueOf(w.charAt(j))
+      val cp = w.codePointAt(j)
+      val c = new String(Character.toChars(cp))
       syms.add(c)
       present.add(c)
-      j += 1
+      j += Character.charCount(cp)
     }
     var m = 0
     while (m < mergesL.length && syms.size > 1) {

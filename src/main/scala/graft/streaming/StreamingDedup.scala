@@ -79,9 +79,21 @@ object StreamingDedup {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (bucket: Long, it: Iterator[(Long, Long, Long)],
             state: GroupState[Seen]) =>
-          val buf = it.buffered
-          val base = buf.head._3
-          val arrivals = buf.map(_._1).toArray.sorted
+          val ids = Array.newBuilder[Long]
+          var base = Long.MinValue
+          it.foreach { r =>
+            // the stored base is a PER-KEY constant by contract (it is
+            // joined in from a pre-aggregated registry); a violation —
+            // e.g. two registries unioned without folding — would make
+            // the verdict depend on intra-batch arrival order, so fail
+            // loudly instead of silently picking the head's value
+            if (base == Long.MinValue) base = r._3
+            else require(base == r._3,
+              s"non-uniform stored owner for bucket $bucket: $base vs " +
+                s"${r._3} — fold registries before joining them in")
+            ids += r._1
+          }
+          val arrivals = ids.result().sorted
           var first = state.getOption.map(_.first).getOrElse(base)
           val out = Array.newBuilder[Collision]
           arrivals.foreach { d =>
@@ -146,14 +158,17 @@ object StreamingDedup {
     * counts only documents seen since the registry snapshot. Running it
     * with base ≡ 0 IS the plain gate.
     *
-    * The group body is ONE STREAMED PASS (r11, ADVICE): the hot chrome
-    * line can hold a large share of a micro-batch, so instance rows are
-    * never materialized — per-group memory is the distinct-doc id set
-    * (one long per doc), and the state update rides each newly-seen doc
-    * so the committed count matches however far the sink consumed.
-    * Emission order within a group is ARRIVAL order (the pre-r11 gate
-    * sorted by (doc, line) — test-only determinism; every downstream
-    * consumer is relational: reassembly aggregates, registry folds). */
+    * The group body is ONE EAGER PASS with a COMPACT buffer (r12,
+    * ADVICE): state commits exactly once, before the emission iterator
+    * is returned — a downstream operator that stops consuming early
+    * (limit/take) can no longer leave a partially-counted support in
+    * the store and make replay non-deterministic. The hot-chrome memory
+    * concern that motivated the r11 lazy pass stays addressed because
+    * the buffered rows never carry the line text (it is the group key):
+    * per-group memory is three longs per instance plus the distinct-doc
+    * id set. Emission order within a group is ARRIVAL order (every
+    * downstream consumer is relational: reassembly aggregates, registry
+    * folds). */
   def lineSupportGateFrom(lines: Dataset[LineRowBase],
       minSupport: Int = 3): Dataset[LineGated] = {
     require(minSupport > 1,
@@ -163,16 +178,29 @@ object StreamingDedup {
     lines.groupByKey(_.line)
       .flatMapGroupsWithState[LineSup, LineGated](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (_: String, it: Iterator[LineRowBase], state: GroupState[LineSup]) =>
+        (line: String, it: Iterator[LineRowBase],
+            state: GroupState[LineSup]) =>
           val prior = state.getOption.map(_.n).getOrElse(0L)
-          val buf = it.buffered
-          val keep = buf.head.base + prior < minSupport
           // a line repeating inside one document counts the doc once —
           // the same distinct-docs semantics as the batch support table
           val docs = new java.util.HashSet[Long]
-          buf.map { r =>
-            if (docs.add(r.doc_id)) state.update(LineSup(prior + docs.size))
-            LineGated(r.doc_id, r.n_lines, r.line_id, r.line, keep)
+          val rows = Array.newBuilder[(Long, Long, Long)]
+          var base = Long.MinValue
+          it.foreach { r =>
+            // base is a per-line constant by contract (joined in from a
+            // folded registry); fail loudly on a violation rather than
+            // letting the verdict depend on intra-batch arrival order
+            if (base == Long.MinValue) base = r.base
+            else require(base == r.base,
+              s"non-uniform stored support for a line group: $base vs " +
+                s"${r.base} — fold registries before joining them in")
+            docs.add(r.doc_id)
+            rows += ((r.doc_id, r.n_lines, r.line_id))
+          }
+          val keep = base + prior < minSupport
+          state.update(LineSup(prior + docs.size))
+          rows.result().iterator.map { case (d, n, lid) =>
+            LineGated(d, n, lid, line, keep)
           }
       }
   }

@@ -170,7 +170,11 @@ class TokenizerSpec extends SparkSpec {
     val ids = Tokenizer.bpeVocab(docs, rounds = 3).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val edges = Seq((9001L, null.asInstanceOf[String]), (9002L, ""),
-      (9003L, "   "), (9004L, "q"), (9005L, "ÿ unseen"))
+      (9003L, "   "), (9004L, "q"), (9005L, "ÿ unseen"),
+      // non-BMP (r12, ADVICE): surrogate-pair code points must seed ONE
+      // symbol each in both implementations, not two lone surrogates
+      (9006L, "😀😁 a😀"),
+      (9007L, "𝕏 x 𝕏𝕏"))
       .toDF("doc_id", "text")
     val all = docs.select(col("doc_id"), col("text")).unionByName(edges)
     val cmp = all.select(col("doc_id"),
@@ -180,6 +184,20 @@ class TokenizerSpec extends SparkSpec {
     val diff = cmp.filter(
       !(col("nat") <=> col("hof"))).collect()
     assert(diff.isEmpty, diff.take(3).mkString("; "))
+
+    // non-BMP merges end-to-end: artifacts whose symbols ARE
+    // supplementary code points fuse identically in both seams and land
+    // the expected ids (a lone-surrogate seeding would OOV-null these)
+    val emoji = "😀" // U+1F600
+    val emoji2 = "😁" // U+1F601
+    val eMerges = Seq((emoji, emoji2))
+    val eIds = Map(emoji + emoji2 -> 1L, emoji -> 2L, emoji2 -> 3L, "a" -> 4L)
+    val eDocs = Seq((1L, s"$emoji$emoji2 $emoji a$emoji2")).toDF("doc_id", "text")
+    val eCmp = eDocs.select(
+      Tokenizer.encodeWith(col("text"), eMerges, eIds).as("nat"),
+      Tokenizer.encodeWithHof(col("text"), eMerges, eIds).as("hof")).head()
+    assert(eCmp.getSeq[java.lang.Long](0) === Seq(1L, 2L, 4L, 3L))
+    assert(eCmp.getSeq[java.lang.Long](0) === eCmp.getSeq[java.lang.Long](1))
   }
 
   test("encodeWith at a 30k-merge vocab: constant-size plan, padded merges are no-ops") {
