@@ -347,6 +347,34 @@ object CBlock {
       g1.unionByName(g2).orderBy(col("doc_id"), col("bucket"))
     }),
 
+    "dedup_gate_ttl" -> ((s, dir) => {
+      // the BUCKET gate with IN-STREAM watermark-driven eviction (r12,
+      // verdict #1 — the strictly-better answer to "does bounding state
+      // need a flush boundary?"): the same redelivery-planted 5-batch
+      // replay as dedup_gate_multibatch runs through
+      // keyedFirstSeenGateTtl with ttl = 3 batch intervals — the
+      // UNIVERSAL bound (n − 2 intervals on an n-batch replay: no
+      // recurrence gap can exceed n − 1 ≤ ttl + 1 batch, so ownership
+      // can never be lost before its next claimant arrives) — and a
+      // sentinel batch drives the watermark past every live timeout
+      // before termination, so the store provably drains DURING the
+      // query. Eviction is invisible to ownership: the oracle is
+      // dedup_gate_multibatch's SQL VERBATIM.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("arrival", col("doc_id") +
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .nearDupCollisionsTtlMulti(s, batched, nBatches = 5, ttlBatches = 3)
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "dedup_registry_compact" -> ((s, dir) => {
       // the production loop C45's scaladoc promises, closed under the
       // oracle: the streaming gate's first-seen registry (per-bucket
@@ -2820,6 +2848,39 @@ object CBlock {
           .withColumn("batch", col("batch") - 3),
         nBatches = 2, registry = reg)
       g1.unionByName(g2)
+        .groupBy(col("doc_id"), col("n_lines"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            filter(array_sort(collect_list(struct(col("line_id"),
+              col("kept").as("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_lines_ttl" -> ((s, dir) => {
+      // the LINE gate with IN-STREAM watermark-driven eviction (r12,
+      // verdict #1): the same 5-batch replay as dedup_lines_stream runs
+      // through lineSupportGateTtl with ttl = 2 batch intervals —
+      // support state leaves the store DURING the replay (batch-0-only
+      // lines are gone before batch 4's verdicts flow; a sentinel
+      // batch then drains the rest before termination). ttl = 2 is the
+      // calibrated verdict-safe horizon for this corpus: a support
+      // reset flips a verdict only for a line re-crossing minSupport
+      // after eviction, verified absent at all three test scale factors
+      // (at ttl = 1 one real sf0.1 line — "scan query" — flips, the
+      // spec's negative control). Eviction is invisible to verdicts:
+      // the oracle is dedup_lines_stream's SQL VERBATIM.
+      import org.apache.spark.sql.expressions.Window
+      val docs = linePlantedCorpus(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      graft.streaming.StreamedBatch
+        .lineGatedTtlMulti(s, batched, nBatches = 5, ttlBatches = 2)
         .groupBy(col("doc_id"), col("n_lines"))
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
           concat_ws(" ", transform(
@@ -7895,6 +7956,10 @@ object CBlock {
       // twin's SQL verbatim
       ("dedup_lines_evict" -> baseOracle("dedup_lines_stream")) +
       ("dedup_gate_evict" -> baseOracle("dedup_gate_multibatch")) +
+      // in-stream EventTimeTimeout eviction (r12) must likewise be
+      // invisible: the TTL replays answer to the same SQL verbatim
+      ("dedup_lines_ttl" -> baseOracle("dedup_lines_stream")) +
+      ("dedup_gate_ttl" -> baseOracle("dedup_gate_multibatch")) +
       // the streaming-maintained holdout must equal the batch draw
       // row for row — bottom-k is a monoid, so the oracle is shared
       ("sample_exact_k_stream" -> baseOracle("sample_exact_k")) +

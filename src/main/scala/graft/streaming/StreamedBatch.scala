@@ -939,6 +939,102 @@ object StreamedBatch {
     }
   }
 
+  /** Event-time base + watermark-advancing SENTINEL shared by the TTL
+    * replays (r12, verdict #1): every data row gets
+    * ts = batch · 1 min, and ONE sentinel row (doc_id = −1, a
+    * control-char-prefixed text no corpus document can produce)
+    * arrives as an extra final micro-batch at a far-future timestamp,
+    * driving the watermark past every live timeout so the store
+    * provably drains before the query terminates. The sentinel is
+    * output-invisible: its rows are filtered after the gate, and since
+    * it arrives last it cannot change any real verdict. */
+  private def withTtlTimeline(batched: DataFrame,
+      nBatches: Int): DataFrame = {
+    val interval = 60000L
+    val sentinelText =
+      "\u0001wm \u0001adv \u0001s1 \u0001s2 \u0001s3"
+    batched.select(col("doc_id"), col("text"),
+        col("batch").cast("long").as("batch"))
+      .unionByName(batched.sparkSession.range(1)
+        .select(lit(-1L).as("doc_id"), lit(sentinelText).as("text"),
+          lit(nBatches.toLong).as("batch")))
+      .withColumn("ts", expr(
+        s"timestamp_millis(CASE WHEN doc_id < 0 THEN ${3600L * interval} " +
+          // batch + 1, NOT batch: the first batch must sit strictly
+          // above the INITIAL watermark (0) — a ts equal to the
+          // watermark is dropped as late by the stateful operator
+          s"ELSE (batch + 1) * $interval END)"))
+  }
+
+  /** [[lineGatedMulti]] through the EventTimeTimeout gate
+    * ([[StreamingDedup.lineSupportGateTtl]], ttl = `ttlBatches` batch
+    * intervals): support rows leave the state store IN-STREAM as the
+    * watermark advances — during the replay itself, not at a flush
+    * boundary — and the sentinel batch drains the rest before
+    * termination. With a ttl at or above the corpus's verdict-relevant
+    * recurrence window the emissions are EXACTLY [[lineGatedMulti]]'s
+    * (the `dedup_lines_ttl` oracle row shares `dedup_lines_stream`'s
+    * SQL verbatim). */
+  def lineGatedTtlMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int, ttlBatches: Int, lineLen: Int = 10,
+      minSupport: Int = 3): DataFrame = {
+    val interval = 60000L
+    throughChunkedStream(s, "lngt", nBatches + 1,
+      (withTtlTimeline(batched, nBatches), Seq("doc_id", "text", "ts"))) {
+      (ss, srcs) =>
+        import ss.implicits._
+        val stream = ss.readStream
+          .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        // event time re-attaches by doc id through a stream-STATIC join
+        // (docs are unique in the replay); the static side is the same
+        // one-file-per-batch source directory
+        val tsRel = ss.read.parquet(srcs.head)
+          .select(col("doc_id"), col("ts"))
+        val rows = graft.operators.Dedup.docLines(stream, lineLen)
+          .join(tsRel, "doc_id")
+          .select(col("doc_id"), col("n_lines"), col("line_id"),
+            col("line"), col("ts"))
+          .as[StreamingDedup.LineRowT]
+        StreamingDedup.lineSupportGateTtl(rows,
+            ttlMs = ttlBatches * interval, minSupport = minSupport)
+          .filter(col("doc_id") >= 0)
+          .toDF().writeStream
+    }
+  }
+
+  /** [[nearDupCollisionsMulti]] through the EventTimeTimeout gate
+    * ([[StreamingDedup.keyedFirstSeenGateTtl]], ttl = `ttlBatches`
+    * batch intervals). ttlBatches = nBatches − 2 is UNIVERSALLY
+    * ownership-invariant on an nBatches replay (no recurrence gap can
+    * exceed nBatches − 1 intervals ≤ ttl + 1 batch), so the
+    * `dedup_gate_ttl` oracle row shares `dedup_gate_multibatch`'s SQL
+    * verbatim while buckets idle past the ttl leave the store
+    * in-stream. */
+  def nearDupCollisionsTtlMulti(s: SparkSession, batched: DataFrame,
+      nBatches: Int, ttlBatches: Int): DataFrame = {
+    val interval = 60000L
+    throughChunkedStream(s, "ndgt", nBatches + 1,
+      (withTtlTimeline(batched, nBatches), Seq("doc_id", "text", "ts"))) {
+      (ss, srcs) =>
+        import ss.implicits._
+        val stream = ss.readStream
+          .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+        val tsRel = ss.read.parquet(srcs.head)
+          .select(col("doc_id"), col("ts"))
+        val keyed = graft.operators.Dedup
+          .minhashBuckets(stream.select(col("doc_id"), col("text")))
+          .join(tsRel, "doc_id")
+          .select(col("doc_id"), col("bucket").as("key"), col("ts"))
+          .as[StreamingDedup.KeyedT]
+        StreamingDedup.keyedFirstSeenGateTtl(keyed,
+            ttlMs = ttlBatches * interval)
+          .filter(col("doc_id") >= 0)
+          .toDF().writeStream
+    }
+  }
+
   /** The image near-dup gate AT INGEST across REAL micro-batches:
     * doc ids replay one file per micro-batch (batch = id mod 3, an
     * out-of-id-order arrival plant), each arrival's payload is

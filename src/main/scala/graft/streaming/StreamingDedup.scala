@@ -205,6 +205,123 @@ object StreamingDedup {
       }
   }
 
+  /** A keyed arrival carrying its EVENT TIME — input of
+    * [[keyedFirstSeenGateTtl]]. */
+  final case class KeyedT(doc_id: Long, key: Long, ts: java.sql.Timestamp)
+
+  /** [[keyedFirstSeenGate]] with IN-STREAM state eviction via
+    * `GroupStateTimeout.EventTimeTimeout` (r12, verdict #1): each key's
+    * state arms a timeout at its latest event time + `ttlMs`, and when
+    * the WATERMARK passes it the owner row is dropped from the store —
+    * watermark-driven, so fully deterministic under replay (no wall
+    * clock anywhere; the same data always evicts at the same batch).
+    *
+    * Exactness contract: ownership verdicts equal the NoTimeout gate's
+    * whenever every key's consecutive-occurrence gap is ≤ ttl + one
+    * batch interval: a key with data in a batch is never timed out in
+    * that batch, and the watermark that can expire it commits only
+    * after the batch FOLLOWING its last activity (timeouts then fire
+    * promptly, in a no-data batch — spec-observed). On an n-batch
+    * replay, ttl = (n−2)·interval makes that
+    * bound UNIVERSAL — no gap can exceed (n−1)·interval — which is the
+    * `dedup_gate_ttl` oracle row's setting; production instead picks
+    * ttl from its redelivery-window SLO and keys older than that live
+    * in the stored bucket index (the C104 artifact,
+    * [[keyedFirstSeenGateFrom]]'s base join). */
+  def keyedFirstSeenGateTtl(keyed: Dataset[KeyedT],
+      ttlMs: Long): Dataset[Collision] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val s = keyed.sparkSession
+    import s.implicits._
+    keyed.withWatermark("ts", "0 seconds")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Seen, Collision](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (bucket: Long, it: Iterator[KeyedT], state: GroupState[Seen]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = Array.newBuilder[Long]
+            var maxTs = Long.MinValue
+            it.foreach { r =>
+              ids += r.doc_id
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+            }
+            val arrivals = ids.result().sorted
+            var first = state.getOption.map(_.first).getOrElse(Long.MaxValue)
+            val out = Array.newBuilder[Collision]
+            arrivals.foreach { d =>
+              if (first == Long.MaxValue) first = d
+              else if (d != first) out += Collision(d, bucket, first)
+            }
+            state.update(Seen(first))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** A line instance carrying its EVENT TIME — input of
+    * [[lineSupportGateTtl]]. */
+  final case class LineRowT(doc_id: Long, n_lines: Long, line_id: Long,
+    line: String, ts: java.sql.Timestamp)
+
+  /** [[lineSupportGate]] with IN-STREAM state eviction via
+    * `GroupStateTimeout.EventTimeTimeout` (r12, verdict #1): a line's
+    * support row leaves the store once the watermark passes its latest
+    * event time + `ttlMs` — deterministic (watermark-driven, no wall
+    * clock), so the gate's state is O(lines active within the TTL
+    * horizon) instead of O(lines since the last flush).
+    *
+    * Exactness contract: support resets can only flip a verdict for a
+    * line that re-crosses `minSupport` after an eviction, so the safe
+    * TTL is a property of the corpus's recurrence structure rather
+    * than a universal bound; the `dedup_lines_ttl` oracle row runs
+    * ttl = 2 batch intervals, verified verdict-invariant against the
+    * never-evicting replay at all three test scale factors (at
+    * ttl = 1 interval one real line — "scan query" at sf0.1 — flips,
+    * which the spec plants as the negative control). Production pairs
+    * the TTL with the flushed registry ([[lineSupportGateFrom]]) so
+    * long-horizon support survives outside the store. */
+  def lineSupportGateTtl(lines: Dataset[LineRowT], ttlMs: Long,
+      minSupport: Int = 3): Dataset[LineGated] = {
+    require(minSupport > 1,
+      s"minSupport must be > 1 (1 would drop every line), got $minSupport")
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val s = lines.sparkSession
+    import s.implicits._
+    lines.withWatermark("ts", "0 seconds")
+      .groupByKey(_.line)
+      .flatMapGroupsWithState[LineSup, LineGated](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (line: String, it: Iterator[LineRowT],
+            state: GroupState[LineSup]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prior = state.getOption.map(_.n).getOrElse(0L)
+            val docs = new java.util.HashSet[Long]
+            val rows = Array.newBuilder[(Long, Long, Long)]
+            var maxTs = Long.MinValue
+            it.foreach { r =>
+              docs.add(r.doc_id)
+              rows += ((r.doc_id, r.n_lines, r.line_id))
+              val t = r.ts.getTime
+              if (t > maxTs) maxTs = t
+            }
+            val keep = prior < minSupport
+            state.update(LineSup(prior + docs.size))
+            state.setTimeoutTimestamp(maxTs + ttlMs)
+            rows.result().iterator.map { case (d, n, lid) =>
+              LineGated(d, n, lid, line, keep)
+            }
+          }
+      }
+  }
+
   /** The registry FLUSH of gate emissions — the eviction target: every
     * line instance flows through the gate with its verdict, so distinct
     * (line, doc) pairs survive the stream and the fold rebuilds EXACT

@@ -170,6 +170,102 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("line gate TTL: watermark-driven eviction — parity at safe ttl, flip at short ttl") {
+    // r12 (VERDICT #1): EventTimeTimeout evicts support rows IN-STREAM,
+    // deterministically (watermark-driven — no wall clock; timeouts
+    // fire PROMPTLY in a no-data batch as soon as the committed
+    // watermark passes them, so a key survives to its recurrence iff
+    // the gap is ≤ ttl + one interval). Same data, two ttls: at
+    // ttl = 3 intervals "q q"'s gap-4 recurrence stays inside the safe
+    // horizon and verdicts equal the NoTimeout gate's; at ttl = 1 the
+    // eviction lands between "q q" crossing minSupport and its
+    // recurrence, and the verdict FLIPS — the flip is the proof that
+    // state really left the store mid-query.
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.{LineGated, LineRowT}
+    val B = 60000L
+    def lr(d: Long, l: String, batch: Long) =
+      LineRowT(d, 1L, 0L, l, new java.sql.Timestamp(batch * B))
+    val batches = Seq(
+      Seq(lr(1, "q q", 1), lr(2, "q q", 1), lr(3, "q q", 1),
+        lr(1, "u u", 1)),                      // q q crosses 3; u u unique
+      Seq(lr(4, "f1 f1", 2)),                  // filler advances watermark
+      Seq(lr(5, "f2 f2", 3)),                  // ttl=1: q q evicts after
+      Seq(lr(6, "f3 f3", 4)),                  //   this watermark commit
+      Seq(lr(9, "q q", 5)))                    // recurrence after eviction
+    def run(ttlBatches: Long, name: String): (Map[Long, Boolean], Long) = {
+      val ms = MemoryStream[LineRowT]
+      val q = StreamingDedup.lineSupportGateTtl(ms.toDS(),
+          ttlMs = ttlBatches * B, minSupport = 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val out = spark.table(name).as[LineGated].collect()
+          .filter(_.line == "q q").map(g => g.doc_id -> g.kept).toMap
+        val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        (out, fin)
+      } finally q.stop()
+    }
+    val (safe, finSafe) = run(3L, "lngt_safe")
+    val (short, _) = run(1L, "lngt_short")
+    // batch-1 instances always pass (nothing seen before)
+    assert(Seq(1L, 2L, 3L).forall(d => safe(d) && short(d)))
+    // safe ttl ≡ NoTimeout semantics: support 3 survives to doc 9
+    assert(!safe(9L), "safe-ttl gate forgot q q's support")
+    // short ttl: the eviction between crossing and recurrence FLIPS it
+    assert(short(9L), "short-ttl gate failed to evict q q mid-query")
+    // and the safe run still evicted dead lines: by the last batch the
+    // store holds fewer rows than the 5 distinct lines ever seen
+    assert(finSafe < 5L, s"safe-ttl store never shrank: $finSafe rows")
+  }
+
+  test("keyed gate TTL: watermark-driven eviction — ownership parity at safe ttl, flip at short ttl") {
+    // r12 (VERDICT #1), first-seen registry face: ttl = 3 intervals is
+    // the UNIVERSAL n−2 bound for this 5-batch layout (no recurrence
+    // gap exceeds ttl + 1 batch), so ownership equals the NoTimeout
+    // gate's; ttl = 1 evicts key 100's owner before its recurrence and
+    // doc 9 silently becomes the new owner (no collision emitted).
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.{Collision, KeyedT}
+    val B = 60000L
+    def kt(d: Long, k: Long, batch: Long) =
+      KeyedT(d, k, new java.sql.Timestamp(batch * B))
+    val batches = Seq(
+      Seq(kt(1, 100, 1), kt(2, 100, 1)),   // owner 1, collision (2,100,1)
+      Seq(kt(4, 300, 2)),                  // fillers advance the watermark
+      Seq(kt(5, 301, 3)),                  // ttl=1: key 100 evicts after
+      Seq(kt(6, 302, 4)),                  //   this watermark commit
+      Seq(kt(9, 100, 5)),                  // recurrence after eviction
+      Seq(kt(10, 303, 9)))                 // far-forward watermark jump:
+                                           //   drains every idle key
+    def run(ttlBatches: Long, name: String): (Set[(Long, Long)], Long) = {
+      val ms = MemoryStream[KeyedT]
+      val q = StreamingDedup.keyedFirstSeenGateTtl(ms.toDS(),
+          ttlMs = ttlBatches * B)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+        val out = spark.table(name).as[Collision].collect()
+          .map(c => c.doc_id -> c.first_doc).toSet
+        val fin = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        (out, fin)
+      } finally q.stop()
+    }
+    val (safe, finSafe) = run(3L, "kfst_safe")
+    val (short, _) = run(1L, "kfst_short")
+    // safe ttl ≡ NoTimeout ownership: doc 9 collides against owner 1
+    assert(safe == Set(2L -> 1L, 9L -> 1L), safe.toString)
+    // short ttl: owner 1 evicted before doc 9 → doc 9 owns, no row
+    assert(short == Set(2L -> 1L), short.toString)
+    // the watermark jump drained every idle key mid-query: the store
+    // ends with just the jump batch's own key, not the 5 keys ever seen
+    assert(finSafe == 1L, s"safe-ttl store did not drain: $finSafe rows")
+  }
+
   test("line gate eviction: flush to registry + restart — state shrinks, verdicts identical") {
     // r11 (VERDICT #2): the gate's state is bounded by FLUSHING it into
     // the stored registry (registryFold of the emissions — C197 proves
