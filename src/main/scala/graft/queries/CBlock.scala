@@ -1632,6 +1632,31 @@ object CBlock {
         .orderBy(col("span_hash"))
     }),
 
+    "dedup_spans_exact" -> ((s, dir) => {
+      // the verify-extend stage over the chunk screens (r12, verdict
+      // #2 — the Lee et al. '22 gap): a 20-token verbatim plant lands
+      // in every 13th doc at token offset doc_id % 7 + 3 — lengths
+      // BELOW the half-stride guarantee (1.5w−1 = 23) at offsets NOT
+      // congruent mod the stride, so both chunk passes provably miss
+      // it (spec-planted twin) — and repeatedSpansExact reports every
+      // planted copy with TRUE token boundaries [k, k+19] via the
+      // stride-1 mark → exact-text verify → island-merge pass.
+      val docs = Tables.documents(s, dir)
+      val toks = graft.functions.Portable.tokens(col("text"))
+      val plant = (1 to 20).map(i => "zq" + i).mkString(" ")
+      val k = (pmod(col("doc_id"), lit(7)) + lit(3)).cast("int")
+      val planted = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(13)) === 0,
+          concat_ws(" ",
+            concat_ws(" ", slice(toks, lit(1), k)),
+            lit(plant),
+            concat_ws(" ", slice(toks, k + 1,
+              greatest(size(toks) - k, lit(0))))))
+          .otherwise(col("text")))
+      Curation.repeatedSpansExact(planted, w = 16)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "lm_unigram_vocab" -> ((s, dir) => {
       // the web-scale LM-score shape: score against the STORED vocab
       // artifact (written + read back as parquet), not an inline agg —
@@ -6090,6 +6115,37 @@ object CBlock {
          |FROM s GROUP BY 1
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+
+    "dedup_spans_exact" ->
+      s"""WITH pl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 0 THEN
+         |      list_concat(list_concat(w[1 : k],
+         |        ${(1 to 20).map(i => s"'zq$i'").mkString("[", ", ", "]")}),
+         |        w[k + 1 : len(w)])
+         |    ELSE w END AS t
+         |  FROM (SELECT doc_id, $toksSql AS w,
+         |          CAST(doc_id % 7 + 3 AS INT) AS k FROM documents)
+         |), wins AS (
+         |  SELECT doc_id, off AS pos,
+         |    array_to_string(t[off + 1 : off + 16], ' ') AS wtext
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS off
+         |        FROM pl WHERE len(t) >= 16)
+         |), sh AS (
+         |  SELECT wtext FROM wins GROUP BY wtext
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), mk AS (
+         |  SELECT w.doc_id, w.pos FROM wins w JOIN sh USING (wtext)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM mk
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 15 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_wins
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "sim_pq" ->
       """WITH cents AS (

@@ -165,6 +165,49 @@ class CurationSpec extends SparkSpec {
     assert(alignedAll.subsetOf(overlapAll))
   }
 
+  test("repeatedSpansExact: true boundaries for the sub-1.5w non-congruent copy BOTH chunk passes miss") {
+    import spark.implicits._
+    // a 20-token verbatim copy — BELOW the half-stride guarantee
+    // (1.5w − 1 = 23) — at offsets 0 and 3 (not congruent mod the
+    // stride 8), padded by unique fillers so the plant is the only
+    // shared text
+    val span = (1 to 20).map(i => s"v$i").mkString(" ")
+    val padA = (1 to 9).map(i => s"a$i").mkString(" ")
+    val padB3 = "b1 b2 b3"
+    val padB = (4 to 12).map(i => s"b$i").mkString(" ")
+    val tiny = Seq(
+      (0L, span + " " + padA),
+      (1L, padB3 + " " + span + " " + padB)
+    ).toDF("doc_id", "text")
+    // both screens provably miss it (r12, verdict #2 — the gap)
+    assert(Curation.repeatedSpans(tiny, w = 16).collect().isEmpty,
+      "aligned pass should miss a 20-token copy")
+    assert(Curation.repeatedSpansOverlap(tiny, w = 16).collect().isEmpty,
+      "half-stride pass should miss non-congruent offsets 0 vs 3")
+    // the exact pass reports BOTH copies with true token boundaries
+    val out = Curation.repeatedSpansExact(tiny, w = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"), r.getAs[Long]("n_wins"))).toSet
+    assert(out === Set((0L, 0L, 19L, 5L), (1L, 3L, 22L, 5L)), out.toString)
+
+    // hash-collision immunity: two docs sharing NO text never report a
+    // span even at minDocs = 2 over a corpus slice (the verify stage is
+    // text-exact; a screen-hash collision cannot mark)
+    val disjoint = Seq(
+      (0L, (1 to 40).map(i => s"m$i").mkString(" ")),
+      (1L, (1 to 40).map(i => s"n$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Curation.repeatedSpansExact(disjoint, w = 16).collect().isEmpty)
+
+    // island MERGE: a 40-token copy is one span, not 25 window rows
+    val long = (1 to 40).map(i => s"w$i").mkString(" ")
+    val two = Seq((0L, long), (1L, "c1 c2 " + long)).toDF("doc_id", "text")
+    val merged = Curation.repeatedSpansExact(two, w = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(merged === Set((0L, 0L, 39L), (1L, 2L, 41L)), merged.toString)
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")
