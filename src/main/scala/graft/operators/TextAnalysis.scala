@@ -282,19 +282,42 @@ object TextAnalysis {
         .as("entropy"))
   }
 
-  /** CCNet-style text normalization — the canonical pre-dedup transform
-    * (case fold, strip non-alphanumerics, collapse whitespace): two docs
-    * that differ only in case/punctuation normalize to the same string,
-    * so EXACT dedup over the normalized form catches the near-dups that
-    * byte-exact hashing misses. Adds a `norm` column.
+  /** Full-width → ASCII fold table (U+FF01..U+FF5E → U+0021..U+007E plus
+    * ideographic space U+3000 → ' '): the one compatibility fold the
+    * normalizer applies, spelled as an EXPLICIT translate pair rather
+    * than NFKC — both engines agree on a table by construction, while
+    * full NFKC corpora can drift between library versions. Public so
+    * the oracle SQL embeds the identical pair. */
+  val FullwidthFrom: String =
+    ((0xFF01 to 0xFF5E).map(_.toChar) :+ '\u3000').mkString
+  val FullwidthTo: String = ((0x21 to 0x7E).map(_.toChar) :+ ' ').mkString
+
+  /** CCNet-style text normalization — the canonical pre-dedup transform,
+    * Unicode-complete since r12 (verdict #5): NFC composition (a native
+    * expression over Java's Normalizer ≡ DuckDB `nfc_normalize` —
+    * decomposed accents fold to their precomposed forms), full-width →
+    * ASCII via the explicit [[FullwidthFrom]] table, Unicode-simple case
+    * fold, then CATEGORY-based stripping — everything outside letters
+    * (\p{L}), digits (\p{N}) and the space becomes a space, so any
+    * script's words survive while punctuation/symbols of any script
+    * strip — and whitespace collapse. Two docs that differ only in
+    * case, width, composition, or punctuation normalize to the same
+    * string, so EXACT dedup over `norm` catches what byte hashing
+    * misses, now across scripts. Adds a `norm` column.
     *
-    * Pure narrow pass (three regex rewrites fused into the scan
-    * projection); the regexes are ASCII-class only, so Java and RE2
-    * engines agree byte-for-byte. */
+    * Portability: NFC is UAX #15 on both engines; \p{L}/\p{N} classes
+    * agree between Java regex and RE2; `lower` is the Unicode simple
+    * mapping on both (the corpus and the planted variants avoid the
+    * locale-sensitive exceptions — dotted İ, final sigma — which is the
+    * honest seam of any cross-engine case fold). Pure narrow pass fused
+    * into the scan projection. */
   def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("norm",
       trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "),
+        regexp_replace(
+          lower(translate(native.nfc_normalize(col(textCol)),
+            FullwidthFrom, FullwidthTo)),
+          "[^\\p{L}\\p{N} ]", " "),
         " +", " ")))
 
   /** Overlapping token-window chunking — the retrieval/context-window

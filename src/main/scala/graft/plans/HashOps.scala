@@ -29,6 +29,30 @@ object HashOps {
 
   def polyHash(s: UTF8String): Long = polyHashStr(s.toString)
 
+  /** Unicode NFC (canonical composition) — the portable normalization
+    * seam: Java's Normalizer and DuckDB's `nfc_normalize` implement the
+    * same UAX #15 form, so a decomposed e + U+0301 folds to é on both
+    * engines. Canonical only — compatibility folds (full-width → ASCII)
+    * are handled by the explicit translate table in
+    * [[graft.operators.TextAnalysis]], never by NFKC (engines differ
+    * less on a table than on a normalization corpus). */
+  def nfc(s: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFC))
+
+  /** Count of entries ≤ v in an ascending-sorted array — the file
+    * assignment against sampled range boundaries (binary search; ties
+    * land in the upper file deterministically). */
+  def countLe(sorted: Array[Long], v: Long): Long = {
+    var lo = 0
+    var hi = sorted.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (sorted(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo.toLong
+  }
+
   private def tokensOf(s: String): Array[String] =
     s.split(" ", -1).filter(_.nonEmpty)
 

@@ -25,6 +25,17 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.nfc(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.nfc($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): NfcNormalizeExpr = copy(child = newChild)
+}
+
 case class MinHashSigExpr(child: Expression, k: Int, shingleN: Int)
     extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -303,6 +314,28 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
     copy(child = newChild)
 }
 
+/** Count of sorted boundaries ≤ the key — the range-partition file
+  * assignment against [[graft.operators.Curation.sampledRangeBounds]]
+  * cut points (r12, verdict #4). The boundary array rides the
+  * CONSTRUCTOR as one reference object and codegen emits a single
+  * binary-search call, so the key child is evaluated exactly once per
+  * row — the HOF spelling captured the key expression inside the
+  * lambda and re-evaluated the whole z interleave fold per boundary
+  * (measured 34 s vs ~1 s at sf0.1). */
+case class BoundsFileIdExpr(child: Expression, bounds: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any =
+    HashOps.countLe(bounds, input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("fileBounds", bounds, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.countLe($ref, $c)")
+  }
+  override protected def withNewChildInternal(
+      newChild: Expression): BoundsFileIdExpr = copy(child = newChild)
+}
+
 /** Column-level API over the native expressions (Spark 4 classic backend:
   * Column wraps a ColumnNode, so go through ExpressionUtils). */
 object native {
@@ -312,6 +345,9 @@ object native {
   private def exprOf(c: Column): Expression = ColumnBridge.expression(c)
 
   def poly_hash(c: Column): Column = asCol(PolyHashExpr(exprOf(c)))
+  def nfc_normalize(c: Column): Column = asCol(NfcNormalizeExpr(exprOf(c)))
+  def bounds_file_id(c: Column, bounds: Array[Long]): Column =
+    asCol(BoundsFileIdExpr(exprOf(c), bounds))
   def minhash_sig(c: Column, k: Int = 16, shingleN: Int = 3): Column =
     asCol(MinHashSigExpr(exprOf(c), k, shingleN))
   def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))

@@ -67,7 +67,12 @@ object ScaleProbe {
     // row WITHOUT pair structure (support counting + a set join — output
     // is per-doc, never per-pair), so replication multiplies line
     // support but not any candidate set: linear by design, measured
-    "dedup_lines")
+    "dedup_lines",
+    // r12: the PRODUCTION layout writer — sampled cut points (one
+    // top-k action) + narrow per-row assignment; the exact-rank audit
+    // rows' range-shuffle-and-window cost (slope 4.8) never runs, so
+    // this should sit near the scan slope
+    "shard_zorder_sampled")
 
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(8)

@@ -208,6 +208,39 @@ class CurationSpec extends SparkSpec {
     assert(merged === Set((0L, 0L, 39L), (1L, 2L, 41L)), merged.toString)
   }
 
+  test("sampledRangeBounds: deterministic, balanced within 2x, stats near the exact layout") {
+    // r12 (VERDICT #4): the layout writer's production path — sampled
+    // cut points + narrow assignment — must (a) be a pure function of
+    // the data, (b) keep files within the sample-quantile balance
+    // envelope, (c) cover every row exactly once, and (d) prune about
+    // as well as the exact-rank audit layout it replaces.
+    val exact = SparkEntry.queries("shard_zorder")(spark, sf()).collect()
+    val sampled = SparkEntry.queries("shard_zorder_sampled")(spark, sf())
+      .collect()
+    val total = exact.map(_.getAs[Long]("n_rows")).sum
+    assert(sampled.map(_.getAs[Long]("n_rows")).sum === total,
+      "sampled layout must cover every row exactly once")
+    assert(sampled.forall { r =>
+      val f = r.getAs[Long]("file_id"); f >= 0L && f < 32L })
+    val ideal = total.toDouble / 32
+    val maxFile = sampled.map(_.getAs[Long]("n_rows")).max
+    assert(maxFile <= 2 * ideal,
+      s"sampled file balance blew the 2x envelope: max $maxFile vs ideal $ideal")
+    // determinism: recomputed boundaries are identical
+    val sampled2 = SparkEntry.queries("shard_zorder_sampled")(spark, sf())
+      .collect()
+    assert(sampled.map(_.toString).toSeq === sampled2.map(_.toString).toSeq)
+    // pruning tolerance: mean per-file partkey footer span within 2x of
+    // the exact layout's (same readout, same probe semantics)
+    def meanSpan(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(r => (r.getAs[Long]("pk_max") - r.getAs[Long]("pk_min"))
+        .toDouble).sum / rows.length
+    val spanExact = meanSpan(exact)
+    val spanSampled = meanSpan(sampled)
+    assert(spanSampled <= 2 * spanExact + 1,
+      s"sampled layout prunes far worse: span $spanSampled vs exact $spanExact")
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")

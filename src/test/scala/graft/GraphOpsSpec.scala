@@ -154,6 +154,27 @@ class GraphOpsSpec extends SparkSpec {
     assert(again.forall { case (t, norm) => t === norm })
   }
 
+  test("normalizeText: Unicode — NFC, width fold, multi-script case, category strip") {
+    // r12 (VERDICT #5): the four Unicode seams each collapse to the
+    // same normal form — precomposed vs decomposed é (NFC), full-width
+    // vs ASCII (the explicit translate table), upper vs lower across
+    // Latin-1/Cyrillic/Greek (Unicode simple case fold), and any-script
+    // punctuation stripping by \p{L}\p{N} category
+    val docs = Seq(
+      (1L, "caf\u00e9 \u0431\u0435\u0442\u0430 \u03c9"),
+      (2L, "CAFE\u0301 \u0411\u0415\u0422\u0410 \u03a9"),
+      (3L, "\uff43\uff41\uff46\u00e9\u3000\u0431\u0435\u0442\u0430 \u03c9"),
+      (4L, "caf\u00e9\u3001 \u0431\u0435\u0442\u0430\u2014 \u03c9\u00bf")
+    ).toDF("doc_id", "text")
+    val n = graft.operators.TextAnalysis.normalizeText(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = "caf\u00e9 \u0431\u0435\u0442\u0430 \u03c9"
+    assert(n(1L) === want, n(1L))
+    assert(n(2L) === want, n(2L))
+    assert(n(3L) === want, n(3L))
+    assert(n(4L) === want, n(4L))
+  }
+
   test("chunkTokens: exact windows, short tail, empty doc emits nothing") {
     // 10 tokens, size 4, stride 3 → offsets 0,3,6,9; lengths 4,4,4,1
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
