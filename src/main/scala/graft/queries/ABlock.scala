@@ -585,6 +585,53 @@ object ABlock {
         .orderBy(col("topic"), col("date_str"))
     }),
 
+    "sync_metrics_scrape" -> ((s, dir) => {
+      // the /metrics ENDPOINT under the oracle (r12, verdict #7 —
+      // promotes A25 from spec-only): a deterministic bulk-accounting
+      // relation (the A9 app plant ⊕ the A20 poison classification)
+      // populates the REAL counter registry through recordBulk, the
+      // REAL JDK HttpServer serves /metrics on an ephemeral port, and
+      // the row is the scraped text body parsed back into (key, value)
+      // rows — prometheus key grammar (sorted labels, name{app=..,
+      // index=..}) and counter values both checked against DuckDB
+      // recomputing the same accounting from the events table. The
+      // registry is reset first: it is driver-global ops state and
+      // earlier streaming rows legitimately write to it.
+      val df = msgs(s, dir).withColumn("data",
+        when(col("topic") === "purchase",
+            concat(lit("{\"app\": \"shop\", \"k\": "),
+              get_json_object(col("data"), "$.k"), lit("}")))
+          .when(col("topic") === "click",
+            concat(lit("{\"app\": 7, \"k\": "),
+              get_json_object(col("data"), "$.k"), lit("}")))
+          .otherwise(col("data")))
+      val failed = matchesAny(col("data"), Seq("\"k\": 5[0-9]\\}"))
+      val bulk = df
+        .withColumn("index", esIndex(col("topic"), col("publish_time")))
+        .withColumn("app", appOf(col("data")))
+        .groupBy(col("index"), col("app"))
+        .agg(sum(when(!failed, 1L).otherwise(0L)).as("written"),
+          sum(when(failed, 1L).otherwise(0L)).as("failed"))
+      graft.streaming.SyncMetrics.reset()
+      graft.streaming.SyncMetrics.recordBulk(bulk)
+      val server = graft.streaming.MetricsHttp.start(0)
+      val body = try {
+        val port = server.getAddress.getPort
+        val in = new java.net.URI(s"http://127.0.0.1:$port/metrics")
+          .toURL.openStream()
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } finally server.stop(0)
+      val rows = body.split("\n").toSeq
+        .filter(_.startsWith("graft_es_write_"))
+        .map { line =>
+          val i = line.lastIndexOf(' ')
+          (line.substring(0, i), line.substring(i + 1).toLong)
+        }
+      val ss = s
+      import ss.implicits._
+      rows.toDF("metric_key", "value").orderBy(col("metric_key"))
+    }),
+
     "sync_schema_drift" -> ((s, dir) => {
       // ES mapping-drift monitor (the ops readout behind es.rs's
       // field_count metric — a new JSON key in a log stream means a
@@ -1115,6 +1162,38 @@ object ABlock {
         |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 5[0-9]\}') THEN 1 ELSE 0 END) AS BIGINT) AS failed,
         |  CAST(SUM(CASE WHEN regexp_matches(props, '"k": 5[0-9]\}') THEN 0 ELSE 1 END) AS BIGINT) AS written
         |FROM events GROUP BY 1 ORDER BY es_index""".stripMargin,
+
+    "sync_metrics_scrape" ->
+      """WITH d AS (
+        |  SELECT event_type AS topic, ts,
+        |    CASE WHEN event_type = 'purchase'
+        |         THEN '{"app": "shop", "k": ' || json_extract(props, '$.k') || '}'
+        |         WHEN event_type = 'click'
+        |         THEN '{"app": 7, "k": ' || json_extract(props, '$.k') || '}'
+        |         ELSE props END AS data
+        |  FROM events
+        |), b AS (
+        |  SELECT topic || '-' || strftime(ts, '%Y.%m.%d') AS idx,
+        |    CASE WHEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1) <> ''
+        |         THEN regexp_extract(data, '"app"\s*:\s*"([^"]*)"', 1)
+        |         ELSE '__DEFAULT_APP__' END AS app,
+        |    CAST(SUM(CASE WHEN regexp_matches(data, '"k": 5[0-9]\}')
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS written,
+        |    CAST(SUM(CASE WHEN regexp_matches(data, '"k": 5[0-9]\}')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS failed
+        |  FROM d GROUP BY 1, 2
+        |)
+        |SELECT metric_key, value FROM (
+        |  SELECT 'graft_es_write_success_total{app="' || app
+        |      || '",index="' || idx || '"}' AS metric_key,
+        |    written AS value
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'graft_es_write_failed_total{app="' || app
+        |      || '",index="' || idx || '"}' AS metric_key,
+        |    failed AS value
+        |  FROM b
+        |) ORDER BY metric_key""".stripMargin,
 
     "sync_metrics" ->
       """SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,

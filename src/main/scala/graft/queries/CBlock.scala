@@ -17,6 +17,44 @@ object CBlock {
     "fr" -> Seq("join", "merge", "filter"),
     "zh" -> Seq("spark", "query", "batch"))
 
+  /** REAL function-word markers for the planted langid eval (r12,
+    * verdict #6): unlike [[langMarkers]] (arbitrary tech words over an
+    * English-ish corpus — the honest chance-level baseline C159 keeps),
+    * these are the words the planted corpus actually seeds per
+    * ground-truth language. */
+  private val langEvalMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "und", "nicht"),
+    "en" -> Seq("the", "and", "not"),
+    "es" -> Seq("el", "los", "pero"),
+    "fr" -> Seq("le", "les", "mais"),
+    "zh" -> Seq("de5", "le5", "shi4"))
+
+  /** Marker plant for the langid eval: every doc gets its TRUE
+    * language's three markers twice (plus once more for id % 3 == 0)
+    * and, for id % 2 == 0, ONE confuser token from the alphabetically
+    * next language — real per-language lift with deterministic noise
+    * (the C129 planted-cluster pattern applied to text). */
+  private def langPlantedDocs(docs: DataFrame): DataFrame = {
+    val langs = langEvalMarkers.map(_._1)
+    val mk = langEvalMarkers.toMap
+    def markersOf(l: String): String = mk(l).mkString(" ")
+    def confuserOf(l: String): String = {
+      val next = langs((langs.indexOf(l) + 1) % langs.size)
+      mk(next).head
+    }
+    val mkCol = langs.tail.foldLeft(
+      when(col("lang") === langs.head, lit(markersOf(langs.head)))) {
+      (acc, l) => acc.when(col("lang") === l, lit(markersOf(l)))
+    }
+    val nzCol = langs.tail.foldLeft(
+      when(col("lang") === langs.head, lit(confuserOf(langs.head)))) {
+      (acc, l) => acc.when(col("lang") === l, lit(confuserOf(l)))
+    }
+    docs.withColumn("text", concat_ws(" ", col("text"), mkCol, mkCol,
+      when(pmod(col("doc_id"), lit(3)) === 0, mkCol),
+      when(pmod(col("doc_id"), lit(2)) === 0, nzCol)))
+  }
+
   private val stopwords = Seq("the", "a")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -627,6 +665,28 @@ object CBlock {
     "text_langid_profile" -> ((s, dir) => {
       TextAnalysis.langIdProfile(Tables.documents(s, dir))
         .orderBy(col("doc_id"))
+    }),
+
+    "text_langid_planted" -> ((s, dir) => {
+      // the langid eval WITH SIGNAL (r12, verdict #6): the corpus is
+      // seeded with real per-language function-word distributions
+      // conditioned on the ground-truth lang column (2-3 true-marker
+      // repetitions per doc, a confuser token from the next language on
+      // even ids — deterministic noise), so the confusion matrix
+      // measures a non-chance classifier: the diagonal dominates while
+      // the noise keeps it honestly imperfect. The chance-level
+      // baseline over the UNSEEDED corpus stays on the board as
+      // text_langid_eval — same readout, no signal, the control.
+      val docs = langPlantedDocs(Tables.documents(s, dir))
+      TextAnalysis.langId(docs, langEvalMarkers)
+        .select(col("doc_id"), col("pred_lang"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("pred_lang"))
     }),
 
     "text_quality" -> ((s, dir) => {
@@ -4904,6 +4964,46 @@ object CBlock {
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "text_langid" -> s"$langidSelectSql ORDER BY doc_id",
+
+    "text_langid_planted" -> {
+      val langs = langEvalMarkers.map(_._1)
+      val mk = langEvalMarkers.toMap
+      def mkList(l: String) = mk(l).map(w => s"'$w'").mkString("[", ",", "]")
+      def mkStr(l: String) = mk(l).mkString(" ")
+      def confuser(l: String) = mk(langs((langs.indexOf(l) + 1) % langs.size)).head
+      val mkCase = "CASE " + langs.map(l =>
+        s"WHEN lang = '$l' THEN '${mkStr(l)}'").mkString(" ") + " END"
+      val nzCase = "CASE " + langs.map(l =>
+        s"WHEN lang = '$l' THEN '${confuser(l)}'").mkString(" ") + " END"
+      val scores = langs.map(l =>
+        s"len(list_filter($toksSql, t -> list_contains(${mkList(l)}, t))) AS score_$l")
+        .mkString(",\n    ")
+      val pred = langs.init.map { l =>
+        val ge = langs.filter(_ != l)
+          .map(o => s"score_$l >= score_$o").mkString(" AND ")
+        s"WHEN $ge THEN '$l'"
+      }.mkString("\n    ") + s"\n    ELSE '${langs.last}' END"
+      s"""WITH pl AS (
+         |  SELECT doc_id, lang, concat_ws(' ', text, $mkCase, $mkCase,
+         |    CASE WHEN doc_id % 3 = 0 THEN $mkCase END,
+         |    CASE WHEN doc_id % 2 = 0 THEN $nzCase END) AS text
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |    $scores
+         |  FROM pl
+         |), p AS (
+         |  SELECT lang, CASE
+         |    $pred AS pred_lang
+         |  FROM sc
+         |), c AS (
+         |  SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2
+         |)
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / (SUM(n) OVER (PARTITION BY lang)), 6) AS share
+         |FROM c ORDER BY lang, pred_lang""".stripMargin
+    },
 
     "text_langid_eval" ->
       s"""WITH p AS ($langidSelectSql),

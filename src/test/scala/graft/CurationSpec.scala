@@ -241,6 +241,24 @@ class CurationSpec extends SparkSpec {
       s"sampled layout prunes far worse: span $spanSampled vs exact $spanExact")
   }
 
+  test("text_langid_planted: accuracy materially above chance, noise keeps it imperfect") {
+    // r12 (VERDICT #6): with real per-language marker distributions
+    // planted against the ground-truth lang column, the confusion
+    // matrix must show a dominant diagonal (chance = 1/5) while the
+    // deterministic confuser noise and the corpus's organic English
+    // function words keep some off-diagonal mass — a measured
+    // classifier, not a tautology. The unseeded chance-level baseline
+    // stays on the board as text_langid_eval.
+    val m = SparkEntry.queries("text_langid_planted")(spark, sf()).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+    val total = m.map(_._2).sum.toDouble
+    val diag = m.filter { case ((l, p), _) => l == p }.map(_._2).sum.toDouble
+    val acc = diag / total
+    assert(acc >= 0.8, s"accuracy $acc not materially above chance (0.2)")
+    assert(acc < 1.0 || m.length > 5,
+      "a perfect diagonal with no off-diagonal rows suggests a tautological plant")
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")
