@@ -2004,6 +2004,30 @@ object CBlock {
         .orderBy(col("file_id"))
     }),
 
+    "shard_hilbert_sampled" -> ((s, dir) => {
+      // the sampled write path under the HILBERT key — shard_zorder_
+      // sampled's sibling (r12, verdict #4): cut points from the same
+      // deterministic 1024-row sample's quantiles, assignment by the
+      // same native binary search, the exact-rank shard_hilbert row
+      // kept as the audit. The two sampled writers share every seam,
+      // so the curve choice stays a one-column swap in production.
+      val base = graft.functions.Portable.withHilbert(
+        Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_orderkey"),
+            col("l_linenumber")),
+        col("l_partkey"), col("l_suppkey"), 16, "h")
+      val idStr = concat(col("l_orderkey").cast("string"), lit(":"),
+        col("l_linenumber").cast("string"))
+      val bounds = Curation.sampledRangeBounds(base, col("h"), idStr,
+        Seq(col("l_orderkey"), col("l_linenumber")), m = 1024, nFiles = 32)
+      base.withColumn("file_id", Curation.fileIdFor(bounds, col("h")))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max"))
+        .orderBy(col("file_id"))
+    }),
+
     "shard_hilbert_prune" -> ((s, dir) => {
       // Hilbert vs Morton PRUNING head-to-head on COMPARABLE-cardinality
       // dims (pk_bucket = l_partkey % 100 vs l_suppkey — the square grid
@@ -4055,6 +4079,34 @@ object CBlock {
     * chained CTEs h0..h16 (final key = h16.d); p.-qualified references
     * pin every x/y/d to the PREVIOUS step (no lateral-alias
     * ambiguity). `carry` columns ride along unchanged. */
+  /** The sampled layout writers' shared SQL pieces (r12): the affine
+    * sample priority over the (orderkey, linenumber) row key, and the
+    * tail CTE chain (deterministic 1024-row bottom-k sample →
+    * within-sample quantile boundaries → count-of-bounds-≤-key file
+    * assignment → per-file footer stats). Expects a `pr` CTE exposing
+    * (l_partkey, l_suppkey, l_orderkey, l_linenumber, z, pu). */
+  private lazy val sampledPuSql: String =
+    s"(${ph("'sample:' || CAST(l_orderkey AS VARCHAR) || " +
+      "':' || CAST(l_linenumber AS VARCHAR)")}" +
+      " * ((1 * 2654435761) % 2147483647)" +
+      " + (1 * 40503) % 2147483647) % 2147483647"
+
+  private lazy val sampledLayoutTailSql: String =
+    """samp AS (
+      |  SELECT z FROM pr
+      |  ORDER BY pu, l_orderkey, l_linenumber LIMIT 1024
+      |), srt AS (
+      |  SELECT z, row_number() OVER (ORDER BY z) - 1 AS r FROM samp
+      |), bounds AS (
+      |  SELECT z AS bv FROM srt WHERE r % 32 = 0 AND r > 0
+      |)
+      |SELECT (SELECT count(*) FROM bounds b WHERE b.bv <= pr.z)
+      |    AS file_id,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
+      |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
+      |FROM pr GROUP BY 1 ORDER BY file_id""".stripMargin
+
   private def hilbertCtes(carry: Seq[String], x0: String, y0: String,
       from: String): String = {
     val n1 = (1L << 16) - 1
@@ -6737,29 +6789,22 @@ object CBlock {
         s"((l_partkey // ${1L << i}) % 2) * ${1L << (2 * i + 1)}" +
           s" + ((l_suppkey // ${1L << i}) % 2) * ${1L << (2 * i)}"
       }.mkString(" + ")
-      val puSql = s"(${ph("'sample:' || CAST(l_orderkey AS VARCHAR) || " +
-        "':' || CAST(l_linenumber AS VARCHAR)")}" +
-        " * ((1 * 2654435761) % 2147483647)" +
-        " + (1 * 40503) % 2147483647) % 2147483647"
       s"""WITH pr AS (
          |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
-         |    ($zTerms) AS z, $puSql AS pu
+         |    ($zTerms) AS z, $sampledPuSql AS pu
          |  FROM lineitem
-         |), samp AS (
-         |  SELECT z FROM pr
-         |  ORDER BY pu, l_orderkey, l_linenumber LIMIT 1024
-         |), srt AS (
-         |  SELECT z, row_number() OVER (ORDER BY z) - 1 AS r FROM samp
-         |), bounds AS (
-         |  SELECT z AS bv FROM srt WHERE r % 32 = 0 AND r > 0
-         |)
-         |SELECT (SELECT count(*) FROM bounds b WHERE b.bv <= pr.z)
-         |    AS file_id,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  min(l_partkey) AS pk_min, max(l_partkey) AS pk_max,
-         |  min(l_suppkey) AS sk_min, max(l_suppkey) AS sk_max
-         |FROM pr GROUP BY 1 ORDER BY file_id""".stripMargin
+         |), $sampledLayoutTailSql""".stripMargin
     },
+
+    "shard_hilbert_sampled" ->
+      s"""WITH ${hilbertCtes(
+            Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+            "l_partkey", "l_suppkey", "lineitem")},
+         |pr AS (
+         |  SELECT l_partkey, l_suppkey, l_orderkey, l_linenumber,
+         |    d AS z, $sampledPuSql AS pu
+         |  FROM h16
+         |), $sampledLayoutTailSql""".stripMargin,
 
     "shard_hilbert" -> {
       s"""WITH ${hilbertCtes(

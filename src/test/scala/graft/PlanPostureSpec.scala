@@ -158,6 +158,27 @@ class PlanPostureSpec extends SparkSpec {
       s"expected the typed TopKAggregator in the plan:\n$p")
   }
 
+  test("shard_*_sampled: no rank window, at most agg+order shuffles — the global rank never runs") {
+    // r12 (verdict #4): the sampled layout writers' whole point is that
+    // the exact-rank machinery (range shuffle + row_number window +
+    // offset join) is absent — assignment is a narrow binary-search
+    // projection, so the plan is scan → project → one agg exchange
+    // (+ the 32-row result order)
+    for (q <- Seq("shard_zorder_sampled", "shard_hilbert_sampled")) {
+      val df = SparkEntry.queries(q)(spark, sf("0.01"))
+      val plan = df.queryExecution.sparkPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty, s"$q must not pay a rank window:\n$plan")
+      val exch = plan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exch.size <= 2,
+        s"$q shuffles ${exch.size}x — expected the agg exchange (+ order) only:\n$plan")
+    }
+  }
+
   test("vocab_build: rank window is partitioned — never a single-partition global sort") {
     // the two-phase rank must keep every WindowExec partitioned (an
     // empty partitionSpec means Spark moves the WHOLE vocab table to
