@@ -385,6 +385,44 @@ object CBlock {
       g1.unionByName(g2).orderBy(col("doc_id"), col("bucket"))
     }),
 
+    "dedup_gate_ttl_stored" -> ((s, dir) => {
+      // the FULL production lifecycle of the bucket gate (r12 — closes
+      // the "TTL and the stored index compose" claim under the oracle):
+      // phase 1 (batches 0-2) runs the plain gate and FLUSHES ownership
+      // into the stored bucket index; phase 2 (batches 3-4) restarts
+      // with EMPTY state, every arrival carrying its stored owner via
+      // the registry join AND idle keys evicting in-stream at
+      // ttl = half a batch interval — the store holds only ttl-active
+      // keys while evicted registry ownership re-seeds losslessly from
+      // the join. Ownership is provably unchanged (phase-2-new keys
+      // recur at gap ≤ 1 batch, inside any positive ttl's safe window;
+      // registry keys are eviction-immune by the base join), so the
+      // oracle is dedup_gate_multibatch's SQL VERBATIM.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("arrival", col("doc_id") +
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(n)).otherwise(0L))
+        .withColumn("rk", row_number()
+          .over(Window.orderBy(col("arrival"), col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val p1 = batched.filter(col("batch") <= 2)
+      val g1 = graft.streaming.StreamedBatch
+        .nearDupCollisionsMulti(s, p1, nBatches = 3)
+      val reg = Dedup.minhashBuckets(p1.select(col("doc_id"), col("text")))
+        .join(p1.select(col("doc_id"), col("batch")), "doc_id")
+        .groupBy(col("bucket"))
+        .agg(min(struct(col("batch"), col("doc_id"))).as("o"))
+        .select(col("bucket"), col("o.doc_id").as("first_doc"))
+      val g2 = graft.streaming.StreamedBatch.nearDupCollisionsTtlMultiFrom(s,
+        batched.filter(col("batch") >= 3)
+          .withColumn("batch", col("batch") - 3),
+        nBatches = 2, registry = reg, ttlMs = 30000L)
+      g1.unionByName(g2).orderBy(col("doc_id"), col("bucket"))
+    }),
+
     "dedup_gate_ttl" -> ((s, dir) => {
       // the BUCKET gate with IN-STREAM watermark-driven eviction (r12,
       // verdict #1 — the strictly-better answer to "does bounding state
@@ -2987,6 +3025,44 @@ object CBlock {
         batched.filter(col("batch") >= 3)
           .withColumn("batch", col("batch") - 3),
         nBatches = 2, registry = reg)
+      g1.unionByName(g2)
+        .groupBy(col("doc_id"), col("n_lines"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          concat_ws(" ", transform(
+            filter(array_sort(collect_list(struct(col("line_id"),
+              col("kept").as("keep"), col("line")))),
+              x => x.getField("keep")),
+            x => x.getField("line"))).as("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "dedup_lines_ttl_stored" -> ((s, dir) => {
+      // the FULL production lifecycle of the line gate (r12): phase 1
+      // (batches 0-2) gates and FLUSHES support into the stored
+      // registry (registryFold ≡ batch lineSupport); phase 2 restarts
+      // empty with the registry joined in as the verdict base AND idle
+      // lines evicting in-stream at ttl = half a batch interval — the
+      // store holds only ttl-active lines while long-horizon support
+      // lives in the registry. Verdicts provably unchanged (in-store
+      // increments can only evict after the batch following their last
+      // activity, past phase 2's gap-1 recurrences; flushed support is
+      // eviction-immune by the base join) — the oracle is
+      // dedup_lines_stream's SQL VERBATIM.
+      import org.apache.spark.sql.expressions.Window
+      val docs = linePlantedCorpus(s, dir).select(col("doc_id"), col("text"))
+      val n = docs.count() // bounded plan-time action (chunk sizing)
+      val chunk = math.max(1L, (n + 4) / 5)
+      val batched = docs
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("doc_id"))) - 1)
+        .withColumn("batch", expr(s"rk div $chunk"))
+      val g1 = graft.streaming.StreamedBatch
+        .lineGatedMulti(s, batched.filter(col("batch") <= 2), nBatches = 3)
+      val reg = graft.streaming.StreamingDedup.registryFold(g1)
+      val g2 = graft.streaming.StreamedBatch.lineGatedTtlMultiFrom(s,
+        batched.filter(col("batch") >= 3)
+          .withColumn("batch", col("batch") - 3),
+        nBatches = 2, registry = reg, ttlMs = 30000L)
       g1.unionByName(g2)
         .groupBy(col("doc_id"), col("n_lines"))
         .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
@@ -8265,6 +8341,10 @@ object CBlock {
       // invisible: the TTL replays answer to the same SQL verbatim
       ("dedup_lines_ttl" -> baseOracle("dedup_lines_stream")) +
       ("dedup_gate_ttl" -> baseOracle("dedup_gate_multibatch")) +
+      // the COMPOSED lifecycle (flush → registry-seeded restart WITH
+      // in-stream TTL) must also be invisible — same SQL verbatim
+      ("dedup_lines_ttl_stored" -> baseOracle("dedup_lines_stream")) +
+      ("dedup_gate_ttl_stored" -> baseOracle("dedup_gate_multibatch")) +
       // the streaming-maintained holdout must equal the batch draw
       // row for row — bottom-k is a monoid, so the oracle is shared
       ("sample_exact_k_stream" -> baseOracle("sample_exact_k")) +

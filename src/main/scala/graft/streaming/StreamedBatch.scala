@@ -1035,6 +1035,91 @@ object StreamedBatch {
     }
   }
 
+  /** The COMPOSED production lifecycle runner for the bucket gate
+    * (r12): phase-2 replay through
+    * [[StreamingDedup.keyedFirstSeenGateTtlFrom]] — every arrival
+    * carries its stored owner from `registry` via the stream-static
+    * join AND idle keys evict in-stream as the watermark advances, so
+    * the store holds only ttl-active keys while evicted registry
+    * ownership re-seeds losslessly on the next arrival. */
+  def nearDupCollisionsTtlMultiFrom(s: SparkSession, batched: DataFrame,
+      nBatches: Int, registry: DataFrame, ttlMs: Long): DataFrame = {
+    val regTmp = Files.createTempDirectory("graft-ndgtf-reg").toString
+    try {
+      registry.select(col("bucket"), col("first_doc"))
+        .write.parquet(s"$regTmp/reg")
+      throughChunkedStream(s, "ndgtf", nBatches + 1,
+        (withTtlTimeline(batched, nBatches), Seq("doc_id", "text", "ts"))) {
+        (ss, srcs) =>
+          import ss.implicits._
+          val reg = ss.read.parquet(s"$regTmp/reg")
+            .groupBy(col("bucket")).agg(min(col("first_doc")).as("__first"))
+          val stream = ss.readStream
+            .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+          val tsRel = ss.read.parquet(srcs.head)
+            .select(col("doc_id"), col("ts"))
+          val keyed = graft.operators.Dedup
+            .minhashBuckets(stream.select(col("doc_id"), col("text")))
+            .join(tsRel, "doc_id")
+            .join(reg, Seq("bucket"), "left")
+            .select(col("doc_id"), col("bucket").as("key"),
+              coalesce(col("__first"), lit(Long.MaxValue)).as("base"),
+              col("ts"))
+            .as[StreamingDedup.KeyedBT]
+          StreamingDedup.keyedFirstSeenGateTtlFrom(keyed, ttlMs)
+            .filter(col("doc_id") >= 0)
+            .toDF().writeStream
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(regTmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(regTmp), true)
+      ()
+    }
+  }
+
+  /** The COMPOSED production lifecycle runner for the line gate (r12):
+    * phase-2 replay through [[StreamingDedup.lineSupportGateTtlFrom]] —
+    * stored support joins in as the verdict base AND idle lines evict
+    * in-stream, so the store is O(ttl-active lines) while long-horizon
+    * support lives in the registry. */
+  def lineGatedTtlMultiFrom(s: SparkSession, batched: DataFrame,
+      nBatches: Int, registry: DataFrame, ttlMs: Long, lineLen: Int = 10,
+      minSupport: Int = 3): DataFrame = {
+    val regTmp = Files.createTempDirectory("graft-lngtf-reg").toString
+    try {
+      registry.select(col("line"), col("sup")).write.parquet(s"$regTmp/reg")
+      throughChunkedStream(s, "lngtf", nBatches + 1,
+        (withTtlTimeline(batched, nBatches), Seq("doc_id", "text", "ts"))) {
+        (ss, srcs) =>
+          import ss.implicits._
+          val base = ss.read.parquet(s"$regTmp/reg")
+            .groupBy(col("line")).agg(sum(col("sup")).as("__base"))
+          val stream = ss.readStream
+            .schema("doc_id LONG, text STRING, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", "1").parquet(srcs.head)
+          val tsRel = ss.read.parquet(srcs.head)
+            .select(col("doc_id"), col("ts"))
+          val rows = graft.operators.Dedup.docLines(stream, lineLen)
+            .join(tsRel, "doc_id")
+            .join(base, Seq("line"), "left")
+            .select(col("doc_id"), col("n_lines"), col("line_id"),
+              col("line"), coalesce(col("__base"), lit(0L)).as("base"),
+              col("ts"))
+            .as[StreamingDedup.LineRowBaseT]
+          StreamingDedup.lineSupportGateTtlFrom(rows, ttlMs, minSupport)
+            .filter(col("doc_id") >= 0)
+            .toDF().writeStream
+      }
+    } finally {
+      org.apache.hadoop.fs.FileSystem
+        .get(new java.net.URI(regTmp), s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(regTmp), true)
+      ()
+    }
+  }
+
   /** The image near-dup gate AT INGEST across REAL micro-batches:
     * doc ids replay one file per micro-batch (batch = id mod 3, an
     * out-of-id-order arrival plant), each arrival's payload is

@@ -230,6 +230,31 @@ object StreamingDedup {
     * [[keyedFirstSeenGateFrom]]'s base join). */
   def keyedFirstSeenGateTtl(keyed: Dataset[KeyedT],
       ttlMs: Long): Dataset[Collision] = {
+    val s = keyed.sparkSession
+    import s.implicits._
+    keyedFirstSeenGateTtlFrom(
+      keyed.map(r => KeyedBT(r.doc_id, r.key, Long.MaxValue, r.ts)), ttlMs)
+  }
+
+  /** A keyed arrival carrying its STORED owner (`base`) and event
+    * time — input of [[keyedFirstSeenGateTtlFrom]]. */
+  final case class KeyedBT(doc_id: Long, key: Long, base: Long,
+    ts: java.sql.Timestamp)
+
+  /** The COMPOSED production lifecycle of the first-seen gate (r12):
+    * [[keyedFirstSeenGateTtlFrom]] = stored-registry seeding
+    * ([[keyedFirstSeenGateFrom]]) ⊕ watermark-driven eviction
+    * ([[keyedFirstSeenGateTtl]]). Every arrival carries its key's
+    * flushed owner via the stream-static registry join, so EVICTING a
+    * registry-owned key is provably harmless — the next arrival
+    * re-seeds the identical owner from `base` — and the state store
+    * holds only keys ACTIVE within the ttl horizon, not the registry's
+    * tail. Ownership can drift only for a key ABSENT from the registry
+    * that recurs after eviction, i.e. a new key with a recurrence gap
+    * > ttl + one batch — exactly the window the registry flush cadence
+    * is chosen to cover in production. */
+  def keyedFirstSeenGateTtlFrom(keyed: Dataset[KeyedBT],
+      ttlMs: Long): Dataset[Collision] = {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
     val s = keyed.sparkSession
     import s.implicits._
@@ -237,20 +262,25 @@ object StreamingDedup {
       .groupByKey(_.key)
       .flatMapGroupsWithState[Seen, Collision](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (bucket: Long, it: Iterator[KeyedT], state: GroupState[Seen]) =>
+        (bucket: Long, it: Iterator[KeyedBT], state: GroupState[Seen]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
           } else {
             val ids = Array.newBuilder[Long]
+            var base = Long.MinValue
             var maxTs = Long.MinValue
             it.foreach { r =>
+              if (base == Long.MinValue) base = r.base
+              else require(base == r.base,
+                s"non-uniform stored owner for bucket $bucket: $base vs " +
+                  s"${r.base} — fold registries before joining them in")
               ids += r.doc_id
               val t = r.ts.getTime
               if (t > maxTs) maxTs = t
             }
             val arrivals = ids.result().sorted
-            var first = state.getOption.map(_.first).getOrElse(Long.MaxValue)
+            var first = state.getOption.map(_.first).getOrElse(base)
             val out = Array.newBuilder[Collision]
             arrivals.foreach { d =>
               if (first == Long.MaxValue) first = d
@@ -287,6 +317,30 @@ object StreamingDedup {
     * long-horizon support survives outside the store. */
   def lineSupportGateTtl(lines: Dataset[LineRowT], ttlMs: Long,
       minSupport: Int = 3): Dataset[LineGated] = {
+    val s = lines.sparkSession
+    import s.implicits._
+    lineSupportGateTtlFrom(
+      lines.map(r => LineRowBaseT(r.doc_id, r.n_lines, r.line_id, r.line,
+        0L, r.ts)), ttlMs, minSupport)
+  }
+
+  /** A line instance carrying its STORED-REGISTRY support and event
+    * time — input of [[lineSupportGateTtlFrom]]. */
+  final case class LineRowBaseT(doc_id: Long, n_lines: Long, line_id: Long,
+    line: String, base: Long, ts: java.sql.Timestamp)
+
+  /** The COMPOSED production lifecycle of the line gate (r12):
+    * [[lineSupportGateTtlFrom]] = stored-registry support
+    * ([[lineSupportGateFrom]]) ⊕ watermark-driven eviction
+    * ([[lineSupportGateTtl]]). The verdict is base + since-eviction
+    * state, so long-horizon support lives in the registry while the
+    * store holds only lines ACTIVE within the ttl horizon; a verdict
+    * can drift only when a line's IN-STORE increments (support earned
+    * since the registry snapshot) evict before a recurrence that they
+    * would have pushed across `minSupport` — the window the flush
+    * cadence covers in production. */
+  def lineSupportGateTtlFrom(lines: Dataset[LineRowBaseT], ttlMs: Long,
+      minSupport: Int = 3): Dataset[LineGated] = {
     require(minSupport > 1,
       s"minSupport must be > 1 (1 would drop every line), got $minSupport")
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
@@ -296,7 +350,7 @@ object StreamingDedup {
       .groupByKey(_.line)
       .flatMapGroupsWithState[LineSup, LineGated](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (line: String, it: Iterator[LineRowT],
+        (line: String, it: Iterator[LineRowBaseT],
             state: GroupState[LineSup]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -305,14 +359,19 @@ object StreamingDedup {
             val prior = state.getOption.map(_.n).getOrElse(0L)
             val docs = new java.util.HashSet[Long]
             val rows = Array.newBuilder[(Long, Long, Long)]
+            var base = Long.MinValue
             var maxTs = Long.MinValue
             it.foreach { r =>
+              if (base == Long.MinValue) base = r.base
+              else require(base == r.base,
+                s"non-uniform stored support for a line group: $base vs " +
+                  s"${r.base} — fold registries before joining them in")
               docs.add(r.doc_id)
               rows += ((r.doc_id, r.n_lines, r.line_id))
               val t = r.ts.getTime
               if (t > maxTs) maxTs = t
             }
-            val keep = prior < minSupport
+            val keep = base + prior < minSupport
             state.update(LineSup(prior + docs.size))
             state.setTimeoutTimestamp(maxTs + ttlMs)
             rows.result().iterator.map { case (d, n, lid) =>

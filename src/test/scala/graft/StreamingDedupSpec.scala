@@ -266,6 +266,43 @@ class StreamingDedupSpec extends SparkSpec {
     assert(finSafe == 1L, s"safe-ttl store did not drain: $finSafe rows")
   }
 
+  test("keyed gate TTL+registry: evicting a stored-owner key is lossless; removals measured") {
+    // r12, the COMPOSED lifecycle: key 100's owner lives in the stored
+    // registry (base = 1 joins in on every arrival), so evicting its
+    // state row is harmless — the recurrence re-seeds owner 1 from
+    // base and collides correctly, while the progress metrics prove
+    // rows really left the store. (The base-LESS gate on this exact
+    // timeline silently hands ownership to doc 9 — the short-ttl flip
+    // in the plain TTL test.)
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import StreamingDedup.{Collision, KeyedBT}
+    val B = 60000L
+    def kt(d: Long, k: Long, base: Long, batch: Long) =
+      KeyedBT(d, k, base, new java.sql.Timestamp(batch * B))
+    val MV = Long.MaxValue
+    val batches = Seq(
+      Seq(kt(2, 100, 1, 1)),               // stored owner 1 → (2,100,1)
+      Seq(kt(4, 300, MV, 2)),              // fillers advance the watermark
+      Seq(kt(5, 301, MV, 3)),              // → key 100 evicts (ttl = 1)
+      Seq(kt(9, 100, 1, 4)))               // re-seeds owner 1 from base
+    val ms = MemoryStream[KeyedBT]
+    val q = StreamingDedup.keyedFirstSeenGateTtlFrom(ms.toDS(), ttlMs = B)
+      .writeStream.format("memory").queryName("kfst_reg")
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      val out = spark.table("kfst_reg").as[Collision].collect()
+        .map(c => c.doc_id -> c.first_doc).toSet
+      // ownership identical to the never-evicting registry gate
+      assert(out === Set(2L -> 1L, 9L -> 1L), out.toString)
+      // and the eviction REALLY happened: the store removed rows
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 1L, s"no state rows were ever removed ($removed)")
+    } finally q.stop()
+  }
+
   test("line gate eviction: flush to registry + restart — state shrinks, verdicts identical") {
     // r11 (VERDICT #2): the gate's state is bounded by FLUSHING it into
     // the stored registry (registryFold of the emissions — C197 proves
