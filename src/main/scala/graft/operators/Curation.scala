@@ -367,6 +367,34 @@ object Curation {
         col("n_wins"))
   }
 
+  /** The 100 TB POSTURE of [[repeatedSpansExact]] (r12): the cheap
+    * half-stride chunk screen nominates CANDIDATE DOCUMENTS (any doc
+    * holding a stride-grid chunk shared by ≥ `minDocs` docs), and the
+    * exact stride-1 verify-extend pass runs only over that slice — true
+    * span boundaries at screen-bounded cost. The trade is explicit:
+    * recall is the SCREEN's (copies ≥ 1.5w−1 tokens at offsets
+    * congruent mod w/2 nominate both members; shorter/unaligned copies
+    * need the full-recall [[repeatedSpansExact]] face), and shared-
+    * window support is counted WITHIN the nominated slice. One extra
+    * n_tok·2/w-row screen shuffle in front of the exact pass's
+    * candidate-bounded work. */
+  def repeatedSpansCascade(docs: DataFrame, w: Int = 16, minDocs: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val stride = math.max(w / 2, 1)
+    val toks = Portable.tokens(col(textCol))
+    val chunks = when(size(toks) < w, array().cast("array<bigint>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - w, lit(stride)),
+        st => native.poly_hash(concat_ws(" ", slice(toks, st + 1, lit(w))))))
+    val ch = docs.select(col(idCol), explode(chunks).as("span_hash"))
+    val hot = ch.groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("span_hash"))
+    val cand = ch.join(hot, "span_hash").select(col(idCol)).distinct()
+    repeatedSpansExact(docs.join(cand, idCol), w, minDocs, idCol, textCol)
+  }
+
   /** [[lmUnigramScore]] against a STORED vocab artifact — the web-scale
     * shape the inline version's caveat documents: `vocab` is the
     * [[vocabBuild]] table read back from storage (word, cnt, vocab_id),

@@ -1730,6 +1730,19 @@ object CBlock {
         .orderBy(col("span_hash"))
     }),
 
+    "dedup_spans_cascade" -> ((s, dir) => {
+      // the composed 100 TB shape (r12 — closes the §12 "screen then
+      // exact" residual in-round): the half-stride chunk screen
+      // nominates candidate docs over the PLAIN corpus, the exact
+      // stride-1 pass reports true boundaries only inside that slice.
+      // Recall is the screen's by construction (the planted sub-1.5w
+      // copies of dedup_spans_exact would be invisible here — that row
+      // is the full-recall face); what the screen does nominate comes
+      // back with exact [start, end] bounds.
+      Curation.repeatedSpansCascade(Tables.documents(s, dir), w = 16)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
     "dedup_spans_exact" -> ((s, dir) => {
       // the verify-extend stage over the chunk screens (r12, verdict
       // #2 — the Lee et al. '22 gap): a 20-token verbatim plant lands
@@ -6418,6 +6431,42 @@ object CBlock {
          |FROM s GROUP BY 1
          |HAVING count(DISTINCT doc_id) >= 2
          |ORDER BY span_hash""".stripMargin,
+
+    "dedup_spans_cascade" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS w FROM documents
+         |), c AS (
+         |  SELECT doc_id, unnest(range(0, len(w) - 16 + 1, 8)) AS st, w
+         |  FROM t WHERE len(w) >= 16
+         |), sh AS (
+         |  SELECT doc_id,
+         |    ${ph("array_to_string(w[st+1 : st+16], ' ')")} AS span_hash
+         |  FROM c
+         |), hot AS (
+         |  SELECT span_hash FROM sh GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), cand AS (
+         |  SELECT DISTINCT doc_id FROM sh JOIN hot USING (span_hash)
+         |), wins AS (
+         |  SELECT doc_id, off AS pos,
+         |    array_to_string(w[off + 1 : off + 16], ' ') AS wtext
+         |  FROM (SELECT t.doc_id, t.w, unnest(range(0, len(t.w) - 16 + 1)) AS off
+         |        FROM t JOIN cand USING (doc_id) WHERE len(t.w) >= 16)
+         |), shared AS (
+         |  SELECT wtext FROM wins GROUP BY wtext
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), mk AS (
+         |  SELECT w2.doc_id, w2.pos FROM wins w2 JOIN shared USING (wtext)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM mk
+         |)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |  CAST(max(pos) + 15 AS BIGINT) AS span_end,
+         |  CAST(count(*) AS BIGINT) AS n_wins
+         |FROM isl GROUP BY doc_id, g
+         |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_spans_exact" ->
       s"""WITH pl AS (

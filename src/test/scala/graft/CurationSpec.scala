@@ -259,6 +259,35 @@ class CurationSpec extends SparkSpec {
       "a perfect diagonal with no off-diagonal rows suggests a tautological plant")
   }
 
+  test("repeatedSpansCascade: exact bounds for screen-nominated copies; screen recall is the trade") {
+    import spark.implicits._
+    // a 28-token copy (≥ 1.5w−1 = 23) at offsets 0 and 8 (congruent mod
+    // the stride 8) → the screen nominates both docs, and the cascade
+    // reports the same exact bounds the full pass would
+    val long = (1 to 28).map(i => s"g$i").mkString(" ")
+    val pad8 = (1 to 8).map(i => s"h$i").mkString(" ")
+    val nominated = Seq(
+      (0L, long + " " + (1 to 6).map(i => s"x$i").mkString(" ")),
+      (1L, pad8 + " " + long)).toDF("doc_id", "text")
+    val casc = Curation.repeatedSpansCascade(nominated, w = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    val exact = Curation.repeatedSpansExact(nominated, w = 16).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_start"),
+        r.getAs[Long]("span_end"))).toSet
+    assert(casc === Set((0L, 0L, 27L), (1L, 8L, 35L)), casc.toString)
+    assert(casc === exact)
+    // the documented trade: the sub-1.5w non-congruent copy the exact
+    // pass catches is invisible to the screen, so the cascade skips it
+    val span = (1 to 20).map(i => s"v$i").mkString(" ")
+    val missed = Seq(
+      (0L, span + " " + (1 to 9).map(i => s"a$i").mkString(" ")),
+      (1L, "b1 b2 b3 " + span + " " + (4 to 12).map(i => s"b$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    assert(Curation.repeatedSpansCascade(missed, w = 16).collect().isEmpty)
+    assert(Curation.repeatedSpansExact(missed, w = 16).collect().nonEmpty)
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")
