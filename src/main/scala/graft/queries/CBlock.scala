@@ -727,6 +727,26 @@ object CBlock {
         .orderBy(col("lang"), col("pred_lang"))
     }),
 
+    "text_langid_profile_planted" -> ((s, dir) => {
+      // the n-gram-PROFILE classifier evaluated on the marker-planted
+      // corpus (r12 — the C213 signal applied to the second langid
+      // face): profiles train per ground-truth language on the planted
+      // text (the markers' char trigrams give each language's profile
+      // real lift), then the confusion matrix over scored docs measures
+      // the classifier the same way C213 measures the marker heuristic.
+      // Docs with no profile-gram hit drop from the scored relation
+      // (langIdProfile's inner join) — the oracle mirrors that.
+      val docs = langPlantedDocs(Tables.documents(s, dir))
+      TextAnalysis.langIdProfile(docs)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum(col("n")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang"))), 6))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
     "text_quality" -> ((s, dir) => {
       TextAnalysis.quality(Tables.documents(s, dir), stopwords)
         .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"),
@@ -3348,6 +3368,27 @@ object CBlock {
       |  FROM w
       |)""".stripMargin
 
+  /** The marker-planted corpus as one SQL CTE (`pl(doc_id, lang,
+    * text)`) — the oracle twin of [[langPlantedDocs]], shared by both
+    * planted langid evals. */
+  private lazy val langPlantedCte: String = {
+    val langs = langEvalMarkers.map(_._1)
+    val mk = langEvalMarkers.toMap
+    def mkStr(l: String) = mk(l).mkString(" ")
+    def confuser(l: String) =
+      mk(langs((langs.indexOf(l) + 1) % langs.size)).head
+    val mkCase = "CASE " + langs.map(l =>
+      s"WHEN lang = '$l' THEN '${mkStr(l)}'").mkString(" ") + " END"
+    val nzCase = "CASE " + langs.map(l =>
+      s"WHEN lang = '$l' THEN '${confuser(l)}'").mkString(" ") + " END"
+    s"""pl AS (
+       |  SELECT doc_id, lang, concat_ws(' ', text, $mkCase, $mkCase,
+       |    CASE WHEN doc_id % 3 = 0 THEN $mkCase END,
+       |    CASE WHEN doc_id % 2 = 0 THEN $nzCase END) AS text
+       |  FROM documents
+       |)""".stripMargin
+  }
+
   /** The langid predictor's SELECT (per-doc pred + marker scores) —
     * shared by text_langid and its ground-truth eval. */
   private lazy val langidSelectSql: String =
@@ -5110,12 +5151,6 @@ object CBlock {
       val langs = langEvalMarkers.map(_._1)
       val mk = langEvalMarkers.toMap
       def mkList(l: String) = mk(l).map(w => s"'$w'").mkString("[", ",", "]")
-      def mkStr(l: String) = mk(l).mkString(" ")
-      def confuser(l: String) = mk(langs((langs.indexOf(l) + 1) % langs.size)).head
-      val mkCase = "CASE " + langs.map(l =>
-        s"WHEN lang = '$l' THEN '${mkStr(l)}'").mkString(" ") + " END"
-      val nzCase = "CASE " + langs.map(l =>
-        s"WHEN lang = '$l' THEN '${confuser(l)}'").mkString(" ") + " END"
       val scores = langs.map(l =>
         s"len(list_filter($toksSql, t -> list_contains(${mkList(l)}, t))) AS score_$l")
         .mkString(",\n    ")
@@ -5124,12 +5159,7 @@ object CBlock {
           .map(o => s"score_$l >= score_$o").mkString(" AND ")
         s"WHEN $ge THEN '$l'"
       }.mkString("\n    ") + s"\n    ELSE '${langs.last}' END"
-      s"""WITH pl AS (
-         |  SELECT doc_id, lang, concat_ws(' ', text, $mkCase, $mkCase,
-         |    CASE WHEN doc_id % 3 = 0 THEN $mkCase END,
-         |    CASE WHEN doc_id % 2 = 0 THEN $nzCase END) AS text
-         |  FROM documents
-         |), sc AS (
+      s"""WITH $langPlantedCte, sc AS (
          |  SELECT doc_id, lang,
          |    $scores
          |  FROM pl
@@ -5182,6 +5212,39 @@ object CBlock {
         |FROM scored
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, profile_lang) = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "text_langid_profile_planted" ->
+      s"""WITH $langPlantedCte, g AS (
+         |  SELECT doc_id, lang,
+         |    unnest(list_distinct(CASE WHEN len(text) >= 3
+         |      THEN list_transform(range(1, len(text) - 1), i -> ${ph("text[i:i+2]")})
+         |      ELSE [${ph("text")}] END)) AS gram
+         |  FROM pl
+         |), prof AS (
+         |  SELECT lang AS profile_lang, gram
+         |  FROM (
+         |    SELECT lang, gram, count(*) AS cnt,
+         |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram) AS rk
+         |    FROM g GROUP BY lang, gram
+         |  ) WHERE rk <= 20
+         |), scored AS (
+         |  SELECT g.doc_id, p.profile_lang, count(*) AS score
+         |  FROM g JOIN prof p ON g.gram = p.gram
+         |  GROUP BY g.doc_id, p.profile_lang
+         |), preds AS (
+         |  SELECT doc_id, profile_lang AS pred_lang
+         |  FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, profile_lang) = 1
+         |), c AS (
+         |  SELECT pl.lang, preds.pred_lang, count(*) AS n
+         |  FROM preds JOIN pl ON preds.doc_id = pl.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT lang, pred_lang, n,
+         |  round(CAST(n AS DOUBLE)
+         |    / (SUM(n) OVER (PARTITION BY lang)), 6) AS share
+         |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS w FROM documents)
