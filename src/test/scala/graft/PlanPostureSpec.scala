@@ -291,6 +291,29 @@ class PlanPostureSpec extends SparkSpec {
       "token rank planned an unpartitioned (single-task) window")
   }
 
+  test("dedup_spans_exact/cascade: stride-1 screen explode runs once") {
+    // the window explode + poly-hash is the exact-span family's
+    // dominant cost; both its consumers (screen groupBy, candidate
+    // join) must scan the MATERIALIZED relation. A GenerateExec in the
+    // final plan means the explode re-runs per consumer — the r12
+    // perf-weak double scan (tokenize + hash the corpus twice at
+    // 100 TB), closed r13 via Materialize on base/wins/ch.
+    Seq("dedup_spans_exact", "dedup_spans_cascade").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, sf("0.01"))
+        .queryExecution.sparkPlan
+      val p = plan.toString
+      val gens = plan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.isEmpty,
+        s"$q: the stride explode must be materialized once, not " +
+          s"re-planned per consumer:\n$p")
+      val scans = "Scan ExistingRDD".r.findAllIn(p).length
+      assert(scans >= 2,
+        s"$q: screen consumers must scan the materialized relations:\n$p")
+    }
+  }
+
   test("table_diff / agg_incremental: one shuffle shape, no window, no cartesian") {
     Seq("table_diff", "agg_incremental").foreach { q =>
       val p = planOf(q)
