@@ -159,17 +159,22 @@ object Bench {
       tot
     }
     // median across sweeps; an even surviving-sample count averages the
-    // two middle samples (r12, ADVICE — the upper median biased even
-    // SPARK_GRAFT_BENCH_SWEEPS counts upward); a single sample reports
-    // itself (crash-partial sweeps keep a defensive floor).
-    def report(xs: List[Double]): Double = {
+    // two middle samples ONLY when every sweep succeeded (r12 ADVICE ×2:
+    // the upper median biased even SPARK_GRAFT_BENCH_SWEEPS counts
+    // upward, but an even count CAUSED BY a crashed sweep keeps the
+    // contention-defensive min — a crash partial's surviving samples
+    // share the crash's contention window, and averaging them in would
+    // shift committed-total semantics for partially failed rows); a
+    // single sample reports itself.
+    def report(xs: List[Double], crashPartial: Boolean): Double = {
       val s = xs.sorted
       if (s.isEmpty) -1.0
       else if (s.size % 2 == 1) s(s.size / 2)
+      else if (crashPartial) s.head
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val results = names.map { case (name, _) =>
-      R(name, report(samples(name)),
+      R(name, report(samples(name), errors(name).nonEmpty),
         errors(name) match {
           case Nil => None
           case es => Some(es.reverse.mkString("; "))

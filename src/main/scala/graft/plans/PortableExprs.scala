@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.graft.ColumnBridge.InputType
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -25,7 +26,11 @@ case class PolyHashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  // analysis-time type check: a non-string child would otherwise compile
+  // and throw ClassCastException at execution (r12 ADVICE)
+  override def inputTypes: Seq[InputType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any =
@@ -322,14 +327,22 @@ case class BpeEncodeExpr(child: Expression, merges: Seq[(String, String)],
   * row — the HOF spelling captured the key expression inside the
   * lambda and re-evaluated the whole z interleave fold per boundary
   * (measured 34 s vs ~1 s at sf0.1). */
-case class BoundsFileIdExpr(child: Expression, bounds: Array[Long])
-    extends UnaryExpression {
+case class BoundsFileIdExpr(child: Expression, bounds: IndexedSeq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+  // bounds is an immutable IndexedSeq (NOT Array) so case-class
+  // equals/hashCode — and with them semanticEquals, plan
+  // canonicalization, and common-subexpression elimination — compare
+  // CONTENTS; an Array field compares by reference and two identical
+  // cut-point expressions would never dedup (r12 ADVICE). The eval and
+  // codegen paths still run over a primitive long[].
+  override def inputTypes: Seq[InputType] = Seq(LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  @transient private lazy val boundsArr: Array[Long] = bounds.toArray
   override protected def nullSafeEval(input: Any): Any =
-    HashOps.countLe(bounds, input.asInstanceOf[Long])
+    HashOps.countLe(boundsArr, input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("fileBounds", bounds, "long[]")
+    val ref = ctx.addReferenceObj("fileBounds", boundsArr, "long[]")
     defineCodeGen(ctx, ev, c => s"graft.plans.HashOps.countLe($ref, $c)")
   }
   override protected def withNewChildInternal(
@@ -347,7 +360,7 @@ object native {
   def poly_hash(c: Column): Column = asCol(PolyHashExpr(exprOf(c)))
   def nfc_normalize(c: Column): Column = asCol(NfcNormalizeExpr(exprOf(c)))
   def bounds_file_id(c: Column, bounds: Array[Long]): Column =
-    asCol(BoundsFileIdExpr(exprOf(c), bounds))
+    asCol(BoundsFileIdExpr(exprOf(c), bounds.toIndexedSeq))
   def minhash_sig(c: Column, k: Int = 16, shingleN: Int = 3): Column =
     asCol(MinHashSigExpr(exprOf(c), k, shingleN))
   def simhash32(c: Column): Column = asCol(SimHash32Expr(exprOf(c)))

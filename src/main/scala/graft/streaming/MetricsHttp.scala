@@ -1,7 +1,7 @@
 package graft.streaming
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
-import java.net.InetSocketAddress
+import java.net.{InetAddress, InetSocketAddress}
 
 /** The `/metrics` scrape endpoint — the engine analog of the reference
   * serving its prometheus registry over warp (main.rs: `/metrics` route,
@@ -13,9 +13,13 @@ import java.net.InetSocketAddress
 object MetricsHttp {
 
   /** Start serving `/metrics` on `port` (0 = ephemeral; read the bound
-    * port from `server.getAddress.getPort`). */
-  def start(port: Int = 0): HttpServer = {
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    * port from `server.getAddress.getPort`). Binds LOOPBACK by default —
+    * the registry is driver-global, and a wildcard bind would expose it
+    * on every interface; pass an explicit `addr` (e.g. a pod IP) when a
+    * cluster scraper needs to reach it (r12 ADVICE). */
+  def start(port: Int = 0,
+      addr: InetAddress = InetAddress.getLoopbackAddress): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(addr, port), 0)
     server.createContext("/metrics", new HttpHandler {
       override def handle(x: HttpExchange): Unit = {
         val body = (SyncMetrics.snapshot() + "\n").getBytes("UTF-8")

@@ -10,4 +10,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; expressions outside the
+    * spark package need this alias to declare `ExpectsInputTypes`
+    * input types (analysis-time type checks, r12 ADVICE). */
+  type InputType = org.apache.spark.sql.types.AbstractDataType
 }
