@@ -71,6 +71,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("profile_lang").as("pred_lang"), col("score"))
   }
 
+  /** HELD-OUT evaluation face of [[langIdProfile]] (r13, verdict #2):
+    * profiles train only on the even-`idCol` half of the corpus and the
+    * classifier scores only the odd half, so the confusion matrix
+    * measures generalization to unseen documents — the in-sample
+    * variant scores its own training rows and its diagonal has no
+    * evaluative content. The deterministic parity split is the engine-
+    * independent twin of a random split (both halves are i.i.d. under
+    * the synthetic id assignment). One corpus gram scan, materialized —
+    * the train filter and the score filter are disjoint slices of the
+    * same exploded relation. */
+  def langIdProfileHoldout(docs: DataFrame, n: Int = 3,
+      profileSize: Int = 20, textCol: String = "text",
+      langCol: String = "lang", idCol: String = "doc_id"): DataFrame = {
+    val grams = Materialize(docs.select(col(idCol).as("doc_id"),
+      col(langCol), (pmod(col(idCol), lit(2)) === 0).as("is_train"),
+      explode(native.ngram_hash_set(col(textCol), n)).as("gram")))
+    val wp = Window.partitionBy(col(langCol))
+      .orderBy(col("cnt").desc, col("gram"))
+    val profiles = grams.filter(col("is_train"))
+      .groupBy(col(langCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= profileSize)
+      .select(col(langCol).as("profile_lang"), col("gram"))
+    val wd = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("profile_lang"))
+    grams.filter(!col("is_train"))
+      .join(broadcast(profiles), "gram")
+      .groupBy(col("doc_id"), col("profile_lang"))
+      .agg(count(lit(1)).as("score"))
+      .withColumn("rk", row_number().over(wd))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("pred_lang"),
+        col("score"))
+  }
+
   /** Quality features: token count, unique-token ratio, stopword ratio,
     * average token length, composite score. */
   def quality(docs: DataFrame, stopwords: Seq[String],
