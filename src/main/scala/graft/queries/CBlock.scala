@@ -80,6 +80,26 @@ object CBlock {
         pmod(col("doc_id"), lit(5)) === 0, nxCol)))
   }
 
+  /** The exact-span plant (r12, C212): a 20-token verbatim copy in
+    * every 13th doc at token offset doc_id % 7 + 3 — BELOW the
+    * half-stride screen's guarantee (1.5w−1 = 23) at offsets only
+    * sometimes congruent with the stride grid, so the screen catches a
+    * measurable fraction and misses the rest; shared by
+    * dedup_spans_exact and the r13 dedup_spans_recall measurement. */
+  private def spanPlantedDocs(docs: DataFrame): DataFrame = {
+    val toks = graft.functions.Portable.tokens(col("text"))
+    val plant = (1 to 20).map(i => "zq" + i).mkString(" ")
+    val k = (pmod(col("doc_id"), lit(7)) + lit(3)).cast("int")
+    docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(13)) === 0,
+        concat_ws(" ",
+          concat_ws(" ", slice(toks, lit(1), k)),
+          lit(plant),
+          concat_ws(" ", slice(toks, k + 1,
+            greatest(size(toks) - k, lit(0))))))
+        .otherwise(col("text")))
+  }
+
   private val stopwords = Seq("the", "a")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1819,20 +1839,41 @@ object CBlock {
       // it (spec-planted twin) — and repeatedSpansExact reports every
       // planted copy with TRUE token boundaries [k, k+19] via the
       // stride-1 mark → exact-text verify → island-merge pass.
-      val docs = Tables.documents(s, dir)
-      val toks = graft.functions.Portable.tokens(col("text"))
-      val plant = (1 to 20).map(i => "zq" + i).mkString(" ")
-      val k = (pmod(col("doc_id"), lit(7)) + lit(3)).cast("int")
-      val planted = docs.withColumn("text",
-        when(pmod(col("doc_id"), lit(13)) === 0,
-          concat_ws(" ",
-            concat_ws(" ", slice(toks, lit(1), k)),
-            lit(plant),
-            concat_ws(" ", slice(toks, k + 1,
-              greatest(size(toks) - k, lit(0))))))
-          .otherwise(col("text")))
+      val planted = spanPlantedDocs(Tables.documents(s, dir))
       Curation.repeatedSpansExact(planted, w = 16)
         .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    "dedup_spans_recall" -> ((s, dir) => {
+      // QUANTIFY the cascade's recall trade (r13, verdict #3): both
+      // faces run over the SAME planted corpus, an exact span counts
+      // as caught when the cascade reports ANY overlapping span in the
+      // same doc, and the row is the per-length histogram of exact
+      // spans with the miss count and recall share — the number a
+      // 100 TB deployment trades on when it picks the screen-bounded
+      // cascade over the full stride-1 pass. The planted 20-token
+      // copies land at offsets k = doc_id % 7 + 3: the stride-8 grid
+      // window [8, 23] sits inside the plant only for k ∈ [4, 8], so
+      // docs with doc_id % 7 ∈ {0, 6} are provably invisible to the
+      // screen and must appear in the missed mass (spec-pinned).
+      val planted = spanPlantedDocs(Tables.documents(s, dir))
+      val exact = Curation.repeatedSpansExact(planted, w = 16)
+        .select(col("doc_id"), col("span_start"), col("span_end"))
+      val casc = Curation.repeatedSpansCascade(planted, w = 16)
+        .select(col("doc_id").as("c_doc"), col("span_start").as("c_start"),
+          col("span_end").as("c_end"))
+      exact.join(casc,
+          col("doc_id") === col("c_doc") &&
+            col("c_start") <= col("span_end") &&
+            col("c_end") >= col("span_start"), "left_outer")
+        .groupBy(col("doc_id"), col("span_start"), col("span_end"))
+        .agg(max(when(col("c_doc").isNotNull, 1).otherwise(0)).as("hit"))
+        .withColumn("span_len", col("span_end") - col("span_start") + 1)
+        .groupBy(col("span_len"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("hit") === 0, 1L).otherwise(0L)).as("n_missed"),
+          round(avg(col("hit").cast("double")), 6).as("recall"))
+        .orderBy(col("span_len"))
     }),
 
     "lm_unigram_vocab" -> ((s, dir) => {
@@ -3435,6 +3476,21 @@ object CBlock {
        |  FROM documents
        |)""".stripMargin
   }
+
+  /** The exact-span plant as one SQL CTE (`pl(doc_id, t)`, t = token
+    * array) — the oracle twin of [[spanPlantedDocs]], shared by
+    * dedup_spans_exact and dedup_spans_recall. */
+  private lazy val spanPlantedCte: String =
+    s"""pl AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 13 = 0 THEN
+       |      list_concat(list_concat(w[1 : k],
+       |        ${(1 to 20).map(i => s"'zq$i'").mkString("[", ", ", "]")}),
+       |        w[k + 1 : len(w)])
+       |    ELSE w END AS t
+       |  FROM (SELECT doc_id, $toksSql AS w,
+       |          CAST(doc_id % 7 + 3 AS INT) AS k FROM documents)
+       |)""".stripMargin
 
   /** [[langPlantedCte]] extended with the holdout row's ambiguous test
     * docs (`pl2(doc_id, lang, text)`) — the twin of [[langHoldoutDocs]]. */
@@ -6632,16 +6688,7 @@ object CBlock {
          |ORDER BY doc_id, span_start""".stripMargin,
 
     "dedup_spans_exact" ->
-      s"""WITH pl AS (
-         |  SELECT doc_id,
-         |    CASE WHEN doc_id % 13 = 0 THEN
-         |      list_concat(list_concat(w[1 : k],
-         |        ${(1 to 20).map(i => s"'zq$i'").mkString("[", ", ", "]")}),
-         |        w[k + 1 : len(w)])
-         |    ELSE w END AS t
-         |  FROM (SELECT doc_id, $toksSql AS w,
-         |          CAST(doc_id % 7 + 3 AS INT) AS k FROM documents)
-         |), wins AS (
+      s"""WITH $spanPlantedCte, wins AS (
          |  SELECT doc_id, off AS pos,
          |    array_to_string(t[off + 1 : off + 16], ' ') AS wtext
          |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS off
@@ -6661,6 +6708,65 @@ object CBlock {
          |  CAST(count(*) AS BIGINT) AS n_wins
          |FROM isl GROUP BY doc_id, g
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    "dedup_spans_recall" ->
+      s"""WITH $spanPlantedCte, wins AS (
+         |  SELECT doc_id, off AS pos,
+         |    array_to_string(t[off + 1 : off + 16], ' ') AS wtext
+         |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 16 + 1)) AS off
+         |        FROM pl WHERE len(t) >= 16)
+         |), sh AS (
+         |  SELECT wtext FROM wins GROUP BY wtext
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), mk AS (
+         |  SELECT w.doc_id, w.pos FROM wins w JOIN sh USING (wtext)
+         |), isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM mk
+         |), ex AS (
+         |  SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end
+         |  FROM isl GROUP BY doc_id, g
+         |), csh AS (
+         |  SELECT doc_id,
+         |    ${ph("array_to_string(t[st+1 : st+16], ' ')")} AS span_hash
+         |  FROM (SELECT doc_id, unnest(range(0, len(t) - 16 + 1, 8)) AS st, t
+         |        FROM pl WHERE len(t) >= 16)
+         |), chot AS (
+         |  SELECT span_hash FROM csh GROUP BY 1
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), ccand AS (
+         |  SELECT DISTINCT doc_id FROM csh JOIN chot USING (span_hash)
+         |), cwins AS (
+         |  SELECT doc_id, off AS pos,
+         |    array_to_string(t[off + 1 : off + 16], ' ') AS wtext
+         |  FROM (SELECT pl.doc_id, pl.t, unnest(range(0, len(pl.t) - 16 + 1)) AS off
+         |        FROM pl JOIN ccand USING (doc_id) WHERE len(pl.t) >= 16)
+         |), cshr AS (
+         |  SELECT wtext FROM cwins GROUP BY wtext
+         |  HAVING count(DISTINCT doc_id) >= 2
+         |), cmk AS (
+         |  SELECT w2.doc_id, w2.pos FROM cwins w2 JOIN cshr USING (wtext)
+         |), cisl AS (
+         |  SELECT doc_id, pos,
+         |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+         |  FROM cmk
+         |), ca AS (
+         |  SELECT doc_id, min(pos) AS span_start, max(pos) + 15 AS span_end
+         |  FROM cisl GROUP BY doc_id, g
+         |), flag AS (
+         |  SELECT e.span_end - e.span_start + 1 AS span_len,
+         |    CASE WHEN EXISTS (SELECT 1 FROM ca c WHERE c.doc_id = e.doc_id
+         |      AND c.span_start <= e.span_end AND c.span_end >= e.span_start)
+         |      THEN 1 ELSE 0 END AS hit
+         |  FROM ex e
+         |)
+         |SELECT CAST(span_len AS BIGINT) AS span_len,
+         |  CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(*) FILTER (WHERE hit = 0) AS BIGINT) AS n_missed,
+         |  round(avg(CAST(hit AS DOUBLE)), 6) AS recall
+         |FROM flag GROUP BY span_len
+         |ORDER BY span_len""".stripMargin,
 
     "sim_pq" ->
       """WITH cents AS (

@@ -315,6 +315,33 @@ class CurationSpec extends SparkSpec {
     assert(Curation.repeatedSpansExact(missed, w = 16).collect().nonEmpty)
   }
 
+  test("dedup_spans_recall: the sub-1.5w planted copies land in the missed mass") {
+    // r13 (VERDICT #3): the cascade's recall was previously only
+    // STATED ("the screen's by construction") — this row measures it.
+    // The 20-token plant sits at offsets k = doc_id % 7 + 3; only
+    // k ∈ [4, 8] puts a stride-8 grid window inside the plant, so the
+    // k ∈ {3, 9} planted docs are provably invisible to the screen and
+    // the plant-length band (20-22 tokens: the plant, sometimes merged
+    // with an adjacent organic shared token) must carry misses, while
+    // recall never exceeds 1 anywhere.
+    val rows = SparkEntry.queries("dedup_spans_recall")(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("span_len"), r.getAs[Long]("n_exact"),
+        r.getAs[Long]("n_missed"), r.getAs[Double]("recall")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (len, ne, nm, rec) =>
+      assert(nm <= ne && rec >= 0.0 && rec <= 1.0, s"len $len: $nm/$ne rec $rec")
+    }
+    val band = rows.filter { case (len, _, _, _) => len >= 20 && len <= 22 }
+    assert(band.nonEmpty, "plant-length band absent from the exact face")
+    val bandMissed = band.map(_._3).sum
+    assert(bandMissed > 0,
+      "no misses in the plant band — the non-congruent planted copies should be invisible to the screen")
+    val bandRecall = 1.0 - bandMissed.toDouble / band.map(_._2).sum
+    assert(bandRecall < 1.0 && bandRecall > 0.0,
+      s"band recall $bandRecall should be a real trade, not 0 or 1")
+  }
+
   test("curate: each disabled stage only grows the kept corpus") {
     import graft.operators.CurateConfig
     val stop = Seq("the", "a")
