@@ -328,6 +328,19 @@ object TextAnalysis {
     ((0xFF01 to 0xFF5E).map(_.toChar) :+ '\u3000').mkString
   val FullwidthTo: String = ((0x21 to 0x7E).map(_.toChar) :+ ' ').mkString
 
+  /** Locale-sensitive case-fold exceptions as an EXPLICIT 1:1 table
+    * (r13, verdict #4 \u2014 closes the documented \u0130/\u03c2 seam): applied
+    * BEFORE `lower`, so neither engine's context/locale rules ever
+    * fire. \u0130 (U+0130) \u2192 i (ICU lowers it to i + combining dot, a 1\u21922
+    * mapping utf8proc doesn't apply); \u0131 (U+0131) \u2192 i (unifies Turkish
+    * dotless spelling with ASCII for dedup purposes); \u03a3/\u03c2 \u2192 \u03c3 (kills
+    * the final-sigma context rule \u2014 medial \u03c3 on both engines). \u00df is
+    * the one 1\u21922 fold (\u00df \u2192 ss, German sharp-s) and rides a literal
+    * `replace` AFTER `lower` so uppercase \u1e9e (U+1E9E, lowered to \u00df by
+    * both engines) folds too. */
+  val CaseFoldFrom: String = "\u0130\u0131\u03a3\u03c2"
+  val CaseFoldTo: String = "ii\u03c3\u03c3"
+
   /** CCNet-style text normalization — the canonical pre-dedup transform,
     * Unicode-complete since r12 (verdict #5): NFC composition (a native
     * expression over Java's Normalizer ≡ DuckDB `nfc_normalize` —
@@ -343,16 +356,21 @@ object TextAnalysis {
     *
     * Portability: NFC is UAX #15 on both engines; \p{L}/\p{N} classes
     * agree between Java regex and RE2; `lower` is the Unicode simple
-    * mapping on both (the corpus and the planted variants avoid the
-    * locale-sensitive exceptions — dotted İ, final sigma — which is the
-    * honest seam of any cross-engine case fold). Pure narrow pass fused
-    * into the scan projection. */
+    * mapping on both once the [[CaseFoldFrom]] table (r13) has
+    * pre-folded the locale-sensitive exceptions — dotted İ, dotless ı,
+    * final sigma — and the post-lower ß → ss replace closes the one
+    * 1→2 fold (ẞ included, via lower). Remaining seam is the genuinely
+    * locale-conditional tailorings (Lithuanian dot-above, Turkish
+    * I → ı) that NO locale-free fold can apply — out of scope by
+    * construction. Pure narrow pass fused into the scan projection. */
   def normalizeText(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("norm",
       trim(regexp_replace(
         regexp_replace(
-          lower(translate(native.nfc_normalize(col(textCol)),
-            FullwidthFrom, FullwidthTo)),
+          replace(
+            lower(translate(native.nfc_normalize(col(textCol)),
+              FullwidthFrom + CaseFoldFrom, FullwidthTo + CaseFoldTo)),
+            lit("ß"), lit("ss")),
           "[^\\p{L}\\p{N} ]", " "),
         " +", " ")))
 

@@ -4167,6 +4167,16 @@ object CBlock {
   private val markerA = " caf\u00e9 \u0431\u0435\u0442\u0430 \u03c9"
   private val markerB = " CAFE\u0301 \u0411\u0415\u0422\u0410 \u03a9"
 
+  /** Locale-fold plant pair (r13, verdict #4): lowercase Turkish /
+    * German / Greek forms vs their uppercase spellings \u2014 the pair
+    * normalizes to one string only if the explicit \u0130/\u0131/\u03a3/\u03c2 table and
+    * the \u00df \u2192 ss replace land identically on both engines (both sides
+    * \u2192 "\u2026 istanbul kapi strasse \u03bb\u03cc\u03b3\u03bf\u03c3"). */
+  private val markerC = " istanbul kap\u0131 stra\u00dfe " +
+    "\u03bb\u03cc\u03b3\u03bf\u03c2"
+  private val markerD = " \u0130STANBUL KAPI STRASSE " +
+    "\u039b\u038c\u0393\u039f\u03a3"
+
   /** ASCII upper/digits → full-width forms — builds the width-variant
     * plant copies (the normalizer's [[TextAnalysis.FullwidthFrom]] table
     * folds them back). */
@@ -4193,6 +4203,16 @@ object CBlock {
         .select((col("doc_id") + 30000000L).as("doc_id"),
           concat(translate(upper(col("text")), fwFrom, fwTo),
             lit(markerB)).as("text")))
+      // locale-fold planted duplicates (r13): same base text, one copy
+      // carrying the lowercase Turkish/German/Greek marker, the other
+      // its uppercase spelling — they co-normalize only through the
+      // explicit İ/ı/Σ/ς fold table + ß → ss
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + 40000000L).as("doc_id"),
+          concat(col("text"), lit(markerC)).as("text")))
+      .unionAll(docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + 50000000L).as("doc_id"),
+          concat(col("text"), lit(markerD)).as("text")))
 
   private val noisySql =
     s"""SELECT doc_id, text FROM documents
@@ -4207,17 +4227,28 @@ object CBlock {
        |SELECT doc_id + 30000000 AS doc_id,
        |  translate(upper(text), ${sqlLit(fwFrom)}, ${sqlLit(fwTo)}) ||
        |    ${sqlLit(markerB)} AS text
-       |FROM documents WHERE doc_id % 17 = 0""".stripMargin
+       |FROM documents WHERE doc_id % 17 = 0
+       |UNION ALL
+       |SELECT doc_id + 40000000 AS doc_id,
+       |  text || ${sqlLit(markerC)} AS text
+       |FROM documents WHERE doc_id % 19 = 0
+       |UNION ALL
+       |SELECT doc_id + 50000000 AS doc_id,
+       |  text || ${sqlLit(markerD)} AS text
+       |FROM documents WHERE doc_id % 19 = 0""".stripMargin
 
-  /** The Unicode normalizer's oracle twin (r12): NFC → full-width fold
-    * (the identical translate table, embedded) → Unicode lower →
-    * category strip (\p{L}/\p{N} in RE2 ≡ Java regex) → collapse. */
+  /** The Unicode normalizer's oracle twin (r12, locale fold r13): NFC →
+    * full-width + locale-exception fold (the identical translate
+    * tables, embedded) → Unicode lower → ß → ss → category strip
+    * (\p{L}/\p{N} in RE2 ≡ Java regex) → collapse. */
   private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(translate(" +
+    "trim(regexp_replace(regexp_replace(replace(lower(translate(" +
       "nfc_normalize(text), " +
-      sqlLit(graft.operators.TextAnalysis.FullwidthFrom) + ", " +
-      sqlLit(graft.operators.TextAnalysis.FullwidthTo) +
-      ")), '[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))"
+      sqlLit(graft.operators.TextAnalysis.FullwidthFrom +
+        graft.operators.TextAnalysis.CaseFoldFrom) + ", " +
+      sqlLit(graft.operators.TextAnalysis.FullwidthTo +
+        graft.operators.TextAnalysis.CaseFoldTo) +
+      ")), 'ß', 'ss'), '[^\\p{L}\\p{N} ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Kneser–Ney CTE chain ending in `kn(w1, w2, c12, c1, n1p_fwd,
     * n1p_bwd, b_types, p_kn)` plus the tokenized corpus `w(doc_id, t)`

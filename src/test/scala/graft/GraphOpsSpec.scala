@@ -175,6 +175,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(n(4L) === want, n(4L))
   }
 
+  test("normalizeText: locale case-fold exceptions — İ/ı, final sigma, ß") {
+    // r13 (VERDICT #4): the locale-sensitive fold seams close via the
+    // explicit pre-lower İ/ı/Σ/ς table and the post-lower ß → ss
+    // replace — İSTANBUL never grows ICU's combining dot, ΛΌΓΟΣ and
+    // λόγος meet at medial σ, STRASSE/straße/ẞ unify — while the fold
+    // stays idempotent
+    val docs = Seq(
+      (1L, "istanbul kapı straße λόγος"),
+      (2L, "İSTANBUL KAPI STRASSE ΛΌΓΟΣ"),
+      (3L, "Istanbul kapI straẞe λόγοσ")
+    ).toDF("doc_id", "text")
+    val n = graft.operators.TextAnalysis.normalizeText(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val want = "istanbul kapi strasse λόγοσ"
+    assert(n(1L) === want, n(1L))
+    assert(n(2L) === want, n(2L))
+    assert(n(3L) === want, n(3L))
+    val again = graft.operators.TextAnalysis.normalizeText(
+      Seq((1L, want)).toDF("doc_id", "text")).collect()
+    assert(again.head.getString(2) === want, "fold must be idempotent")
+  }
+
   test("chunkTokens: exact windows, short tail, empty doc emits nothing") {
     // 10 tokens, size 4, stride 3 → offsets 0,3,6,9; lengths 4,4,4,1
     val text = (1 to 10).map(i => s"t$i").mkString(" ")
