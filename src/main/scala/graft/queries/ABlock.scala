@@ -632,6 +632,81 @@ object ABlock {
       rows.toDF("metric_key", "value").orderBy(col("metric_key"))
     }),
 
+    "sync_watchdog" -> ((s, dir) => {
+      // the topic watchdog under the oracle (r13, verdict #6 — promotes
+      // A24 from spec-only, the A48 pattern: REAL component in the
+      // loop, deterministic relation out): the first six days' "hot"
+      // topic sets (count strictly above the uniform day share — a set
+      // that provably changes day to day at every SF) drive a replay
+      // where each day's set is materialized as topic DIRECTORIES
+      // under a temp root, the real TopicWatchdog ticks against it,
+      // and on every membership change it stops the live consumer and
+      // starts a REAL file-stream query over the new concrete topic
+      // glob (pulsar.rs:193-221's consumer recreation). The row is the
+      // resubscription ledger — (day, topics, n_topics, resubscribed,
+      // generation) — recomputed relationally by DuckDB from the same
+      // daily counts.
+      val daily = msgs(s, dir)
+        .filter(col("publish_time") < lit("2024-01-07").cast("timestamp"))
+        .groupBy(date_format(col("publish_time"), "yyyy-MM-dd").as("day"),
+          col("topic"))
+        .agg(count(lit(1)).as("n"))
+      val wDay = Window.partitionBy(col("day"))
+      // model-state: ≤ 6 days × 5 topics
+      val hot = daily.withColumn("day_n", sum(col("n")).over(wDay))
+        .filter(col("n") * 5 > col("day_n"))
+        .groupBy(col("day"))
+        .agg(sort_array(collect_list(col("topic"))).as("topics"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      val days = daily.select(col("day")).distinct().orderBy(col("day"))
+        .collect().map(_.getString(0))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_watchdog_").toFile
+      val root = new java.io.File(base, "topics")
+      root.mkdirs()
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmrf))
+        f.delete(); ()
+      }
+      var gen = 0
+      val wd = new graft.streaming.TopicWatchdog(s, root.getAbsolutePath,
+        "[a-z]+", { topics =>
+          gen += 1
+          graft.streaming.StreamedBatch.noteReplay()
+          s.readStream
+            .text(root.getAbsolutePath + "/{" +
+              topics.toSeq.sorted.mkString(",") + "}")
+            .writeStream.format("noop")
+            .option("checkpointLocation",
+              new java.io.File(base, s"ckpt_$gen").getAbsolutePath)
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .ProcessingTime("1 hour"))
+            .start()
+        })
+      val ledger = try {
+        days.map { day =>
+          val want = hot.getOrElse(day, Seq.empty).toSet
+          Option(root.listFiles()).foreach(_.filter(_.isDirectory)
+            .filterNot(f => want(f.getName)).foreach(rmrf))
+          want.foreach { t =>
+            val d = new java.io.File(root, t)
+            d.mkdirs()
+            val f = new java.io.File(d, "part-0.txt")
+            if (!f.exists())
+              java.nio.file.Files.write(f.toPath, t.getBytes("UTF-8"))
+            ()
+          }
+          val resub = wd.tick()
+          (day, want.toSeq.sorted.mkString(","), want.size.toLong, resub,
+            wd.generation.toLong)
+        }.toSeq
+      } finally { wd.stop(); rmrf(base) }
+      val ss = s
+      import ss.implicits._
+      ledger.toDF("day", "topics", "n_topics", "resubscribed", "generation")
+        .orderBy(col("day"))
+    }),
+
     "sync_schema_drift" -> ((s, dir) => {
       // ES mapping-drift monitor (the ops readout behind es.rs's
       // field_count metric — a new JSON key in a log stream means a
@@ -1194,6 +1269,35 @@ object ABlock {
         |    failed AS value
         |  FROM b
         |) ORDER BY metric_key""".stripMargin,
+
+    "sync_watchdog" ->
+      """WITH p AS (
+        |  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS topic,
+        |    count(*) AS n
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-07'
+        |  GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT day, sum(n) AS day_n FROM p GROUP BY 1
+        |), hot AS (
+        |  SELECT p.day, p.topic FROM p JOIN tot USING (day)
+        |  WHERE p.n * 5 > tot.day_n
+        |), sets AS (
+        |  SELECT t.day,
+        |    COALESCE(string_agg(h.topic, ',' ORDER BY h.topic), '') AS topics,
+        |    count(h.topic) AS n_topics
+        |  FROM tot t LEFT JOIN hot h ON t.day = h.day
+        |  GROUP BY t.day
+        |), led AS (
+        |  SELECT day, topics, n_topics,
+        |    lag(topics) OVER (ORDER BY day) AS prev
+        |  FROM sets
+        |)
+        |SELECT day, topics, CAST(n_topics AS BIGINT) AS n_topics,
+        |  (n_topics > 0 AND (prev IS NULL OR prev <> topics)) AS resubscribed,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> topics THEN 1 ELSE 0 END)
+        |    OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS generation
+        |FROM led ORDER BY day""".stripMargin,
 
     "sync_metrics" ->
       """SELECT event_type AS topic, strftime(ts, '%Y.%m.%d') AS date_str,

@@ -37,6 +37,13 @@ object StreamedBatch {
     * replay row is split correctly with no list to maintain. */
   def replayRuns: Int = seq.get
 
+  /** Tick the replay counter from a row that drives REAL streaming-query
+    * lifecycles outside this object's runners (the watchdog replay, r13):
+    * Bench's batch/replay split is observed around each timed run, so a
+    * row paying query-startup + checkpoint cost must register here to be
+    * classified with the other replay rows. */
+  def noteReplay(): Unit = { seq.incrementAndGet(); () }
+
   /** Isolated-conf session for the twin's streaming run with the state
     * store right-sized to the bounded oracle input: the session default
     * (32) spreads a few thousand state rows over 32 store partitions ×
