@@ -360,8 +360,8 @@ object ABlock {
       // under the driver oracle. The write is itself the plan the sink
       // side uses (partitionBy, one narrow projection); the temp store
       // is per-invocation
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-jsonl-src").toString + "/store"
+      val tmp = graft.streaming.StreamedBatch
+        .twinTempDir("graft-jsonl-src") + "/store"
       msgs(s, dir)
         .select(col("topic"),
           concat(lit("{\"ts\": "), unix_millis(col("publish_time")),
@@ -660,8 +660,10 @@ object ABlock {
         .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
       val days = daily.select(col("day")).distinct().orderBy(col("day"))
         .collect().map(_.getString(0))
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_watchdog_").toFile
+      // scratch (incl. six per-generation checkpoints) on the twin
+      // scratch base — tmpfs when available (r13)
+      val base = new java.io.File(
+        graft.streaming.StreamedBatch.twinTempDir("graft_watchdog_"))
       val root = new java.io.File(base, "topics")
       root.mkdirs()
       def rmrf(f: java.io.File): Unit = {

@@ -528,8 +528,8 @@ object CBlock {
       val docs = Tables.documents(s, dir)
       val history = docs.filter(pmod(col("doc_id"), lit(10)) < 8)
       val incoming = docs.filter(pmod(col("doc_id"), lit(10)) >= 8)
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val path = graft.operators.Scratch.fixedPath(
+        "graft_dedup_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       Dedup.minhashBuckets(history, 16, 4)
         .withColumn("bp", pmod(col("bucket"), lit(16L)))
         .write.mode("overwrite").partitionBy("bp").parquet(path)
@@ -1795,8 +1795,8 @@ object CBlock {
     "lm_bigram_vocab" -> ((s, dir) => {
       // bigram scores against the STORED bigram-vocab artifact
       val docs = Tables.documents(s, dir)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_bivocab_" +
-        s"${Integer.toHexString(dir.hashCode)}"
+      val out = graft.operators.Scratch.fixedPath(
+        s"graft_bivocab_${Integer.toHexString(dir.hashCode)}")
       Curation.bigramVocabBuild(docs, minCount = 1)
         .write.mode("overwrite").parquet(out)
       Curation.lmBigramScoreVocab(docs, s.read.parquet(out))
@@ -1881,8 +1881,8 @@ object CBlock {
       // artifact (written + read back as parquet), not an inline agg —
       // the layout that lets AQE split the Zipf-head skew join
       val docs = Tables.documents(s, dir)
-      val out = s"${sys.props("java.io.tmpdir")}/graft_vocab_" +
-        s"${Integer.toHexString(dir.hashCode)}"
+      val out = graft.operators.Scratch.fixedPath(
+        s"graft_vocab_${Integer.toHexString(dir.hashCode)}")
       Curation.vocabBuild(docs, minCount = 1)
         .write.mode("overwrite").parquet(out)
       Curation.lmUnigramScoreVocab(docs, s.read.parquet(out))
@@ -1894,8 +1894,8 @@ object CBlock {
       // (shard-partitioned parquet + manifest commit marker), read back
       // through the manifest-VALIDATING reader, recompute the audit —
       // parity with the oracle proves the write→commit→read round-trip
-      val out = s"${sys.props("java.io.tmpdir")}/graft_export_" +
-        s"${Integer.toHexString(dir.hashCode)}"
+      val out = graft.operators.Scratch.fixedPath(
+        s"graft_export_${Integer.toHexString(dir.hashCode)}")
       graft.sinks.TrainExportSink.write(Tables.documents(s, dir), out,
         nShards = 16)
       graft.sinks.TrainExportSink.read(s, out)
@@ -1969,8 +1969,8 @@ object CBlock {
       val cents = Similarity.ivfCentroids(emb, 8, 32)
       // path scoped by the sf dir: concurrent runs at different scale
       // factors must not clobber each other's artifact
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_")).getPath
+      val path = graft.operators.Scratch.fixedPath(
+        "graft_pq_index_" + dir.replaceAll("[^A-Za-z0-9.]", "_"))
       Similarity.ivfadcIndex(emb, cents, m = 8, sub = 8)
         .write.mode("overwrite").partitionBy("cent_id").parquet(path)
       Similarity.ivfadcSearch(s.read.parquet(path), emb,

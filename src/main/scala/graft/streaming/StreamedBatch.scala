@@ -27,6 +27,13 @@ object StreamedBatch {
 
   private val seq = new AtomicInteger(0)
 
+  /** Replay-twin scratch dirs (source copies, checkpoints, state-store
+    * deltas, store sinks) — bounded single-run artifacts deleted in the
+    * runner's own `finally`, placed via [[graft.operators.Scratch]]
+    * (tmpfs when available; r13 optimization). */
+  private[graft] def twinTempDir(prefix: String): String =
+    graft.operators.Scratch.tempDir(prefix)
+
   /** Monotone count of streaming replays started by this JVM — every
     * runner in this object ticks it. [[graft.Bench]] samples it around
     * each timed query to SPLIT the bench total into `batch_total` /
@@ -67,13 +74,16 @@ object StreamedBatch {
   private def throughStream(s: SparkSession, input: DataFrame, name: String)
       (build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val tmp = twinTempDir(s"graft-$name-twin")
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
       input.coalesce(1).write.parquet(s"$tmp/src")
+      // explicit checkpoint under the twin's scratch dir: a temp
+      // checkpoint would otherwise land in java.io.tmpdir (r13)
       val q = build(ss, s"$tmp/src")
         .format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -128,13 +138,14 @@ object StreamedBatch {
       name: String)
       (build: (SparkSession, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val tmp = twinTempDir(s"graft-$name-twin")
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
       input.coalesce(1).write.parquet(s"$tmp/src")
       val q = build(ss, s"$tmp/src")
         .format("memory").queryName(qn).outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -160,7 +171,7 @@ object StreamedBatch {
       right: DataFrame, name: String)
       (build: (SparkSession, String, String) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val tmp = twinTempDir(s"graft-$name-twin")
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
@@ -168,6 +179,7 @@ object StreamedBatch {
       right.coalesce(1).write.parquet(s"$tmp/right")
       val q = build(ss, s"$tmp/left", s"$tmp/right")
         .format("memory").queryName(qn).outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -570,6 +582,17 @@ object StreamedBatch {
       nBatches: Int, tmp: String): String = {
     val src = s"$tmp/src"
     new java.io.File(src).mkdirs()
+    // Materialize the batched input ONCE before the per-batch writes:
+    // each `filter(batch === b)` below re-executes the ENTIRE upstream
+    // plan (for the flagship sync twins that plan contains a global
+    // row_number window — nBatches extra full sorts of the message
+    // relation; for every multibatch row at least nBatches extra scans
+    // + plant transforms). Guide §2.4/§5: one pass computes the
+    // relation, the per-batch jobs then scan tiny materialized blocks.
+    // File CONTENT is unchanged (same rows per batch, same order: the
+    // materialized partitions replay the identical deterministic plan).
+    val mat = graft.operators.Materialize(
+      batches.select((cols :+ "batch").distinct.map(col): _*))
     // Mod-times are set EXPLICITLY, 1 s apart (some filesystems have
     // 1-second mtime granularity, so sleeping between writes would not
     // guarantee distinct stamps): file b gets base + b s, pinning the
@@ -577,7 +600,7 @@ object StreamedBatch {
     val base = (System.currentTimeMillis() / 1000L) * 1000L
     (0 until nBatches).foreach { b =>
       val d = s"$tmp/stage/b$b"
-      batches.filter(col("batch") === b).select(cols.map(col): _*)
+      mat.filter(col("batch") === b).select(cols.map(col): _*)
         .coalesce(1).write.parquet(d)
       val part = new java.io.File(d).listFiles()
         .filter(_.getName.endsWith(".parquet")).head.toPath
@@ -609,7 +632,7 @@ object StreamedBatch {
       nBatches: Int, outputMode: String, sources: (DataFrame, Seq[String])*)
       (build: (SparkSession, Seq[String]) => org.apache.spark.sql.streaming.DataStreamWriter[_])
       : DataFrame = {
-    val tmp = Files.createTempDirectory(s"graft-$name-twin").toString
+    val tmp = twinTempDir(s"graft-$name-twin")
     val qn = s"${name}_twin_${seq.incrementAndGet()}"
     val ss = streamSession(s)
     try {
@@ -619,6 +642,7 @@ object StreamedBatch {
       }
       val q = build(ss, srcs)
         .format("memory").queryName(qn).outputMode(outputMode)
+        .option("checkpointLocation", s"$tmp/ckpt")
         .trigger(Trigger.AvailableNow()).start()
       if (!q.awaitTermination(300000)) {
         q.stop()
@@ -710,7 +734,7 @@ object StreamedBatch {
 
   private def runSyncedStore(s: SparkSession, batched: DataFrame,
       cfg: SyncConfig, nBatches: Int, compactFirst: Boolean): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-sync-twin").toString
+    val tmp = twinTempDir("graft-sync-twin")
     seq.incrementAndGet() // count toward replayRuns like every runner
     val ss = streamSession(s)
     try {
@@ -857,7 +881,7 @@ object StreamedBatch {
     * verbatim). */
   def nearDupCollisionsMultiFrom(s: SparkSession, batched: DataFrame,
       nBatches: Int, registry: DataFrame): DataFrame = {
-    val regTmp = Files.createTempDirectory("graft-ndgf-reg").toString
+    val regTmp = twinTempDir("graft-ndgf-reg")
     try {
       registry.select(col("bucket"), col("first_doc"))
         .write.parquet(s"$regTmp/reg")
@@ -920,7 +944,7 @@ object StreamedBatch {
   def lineGatedMultiFrom(s: SparkSession, batched: DataFrame,
       nBatches: Int, registry: DataFrame, lineLen: Int = 10,
       minSupport: Int = 3): DataFrame = {
-    val regTmp = Files.createTempDirectory("graft-lngf-reg").toString
+    val regTmp = twinTempDir("graft-lngf-reg")
     try {
       registry.select(col("line"), col("sup")).write.parquet(s"$regTmp/reg")
       throughChunkedStream(s, "lngf", nBatches,
@@ -1051,7 +1075,7 @@ object StreamedBatch {
     * ownership re-seeds losslessly on the next arrival. */
   def nearDupCollisionsTtlMultiFrom(s: SparkSession, batched: DataFrame,
       nBatches: Int, registry: DataFrame, ttlMs: Long): DataFrame = {
-    val regTmp = Files.createTempDirectory("graft-ndgtf-reg").toString
+    val regTmp = twinTempDir("graft-ndgtf-reg")
     try {
       registry.select(col("bucket"), col("first_doc"))
         .write.parquet(s"$regTmp/reg")
@@ -1094,7 +1118,7 @@ object StreamedBatch {
   def lineGatedTtlMultiFrom(s: SparkSession, batched: DataFrame,
       nBatches: Int, registry: DataFrame, ttlMs: Long, lineLen: Int = 10,
       minSupport: Int = 3): DataFrame = {
-    val regTmp = Files.createTempDirectory("graft-lngtf-reg").toString
+    val regTmp = twinTempDir("graft-lngtf-reg")
     try {
       registry.select(col("line"), col("sup")).write.parquet(s"$regTmp/reg")
       throughChunkedStream(s, "lngtf", nBatches + 1,
