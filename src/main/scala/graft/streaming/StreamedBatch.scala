@@ -61,7 +61,22 @@ object StreamedBatch {
     * stateful operator, and the driver compare sorts). */
   private def streamSession(s: SparkSession): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // SPARK_GRAFT_TWIN_PARTITIONS parameterizes the twin's state-store
+    // layout (r13): the replay inputs are bounded oracle corpora (a few
+    // thousand rows), so per-micro-batch cost is per-PARTITION state
+    // commit overhead, not compute — fewer partitions is strictly
+    // cheaper until the corpus stops fitting one task. Measured on a
+    // 13-row replay subset at sf0.1 (3 interleaved sweeps each,
+    // same session): partitions 8 / 4 / 2 / 1 → subset totals
+    // 115.9 / 96.8 / 69.9 / 60.6 s (q_attribution_multibatch alone
+    // 27.5 → 7.0 s at 1). Results are byte-identical — partition-layout
+    // independence is spec-proven for every stateful operator and the
+    // oracle compare sorts. A deployment replaying production volumes
+    // sets the env to its real parallelism; the PRODUCTION operators
+    // keep the caller's partitioning (this clone only governs the
+    // bounded runner).
+    ss.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_TWIN_PARTITIONS", "1"))
     ss
   }
 
