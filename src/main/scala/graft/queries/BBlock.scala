@@ -809,11 +809,15 @@ object BBlock {
       // metric), score = 5 − (rank·5) div n as exact integer division
       // (a double quantile could flip boundary customers
       // cross-engine), then the classic segment rules on the scores
-      val base = Tables.orders(s, dir).groupBy(col("o_custkey"))
-        .agg(max(datediff(col("o_orderdate"),
-            lit("1970-01-01").cast("date")).cast("long")).as("rec_day"),
-          count(lit(1)).as("freq"),
-          sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c"))
+      // four consumers (three rank passes + the final join spine):
+      // materialize the per-customer aggregate once instead of
+      // re-scanning + re-aggregating orders per consumer (r13)
+      val base = graft.operators.Materialize(
+        Tables.orders(s, dir).groupBy(col("o_custkey"))
+          .agg(max(datediff(col("o_orderdate"),
+              lit("1970-01-01").cast("date")).cast("long")).as("rec_day"),
+            count(lit(1)).as("freq"),
+            sum(round(col("o_totalprice") * 100).cast("long")).as("mon_c")))
       val n = base.agg(count(lit(1)).as("n"))
       def score(metric: String, out: String) =
         graft.operators.Curation.globalRank(

@@ -1856,6 +1856,12 @@ object CBlock {
       // window [8, 23] sits inside the plant only for k ∈ [4, 8], so
       // docs with doc_id % 7 ∈ {0, 6} are provably invisible to the
       // screen and must appear in the missed mass (spec-pinned).
+      // NOTE (r13): materializing `planted` for the two faces was
+      // measured SLOWER (2.4-3.2 s -> 3.1-3.8 s at sf0.1): the plant is
+      // one narrow projection over a pruned parquet scan, cheaper to
+      // recompute than to round-trip full text blobs through the block
+      // store — each face's own heavy explode is already materialized
+      // inside the operator.
       val planted = spanPlantedDocs(Tables.documents(s, dir))
       val exact = Curation.repeatedSpansExact(planted, w = 16)
         .select(col("doc_id"), col("span_start"), col("span_end"))

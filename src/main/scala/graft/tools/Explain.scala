@@ -20,18 +20,28 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fn = graft.SparkEntry.queries(name)
-    fn(spark, sfDir).explain("formatted")
-    fn(spark, sfDir).count() // warm-up
-    // REBUILD the DataFrame inside the timer: Materialize() checkpoints
-    // eagerly at CONSTRUCTION time, so timing a pre-built df measures
-    // only the post-checkpoint tail (dedup_prefix_jaccard read 0.85 s
-    // here vs 6.6 s in Bench until this tool was fixed to match
-    // Bench's fn(...).count() semantics).
-    (1 to reps).foreach { i =>
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    // comma-separated names share one session (r13: plan surveys over
+    // many queries shouldn't pay a JVM+session start-up each)
+    name.split(",").map(_.trim).filter(_.nonEmpty).foreach { nm =>
+      println(s"===== $nm =====")
+      val fn = graft.SparkEntry.queries(nm)
+      fn(spark, sfDir).explain("formatted")
+      fn(spark, sfDir).count() // warm-up
+      // REBUILD the DataFrame inside the timer: Materialize() checkpoints
+      // eagerly at CONSTRUCTION time, so timing a pre-built df measures
+      // only the post-checkpoint tail (dedup_prefix_jaccard read 0.85 s
+      // here vs 6.6 s in Bench until this tool was fixed to match
+      // Bench's fn(...).count() semantics).
+      (1 to reps).foreach { i =>
+        // dead materialization blocks from the previous query would
+        // distort the next timing (the Bench clearCache convention)
+        spark.sharedState.cacheManager.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        println(f"run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
     }
     spark.stop()
   }
