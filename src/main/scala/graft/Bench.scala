@@ -50,6 +50,15 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Shuffle/spill scratch on the fastest local media (guide §6/§9):
+      // graft.operators.Scratch resolves SPARK_GRAFT_SCRATCH → /dev/shm
+      // → java.io.tmpdir; a real cluster sets SPARK_LOCAL_DIRS (which
+      // overrides this conf) to its local SSDs. Measured at sf0.1 on a
+      // 15-query batch subset (3 sweeps each, back-to-back): ext4 /tmp
+      // 67.1 s vs tmpfs 36.9 s — every exchange's shuffle-file I/O
+      // halves on this box. Ephemeral per-run dir; results unchanged.
+      .config("spark.local.dir",
+        graft.operators.Scratch.tempDir("graft-spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       // legacy-layout compatibility: when events.parquet stores
       // TIMESTAMP(NANOS) (rounds ≤4), the plain per-table warm-up read

@@ -13,6 +13,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same scratch placement as Bench (r13) — SPARK_LOCAL_DIRS wins
+      .config("spark.local.dir",
+        graft.operators.Scratch.tempDir("graft-spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -26,9 +26,15 @@ object Scratch {
       .getOrElse(Paths.get(System.getProperty("java.io.tmpdir")))
   }
 
-  /** Create a fresh scratch dir under [[base]]. */
-  def tempDir(prefix: String): String =
-    Files.createTempDirectory(base, prefix).toString
+  /** Create a fresh scratch dir under [[base]]. Registered for
+    * JVM-exit deletion as a backstop (owners that fill it are expected
+    * to clean up themselves; Spark removes its own local-dir subtrees
+    * on shutdown, after which the empty parent can go). */
+  def tempDir(prefix: String): String = {
+    val d = Files.createTempDirectory(base, prefix)
+    d.toFile.deleteOnExit()
+    d.toString
+  }
 
   /** A fixed-name scratch path under [[base]] (for per-SF stored
     * artifacts that `mode("overwrite")` each invocation). */

@@ -16,6 +16,9 @@ object Explain {
       .appName("graft-explain")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench's scratch placement so timings are comparable (r13)
+      .config("spark.local.dir",
+        graft.operators.Scratch.tempDir("graft-spark-local"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
