@@ -981,10 +981,16 @@ object BBlock {
         round(col("o_totalprice") * 100).cast("long").as("price_c"),
         datediff(col("o_orderdate"), lit("1970-01-01").cast("date"))
           .cast("long").as("day_n"))
-      val local = graft.operators.Pareto.skyline2d(
-          pts.withColumn("__sh", pmod(col("o_orderkey"), lit(8L))),
-          "price_c", "day_n", groupCols = Seq("__sh"))
-        .drop("__sh")
+      // materialize the per-shard fronts before the global merge (r13):
+      // skyline2d consumes its input twice (per-x agg + join back), so
+      // without this the GLOBAL call re-executes the entire per-shard
+      // staircase tree — 18 orders scans in one plan; the front is tiny
+      // by definition (exactly what a 1000-executor skyline ships)
+      val local = graft.operators.Materialize(
+        graft.operators.Pareto.skyline2d(
+            pts.withColumn("__sh", pmod(col("o_orderkey"), lit(8L))),
+            "price_c", "day_n", groupCols = Seq("__sh"))
+          .drop("__sh"))
       graft.operators.Pareto.skyline2d(local, "price_c", "day_n")
         .select(col("o_orderkey"), col("price_c"), col("day_n"))
         .orderBy(col("price_c").desc, col("day_n"), col("o_orderkey"))
