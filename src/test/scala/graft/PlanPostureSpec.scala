@@ -314,6 +314,27 @@ class PlanPostureSpec extends SparkSpec {
     }
   }
 
+  test("q_skyline_merge: global merge reads materialized fronts, no corpus rescans") {
+    // skyline2d consumes its input twice, so an unmaterialized per-shard
+    // front makes the global call re-execute the whole per-shard
+    // staircase tree (18 orders scans in one plan, r13). The final plan
+    // must read the materialized front — zero parquet scans survive.
+    val p = SparkEntry.queries("q_skyline_merge")(spark, sf("0.01"))
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"q_skyline_merge: the global merge must scan the materialized " +
+        s"per-shard fronts, not re-execute the staircase over orders:\n$p")
+  }
+
+  test("q_rfm: rank branches share the materialized customer aggregate") {
+    // base (orders scan + per-customer agg) feeds three rank passes and
+    // the join spine; unmaterialized it re-runs per consumer (r13).
+    val p = SparkEntry.queries("q_rfm")(spark, sf("0.01"))
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"q_rfm: consumers must scan the materialized base aggregate:\n$p")
+  }
+
   test("table_diff / agg_incremental: one shuffle shape, no window, no cartesian") {
     Seq("table_diff", "agg_incremental").foreach { q =>
       val p = planOf(q)
