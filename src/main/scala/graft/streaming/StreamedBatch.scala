@@ -608,18 +608,39 @@ object StreamedBatch {
     // materialized partitions replay the identical deterministic plan).
     val mat = graft.operators.Materialize(
       batches.select((cols :+ "batch").distinct.map(col): _*))
+    // ONE partitioned write instead of nBatches sequential jobs (r13):
+    // repartition(nBatches, batch) puts each batch value in exactly one
+    // task, so the dynamic-partition write emits exactly one file per
+    // batch= directory in a single job. Results are order-independent
+    // (spec-proven per stateful operator; every admission order the
+    // oracles model is an EXPLICIT sort key of the operator, never file
+    // row order). An EMPTY batch produces no directory, so the fallback
+    // below writes a schema-only file for it — the micro-batch sequence
+    // (and the two-source lockstep of the stream-stream replays) must
+    // stay exactly nBatches files per source.
+    val stage = s"$tmp/stage"
+    mat.repartition(nBatches, col("batch"))
+      .write.partitionBy("batch").parquet(stage)
     // Mod-times are set EXPLICITLY, 1 s apart (some filesystems have
     // 1-second mtime granularity, so sleeping between writes would not
     // guarantee distinct stamps): file b gets base + b s, pinning the
     // file source's mod-time ordering deterministically.
     val base = (System.currentTimeMillis() / 1000L) * 1000L
     (0 until nBatches).foreach { b =>
-      val d = s"$tmp/stage/b$b"
-      mat.filter(col("batch") === b).select(cols.map(col): _*)
-        .coalesce(1).write.parquet(d)
-      val part = new java.io.File(d).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head.toPath
       val dest = java.nio.file.Paths.get(f"$src/f$b%03d.parquet")
+      val parts = Option(new java.io.File(s"$stage/batch=$b").listFiles())
+        .map(_.filter(_.getName.endsWith(".parquet"))).getOrElse(Array.empty)
+      val part = parts match {
+        case Array(one) => one.toPath
+        case Array() => // empty batch: schema-only file keeps the sequence
+          val d = s"$tmp/stage/e$b"
+          mat.filter(lit(false)).select(cols.map(col): _*)
+            .coalesce(1).write.parquet(d)
+          new java.io.File(d).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head.toPath
+        case many => throw new IllegalStateException(
+          s"batch $b wrote ${many.length} files; expected exactly one")
+      }
       Files.move(part, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       if (!dest.toFile.setLastModified(base + b * 1000L))
         throw new IllegalStateException(s"cannot set mod-time on $dest")
