@@ -593,7 +593,7 @@ object StreamedBatch {
     * order with distinct mod-times, so a file source with
     * `maxFilesPerTrigger = 1` replays them as deterministic
     * micro-batches. Returns the source directory. */
-  private def writeChunkedFiles(batches: DataFrame, cols: Seq[String],
+  private[graft] def writeChunkedFiles(batches: DataFrame, cols: Seq[String],
       nBatches: Int, tmp: String): String = {
     val src = s"$tmp/src"
     new java.io.File(src).mkdirs()

@@ -382,4 +382,35 @@ class StreamingSyncSpec extends SparkSpec {
     val n2 = spark.read.parquet(sinkDir).count()
     assert(n1 == n2)
   }
+
+  test("writeChunkedFiles: one job emits one file per batch, empty batches included") {
+    // r13: the chunk writer moved from nBatches sequential filter+write
+    // jobs to ONE partitioned write. The micro-batch sequence is
+    // load-bearing (watermark advancement models batch INDEX; the
+    // stream-stream replays drain two sources in lockstep), so an empty
+    // batch must still produce its schema-only file in order.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-chunk-spec").toString
+    // batch 1 of 0..3 is EMPTY
+    val batched = Seq((1L, "a", 0L), (2L, "b", 0L), (3L, "c", 2L),
+      (4L, "d", 3L)).toDF("doc_id", "text", "batch")
+    val src = graft.streaming.StreamedBatch.writeChunkedFiles(batched,
+      Seq("doc_id", "text"), nBatches = 4, tmp)
+    val files = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      Seq("f000.parquet", "f001.parquet", "f002.parquet", "f003.parquet"))
+    // mod-times strictly increasing — the file source's replay order
+    assert(files.map(_.lastModified()).toSeq.sliding(2)
+      .forall { case Seq(a, b) => a < b })
+    // per-file content: exactly the batch's rows; the empty batch reads
+    // back as zero rows with the right schema
+    val perFile = files.map(f => spark.read.parquet(f.getPath))
+    assert(perFile.map(_.count()).toSeq == Seq(2L, 0L, 1L, 1L))
+    assert(perFile.forall(_.columns.toSeq == Seq("doc_id", "text")))
+    assert(perFile(2).as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    org.apache.hadoop.fs.FileSystem
+      .get(new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
 }
