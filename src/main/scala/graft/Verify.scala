@@ -24,6 +24,13 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // Bench's between-query convention (r14, ADVICE): release DEAD
+      // materialization blocks — Materialize local-checkpoints eagerly,
+      // and across a ~341-query dump the unreachable blocks of finished
+      // queries otherwise accumulate in the unified memory pool.
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -75,8 +75,22 @@ object StreamedBatch {
     // sets the env to its real parallelism; the PRODUCTION operators
     // keep the caller's partitioning (this clone only governs the
     // bounded runner).
-    ss.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_TWIN_PARTITIONS", "1"))
+    // Validated here (r14, ADVICE): a non-numeric value would otherwise
+    // fail deep inside Spark with an opaque error. NOTE for new twins:
+    // the default of 1 rests on every stateful twin being
+    // partition-layout-INDEPENDENT (group iterators sorted by explicit
+    // keys, spec-proven) — a future twin without that property must not
+    // be added under this default.
+    val twinParts = sys.env.getOrElse("SPARK_GRAFT_TWIN_PARTITIONS", "1")
+    require(scala.util.Try(twinParts.trim.toInt).toOption.exists(_ > 0),
+      s"SPARK_GRAFT_TWIN_PARTITIONS must be a positive integer, got '$twinParts'")
+    ss.conf.set("spark.sql.shuffle.partitions", twinParts.trim)
+    // State-store provider knob for the replay floor (r14, verdict #4):
+    // lets an A/B pit RocksDB against the default HDFS-backed store on
+    // the many-tiny-state-files workload (A/B table in
+    // OPTIMIZATION_r14.md; the default stays whatever that table says).
+    sys.env.get("SPARK_GRAFT_TWIN_STATE_PROVIDER").foreach(p =>
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass", p.trim))
     ss
   }
 
@@ -604,22 +618,26 @@ object StreamedBatch {
     // relation; for every multibatch row at least nBatches extra scans
     // + plant transforms). Guide §2.4/§5: one pass computes the
     // relation, the per-batch jobs then scan tiny materialized blocks.
-    // File CONTENT is unchanged (same rows per batch, same order: the
-    // materialized partitions replay the identical deterministic plan).
+    // Row MEMBERSHIP per batch file is unchanged; within-file row order
+    // after the repartition shuffle is pinned by the explicit
+    // sortWithinPartitions below (r14, ADVICE — the r13 shape left it
+    // to shuffle fetch order): no current twin depends on file row
+    // order (every admission order the oracles model is an EXPLICIT
+    // sort key of the operator, spec-proven), but byte-deterministic
+    // files close the trap for any future order-sensitive twin.
     val mat = graft.operators.Materialize(
       batches.select((cols :+ "batch").distinct.map(col): _*))
     // ONE partitioned write instead of nBatches sequential jobs (r13):
     // repartition(nBatches, batch) puts each batch value in exactly one
     // task, so the dynamic-partition write emits exactly one file per
-    // batch= directory in a single job. Results are order-independent
-    // (spec-proven per stateful operator; every admission order the
-    // oracles model is an EXPLICIT sort key of the operator, never file
-    // row order). An EMPTY batch produces no directory, so the fallback
-    // below writes a schema-only file for it — the micro-batch sequence
-    // (and the two-source lockstep of the stream-stream replays) must
-    // stay exactly nBatches files per source.
+    // batch= directory in a single job. An EMPTY batch produces no
+    // directory, so the fallback below writes a schema-only file for it
+    // — the micro-batch sequence (and the two-source lockstep of the
+    // stream-stream replays) must stay exactly nBatches files per
+    // source.
     val stage = s"$tmp/stage"
     mat.repartition(nBatches, col("batch"))
+      .sortWithinPartitions(cols.map(col): _*)
       .write.partitionBy("batch").parquet(stage)
     // Mod-times are set EXPLICITLY, 1 s apart (some filesystems have
     // 1-second mtime granularity, so sleeping between writes would not

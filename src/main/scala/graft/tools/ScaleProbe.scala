@@ -74,27 +74,12 @@ object ScaleProbe {
     // this should sit near the scan slope
     "shard_zorder_sampled")
 
-  def main(args: Array[String]): Unit = {
-    val replicas = args.headOption.map(_.toInt).getOrElse(8)
-    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
-    // SPARK_GRAFT_SCALE_ONLY=a,b restricts the probe set (local
-    // diagnosis aid); restricted runs skip the SCALE.json write so a
-    // partial probe never masquerades as the board
-    val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val baseDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .appName("graft-scale-probe")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-
-    val scaledDir = Files.createTempDirectory("graft-scale").toString
+  /** Replicate the sf0.1 corpus `replicas`× into `scaledDir` (ids
+    * remapped to stay unique, event times jittered by replica index in
+    * µs; text/vectors unchanged). Shared by the slope probe here and
+    * the core-count probe ([[CoreProbe]], r14 verdict #5). */
+  def replicateCorpus(spark: SparkSession, baseDir: String,
+      scaledDir: String, replicas: Int): Unit = {
     def rep(df: DataFrame): (DataFrame, org.apache.spark.sql.Column) = {
       val r = df.crossJoin(spark.range(replicas).select(col("id").as("__rep")))
       (r, col("__rep"))
@@ -140,6 +125,30 @@ object ScaleProbe {
         .drop("__rep")
         .write.parquet(s"$scaledDir/lineitem.parquet")
     }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(8)
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
+    // SPARK_GRAFT_SCALE_ONLY=a,b restricts the probe set (local
+    // diagnosis aid); restricted runs skip the SCALE.json write so a
+    // partial probe never masquerades as the board
+    val onlyProbes = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val baseDir = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-scale-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scaledDir = Files.createTempDirectory("graft-scale").toString
+    replicateCorpus(spark, baseDir, scaledDir, replicas)
 
     def time(name: String, dir: String): Double = {
       val fn = graft.SparkEntry.queries(name)
